@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the declared query surface on
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": <sf>}
+
+Protocol (BASELINE.md row 9): warm session, per-query wall-clock including
+result materialization (collect), AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Streaming queries spin up their own bounded streams; they are part of the
+# surface but excluded from the headline relational bench by tag.
+SKIP_TAGS = {"streaming"}
+
+
+def main() -> None:
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
+
+    spark = get_spark()
+    specs = {
+        n: s for n, s in sorted(all_queries().items())
+        if not (set(s.tags) & SKIP_TAGS)
+    }
+
+    # Warm up JVM / codegen / parquet footer caches off the clock.
+    next(iter(specs.values())).build(spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        spec.build(spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_total_wall_clock",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

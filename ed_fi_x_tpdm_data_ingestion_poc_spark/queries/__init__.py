@@ -1,0 +1,57 @@
+"""Declared query surface (SURVEY.md §2.3): operator inventory as runnable
+(Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+Each query is registered via @query(...) into QUERIES. The driver contract
+(/root/repo/__spark_entry__.py) exposes:
+  queries()   -> {name: builder(spark, sf_dir) -> DataFrame}
+  oracle_sql()-> {name: ANSI SQL runnable by DuckDB on the same tables}
+
+Conventions that make cross-engine value-hashing stable:
+  * every computed column aliased identically on both sides,
+  * doubles ROUNDed in-query,
+  * arrays canonicalized (sorted, joined to strings) where hashed,
+  * explicit casts where engine result types differ (e.g. DuckDB EXTRACT
+    -> BIGINT vs Spark year() -> INT),
+  * total ORDER BY wherever a LIMIT exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check (non-SQL op)
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a declared query. `oracle` is the DuckDB-dialect twin."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import every query module and return the full registry."""
+    from . import relational  # noqa: F401
+    from . import scalar_funcs  # noqa: F401
+    from . import udfs  # noqa: F401
+    from . import llm  # noqa: F401
+    from . import streaming_q  # noqa: F401
+    from . import pipeline_q  # noqa: F401
+
+    return dict(QUERIES)

@@ -1,0 +1,704 @@
+"""Relational operator surface: scans, filters, joins, aggregates, windows,
+sorts, set ops (SURVEY.md §2.3 Q01–Q33).
+
+These re-express, Spark-first, the relational capabilities the reference
+reaches only by shipping raw SQL text to a remote RDBMS
+(/root/reference/runtime/input/sql/*.sql executed via
+banner-connector/src/main/java/org/edfi/sis/dao/Dao.java:40-75): projection
+with aliases, equi-joins, conjunctive equality + IN + IS NULL predicates,
+ORDER BY, CASE WHEN — plus the app-level patterns (N+1 per-id lookup loop ->
+join, last-row-wins -> max_by, snapshot reconciliation -> left_anti).
+
+Everything here is built-in Catalyst: whole-stage codegen, partial
+aggregation, broadcast selection and AQE come for free because the plans are
+declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import table
+from . import query
+
+# ---------------------------------------------------------------- scans ----
+
+
+@query(
+    "q01_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+    tags=("scan",),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + projection + top-k (ref R1 analog, Dao.java:40-75).
+
+    Column pruning reaches the scan: ReadSchema carries only 4 columns.
+    """
+    li = table(spark, sf, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q04_sink_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+    tags=("sink",),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON sink write+reread round-trip equals the source (ref R24,
+    SisConnectorService.java:163-182). Hash-checked against the Q01 oracle.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q04_roundtrip_")
+    df = q01(spark, sf)
+    df.write.mode("overwrite").json(out)
+    back = spark.read.schema(df.schema).json(out)
+    return back.orderBy("l_orderkey", "l_linenumber")
+
+
+# -------------------------------------------------- filters / predicates ----
+
+
+@query(
+    "q05_filter_conjunction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("filter",),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive comparison predicates (ref §2.2, teacherCandidateIds.sql:3-6).
+
+    Both predicates push to the parquet scan (PushedFilters in explain).
+    """
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q06_in_between",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      AND o_totalprice BETWEEN 1000 AND 100000
+    ORDER BY o_orderkey
+    """,
+    tags=("filter",),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-list + BETWEEN predicates (ref §2.2, teacherCandidateIds.sql:7)."""
+    o = table(spark, sf, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(1000, 100000)
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q07_is_null",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE props IS NULL OR value IS NULL
+    ORDER BY event_id
+    """,
+    tags=("filter",),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """IS NULL / three-valued logic (ref §2.2 teacherCandidateAddresses.sql:22;
+    unmatched-column->null path SisConnectorService.java:830-836)."""
+    e = table(spark, sf, "events")
+    return (
+        e.filter(F.col("props").isNull() | F.col("value").isNull())
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q08_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
+                                WHEN '2-HIGH' THEN 'warm'
+                                ELSE 'cold' END AS pr
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("filter",),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN mapping (ref §2.2, teacherCandidateAddresses.sql:9-15)."""
+    o = table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
+        .when(F.col("o_orderpriority") == "2-HIGH", "warm")
+        .otherwise("cold")
+        .alias("pr"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q09_rename_alias",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS full_name
+    FROM customer ORDER BY customer_id
+    """,
+    tags=("project",),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-map rename layer (ref R6, SisConnectorService.java:723-733;
+    runtime/input/columnmap/teacherCandidate.map). The engine version is
+    operators.rename.rename_columns; this query proves the primitive."""
+    from ..operators.rename import rename_columns
+
+    c = table(spark, sf, "customer")
+    out = rename_columns(c, {"customer_id": "c_custkey", "full_name": "c_name"})
+    return out.orderBy("customer_id")
+
+
+# ---------------------------------------------------------------- joins ----
+
+
+def _join_chain(spark: SparkSession, sf: str, hint: bool) -> DataFrame:
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    if hint:
+        n, r = F.broadcast(n), F.broadcast(r)
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY c.c_custkey
+    """
+
+
+@query("q10_join_chain", oracle=_Q10_SQL, tags=("join",))
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join chain (ref §2.2 implicit-comma joins,
+    teacherCandidateAddresses.sql:17-23). Planner picks the strategy."""
+    return _join_chain(spark, sf, hint=False)
+
+
+@query("q11_broadcast_join", oracle=_Q10_SQL, tags=("join",))
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast-hash join of small dims (ref R10's in-heap lookup
+    maps, SisConnectorService.java:503-507 -> broadcast, not driver HashMap).
+    Same result as q10 by construction; at 100 TB the dims stay broadcast."""
+    return _join_chain(spark, sf, hint=True)
+
+
+@query(
+    "q12_left_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST
+    """,
+    tags=("join",),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join (customers with zero orders keep a NULL row)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@query(
+    "q13_semi_join",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi join (EXISTS)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q14_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — the reference's delete-detection
+    reconciliation (R21, SisConnectorService.java:463-470) is exactly this."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q15_theta_join",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n
+    FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+    """,
+    tags=("join",),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta (range-predicate) join; planner uses broadcast nested loop on
+    the small build side."""
+    s = table(spark, sf, "supplier")
+    c = table(spark, sf, "customer")
+    return (
+        s.join(c, s.s_acctbal > c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_cross_join",
+    oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    tags=("join",),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded cross join."""
+    r = table(spark, sf, "region")
+    n = table(spark, sf, "nation")
+    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q17_asof_style_join",
+    oracle="""
+    SELECT e.event_id, o.o_orderkey
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey
+                 AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ORDER BY e.event_id, o.o_orderkey LIMIT 1000
+    """,
+    tags=("join",),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi+range (as-of-style) join of the event stream against orders.
+
+    Equi key carries the shuffle; the range predicate is evaluated post-join
+    — the scalable shape for point-in-time joins (see operators.asof for the
+    true last-prior-match variant)."""
+    e = table(spark, sf, "events")
+    o = table(spark, sf, "orders")
+    return (
+        e.join(
+            o,
+            (e.user_id == o.o_custkey)
+            & (e.ts.cast("date") >= o.o_orderdate.cast("date")),
+        )
+        .select("event_id", "o_orderkey")
+        .orderBy("event_id", "o_orderkey")
+        .limit(1000)
+    )
+
+
+# ----------------------------------------------------------- aggregates ----
+
+
+@query(
+    "q18_hash_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-measure hash aggregate (TPC-H Q1 shape). Catalyst plans
+    partial (map-side) + final aggregation automatically — the distributed
+    replacement for the reference's single-threaded accumulation loops."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q19_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+    tags=("agg",),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    o = table(spark, sf, "orders")
+    return o.agg(F.count_distinct("o_custkey").alias("n"))
+
+
+@query(
+    "q20_approx_distinct_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch"),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) within ±5% of exact — sketch values
+    differ across engines, so the hashed result is the verified tolerance
+    flag itself (1 = within tolerance)."""
+    o = table(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).select(
+        F.when(
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.05, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("ok")
+    )
+
+
+@query(
+    "q21_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY f, s
+    """,
+    tags=("agg",),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("f"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("s"),
+            "n",
+        )
+        .orderBy("f", "s")
+    )
+
+
+@query(
+    "q22_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY st, pr
+    """,
+    tags=("agg",),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE / grouping sets."""
+    o = table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
+            "n",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+@query(
+    "q23_max_by",
+    oracle="""
+    SELECT o_custkey, last_order FROM (
+      SELECT o_custkey, o_orderkey AS last_order,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t
+    WHERE rn = 1 ORDER BY o_custkey
+    """,
+    tags=("agg",),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by = the reference's last-row-wins reduce (R15,
+    SisConnectorService.java:277-292), done as one distributed aggregate
+    instead of an overwrite loop. Ties broken by (o_orderdate, o_orderkey)
+    struct ordering so the result is deterministic."""
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, struct(o_orderdate, o_orderkey))").alias(
+                "last_order"
+            )
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q24_collect_nest",
+    oracle="""
+    SELECT c_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orders_csv
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    tags=("agg", "nest"),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list nesting (ref R11–R14 document assembly,
+    SisConnectorService.java:410-461). collect_list is order-nondeterministic
+    after shuffle, so the engine convention is array_sort before any output
+    (SURVEY.md §4 custom item 3); canonicalized to CSV for hashing."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+                "orders_csv"
+            )
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q25_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "dedup"),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup (ref R13 address dedup, SisConnectorService.java:392-408)."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# -------------------------------------------------------------- windows ----
+
+
+@query(
+    "q26_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC) AS INT) AS rk
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window functions."""
+    o = table(spark, sf, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("rk"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q27_window_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving aggregate with an explicit ROWS frame."""
+    o = table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("mv")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q28_lag",
+    oracle="""
+    SELECT o_orderkey,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS pv
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("window",),
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """LAG analytic function."""
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.lag("o_totalprice").over(w).alias("pv")
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q29_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    tags=("window",),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via ranking window (the scalable per-key top-k)."""
+    from ..operators.relational import top_k_per_group
+
+    o = table(spark, sf, "orders")
+    out = top_k_per_group(
+        o,
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return out.select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey", "rn")
+
+
+# ------------------------------------------------- sorts / limits / sets ----
+
+
+@query(
+    "q30_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    tags=("sort",),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sort + limit — Spark executes TakeOrderedAndProject (per-
+    partition heap + driver merge), no full sort materialization."""
+    o = table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "q31_union",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    UNION SELECT s_nationkey FROM supplier ORDER BY k
+    """,
+    tags=("setop",),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@query(
+    "q32_intersect",
+    oracle="""
+    SELECT c_nationkey FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey
+    """,
+    tags=("setop",),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT."""
+    c = table(spark, sf, "customer").select("c_nationkey")
+    s = table(spark, sf, "supplier").select("s_nationkey")
+    return c.intersect(s).orderBy("c_nationkey")
+
+
+@query(
+    "q33_except",
+    oracle="""
+    SELECT n_nationkey FROM nation
+    EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey
+    """,
+    tags=("setop",),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT — set-level analog of the reconciliation anti-join (R21)."""
+    n = table(spark, sf, "nation").select("n_nationkey")
+    s = table(spark, sf, "supplier").select("s_nationkey")
+    return n.subtract(s).orderBy("n_nationkey")

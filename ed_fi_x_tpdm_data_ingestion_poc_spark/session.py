@@ -1,0 +1,92 @@
+"""SparkSession factory and engine configuration.
+
+Replaces the reference's Spring bootstrap + application.properties
+(/root/reference/banner-connector/src/main/java/org/edfi/sis/SisConnectorApp.java:18-29,
+/root/reference/runtime/input/application.properties:1-14) with a config
+dataclass and a tuned SparkSession.
+
+Scale posture (SURVEY.md §4): AQE on (runtime re-planning + skew-join
+handling), shuffle partitions sized to the cluster, Arrow enabled for the
+pandas-UDF slow path, UTC session timezone so date/time semantics are
+engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine-level knobs (analog of the reference's application.properties)."""
+
+    app_name: str = "tpdm-spark-engine"
+    master: str | None = None  # None -> respect existing session / local[*]
+    shuffle_partitions: int | None = None  # None -> 2x cores, min 32
+    session_timezone: str = "UTC"
+    extra_conf: dict[str, str] = field(default_factory=dict)
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
+    """Apply engine runtime conf to an existing session (driver-provided or ours).
+
+    Only touches runtime-mutable confs; safe to call on a session we did not
+    create (the correctness driver passes its own session into queries()).
+    """
+    cfg = cfg or EngineConfig()
+    conf = {
+        # Deterministic wall-clock date/time fields regardless of host TZ —
+        # matches DuckDB's naive-timestamp reading of the same parquet.
+        "spark.sql.session.timeZone": cfg.session_timezone,
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for the pandas-UDF path (10-100x over row-at-a-time Python).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Case-insensitive resolution is Spark's default; pin it anyway since
+        # the reference's column matching is case-insensitive (SURVEY.md R5).
+        "spark.sql.caseSensitive": "false",
+    }
+    if cfg.shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(cfg.shuffle_partitions)
+    conf.update(cfg.extra_conf)
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on a live session: keep going
+    return spark
+
+
+def get_spark(cfg: EngineConfig | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    local[N] in tests; on a real cluster the master/resources come from
+    spark-submit and this only applies SQL-level conf.
+    """
+    cfg = cfg or EngineConfig()
+    par = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(cfg.app_name)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions or max(32, par)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", cfg.session_timezone)
+    )
+    if cfg.master:
+        builder = builder.master(cfg.master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{par}]")
+    spark = builder.getOrCreate()
+    return tune(spark, cfg)

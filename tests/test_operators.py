@@ -1,0 +1,94 @@
+"""Unit tests for the semantic operator library (reference behaviors
+R5/R6, R10, R15, R21 — SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.enrich import (
+    enrich_descriptor_uri,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.relational import (
+    latest_per_key,
+    reconcile_snapshot,
+    top_k_per_group,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rename import (
+    UnmappedColumnError,
+    parse_column_map,
+    rename_columns,
+)
+from pyspark.sql import functions as F
+
+
+def test_rename_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "a")], "SPRIDEN_PIDM long, SPRIDEN_FIRST_NAME string")
+    out = rename_columns(df, {"pidm": "spriden_pidm", "first": "spriden_first_name"})
+    assert out.columns == ["pidm", "first"]
+    assert out.collect()[0].pidm == 1
+
+
+def test_rename_strict_raises_and_lenient_nulls(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(UnmappedColumnError):
+        rename_columns(df, {"x": "missing"})
+    # reference parity: unmatched logical column -> NULL
+    # (SisConnectorService.java:830-836)
+    out = rename_columns(df, {"x": "missing"}, strict=False)
+    assert out.collect()[0].x is None
+
+
+def test_parse_column_map():
+    text = "teacherCandidateIdentifier=SPRIDEN_PIDM\n# comment\n\nfirstName=SPRIDEN_FIRST_NAME\n"
+    assert parse_column_map(text) == {
+        "teacherCandidateIdentifier": "SPRIDEN_PIDM",
+        "firstName": "SPRIDEN_FIRST_NAME",
+    }
+
+
+def test_enrich_descriptor_uri_match_and_fallback(spark):
+    codes = spark.createDataFrame([("MA",), ("ZZ",)], "code string")
+    vocab = spark.createDataFrame(
+        [("MA", "uri://ed-fi.org/AddressTypeDescriptor")],
+        "codeValue string, namespace string",
+    )
+    out = {
+        r.code: r.uri
+        for r in enrich_descriptor_uri(codes, vocab, code_col="code", out_col="uri").collect()
+    }
+    assert out["MA"] == "uri://ed-fi.org/AddressTypeDescriptor#MA"
+    assert out["ZZ"] == "ZZ"  # pass-through on miss
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, "202010", "old"), (1, "202110", "new"), (2, "202010", "only")],
+        "pidm long, term string, v string",
+    )
+    out = {r.pidm: r.v for r in latest_per_key(df, ["pidm"], ["term"]).collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(10)] + [(2, 100)], "k long, v long"
+    )
+    out = top_k_per_group(df, ["k"], [F.col("v").desc()], k=3)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, 7), (1, 8), (1, 9), (2, 100)]
+
+
+def test_reconcile_snapshot(spark):
+    source = spark.createDataFrame([("a",), ("b",)], "nk string")
+    remote = spark.createDataFrame([("b",), ("c",)], "nk string")
+    upserts, deletes = reconcile_snapshot(source, remote, "nk")
+    assert sorted(r.nk for r in upserts.collect()) == ["a", "b"]
+    assert [r.nk for r in deletes.collect()] == ["c"]
+
+
+def test_reconcile_idempotent_second_run(spark):
+    # property (SURVEY.md §5 item 3): after applying run 1, run 2 deletes nothing
+    source = spark.createDataFrame([("a",), ("b",)], "nk string")
+    remote_after = source
+    _, deletes = reconcile_snapshot(source, remote_after, "nk")
+    assert deletes.count() == 0

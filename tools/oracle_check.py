@@ -1,0 +1,117 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each declared query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and an
+order-insensitive value hash (floats rounded to 9 significant-ish digits,
+columns sorted by name). Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted(cols), h
+
+
+def spark_result(spec, spark, sf_dir):
+    df = spec.build(spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    return frame_digest(list(df.columns), rows)
+
+
+def duck_result(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return frame_digest(cols, rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
+
+    spark = get_spark()
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sn, scols, shash = spark_result(spec, spark, sf_dir)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok?   {name}: rows={sn} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if sn < 0:
+                failures.append(name)
+            continue
+        try:
+            dn, dcols, dhash = duck_result(spec.oracle, sf_dir)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        status = "OK  " if (sn, scols, shash) == (dn, dcols, dhash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status}  {name}: spark({sn},{shash}) duck({dn},{dhash})"
+            + ("" if scols == dcols else f" COLS spark={scols} duck={dcols}")
+            + f" [{time.time()-t0:.1f}s]"
+        )
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
