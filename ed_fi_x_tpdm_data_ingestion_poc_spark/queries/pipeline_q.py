@@ -1,7 +1,241 @@
-"""End-to-end ETL pipeline queries (reference semantics R4–R26) and
-source-connector checks (Q02 JDBC, Q03 REST).
+"""End-to-end ETL pipeline queries (reference semantics R4–R26) and the
+REST paginated-source check (Q03).
 
-Populated in the pipeline/sources build phase.
+The driver only materializes the TPC-H-ish tables, so the Banner-shaped
+pipeline fixtures are inline literals shared — by construction — between the
+Spark builder and the DuckDB oracle (CTE VALUES). The pipeline query chains
+every semantic operator: rename (R6) -> cast (R8) -> last-row-wins (R15) ->
+descriptor enrichment with fallback (R10) -> address dedup + period merge
+(R13) -> nest (R11-R14), with arrays canonicalized to sorted CSV strings so
+the value hash is engine-independent.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+# --------------------------------------------------------------- fixtures --
+# (pidm, first, last, birth_date 'YYYY-MM-DD'|None, sex_code, source_order)
+_CANDS = [
+    (101, "Ana", "Alvarez", "1999-02-03", "F", 1),
+    (101, "Ana", "Alvarez-Smith", "1999-02-03", "F", 2),  # last-row-wins (R15)
+    (102, "Ben", "Baker", "2000-07-15", "M", 1),
+    (103, "Cam", "Cole", None, "X", 1),  # null birth date + unknown sex code
+    (104, "Dee", "Dunn", "1998-11-30", "M", 1),  # zero addresses
+]
+# (pidm, street, city, state_code, zip, atyp_code, begin, end|None)
+_ADDRS = [
+    (101, "1 Elm St", "Austin", "TX", "78701", "MA", "2019-01-01", "2019-12-31"),
+    (101, "1 Elm St", "Austin", "TX", "78701", "MA", "2020-01-01", None),  # same addr, new period (merge, R13)
+    (101, "1 Elm St", "Austin", "TX", "78701", "MA", "2020-01-01", None),  # exact dup period (drop, :398-402)
+    (101, "9 Oak Av", "Dallas", "TX", "75201", "PR", "2018-05-01", None),
+    (102, "2 Pine Rd", "Reno", "NV", "89501", "MA", "2021-03-01", None),  # NV not in vocab -> bare code
+    (103, "3 Fir Ln", "Boise", "ZZ", "83701", "QQ", "2022-06-01", None),  # both codes unknown
+]
+_SEX_VOCAB = [("M", "uri://ed-fi.org/SexDescriptor"), ("F", "uri://ed-fi.org/SexDescriptor")]
+_STATE_VOCAB = [("TX", "uri://ed-fi.org/StateAbbreviationDescriptor"),
+                ("CA", "uri://ed-fi.org/StateAbbreviationDescriptor")]
+_ATYP_VOCAB = [("MA", "uri://ed-fi.org/AddressTypeDescriptor"),
+               ("PR", "uri://ed-fi.org/AddressTypeDescriptor")]
+# reconciliation snapshot: 101/102 exist remotely, 900/901 are remote-only
+_REMOTE = [("101", "res-101"), ("102", "res-102"), ("900", "res-900"), ("901", "res-901")]
+
+
+def _values(rows: list[tuple]) -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+@query(
+    "q60_pipeline_docs",
+    oracle=f"""
+    WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
+           (VALUES {_values(_CANDS)}),
+         addr(pidm, street, city, state_code, zip, atyp, b, e) AS
+           (VALUES {_values(_ADDRS)}),
+         sexv(code, ns) AS (VALUES {_values(_SEX_VOCAB)}),
+         statev(code, ns) AS (VALUES {_values(_STATE_VOCAB)}),
+         atypv(code, ns) AS (VALUES {_values(_ATYP_VOCAB)}),
+         last_cand AS (
+           SELECT * FROM (
+             SELECT pidm, first_name, last_name, birth_date, sex_code,
+                    ROW_NUMBER() OVER (PARTITION BY pidm ORDER BY ord DESC) AS rn
+             FROM cand) t WHERE rn = 1),
+         addr_enriched AS (
+           SELECT a.pidm,
+                  COALESCE(tv.ns || '#' || a.atyp, a.atyp) AS atype_uri,
+                  a.street, a.city,
+                  COALESCE(sv.ns || '#' || a.state_code, a.state_code) AS state_uri,
+                  a.zip, a.b || '~' || COALESCE(a.e, '') AS period
+           FROM addr a
+           LEFT JOIN atypv tv ON a.atyp = tv.code
+           LEFT JOIN statev sv ON a.state_code = sv.code),
+         merged AS (
+           SELECT pidm,
+                  atype_uri || '|' || street || '|' || city || '|' || state_uri
+                    || '|' || zip || '|'
+                    || string_agg(DISTINCT period, ',' ORDER BY period) AS addr_str
+           FROM addr_enriched
+           GROUP BY pidm, atype_uri, street, city, state_uri, zip),
+         nested AS (
+           SELECT pidm, string_agg(addr_str, ';' ORDER BY addr_str) AS addresses_csv
+           FROM merged GROUP BY pidm)
+    SELECT CAST(c.pidm AS VARCHAR) AS tcid, c.first_name, c.last_name,
+           COALESCE(CAST(CAST(c.birth_date AS DATE) AS VARCHAR), '') AS birth_iso,
+           COALESCE(sx.ns || '#' || c.sex_code, c.sex_code) AS sex_uri,
+           COALESCE(n.addresses_csv, '') AS addresses_csv
+    FROM last_cand c
+    LEFT JOIN sexv sx ON c.sex_code = sx.code
+    LEFT JOIN nested n ON c.pidm = n.pidm
+    ORDER BY tcid
+    """,
+    tags=("pipeline",),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Full reference ETL chain, hash-checked: rename -> cast -> last-row-
+    wins -> enrichment (match + fallback) -> address dedup/period merge ->
+    nest, flattened to canonical CSV strings for cross-engine hashing.
+
+    Spark side runs the engine's real operator library; the oracle
+    re-derives the same semantics in pure SQL.
+    """
+    from ..operators.casts import cast_columns
+    from ..operators.enrich import enrich_descriptor_uri
+    from ..operators.relational import latest_per_key
+    from ..operators.rename import rename_columns
+
+    # Physical (Banner-style) column names prove the rename layer (R6).
+    cand = spark.createDataFrame(
+        _CANDS,
+        "SPRIDEN_PIDM long, SPRIDEN_FIRST_NAME string, SPRIDEN_LAST_NAME string,"
+        " SPBPERS_BIRTH_DATE string, SPBPERS_SEX string, SOURCE_ORDER int",
+    )
+    cand = rename_columns(
+        cand,
+        {
+            "tcid": "spriden_pidm",  # case-insensitive match (R5)
+            "first_name": "SPRIDEN_FIRST_NAME",
+            "last_name": "SPRIDEN_LAST_NAME",
+            "birth_date": "SPBPERS_BIRTH_DATE",
+            "sex_code": "SPBPERS_SEX",
+            "ord": "SOURCE_ORDER",
+        },
+    )
+    cand = cast_columns(cand, {"birth_date": "date"})
+    cand = latest_per_key(cand, ["tcid"], ["ord"])
+    sexv = spark.createDataFrame(_SEX_VOCAB, "codeValue string, namespace string")
+    cand = enrich_descriptor_uri(cand, sexv, code_col="sex_code", out_col="sex_uri")
+
+    addr = spark.createDataFrame(
+        _ADDRS,
+        "pidm long, street string, city string, state_code string, zip string,"
+        " atyp string, b string, e string",
+    )
+    statev = spark.createDataFrame(_STATE_VOCAB, "codeValue string, namespace string")
+    atypv = spark.createDataFrame(_ATYP_VOCAB, "codeValue string, namespace string")
+    addr = enrich_descriptor_uri(addr, atypv, code_col="atyp", out_col="atype_uri")
+    addr = enrich_descriptor_uri(addr, statev, code_col="state_code", out_col="state_uri")
+    addr = addr.withColumn(
+        "period", F.concat(F.col("b"), F.lit("~"), F.coalesce(F.col("e"), F.lit("")))
+    )
+    merged = (
+        addr.groupBy("pidm", "atype_uri", "street", "city", "state_uri", "zip")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("period")), ",").alias("periods_csv")
+        )
+        .select(
+            "pidm",
+            F.concat_ws(
+                "|", "atype_uri", "street", "city", "state_uri", "zip", "periods_csv"
+            ).alias("addr_str"),
+        )
+    )
+    nested = merged.groupBy("pidm").agg(
+        F.array_join(F.array_sort(F.collect_list("addr_str")), ";").alias("addresses_csv")
+    )
+    return (
+        cand.join(nested, cand.tcid == nested.pidm, "left")
+        .select(
+            F.col("tcid").cast("string").alias("tcid"),
+            "first_name",
+            "last_name",
+            F.coalesce(F.col("birth_date").cast("string"), F.lit("")).alias("birth_iso"),
+            "sex_uri",
+            F.coalesce("addresses_csv", F.lit("")).alias("addresses_csv"),
+        )
+        .orderBy("tcid")
+    )
+
+
+@query(
+    "q61_reconcile_snapshot",
+    oracle=f"""
+    WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
+           (VALUES {_values(_CANDS)}),
+         remote(k, rid) AS (VALUES {_values(_REMOTE)}),
+         src AS (SELECT DISTINCT CAST(pidm AS VARCHAR) AS k FROM cand)
+    SELECT 'upsert' AS op, k FROM src
+    UNION ALL
+    SELECT 'delete' AS op, k FROM remote
+    WHERE k NOT IN (SELECT k FROM src)
+    ORDER BY op, k
+    """,
+    tags=("pipeline",),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reconciliation (ref R21, SisConnectorService.java:463-470):
+    every source doc is an upsert; remote-only keys become deletes — one
+    left_anti join replaces the reference's mutate-a-HashMap-during-upserts
+    bookkeeping."""
+    from ..operators.relational import reconcile_snapshot
+
+    src = spark.createDataFrame(
+        [(str(r[0]),) for r in _CANDS], "k string"
+    ).distinct()
+    remote = spark.createDataFrame(_REMOTE, "k string, rid string")
+    upserts, deletes = reconcile_snapshot(src, remote, "k")
+    return (
+        upserts.select(F.lit("upsert").alias("op"), "k")
+        .unionAll(deletes.select(F.lit("delete").alias("op"), "k"))
+        .orderBy("op", "k")
+    )
+
+
+@query(
+    "q03_rest_paged",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name
+    FROM range(250) r ORDER BY id
+    """,
+    tags=("source", "rest"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """REST paginated source (ref R16): a local stub serves 250 rows at page
+    size 100 with a Total-Count header; the engine plans page offsets and
+    fetches them in executors — and reads ALL pages, fixing the reference's
+    first-100-only truncation (SisConnectorService.java:493, 694)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..sources.rest import RestSource, read_rest
+    from ..testing.rest_stub import StubRestServer
+
+    rows = [{"id": i, "name": f"row-{i}"} for i in range(250)]
+    with StubRestServer(rows, page_size_cap=100) as server:
+        src = RestSource(base_url=server.url, path="/items", page_size=100)
+        schema = StructType(
+            [StructField("id", LongType()), StructField("name", StringType())]
+        )
+        df = read_rest(spark, src, schema)
+        out = df.orderBy("id")
+        out.count()  # materialize while the stub is alive
+        rows_local = out.collect()
+    return spark.createDataFrame(rows_local, schema).orderBy("id")
