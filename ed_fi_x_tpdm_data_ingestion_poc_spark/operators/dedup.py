@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design notes (the 100 TB posture):
+  * exact dedup is a hash groupBy — one shuffle on the digest;
+  * n-gram Jaccard uses an inverted-index self-join on shingles — the join
+    key is the shingle, so only docs *sharing* a shingle ever meet (no
+    all-pairs cross join). This is EXACT for any threshold > 0 because
+    J(a,b) > 0 requires a shared shingle;
+  * MinHash-LSH replaces the shingle join with a (band, band-hash) join:
+    candidate volume drops from "docs sharing any shingle" to "docs likely
+    >= threshold", the standard trade at corpus scale. All hashing is
+    JVM-side (F.hash with per-row seeds inside higher-order functions);
+  * SimHash packs a doc into one 64-bit signature (constant memory/doc) —
+    hamming-ball probing via b-bit band keys;
+  * embedding dedup normalizes once, then joins on an LSH-ish coarse key or
+    (small n) blocks; dot products stay in F.zip_with/F.aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, k: int = 5):
+    """Distinct k-word shingles; shorter docs yield their full text as one
+    shingle (keep in sync with the DuckDB oracle in queries/llm.py)."""
+    toks = F.split(text_col, " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content digest: (digest, n_docs, keep_id).
+    keep_id = min doc id (the canonical survivor)."""
+    return (
+        docs.select(id_col, F.md5(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document exact-dedup assignment: (id, digest, keep) where keep=1
+    iff the doc is the canonical survivor (min id) of its digest group.
+    One window (= one shuffle on digest); at scale prefer this over a
+    groupBy+join because the digest is high-cardinality and unskewed."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("digest")
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(text_col).alias("digest"))
+        .withColumn("keep", (F.col("id") == F.min("id").over(w)).cast("int"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs over k-word shingle sets via an
+    inverted-index self-join (a,b ordered, with jaccard).
+
+    Shuffle profile: one explode + join keyed on shingle, one groupBy on the
+    pair — no cross join at any scale. Hot shingles (boilerplate) can skew
+    the join; cap them upstream with a document-frequency filter if needed.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", F.round("jaccard", 3).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    murmur3(shingle, seed=i). All inside one higher-order expression —
+    one pass over the data, no explode."""
+    sh = shingles(F.col(text_col), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.hash(s, i))),
+    )
+    return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash-LSH: docs agreeing on any band.
+
+    bands=16 x rows=4 over 64 hashes: P(candidate) = 1-(1-j^4)^16 — ~1 for
+    j >= 0.8, ~0.04 for j = 0.2. Join key is (band_id, hash(band slice)), so
+    the shuffle carries `bands` rows per doc regardless of doc size."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                        "bh"
+                    ),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
+def simhash64(text_col, k: int = 1):
+    """64-bit SimHash over token xxhash64s: bit b is 1 iff the sum of
+    (+1/-1) for that bit across tokens is positive. Pure JVM expression."""
+    toks = F.array_distinct(F.split(text_col, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        # shiftleft wraps bit 63 into the sign bit (2**63 won't fit bigint)
+        bit = F.shiftleft(F.lit(1).cast("bigint"), b)
+        out = out.bitwiseOR(F.when(bit_sum(b) > 0, bit).otherwise(F.lit(0).cast("bigint")))
+    return out
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= max_hamming,
+    blocked on (64/bands)-bit bands; pigeonhole guarantees 100% recall when
+    max_hamming < bands (a pair can't flip a bit in every band).
+
+    Scale note: narrow bands (4-bit at bands=16) make coarse buckets; for a
+    billion-doc corpus use a wider signature (2x64-bit words -> 16 8-bit
+    bands) or the permute-and-sort scheme (Manku et al., WWW'07) with a
+    smaller hamming budget so band keys stay selective."""
+    width = 64 // bands
+    sh = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("sh", i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    banded = sh.select(
+        "id", "sh", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "sh", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    Small-n path: block self-join (all pairs) with JVM-side dot products.
+    At corpus scale swap the join for an LSH bucketing (see
+    similarity.hyperplane_lsh_topk) — the cosine expression is shared."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    n = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

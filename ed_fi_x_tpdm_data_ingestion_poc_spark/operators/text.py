@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token/char counts, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything here is built-in `pyspark.sql.functions` (JVM-side, whole-stage
+codegen; higher-order array functions for per-token logic) — no Python in
+the hot path, so the same expressions run on 100 TB of documents without
+serialization overhead. Each op has a DuckDB-expressible twin used by the
+declared-query oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword list shared with the SQL oracles (keep in sync with
+# queries/llm.py oracle text).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+FNV_INIT = 7
+FNV_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    return F.split(text, " ")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish subword split: word pieces + digits + punctuation as separate
+    tokens (regex, JVM-side) — a cheap token-count proxy when no trained
+    tokenizer is shipped."""
+    t = F.col(text) if isinstance(text, str) else text
+    spaced = F.regexp_replace(t, "([0-9]+|[^a-zA-Z0-9 ])", " $1 ")
+    return F.filter(F.split(spaced, " +"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.size(toks)
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return total / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards stopword presence and
+    moderate token length — the standard cheap pre-filter shape for web/
+    corpus cleaning (length/stopword-ratio gates)."""
+    sw = stopword_ratio(text)
+    ml = mean_token_len(text)
+    sw_term = F.least(sw * 5, F.lit(1.0))  # saturate at 20% stopwords
+    len_term = F.when((ml >= 3) & (ml <= 10), 1.0).otherwise(0.5)
+    return F.round((sw_term + len_term) / 2, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Character-class language heuristic: CJK -> zh, Cyrillic -> ru,
+    umlauts/eszett -> de, Spanish diacritics -> es, else en. Deterministic
+    and SQL-expressible (regexp on unicode ranges)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(t.rlike("[\\u0400-\\u04ff]"), "ru")
+        .when(t.rlike("[äöüßÄÖÜ]"), "de")
+        .when(t.rlike("[ñáéíóú¡¿]"), "es")
+        .otherwise("en")
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint for exact dedup (md5 hex, engine-independent)."""
+    return F.md5(text)
+
+
+def fingerprint_rolling(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over token lengths:
+    h = fold(lengths, 7, (h, l) -> (h*31 + l) mod 1e9+7).
+
+    Engine-independent (pure integer arithmetic, no engine hash function),
+    so it hash-checks against DuckDB's list_reduce twin. For a stronger
+    content hash use fingerprint_md5 / xxhash64."""
+    lens = F.transform(tokens(text), lambda t: F.length(t).cast("bigint"))
+    return F.aggregate(
+        lens,
+        F.lit(FNV_INIT).cast("bigint"),
+        lambda h, x: (h * 31 + x) % FNV_MOD,
+    )
