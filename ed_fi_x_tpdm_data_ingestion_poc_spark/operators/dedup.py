@@ -107,12 +107,19 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    murmur3(shingle, seed=i). All inside one higher-order expression —
-    one pass over the data, no explode."""
-    sh = shingles(F.col(text_col), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.hash(s, i))),
+    murmur3(shingle, seed=i), as ONE aggregate pass with an array
+    accumulator.
+
+    Perf note: the shingle array is the aggregate's *collection* argument,
+    so it is evaluated once per row. Putting it inside a lambda body (e.g.
+    transform(seq(0..63), i -> array_min(transform(shingles, ...)))) makes
+    Spark re-evaluate the whole shingle expression per lambda element —
+    64x per row — which measured ~20x slower end-to-end."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    sig = F.aggregate(
+        shingles(F.col(text_col), k),
+        F.array_repeat(F.lit(2147483647), num_hashes),
+        lambda acc, s: F.zip_with(acc, seeds, lambda m, i: F.least(m, F.hash(s, i))),
     )
     return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -134,7 +141,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
-    )
+    ).persist()  # self-joined below: compute each signature once, not twice
     banded = sigs.select(
         "id",
         F.explode(
@@ -162,24 +169,39 @@ def minhash_lsh_pairs(
     )
 
 
+_BITS64 = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign bit
+
+
 def simhash64(text_col, k: int = 1):
     """64-bit SimHash over token xxhash64s: bit b is 1 iff the sum of
-    (+1/-1) for that bit across tokens is positive. Pure JVM expression."""
+    (+1/-1) for that bit across tokens is positive. Pure JVM expression.
+
+    Single pass: aggregate over the token-hash array with a 64-wide count
+    accumulator (the hash array is the collection argument, evaluated once
+    per row), then fold the counts into the signature. The naive form — 64
+    separate aggregates, one per bit — re-tokenizes per bit and measured
+    ~20x slower."""
     toks = F.array_distinct(F.split(text_col, " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_sum(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-    out = F.lit(0).cast("bigint")
-    for b in range(64):
-        # shiftleft wraps bit 63 into the sign bit (2**63 won't fit bigint)
-        bit = F.shiftleft(F.lit(1).cast("bigint"), b)
-        out = out.bitwiseOR(F.when(bit_sum(b) > 0, bit).otherwise(F.lit(0).cast("bigint")))
-    return out
+    bits = F.array(*[F.lit(b).cast("bigint") for b in _BITS64])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda c, bit: c + F.when(h.bitwiseAND(bit) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            bits,
+            lambda c, bit: F.when(c > 0, bit).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_near_pairs(
@@ -209,9 +231,11 @@ def simhash_near_pairs(
         )
         for i in range(bands)
     ]
-    banded = sh.select(
-        "id", "sh", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "sh", "bk.band", "bk.bh")
+    banded = (
+        sh.select("id", "sh", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", "sh", "bk.band", "bk.bh")
+        .persist()  # self-joined below: compute each signature once, not twice
+    )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
@@ -238,29 +262,46 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold.
+    """Embedding near-duplicate pairs: exact cosine >= threshold.
 
-    Small-n path: block self-join (all pairs) with JVM-side dot products.
-    At corpus scale swap the join for an LSH bucketing (see
-    similarity.hyperplane_lsh_topk) — the cosine expression is shared."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    n = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(v, lambda x: x / norm).alias("nv"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("ida"),
-            F.col("b.id").alias("idb"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    Blocked GEMM: the corpus is broadcast once as a dense normalized
+    float64 matrix; each Arrow batch of rows multiplies against it
+    (numpy/BLAS) and emits only the above-threshold pairs — no N^2 join of
+    interpreted per-pair dot products (which measured ~40x slower).
+    Rounding/threshold are re-applied JVM-side so HALF_UP semantics match
+    the SQL oracle exactly.
+
+    Scale path: one broadcast side must fit executor memory (~0.5 GB per
+    1M x 64-d float64). Beyond that, tile: cross-join row-blocks against a
+    sequence of broadcast column-blocks, or pre-bucket with hyperplane LSH
+    (similarity.hyperplane_lsh_topk) and rescore exactly within buckets."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    idx = src.toPandas()
+    ids = idx["id"].to_numpy()
+    m = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
+    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def pair_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        bids_all, bm = bc.value
+        for pdf in batches:
+            bids = pdf["id"].to_numpy()
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            s = x @ bm.T
+            # loose numpy prefilter; exact HALF_UP filter happens JVM-side
+            bi, bj = np.nonzero((s >= threshold - 1e-9) & (bids[:, None] < bids_all[None, :]))
+            yield pd.DataFrame(
+                {"ida": bids[bi], "idb": bids_all[bj], "cos_raw": s[bi, bj]}
+            )
+
+    pairs = src.mapInPandas(pair_batches, "ida long, idb long, cos_raw double")
+    return pairs.select(
+        "ida", "idb", F.round("cos_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

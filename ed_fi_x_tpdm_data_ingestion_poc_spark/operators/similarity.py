@@ -89,33 +89,44 @@ def hyperplane_lsh_topk(
     scores only vectors sharing a bucket in any table. Candidates are exact-
     scored and re-ranked, so precision is exact and only recall is
     approximate (more tables/fewer bits => higher recall, more candidates).
+
+    Bucket keys are sign patterns of X @ planes, computed per Arrow batch in
+    numpy (tables*bits interpreted per-row dot products measured ~10x
+    slower); sign is scale-invariant so raw vectors need no normalization.
     """
     planes = hyperplane_planes(dim, tables, bits, seed)
 
-    def bucket_keys(nv):
-        keys = []
-        for t in range(tables):
-            acc = F.lit(t * (1 << bits))  # disjoint key space per table
-            for b in range(bits):
-                w = [float(x) for x in planes[t, b]]
-                dot = F.aggregate(
-                    F.zip_with(
-                        nv, F.array(*[F.lit(x) for x in w]), lambda x, y: x * y
-                    ),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(0)
-            keys.append(acc)
-        return F.array(*keys)
+    def bucket_df(df: DataFrame) -> DataFrame:
+        p = planes.reshape(tables * bits, dim)
 
-    corpus = _normalized(emb, id_col, vec_col).withColumn(
-        "bk", F.explode(bucket_keys(F.col("nv")))
-    )
+        def key_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+                signs = (x @ p.T) > 0  # (n, tables*bits)
+                out_ids, out_keys = [], []
+                for t in range(tables):
+                    key = np.full(len(pdf), t << bits, dtype="int64")
+                    for b in range(bits):
+                        key += signs[:, t * bits + b].astype("int64") << b
+                    out_ids.append(pdf["id"].to_numpy())
+                    out_keys.append(key)
+                yield pd.DataFrame(
+                    {"id": np.concatenate(out_ids), "bk": np.concatenate(out_keys)}
+                )
+
+        keys = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+        ).mapInPandas(key_batches, "id long, bk long")
+        return keys
+
+    corpus = _normalized(emb, id_col, vec_col).join(bucket_df(emb), "id")
     qs = (
         _normalized(queries, id_col, vec_col)
-        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"))
-        .withColumn("bk", F.explode(bucket_keys(F.col("qv"))))
+        .join(bucket_df(queries), "id")
+        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "bk")
     )
     cands = (
         corpus.join(F.broadcast(qs), on="bk")
