@@ -112,15 +112,16 @@ def q50c(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "dedup", "sketch"),
 )
 def q50d(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash-64 near-dup detection, self-verified: banded hamming<=12
-    pairs must cover >= 0.9 of the exact Jaccard>=0.8 pair set (4-bit x 16
-    bands; pigeonhole guarantees a band match for hamming <= 15; measured
-    hamming for true Jaccard>=0.8 pairs tops out at 9-11 on this corpus)."""
+    """SimHash-64 (5-gram shingles) near-dup detection, self-verified:
+    banded hamming<=14 pairs must cover >= 0.9 of the exact Jaccard>=0.8
+    pair set (4-bit x 16 bands; pigeonhole guarantees a band match for
+    hamming <= 15; measured hamming for true Jaccard>=0.8 pairs tops out
+    at ~14 on this corpus while unrelated pairs sit near 32)."""
     from ..operators.dedup import ngram_jaccard_pairs, simhash_near_pairs
 
     d = table(spark, sf, "documents")
     exact = ngram_jaccard_pairs(d, k=5, threshold=0.8).select("ida", "idb")
-    sim = simhash_near_pairs(d, max_hamming=12, bands=16).select("ida", "idb")
+    sim = simhash_near_pairs(d, max_hamming=14, bands=16).select("ida", "idb")
     n_exact = exact.count()
     hits = exact.join(sim, ["ida", "idb"], "left_semi").count()
     recall = hits / n_exact if n_exact else 1.0
