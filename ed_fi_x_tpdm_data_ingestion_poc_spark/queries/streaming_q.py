@@ -1,8 +1,267 @@
-"""Structured Streaming queries (SURVEY.md §2.3 Q44–Q49).
+"""Structured Streaming queries (SURVEY.md §2.3 Q44-Q49).
 
-Populated in the streaming build phase; each runs a bounded
-(availableNow-triggered) stream over the events table and returns the final
-result as a batch DataFrame so the driver can hash it.
+Each runs a bounded (AvailableNow-triggered) stream over a file replay of
+the events table and returns the final result as a batch DataFrame. Where
+the result is batch-equivalent SQL (tumbling/sliding/session windows,
+dedup, reconciliation counts) the oracle hash-checks it against DuckDB
+computing the same aggregate directly; the watermark/late-data check (q47)
+is an ok-flag because its expectation ("batch minus exactly the late row")
+is itself computed and compared in-engine.
+
+Window starts are compared as epoch seconds (BIGINT) — engine-independent
+and timezone-proof.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+
+def _events_stream(spark: SparkSession, sf: str, layout: str = "single"):
+    from ..streaming.replay import events_replay_dir, read_replay_stream
+
+    return read_replay_stream(spark, events_replay_dir(spark, sf, layout=layout))
+
+
+@query(
+    "q44_stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+    """,
+    tags=("streaming",),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window count by event_type: streaming window(ts, 5 min) over
+    the file replay must equal the batch floor(epoch/300) aggregate."""
+    ev = _events_stream(spark, sf)
+    agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").count()
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(agg, output_mode="complete")
+    return res.select(
+        F.unix_timestamp("window.start").alias("w_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    ).orderBy("w_start", "event_type")
+
+
+@query(
+    "q45_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type
+      FROM events
+      UNION ALL
+      SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT), event_type
+      FROM events)
+    SELECT w_start, event_type, COUNT(*) AS n
+    FROM starts GROUP BY 1, 2 ORDER BY w_start, event_type
+    """,
+    tags=("streaming",),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window count (10 min window, 5 min slide): every event lands
+    in exactly two windows; the oracle materializes both candidate starts."""
+    ev = _events_stream(spark, sf)
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type").count()
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(agg, output_mode="complete")
+    return res.select(
+        F.unix_timestamp("window.start").alias("w_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    ).orderBy("w_start", "event_type")
+
+
+@query(
+    "q46_stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s_start,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, sid ORDER BY user_id, s_start
+    """,
+    tags=("streaming",),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30 min gap) per user: streaming session_window must
+    equal batch gap-based sessionization (lag > 30 min starts a session)."""
+    ev = _events_stream(spark, sf)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").count()
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(agg, output_mode="complete")
+    return res.select(
+        "user_id",
+        F.unix_timestamp("session_window.start").alias("s_start"),
+        F.col("count").alias("n"),
+    ).orderBy("user_id", "s_start")
+
+
+@query(
+    "q47_stream_watermark_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("streaming",),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark/late-data semantics, self-verified via checkpoint restarts
+    (the production shape: watermark state persists in the checkpoint and
+    gates data arriving in later runs; within a single AvailableNow run
+    Spark 4 plans all batches up front and does not late-filter mid-run).
+
+    Replay: run 1 = all events but the earliest; run 2 = the earliest
+    event, now ~30 days behind the checkpointed watermark (10 min delay) —
+    it must be DROPPED (asserted via numRowsDroppedByWatermark == 1 AND by
+    result equality); run 3 = a far-future flush event that closes all real
+    windows so append mode emits them to the parquet sink. Final output ==
+    batch aggregate WITHOUT the late event (flush's own window stays open
+    and is never emitted)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.replay import events_replay_dir
+    from ..tables import table
+
+    staging = events_replay_dir(spark, sf, layout="late")
+    live = tempfile.mkdtemp(prefix="q47-live-")
+    ckpt = tempfile.mkdtemp(prefix="q47-ckpt-")
+    out = tempfile.mkdtemp(prefix="q47-out-")
+    dropped = 0
+
+    for fname in sorted(os.listdir(staging)):
+        shutil.copy(os.path.join(staging, fname), os.path.join(live, fname))
+        ev = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(live)
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .count()
+            .select(
+                F.unix_timestamp("window.start").alias("w_start"),
+                "event_type",
+                F.col("count").alias("n"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped += sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+
+    res = spark.read.parquet(out).select("w_start", "event_type", "n")
+    ebatch = table(spark, sf, "events")
+    earliest = ebatch.orderBy("ts", "event_id").limit(1)
+    expected = (
+        ebatch.join(earliest.select("event_id"), "event_id", "left_anti")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long").alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    delta = res.exceptAll(expected).unionAll(expected.exceptAll(res))
+    ok = 1 if dropped == 1 and delta.limit(1).count() == 0 else 0
+    return spark.createDataFrame([(ok,)], "ok int")
+
+
+@query(
+    "q48_stream_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n, SUM(event_id) AS id_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+    tags=("streaming",),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming dedup: the replay delivers the whole table TWICE
+    (two micro-batches); dropDuplicates on event_id must suppress the second
+    copy across batches, leaving exactly the batch-distinct aggregate."""
+    ev = _events_stream(spark, sf, layout="dup")
+    deduped = ev.dropDuplicates(["event_id"])
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(deduped, output_mode="append")
+    return res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q49_stream_rest_reconcile",
+    oracle="""
+    SELECT 'delete' AS op, 2 AS n
+    UNION ALL
+    SELECT 'upsert' AS op, COUNT(*) AS n FROM events
+    ORDER BY op
+    """,
+    tags=("streaming", "rest"),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming upsert sink + snapshot reconciliation (ref R18/R21
+    semantics on a stream): foreachBatch POSTs every micro-batch's documents
+    to a REST stub via the engine's rest_upsert (executor-parallel,
+    401-refresh path shared with batch); after the stream, remote docs never
+    upserted are DELETEd (left_anti), exactly the reference's full-snapshot
+    reconciliation. Counts are taken from the STUB's recorded state, so the
+    check covers the HTTP path end-to-end."""
+    from ..sinks.rest_sink import RestSink, rest_delete, rest_upsert
+    from ..streaming.replay import run_foreach_batch
+    from ..testing.rest_stub import StubRestServer
+
+    ev = _events_stream(spark, sf)
+    with StubRestServer([]) as server:
+        sink = RestSink(base_url=server.url, path="/events")
+
+        def post_batch(batch_df: DataFrame, batch_id: int) -> None:
+            docs = batch_df.select(
+                F.col("event_id").cast("string").alias("key"),
+                F.to_json(F.struct("event_id", "event_type", "value")).alias("body"),
+            )
+            rest_upsert(docs, sink, key_col="key", json_col="body").count()
+
+        run_foreach_batch(ev, post_batch)
+
+        upserted = spark.createDataFrame(
+            [(str(d["event_id"]),) for d in server.upserts], "k string"
+        ).distinct()
+        # remote snapshot: two ids that no longer exist in the source
+        remote = spark.createDataFrame([("ghost-1",), ("ghost-2",)], "k string")
+        stale = remote.join(upserted, "k", "left_anti")
+        rest_delete(stale, sink, id_col="k").count()
+
+        n_up = len({d["event_id"] for d in server.upserts})
+        n_del = len(set(server.deletes))
+    return spark.createDataFrame(
+        [("delete", n_del), ("upsert", n_up)], "op string, n long"
+    ).orderBy("op")

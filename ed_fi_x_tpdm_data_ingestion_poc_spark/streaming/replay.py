@@ -1,0 +1,128 @@
+"""File-replay harness for Structured Streaming checks (SURVEY.md Q44-Q49).
+
+The driver test data is static parquet; streaming semantics need *arrival
+order*. The harness re-materializes a table into a replay directory of one
+parquet file per micro-batch (modification times spaced so the file source
+processes them oldest-first), then `readStream` + `maxFilesPerTrigger=1`
+replays them as separate triggers. `Trigger.AvailableNow` bounds the run:
+process everything, advance the watermark, flush final state, stop.
+
+No streaming exists in the reference (SURVEY.md §2.3) — this is the
+engine's Spark-native extension; checks are batch-equivalence, mirroring
+how the reference's batch reconciliation semantics (R18/R21) carry over to
+foreachBatch sinks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+# replay dirs are immutable once written: cache per (sf_dir, layout) per process
+_replay_cache: dict[tuple[str, str], str] = {}
+
+
+def write_replay_dir(chunks: list, layout_key: str | None = None) -> str:
+    """Write each pandas chunk as one parquet file in its own arrival slot.
+
+    Files are named 0000.parquet, 0001.parquet, ... with modification times
+    spaced 10s apart so the file stream source (oldest-first default)
+    replays them in list order deterministically.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = tempfile.mkdtemp(prefix="replay-")
+    base = 1_700_000_000  # any fixed epoch; only relative order matters
+    for i, pdf in enumerate(chunks):
+        path = os.path.join(out_dir, f"{i:04d}.parquet")
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        # micros keeps Spark's vectorized reader happy (nanos is refused)
+        pq.write_table(table, path, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    return out_dir
+
+
+def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single") -> str:
+    """Replay directory for the events table in one of the test layouts:
+
+    single   — whole table, one file (one micro-batch);
+    dup      — table twice (two identical files: stateful-dedup fixture);
+    late     — three files: [all but earliest event], [earliest event, now
+               late by ~30 days], [far-future flush event closing windows].
+    """
+    key = (sf_dir, layout)
+    if key in _replay_cache:
+        return _replay_cache[key]
+
+    from ..tables import table
+
+    pdf = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts")
+        .toPandas()
+    )
+    if layout == "single":
+        chunks = [pdf]
+    elif layout == "dup":
+        chunks = [pdf, pdf]
+    elif layout == "late":
+        import pandas as pd
+
+        bulk, late = pdf.iloc[1:], pdf.iloc[:1]
+        flush = pd.DataFrame(
+            {
+                "event_id": [-1],
+                "ts": [pdf["ts"].max() + pd.Timedelta(hours=1)],
+                "user_id": [-1],
+                "event_type": ["__flush__"],
+                "value": [0.0],
+                "props": [None],
+            }
+        )
+        chunks = [bulk, late, flush]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    _replay_cache[key] = write_replay_dir(chunks)
+    return _replay_cache[key]
+
+
+def read_replay_stream(
+    spark: SparkSession, replay_dir: str, ddl: str = EVENTS_DDL, *, files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(replay_dir)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, *, output_mode: str) -> DataFrame:
+    """Run a bounded (AvailableNow) stream into an in-memory sink; return
+    the final result table. The memory sink is a test/verification surface —
+    production streams write to real sinks (files, foreachBatch REST)."""
+    name = "replay_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_foreach_batch(stream_df: DataFrame, fn) -> None:
+    """Run a bounded stream through foreachBatch(fn(batch_df, batch_id))."""
+    q = stream_df.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
+    q.awaitTermination()

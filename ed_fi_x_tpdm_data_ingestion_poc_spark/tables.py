@@ -31,7 +31,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table. Lazy — the scan plan carries pushed filters."""
+    """Load one test table. Lazy — the scan plan carries pushed filters.
+
+    Pins engine runtime conf (UTC session timezone, AQE, Arrow) on every
+    call: the driver may hand us a session configured arbitrarily (e.g. a
+    non-UTC timezone, which would shift every timestamp materialized
+    through toPandas), and the engine's semantics must not depend on it."""
+    tune(spark)
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
