@@ -211,6 +211,59 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q02_jdbc_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100) t
+    WHERE l_quantity > 5
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("source", "jdbc"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """JDBC source/sink round-trip against embedded Derby (the one JDBC
+    engine shipped with Spark): write 100 lineitem rows through the JDBC
+    sink, read them back with a PARTITIONED jdbc scan (4 range slices on
+    l_orderkey — the engine's replacement for the reference's single
+    connection, Dao.java:26-75) plus a pushed-down filter, and hash-match
+    the original rows. On a real RDBMS the same reader takes url/driver
+    from config (sources/jdbc.py)."""
+    import tempfile
+
+    from ..sources.jdbc import JdbcSource, read_table
+    from ..tables import table
+
+    li = table(spark, sf, "lineitem")
+    src_rows = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q02-')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src_rows.write.jdbc(url, "li_sample", mode="overwrite", properties=props)
+
+    jdbc = JdbcSource(url=url, driver="org.apache.derby.jdbc.EmbeddedDriver")
+    lo, hi = (
+        src_rows.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    )
+    back = read_table(
+        spark,
+        jdbc,
+        "li_sample",
+        partition_column="l_orderkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    return (
+        back.filter(F.col("l_quantity") > 5)  # pushed to the JDBC scan
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
     "q03_rest_paged",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name

@@ -71,6 +71,42 @@ def read_query(
     return reader.load()
 
 
+def read_table(
+    spark: SparkSession,
+    src: JdbcSource,
+    dbtable: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Read a table (or '(subquery) alias') with optional range partitioning:
+    num_partitions parallel connections each scanning one slice of
+    partition_column. Filters/projections on the result push down into the
+    remote SQL (visible as PushedFilters in .explain)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", src.url)
+        .option("dbtable", dbtable)
+        .option("fetchsize", str(src.fetch_size))
+    )
+    if src.user:
+        reader = reader.option("user", src.user).option("password", src.password)
+    if src.driver:
+        reader = reader.option("driver", src.driver)
+    for k, v in src.options.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def scan_join_ids(detail: DataFrame, ids: DataFrame, key: str) -> DataFrame:
     """The reference's per-id prepared-statement loop (R2) as one join:
     ids are usually small -> broadcast, so the detail side never shuffles."""

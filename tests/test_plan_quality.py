@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: pin the plan shapes that make the
+engine scale (SURVEY.md §4). A failure here is a 100 TB performance
+regression caught at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import audit, scan_columns
+from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+_SPECS = all_queries()
+
+
+def _build(spark, sf_dir, name):
+    return _SPECS[name].build(spark, sf_dir)
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 4-column projection must read exactly 4 columns (lineitem has 16)."""
+    df = _build(spark, sf_dir, "q01_scan_project")
+    cols = scan_columns(df)
+    assert cols and cols[0] == {"l_orderkey", "l_linenumber", "l_partkey", "l_quantity"}
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    df = _build(spark, sf_dir, "q05_filter_conjunction")
+    pushed = " ".join(audit(df).pushed_filters)
+    assert "GreaterThan(l_quantity,30.0)" in pushed
+    assert "EqualTo(l_returnflag,R)" in pushed
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """customer x nation x region: both dims broadcast; the fact side never
+    shuffles for the join (no SortMergeJoin, no ShuffledHashJoin)."""
+    f = audit(_build(spark, sf_dir, "q10_join_chain"))
+    assert f.broadcast_joins >= 2
+    assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
+
+
+def test_descriptor_enrichment_broadcasts(spark, sf_dir):
+    """R10 enrichment is a broadcast join by construction — at 100 TB the
+    fact side must not shuffle to pick up a vocabulary."""
+    f = audit(_build(spark, sf_dir, "q40_descriptor_enrich"))
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0
+
+
+def test_agg_is_jvm_only(spark, sf_dir):
+    """The TPC-H Q1-style aggregate stays JVM-side with map-side combine
+    (partial aggregation before the shuffle) over a vectorized scan."""
+    f = audit(_build(spark, sf_dir, "q18_hash_agg"))
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert f.partial_aggs >= 1
+    assert f.batched_scans >= 1
+
+
+def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
+    """When Python is unavoidable it must be Arrow-batched (pandas UDF),
+    never row-at-a-time BatchEvalPython."""
+    for name in ("q41_pandas_udf", "q42_grouped_agg_udaf", "q53_multimodal_features"):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.arrow_evals >= 1, name
+        assert f.python_evals == 0, name
+
+
+def test_no_cartesian_in_similarity(spark, sf_dir):
+    """Embedding near-dup runs as blocked GEMM + prefilter, not a Catalyst
+    cartesian join of interpreted dot products."""
+    f = audit(_build(spark, sf_dir, "q50e_embedding_dups"))
+    assert f.cartesian_products == 0
+    assert f.arrow_evals >= 1
+
+
+def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    for name in ("q13_semi_join", "q14_anti_join"):
+        text = plan_string(_build(spark, sf_dir, name))
+        assert "LeftSemi" in text or "LeftAnti" in text, name
