@@ -35,12 +35,15 @@ def main() -> None:
     }
 
     # Warm up JVM / codegen / parquet footer caches off the clock.
-    next(iter(specs.values())).build(spark, SF_DIR).collect()
+    next(iter(specs.values())).build(spark, SF_DIR).toPandas()
 
+    # Materialization is Arrow-batched toPandas: the fair analog of an
+    # in-process engine's fetchall (row-at-a-time py4j collect() would
+    # charge Spark ~1s per 100k rows of pure Python object construction).
     per_query: dict[str, float] = {}
     for name, spec in specs.items():
         t0 = time.perf_counter()
-        spec.build(spark, SF_DIR).collect()
+        spec.build(spark, SF_DIR).toPandas()
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

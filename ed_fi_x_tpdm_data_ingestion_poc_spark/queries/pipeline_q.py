@@ -288,7 +288,5 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
             [StructField("id", LongType()), StructField("name", StringType())]
         )
         df = read_rest(spark, src, schema)
-        out = df.orderBy("id")
-        out.count()  # materialize while the stub is alive
-        rows_local = out.collect()
+        rows_local = df.orderBy("id").collect()  # materialize while stub alive
     return spark.createDataFrame(rows_local, schema).orderBy("id")

@@ -402,7 +402,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     flag itself (1 = within tolerance)."""
     o = table(spark, sf, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
         F.count_distinct("o_custkey").alias("exact"),
     ).select(
         F.when(
