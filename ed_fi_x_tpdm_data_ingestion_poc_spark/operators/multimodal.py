@@ -54,6 +54,87 @@ def decode_image(content: bytes) -> object:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str,
+    content_col: str = "content",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image resize stage: (id, content, meta) -> (id, content, meta) with
+    target dimensions recorded in meta. The Spark-side plumbing (Arrow
+    binary transfer, batch shape, output schema) is real; the pixel
+    transform is a deterministic byte-level stand-in (truncate/pad to a
+    size-derived length) because no image codec ships in this container —
+    production swaps the inner function for Pillow/libvips decode+resize.
+    """
+    idc, cc = id_col, content_col
+    target_len = width * height // 64  # deterministic fake "decoded" size
+
+    def resize_batches(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_bytes = []
+            for b in pdf[cc]:
+                if b is None:
+                    out_bytes.append(None)
+                    continue
+                raw = bytes(b)
+                # STUB transform: real impl decodes, resizes, re-encodes
+                out_bytes.append((raw * (target_len // max(len(raw), 1) + 1))[:target_len])
+            yield pd.DataFrame({"id": pdf[idc], "content": out_bytes})
+
+    out_schema = "id long, content binary"
+    resized = df.select(F.col(idc), F.col(cc)).mapInPandas(resize_batches, out_schema)
+    return resized.withColumnRenamed("id", idc).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/raw").alias("mime"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("uri"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str,
+    content_col: str = "content",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame-sampling stage: one input row -> up to max_frames rows
+    (id, frame_no, frame binary). Fan-out via mapInPandas so one oversized
+    video never pins a single task's memory beyond its own frames. The
+    frame *extraction* is a deterministic byte-window stand-in (codecs are
+    stubbed, as decode_image); schema/fan-out/partitioning are real."""
+    idc, cc = id_col, content_col
+
+    def frame_batches(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for rid, b in zip(pdf[idc], pdf[cc]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                for fno in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(rid)
+                    nos.append(fno)
+                    frames.append(raw[fno * every_n_bytes : (fno + 1) * every_n_bytes])
+            yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
+
+    out_schema = "id long, frame_no int, frame binary"
+    out = df.select(F.col(idc), F.col(cc)).mapInPandas(frame_batches, out_schema)
+    return out.withColumnRenamed("id", idc)
+
+
 def extract_features(
     df: DataFrame, *, id_col: str, content_col: str = "content"
 ) -> DataFrame:
