@@ -53,5 +53,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
+    from . import scale_q  # noqa: F401
 
     return dict(QUERIES)
