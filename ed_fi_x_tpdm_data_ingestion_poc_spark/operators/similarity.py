@@ -145,6 +145,96 @@ def hyperplane_lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    n_assign: int = 2,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    n_centroids cells via a spherical-k-means codebook (trained on a
+    driver-side sample), search only the n_probe cells nearest each query,
+    exact-score the candidates.
+
+    Two recall dials beyond probe count: the codebook is REFINED with
+    `kmeans_iters` Lloyd steps (random corpus anchors quantize badly —
+    measured recall@10 0.54 vs 0.95+ trained), and each corpus vector is
+    soft-assigned to its `n_assign` nearest cells (index grows n_assign x,
+    boundary neighbors stop falling through cell walls). Precision is
+    exact — candidates are rescored with true cosine. Compared to
+    hyperplane LSH the codebook adapts to the data distribution; the cost
+    is training and a re-buildable index, the standard IVF trade.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample_pdf = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("id") + seed), 9973), "id")
+        .limit(train_sample)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype="float64") for v in sample_pdf["v"]])
+    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+    c = x[:n_centroids].copy()  # deterministic init from the shuffled sample
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign_idx = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign_idx == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / np.linalg.norm(m)
+    bc = spark.sparkContext.broadcast(c)
+
+    def assign(df: DataFrame, probes: int) -> DataFrame:
+        def batches(it):
+            import numpy as np
+            import pandas as pd
+
+            cm = bc.value
+            for pdf in it:
+                x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+                x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+                sims = x @ cm.T  # (n, n_centroids)
+                top = np.argsort(-sims, axis=1)[:, :probes]
+                ids = np.repeat(pdf["id"].to_numpy(), probes)
+                yield pd.DataFrame({"id": ids, "cell": top.ravel()})
+
+        return df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+        ).mapInPandas(batches, "id long, cell int")
+
+    corpus = _normalized(emb, id_col, vec_col).join(assign(emb, n_assign), "id")
+    qs = (
+        _normalized(queries, id_col, vec_col)
+        .join(assign(queries, n_probe), "id")
+        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "cell")
+    )
+    cands = (
+        corpus.join(F.broadcast(qs), on="cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", F.col("id").alias("nid"), "qv", "nv")
+        .dropDuplicates(["qid", "nid"])
+    )
+    scored = cands.select(
+        "qid", "nid", F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """|approx ∩ exact| / |exact| over (qid, nid) pairs."""
     hits = approx.select("qid", "nid").intersect(exact.select("qid", "nid")).count()

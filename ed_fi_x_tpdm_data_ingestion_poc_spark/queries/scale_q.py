@@ -58,3 +58,46 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     return salted_count(e, ["user_id", "event_type"], salt=8).orderBy(
         "user_id", "event_type"
     )
+
+
+@query(
+    "q64_asof_join",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY CAST(o.o_orderdate AS DATE) DESC,
+                          o.o_orderkey DESC) AS rn
+      FROM events e
+      LEFT JOIN orders o ON e.user_id = o.o_custkey
+            AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)
+    )
+    SELECT event_id, o_orderkey AS asof_order, od AS asof_date
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+    tags=("scale", "join"),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (latest order at or before each event, per user) via the
+    union-and-carry pattern — one shuffle + one sort, |left| output rows —
+    instead of the quadratic equi+inequality join + row_number encoding the
+    oracle uses (operators/asof.py). Ties (same date) resolve to the max
+    order key on both sides."""
+    from ..operators.asof import asof_join
+
+    e = table(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join(
+        e,
+        o.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("asof_order"),
+        F.col("o_orderdate").cast("date").alias("asof_date"),
+    ).orderBy("event_id")
