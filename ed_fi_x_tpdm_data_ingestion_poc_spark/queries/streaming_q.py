@@ -218,6 +218,63 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q65_stream_stateful_custom",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running (count, sum) whose state must CARRY across micro-batches (the
+    replay delivers the table in three ts-ordered files). Each batch emits
+    the running totals; the final row per user (max running count) must
+    equal the batch aggregate exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    from ..streaming.replay import events_replay_dir, read_replay_stream, run_to_memory
+
+    replay = events_replay_dir(spark, sf, layout="thirds")
+    ev = read_replay_stream(spark, replay)
+
+    def running_totals(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sv": [sv]})
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n long, sv double",
+        stateStructType="n long, sv double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # State-store cost scales with shuffle partitions x micro-batches (one
+    # checkpointed store per partition per batch); 15 user groups don't
+    # need 32 stores. Scope the smaller setting to this bounded stream.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = run_to_memory(updates, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        res.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n", F.round("sv", 2).alias("sv"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q49_stream_rest_reconcile",
     oracle="""
     SELECT 'delete' AS op, 2 AS n

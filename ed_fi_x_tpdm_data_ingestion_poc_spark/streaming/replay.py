@@ -56,6 +56,8 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
 
     single   — whole table, one file (one micro-batch);
     dup      — table twice (two identical files: stateful-dedup fixture);
+    thirds   — table split into three ts-ordered files (state must carry
+               across micro-batches);
     late     — three files: [all but earliest event], [earliest event, now
                late by ~30 days], [far-future flush event closing windows].
     """
@@ -75,6 +77,9 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
         chunks = [pdf]
     elif layout == "dup":
         chunks = [pdf, pdf]
+    elif layout == "thirds":
+        n = len(pdf)
+        chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
     elif layout == "late":
         import pandas as pd
 
