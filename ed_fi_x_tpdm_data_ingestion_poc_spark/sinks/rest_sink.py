@@ -66,10 +66,12 @@ def _sender(auth_tuple: tuple | None, timeout: float):
             with _ur.urlopen(req, timeout=timeout) as resp:
                 return _json.loads(resp.read())["access_token"]
 
-        def send(url, method, body):
+        def send(url, method, body, extra_headers=None):
             headers = {"Content-Type": "application/json"}
             if state["token"]:
                 headers["Authorization"] = f"Bearer {state['token']}"
+            if extra_headers:
+                headers.update(extra_headers)
             req = _ur.Request(url, data=body, headers=headers, method=method)
             try:
                 with _ur.urlopen(req, timeout=timeout) as resp:
@@ -79,11 +81,11 @@ def _sender(auth_tuple: tuple | None, timeout: float):
             except Exception as e:  # connection errors -> recorded, not fatal
                 return -1, str(e).encode()
 
-        def send_with_refresh(url, method, body):
-            status, resp = send(url, method, body)
+        def send_with_refresh(url, method, body, extra_headers=None):
+            status, resp = send(url, method, body, extra_headers)
             if status == 401 and auth_tuple is not None:
                 state["token"] = fetch_token()
-                status, resp = send(url, method, body)
+                status, resp = send(url, method, body, extra_headers)
             return status, resp
 
         if auth_tuple is not None:
@@ -157,6 +159,47 @@ def rest_delete(ids: DataFrame, sink: RestSink, *, id_col: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.select(id_col).mapInPandas(delete_partition, OUTCOME_SCHEMA)
+
+
+def rest_update(
+    docs: DataFrame,
+    sink: RestSink,
+    *,
+    id_col: str,
+    json_col: str,
+    etag_col: str | None = None,
+) -> DataFrame:
+    """PUT by resource id with optimistic concurrency (ref R20,
+    TeacherCandidatesApi.java:727): when etag_col is given, each request
+    carries If-Match — a remote 412 (precondition failed) means the
+    document changed since it was read, and is RECORDED like any other
+    per-document failure."""
+    base = f"{sink.base_url.rstrip('/')}/{sink.path.lstrip('/')}"
+    make_sender = _sender(_auth_tuple(sink), sink.timeout_sec)
+    ic, jc, ec = id_col, json_col, etag_col
+
+    def put_partition(batches):
+        import pandas as pd
+
+        send = make_sender()
+        for pdf in batches:
+            out = {k: [] for k in ("key", "op", "status", "ok", "error")}
+            etags = pdf[ec] if ec else [None] * len(pdf)
+            for rid, body, etag in zip(pdf[ic], pdf[jc], etags):
+                headers = {"If-Match": str(etag)} if etag is not None else None
+                status, resp = send(
+                    f"{base}/{rid}", "PUT", str(body).encode(), headers
+                )
+                ok = 200 <= status < 300
+                out["key"].append(str(rid))
+                out["op"].append("update")
+                out["status"].append(status)
+                out["ok"].append(ok)
+                out["error"].append(None if ok else resp[:500].decode(errors="replace"))
+            yield pd.DataFrame(out)
+
+    cols = [id_col, json_col] + ([etag_col] if etag_col else [])
+    return docs.select(*cols).mapInPandas(put_partition, OUTCOME_SCHEMA)
 
 
 def serialize_json(value) -> str:

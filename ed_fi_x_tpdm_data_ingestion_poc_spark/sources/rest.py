@@ -116,6 +116,32 @@ def iter_all_rows(src: RestSource, token: str | None = None) -> Iterator[dict]:
         offset += src.page_size
 
 
+def get_by_id(
+    src: RestSource, rid: str, *, etag: str | None = None, token: str | None = None
+) -> tuple[int, dict | None, str | None]:
+    """GET a single resource by id with optional If-None-Match conditional
+    read (ref R20, TeacherCandidatesApi.java:508): returns (status, doc,
+    etag); 304 -> (304, None, etag) meaning the cached copy is current."""
+    if token is None and src.auth is not None:
+        token = fetch_token(src.auth, src.timeout_sec)
+    url = f"{src.base_url.rstrip('/')}/{src.path.lstrip('/')}/{rid}"
+    headers = {"Accept": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    if etag is not None:
+        headers["If-None-Match"] = str(etag)
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=src.timeout_sec) as resp:
+            status, body, hdrs = resp.status, resp.read(), dict(resp.headers)
+    except urllib.error.HTTPError as e:
+        status, body, hdrs = e.code, e.read(), dict(e.headers)
+    if status == 304:
+        return 304, None, etag
+    new_etag = next((v for k, v in hdrs.items() if k.lower() == "etag"), None)
+    return status, (json.loads(body) if status == 200 and body else None), new_etag
+
+
 def read_rest(
     spark: SparkSession,
     src: RestSource,

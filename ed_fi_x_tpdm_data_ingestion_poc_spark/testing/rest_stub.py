@@ -37,6 +37,9 @@ class StubRestServer:
         self.fail_first_with_401 = fail_first_with_401
         self.upserts: list[dict] = []
         self.deletes: list[str] = []
+        self.updates: list[tuple[str, dict]] = []
+        # resource store for etag semantics (R20): id -> (doc, etag version)
+        self.store: dict[str, tuple[dict, int]] = {}
         self.token_requests = 0
         self._lock = threading.Lock()
         self._seen_tokens: set[str] = set()
@@ -93,6 +96,25 @@ class StubRestServer:
                     stub.upserts.append(json.loads(body))
                 self._reply(200, b"{}")
 
+            def do_PUT(self):
+                """PUT by id with If-Match optimistic concurrency (R20):
+                stale etag -> 412, match (or no If-Match) -> update+bump."""
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                if not self._auth_gate():
+                    return
+                rid = self.path.rsplit("/", 1)[-1]
+                if_match = self.headers.get("If-Match")
+                with stub._lock:
+                    _, cur = stub.store.get(rid, ({}, 0))
+                    if if_match is not None and if_match != str(cur):
+                        self._reply(412, b'{"error":"etag mismatch"}')
+                        return
+                    doc = json.loads(body)
+                    stub.store[rid] = (doc, cur + 1)
+                    stub.updates.append((rid, doc))
+                self._reply(204, b"")
+
             def do_DELETE(self):
                 if not self._auth_gate():
                     return
@@ -105,6 +127,16 @@ class StubRestServer:
                 if not self._auth_gate():
                     return
                 parsed = urllib.parse.urlparse(self.path)
+                rid = parsed.path.rsplit("/", 1)[-1]
+                if rid and rid in stub.store:  # get-by-id + If-None-Match (R20)
+                    doc, ver = stub.store[rid]
+                    if self.headers.get("If-None-Match") == str(ver):
+                        self._reply(304, b"")
+                        return
+                    self._reply(
+                        200, json.dumps(doc).encode(), {"ETag": str(ver)}
+                    )
+                    return
                 qs = urllib.parse.parse_qs(parsed.query)
                 offset = int(qs.get("offset", ["0"])[0])
                 limit = min(
