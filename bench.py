@@ -34,8 +34,14 @@ def main() -> None:
         if not (set(s.tags) & SKIP_TAGS)
     }
 
-    # Warm up JVM / codegen / parquet footer caches off the clock.
+    # Warm up JVM / codegen / parquet footer caches off the clock, and spin
+    # the full Python worker pool (a cold pool = N simultaneous pandas
+    # imports charged to whichever Arrow query runs first).
     next(iter(specs.values())).build(spark, SF_DIR).toPandas()
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par * 4, 1, par).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # Materialization is Arrow-batched toPandas: the fair analog of an
     # in-process engine's fetchall (row-at-a-time py4j collect() would

@@ -70,17 +70,58 @@ def ngram_jaccard_pairs(
     """EXACT Jaccard >= threshold pairs over k-word shingle sets via an
     inverted-index self-join (a,b ordered, with jaccard).
 
-    Shuffle profile: one explode + join keyed on the shingle's xxhash64
-    (8-byte join keys instead of ~50-byte strings — a ~6x smaller shuffle;
-    a 64-bit collision inflating `inter` needs ~2^32 distinct shingles, far
-    beyond any per-corpus shard), one groupBy on the pair — no cross join
-    at any scale. Hot shingles (boilerplate) can skew the join; cap them
-    upstream with a document-frequency filter if needed.
+    Shuffle profile: one join keyed on 64-bit shingle hashes (8-byte keys,
+    not ~50-byte strings; a collision inflating `inter` needs ~2^32
+    distinct shingles, far beyond any per-corpus shard), one groupBy on
+    the pair — no cross join at any scale. Hot shingles (boilerplate) can
+    skew the join; cap them upstream with a document-frequency filter if
+    needed. Shingling+hashing is vectorized numpy per Arrow batch (the JVM
+    higher-order transform/slice/array_join expression measured ~6x
+    slower), and the (id, hash) index is persisted because the self-join
+    reads it twice.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("s0"),
-    ).select("id", F.xxhash64("s0").alias("s"))
+    idc, tc = id_col, text_col
+
+    def shingle_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id": np.array([], dtype="int64"), "s": np.array([], dtype="int64")}
+        )
+        for pdf in batches:
+            ids, grams = [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                toks = text.split(" ")
+                g = (
+                    [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+                    if len(toks) > k
+                    else [text]
+                )
+                ids.append(np.full(len(g), rid, dtype="int64"))
+                grams.extend(g)
+            if not ids:
+                yield empty
+                continue
+            # one vectorized hash over the whole batch's grams, then
+            # per-(doc, hash) dedup — hash_array called per doc measured 5x slower
+            out = pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "s": pd.util.hash_array(
+                        np.asarray(grams, dtype=object)
+                    ).view("int64"),
+                }
+            ).drop_duplicates()
+            yield out
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        docs.select(F.col(idc).alias("id"), F.col(tc).alias("text"))
+        .repartition(par)  # corpus often arrives as one file = one partition
+        .mapInPandas(shingle_batches, "id long, s long")
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -152,9 +193,12 @@ def minhash_signatures(
                 sigs.append(h.min(axis=0).view("int64"))
             yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
 
-    return docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(sig_batches, "id long, sig array<long>")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(par)  # single-file corpus would pin one python worker
+        .mapInPandas(sig_batches, "id long, sig array<long>")
+    )
 
 
 def minhash_lsh_pairs(
@@ -274,9 +318,12 @@ def simhash_signatures(
                 sigs[i] = (powers[votes > 0]).sum()
             yield pd.DataFrame({"id": pdf["id"], "sh": sigs.view("int64")})
 
-    return docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).mapInPandas(sig_batches, "id long, sh long")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(par)  # single-file corpus would pin one python worker
+        .mapInPandas(sig_batches, "id long, sh long")
+    )
 
 
 def simhash_near_pairs(
