@@ -66,9 +66,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.8,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold pairs over k-word shingle sets via an
     inverted-index self-join (a,b ordered, with jaccard).
+
+    df_cap: drop shingles occurring in more than df_cap documents before
+    the join (boilerplate/stopword shingles). The join cost is
+    sum_s df(s)^2, so one shingle in 1% of a 100M-doc corpus alone costs
+    10^12 candidate pairs — capping is mandatory at that scale. Capping
+    makes the result approximate for pairs whose overlap was mostly
+    boilerplate (jaccard computed on surviving shingles; sizes are
+    recomputed post-cap so the ratio stays internally consistent).
 
     Shuffle profile: one join keyed on 64-bit shingle hashes (8-byte keys,
     not ~50-byte strings; a collision inflating `inter` needs ~2^32
@@ -122,6 +131,14 @@ def ngram_jaccard_pairs(
         .mapInPandas(shingle_batches, "id long, s long")
         .persist()
     )
+    if df_cap is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("s")
+        )
+        sh = sh.join(keep, "s", "left_semi").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

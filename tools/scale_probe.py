@@ -1,0 +1,123 @@
+"""Scale-sanity probe: run the heaviest operators on synthetically
+inflated data (NX the sf0.1 tables, disjoint ids per copy) and report how
+wall-clock grows. Near-linear growth = the shuffle/partition strategy
+holds; super-linear growth = a candidate-set or fan-out blow-up that would
+sink a 100 TB run.
+
+Usage: python tools/scale_probe.py [factor=10] [sf_dir=/root/testdata/sf0.1]
+Prints one JSON line per probe: {probe, rows_base, rows_big, sec_base,
+sec_big, growth} where growth = sec_big / (sec_base * factor) (1.0 =
+perfectly linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def inflate(df, factor: int, id_cols: list[str], text_col: str | None = None):
+    """factor disjoint copies: id columns offset per copy; when text_col is
+    given, a copy marker token is woven between every pair of tokens so
+    cross-copy shingle sets are disjoint (otherwise every copy is an exact
+    duplicate and the probe measures the dup-blow-up worst case instead of
+    clean scaling)."""
+    copies = df.sparkSession.range(factor).select(F.col("id").alias("__copy"))
+    out = df.crossJoin(F.broadcast(copies))
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__copy") * 10_000_000)
+    if text_col:
+        # suffix every token with the copy number: shingle LENGTH and
+        # structure stay identical, cross-copy shingle sets are disjoint
+        suffix = F.concat(F.lit("$1_"), F.col("__copy").cast("string"))
+        out = out.withColumn(
+            text_col, F.regexp_replace(F.col(text_col), F.lit(r"(\S+)"), suffix)
+        )
+    return out.drop("__copy")
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    spark = get_spark()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    events = table(spark, sf_dir, "events")
+    docs_big = inflate(docs, factor, ["doc_id"], text_col="text").persist()
+    events_big = inflate(events, factor, ["event_id"]).persist()
+    # warm pool + materialize inflated inputs off the clock
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par * 4, 1, par).mapInPandas(lambda it: it, "id long").count()
+    nb_docs, nb_events = docs_big.count(), events_big.count()
+
+    probes = {
+        "ngram_jaccard": (
+            lambda d: ngram_jaccard_pairs(d, k=5, threshold=0.8).count(),
+            docs,
+            docs_big,
+        ),
+        "minhash_lsh": (
+            lambda d: minhash_lsh_pairs(d, k=5, num_hashes=64, bands=16).count(),
+            docs,
+            docs_big,
+        ),
+        "simhash": (lambda d: simhash_near_pairs(d).count(), docs, docs_big),
+        "window_topk": (
+            lambda e: e.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                    .partitionBy("user_id")
+                    .orderBy(F.col("value").desc(), "event_id")
+                ),
+            )
+            .filter(F.col("rn") <= 5)
+            .count(),
+            events,
+            events_big,
+        ),
+        "hash_agg": (
+            lambda e: e.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .count(),
+            events,
+            events_big,
+        ),
+    }
+    for name, (fn, base, big) in probes.items():
+        fn(base)  # warm
+        t0 = time.perf_counter()
+        fn(base)
+        t_base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(big)
+        t_big = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": name,
+                    "factor": factor,
+                    "sec_base": round(t_base, 2),
+                    "sec_big": round(t_big, 2),
+                    "growth_vs_linear": round(t_big / (t_base * factor), 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
