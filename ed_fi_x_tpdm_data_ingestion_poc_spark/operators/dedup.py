@@ -400,47 +400,66 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    num_tiles: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine >= threshold.
 
-    Blocked GEMM: the corpus is broadcast once as a dense normalized
-    float64 matrix; each Arrow batch of rows multiplies against it
-    (numpy/BLAS) and emits only the above-threshold pairs — no N^2 join of
-    interpreted per-pair dot products (which measured ~40x slower).
-    Rounding/threshold are re-applied JVM-side so HALF_UP semantics match
-    the SQL oracle exactly.
+    Blocked GEMM: the corpus is broadcast as a dense normalized float64
+    matrix; each Arrow batch of rows multiplies against it (numpy/BLAS)
+    and emits only the above-threshold pairs — no N^2 join of interpreted
+    per-pair dot products (which measured ~40x slower). Rounding/threshold
+    are re-applied JVM-side so HALF_UP semantics match the SQL oracle
+    exactly.
 
-    Scale path: one broadcast side must fit executor memory (~0.5 GB per
-    1M x 64-d float64). Beyond that, tile: cross-join row-blocks against a
-    sequence of broadcast column-blocks, or pre-bucket with hyperplane LSH
+    num_tiles: the broadcast side is processed in `num_tiles` column
+    blocks, so only N/num_tiles vectors (~0.5 GB per 1M x 64-d float64)
+    are resident per pass — the driver streams one tile at a time and the
+    distributed side rescans per tile. Exact for any tiling; pick
+    num_tiles so a tile fits executor broadcast memory at corpus scale.
+    For sub-quadratic work at extreme scale pre-bucket with hyperplane LSH
     (similarity.hyperplane_lsh_topk) and rescore exactly within buckets."""
     import numpy as np
 
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
     idx = src.toPandas()
-    ids = idx["id"].to_numpy()
-    m = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
-    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-    bc = spark.sparkContext.broadcast((ids, m))
+    ids_all = idx["id"].to_numpy()
+    m_all = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
+    m_all = m_all / np.sqrt((m_all * m_all).sum(axis=1, keepdims=True))
 
-    def pair_batches(batches):
-        import numpy as np
-        import pandas as pd
+    tile_results = []
+    bounds = np.linspace(0, len(ids_all), num_tiles + 1).astype(int)
+    for t in range(num_tiles):
+        lo, hi = bounds[t], bounds[t + 1]
+        if lo == hi:
+            continue
+        bc = spark.sparkContext.broadcast((ids_all[lo:hi], m_all[lo:hi]))
 
-        bids_all, bm = bc.value
-        for pdf in batches:
-            bids = pdf["id"].to_numpy()
-            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
-            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-            s = x @ bm.T
-            # loose numpy prefilter; exact HALF_UP filter happens JVM-side
-            bi, bj = np.nonzero((s >= threshold - 1e-9) & (bids[:, None] < bids_all[None, :]))
-            yield pd.DataFrame(
-                {"ida": bids[bi], "idb": bids_all[bj], "cos_raw": s[bi, bj]}
-            )
+        def pair_batches(batches, _bc=bc):
+            import numpy as np
+            import pandas as pd
 
-    pairs = src.mapInPandas(pair_batches, "ida long, idb long, cos_raw double")
+            bids_all, bm = _bc.value
+            for pdf in batches:
+                bids = pdf["id"].to_numpy()
+                x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+                x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+                s = x @ bm.T
+                # loose numpy prefilter; exact HALF_UP filter happens JVM-side
+                bi, bj = np.nonzero(
+                    (s >= threshold - 1e-9) & (bids[:, None] < bids_all[None, :])
+                )
+                yield pd.DataFrame(
+                    {"ida": bids[bi], "idb": bids_all[bj], "cos_raw": s[bi, bj]}
+                )
+
+        tile_results.append(
+            src.mapInPandas(pair_batches, "ida long, idb long, cos_raw double")
+        )
+
+    pairs = tile_results[0]
+    for extra in tile_results[1:]:
+        pairs = pairs.unionAll(extra)
     return pairs.select(
         "ida", "idb", F.round("cos_raw", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

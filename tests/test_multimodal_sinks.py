@@ -58,6 +58,18 @@ def test_sample_frames_fanout(spark):
     assert bytes(f0.frame) == b"b" * 1000
 
 
+def test_embedding_dedup_tiling_exact(spark, sf_dir):
+    """Tiled GEMM (broadcast side in column blocks) is result-identical to
+    the single-broadcast path — the exactness law the 100 TB path relies on."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.dedup import embedding_dup_pairs
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    one = sorted(map(tuple, embedding_dup_pairs(e, threshold=0.45, num_tiles=1).collect()))
+    tiled = sorted(map(tuple, embedding_dup_pairs(e, threshold=0.45, num_tiles=4).collect()))
+    assert one == tiled and len(one) > 0
+
+
 def test_file_sinks_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, "x", 1.5), (2, "y", 2.5), (3, "x", 3.5)], "id long, grp string, v double"
