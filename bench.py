@@ -46,11 +46,15 @@ def main() -> None:
     # Materialization is Arrow-batched toPandas: the fair analog of an
     # in-process engine's fetchall (row-at-a-time py4j collect() would
     # charge Spark ~1s per 100k rows of pure Python object construction).
+    # Median of 3 runs per query — the protocol in BASELINE.md row 9.
     per_query: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.build(spark, SF_DIR).toPandas()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.build(spark, SF_DIR).toPandas()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -37,12 +37,21 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# id -> session: holding the reference keeps id() from being reused by a
+# later session object after GC (which would wrongly skip tuning it)
+_TUNED: dict[int, SparkSession] = {}
+
+
 def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
     """Apply engine runtime conf to an existing session (driver-provided or ours).
 
     Only touches runtime-mutable confs; safe to call on a session we did not
     create (the correctness driver passes its own session into queries()).
+    Idempotent per session: every conf set is a py4j round-trip, and table()
+    calls this on each load.
     """
+    if cfg is None and id(spark) in _TUNED:
+        return spark
     cfg = cfg or EngineConfig()
     conf = {
         # Deterministic wall-clock date/time fields regardless of host TZ —
@@ -66,6 +75,7 @@ def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on a live session: keep going
+    _TUNED[id(spark)] = spark
     return spark
 
 

@@ -30,20 +30,31 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# values hold the session reference too, so id(spark) can't be recycled by
+# a later session object while its cache entries are alive
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Lazy — the scan plan carries pushed filters.
 
-    Pins engine runtime conf (UTC session timezone, AQE, Arrow) on every
-    call: the driver may hand us a session configured arbitrarily (e.g. a
-    non-UTC timezone, which would shift every timestamp materialized
-    through toPandas), and the engine's semantics must not depend on it."""
+    Pins engine runtime conf (UTC session timezone, AQE, Arrow) first: the
+    driver may hand us a session configured arbitrarily (e.g. a non-UTC
+    timezone, which would shift every timestamp materialized through
+    toPandas), and the engine's semantics must not depend on it.
+
+    DataFrames are memoized per (session, sf, table): they're immutable
+    plans, and re-resolving the same parquet footer/schema on every query
+    is pure py4j latency."""
     tune(spark)
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        _TABLE_CACHE[key] = (spark, df)
+    return _TABLE_CACHE[key][1]
 
 
 def _read_events(spark: SparkSession, path: str):
