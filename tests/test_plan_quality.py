@@ -72,6 +72,26 @@ def test_no_cartesian_in_similarity(spark, sf_dir):
     assert f.arrow_evals >= 1
 
 
+def test_asof_join_is_joinless(spark, sf_dir):
+    """The as-of operator's whole point: union + one sorted window carry,
+    NO join node at all (the naive encoding is a nested-loop range join)."""
+    f = audit(_build(spark, sf_dir, "q64_asof_join"))
+    assert f.joins == 0
+
+
+def test_interval_join_uses_equi_key(spark, sf_dir):
+    """events x orders with a range condition still joins on the equality
+    key (hash/merge), never a cartesian product."""
+    f = audit(_build(spark, sf_dir, "q17_asof_style_join"))
+    assert f.cartesian_products == 0
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
+
+
+def test_salted_join_no_cartesian(spark, sf_dir):
+    f = audit(_build(spark, sf_dir, "q62_salted_join_agg"))
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+
+
 def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
