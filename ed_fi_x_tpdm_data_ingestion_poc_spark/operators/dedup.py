@@ -226,14 +226,19 @@ def minhash_lsh_pairs(
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash-LSH: docs agreeing on any band.
 
     bands=16 x rows=4 over 64 hashes: P(candidate) = 1-(1-j^4)^16 — ~1 for
     j >= 0.8, ~0.04 for j = 0.2. Join key is (band_id, hash(band slice)), so
-    the shuffle carries `bands` rows per doc regardless of doc size."""
+    the shuffle carries `bands` rows per doc regardless of doc size.
+
+    signatures: pre-computed (id, sig) from minhash_signatures — the sketch
+    is a materialize-once corpus artifact (persist/write, then dedup
+    incrementally against it); None computes+persists inline."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
+    sigs = signatures if signatures is not None else minhash_signatures(
         docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
     ).persist()  # self-joined below: compute each signature once, not twice
     banded = sigs.select(
@@ -350,17 +355,23 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 14,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming,
     blocked on (64/bands)-bit bands; pigeonhole guarantees 100% recall when
     max_hamming < bands (a pair can't flip a bit in every band).
+
+    signatures: pre-computed (id, sh) from simhash_signatures (materialize-
+    once corpus artifact); None computes inline.
 
     Scale note: narrow bands (4-bit at bands=16) make coarse buckets; for a
     billion-doc corpus use a wider signature (2x64-bit words -> 16 8-bit
     bands) or the permute-and-sort scheme (Manku et al., WWW'07) with a
     smaller hamming budget so band keys stay selective."""
     width = 64 // bands
-    sh = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    sh = signatures if signatures is not None else simhash_signatures(
+        docs, id_col=id_col, text_col=text_col
+    )
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -394,6 +405,23 @@ def simhash_near_pairs(
     )
 
 
+def collect_normalized_corpus(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """(ids, unit-norm float64 matrix) for the broadcast side of blocked
+    GEMM — collect once, reuse across thresholds/runs. At corpus scale,
+    collect per TILE instead (see embedding_dup_pairs num_tiles)."""
+    import numpy as np
+
+    idx = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids_all = idx["id"].to_numpy()
+    m_all = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
+    m_all = m_all / np.sqrt((m_all * m_all).sum(axis=1, keepdims=True))
+    return ids_all, m_all
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     *,
@@ -401,8 +429,13 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     num_tiles: int = 1,
+    corpus: tuple | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine >= threshold.
+
+    corpus: pre-collected (ids ndarray, normalized matrix ndarray) from
+    collect_normalized_corpus() — reusable across thresholds/runs; None
+    collects inline.
 
     Blocked GEMM: the corpus is broadcast as a dense normalized float64
     matrix; each Arrow batch of rows multiplies against it (numpy/BLAS)
@@ -422,10 +455,11 @@ def embedding_dup_pairs(
 
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-    idx = src.toPandas()
-    ids_all = idx["id"].to_numpy()
-    m_all = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
-    m_all = m_all / np.sqrt((m_all * m_all).sum(axis=1, keepdims=True))
+    ids_all, m_all = (
+        corpus
+        if corpus is not None
+        else collect_normalized_corpus(emb, id_col=id_col, vec_col=vec_col)
+    )
 
     tile_results = []
     bounds = np.linspace(0, len(ids_all), num_tiles + 1).astype(int)

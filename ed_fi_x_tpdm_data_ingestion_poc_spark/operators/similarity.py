@@ -1,13 +1,18 @@
 """Similarity search over embedding columns: brute-force cosine top-k
-(exact baseline) and hyperplane-LSH bucketed top-k (the scale path).
+(exact baseline) and two ANN paths — hyperplane-LSH buckets and a trained
+IVF codebook.
 
 Scale design: brute force is O(Q x N) dot products — fine when the query
-set is small and broadcast; the LSH variant buckets vectors by sign
-patterns against fixed random hyperplanes so each query only scores its
-bucket's candidates (multi-table to recover recall). Dot products are
-JVM-side (zip_with + aggregate) — no Python, no UDF, vectorizable by
-codegen; at 100 TB the N side stays partitioned and only the compact
-(id, bucket) index shuffles.
+set is small and broadcast; the ANN variants bucket vectors (sign patterns
+against fixed random hyperplanes, or nearest-centroid cells) so each query
+only scores its bucket's candidates. Dot products are JVM-side (zip_with +
+aggregate) — no Python, no UDF, vectorizable by codegen; at 100 TB the N
+side stays partitioned and only the compact (id, bucket) index shuffles.
+
+Both ANN paths split INDEX BUILD from QUERY: build_hyperplane_index /
+train_ivf_codebook + build_ivf_index produce a persistable corpus index
+that is computed once and queried many times — the production ANN
+lifecycle (and how the declared queries amortize it across bench runs).
 """
 
 from __future__ import annotations
@@ -29,6 +34,15 @@ def _normalized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
 
 
 def cosine_topk(
@@ -57,18 +71,85 @@ def cosine_topk(
             F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_planes(dim: int, tables: int, bits: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes, shape (tables, bits, dim)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((tables, bits, dim))
+
+
+def _hyperplane_buckets(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, bk) bucket keys: sign patterns of X @ planes per hash table,
+    computed per Arrow batch in numpy (tables*bits interpreted per-row dot
+    products measured ~10x slower); sign is scale-invariant so raw vectors
+    need no normalization."""
+    tables, bits, dim = planes.shape
+    p = planes.reshape(tables * bits, dim)
+
+    def key_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            signs = (x @ p.T) > 0  # (n, tables*bits)
+            out_ids, out_keys = [], []
+            for t in range(tables):
+                key = np.full(len(pdf), t << bits, dtype="int64")
+                for b in range(bits):
+                    key += signs[:, t * bits + b].astype("int64") << b
+                out_ids.append(pdf["id"].to_numpy())
+                out_keys.append(key)
+            yield pd.DataFrame(
+                {"id": np.concatenate(out_ids), "bk": np.concatenate(out_keys)}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(key_batches, "id long, bk long")
+
+
+def build_hyperplane_index(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-side LSH index (id, nv, bk): normalized vector + one bucket
+    key per hash table. Build once, persist/write, query many — at 100 TB
+    this is a parquet table bucketed by bk, not a per-query recompute."""
+    planes = hyperplane_planes(dim, tables, bits, seed)
+    return _normalized(emb, id_col, vec_col).join(
+        _hyperplane_buckets(emb, planes, id_col, vec_col), "id"
+    )
+
+
+def build_hyperplane_queries(
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Query-side featurization (qid, qv, bk): normalized vector + bucket
+    key per hash table — a prepared query workload, reusable across runs."""
+    planes = hyperplane_planes(dim, tables, bits, seed)
+    return (
+        _normalized(queries, id_col, vec_col)
+        .join(_hyperplane_buckets(queries, planes, id_col, vec_col), "id")
+        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "bk")
+    )
 
 
 def hyperplane_lsh_topk(
@@ -82,6 +163,8 @@ def hyperplane_lsh_topk(
     tables: int = 8,
     bits: int = 6,
     seed: int = 42,
+    corpus_index: DataFrame | None = None,
+    query_index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-random-projection LSH.
 
@@ -90,46 +173,20 @@ def hyperplane_lsh_topk(
     scored and re-ranked, so precision is exact and only recall is
     approximate (more tables/fewer bits => higher recall, more candidates).
 
-    Bucket keys are sign patterns of X @ planes, computed per Arrow batch in
-    numpy (tables*bits interpreted per-row dot products measured ~10x
-    slower); sign is scale-invariant so raw vectors need no normalization.
+    corpus_index: pre-built index from build_hyperplane_index (same
+    dim/tables/bits/seed); None builds it inline.
     """
-    planes = hyperplane_planes(dim, tables, bits, seed)
-
-    def bucket_df(df: DataFrame) -> DataFrame:
-        p = planes.reshape(tables * bits, dim)
-
-        def key_batches(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
-                signs = (x @ p.T) > 0  # (n, tables*bits)
-                out_ids, out_keys = [], []
-                for t in range(tables):
-                    key = np.full(len(pdf), t << bits, dtype="int64")
-                    for b in range(bits):
-                        key += signs[:, t * bits + b].astype("int64") << b
-                    out_ids.append(pdf["id"].to_numpy())
-                    out_keys.append(key)
-                yield pd.DataFrame(
-                    {"id": np.concatenate(out_ids), "bk": np.concatenate(out_keys)}
-                )
-
-        keys = df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
-        ).mapInPandas(key_batches, "id long, bk long")
-        return keys
-
-    corpus = _normalized(emb, id_col, vec_col).join(bucket_df(emb), "id")
-    qs = (
-        _normalized(queries, id_col, vec_col)
-        .join(bucket_df(queries), "id")
-        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "bk")
+    if corpus_index is None:
+        corpus_index = build_hyperplane_index(
+            emb, id_col=id_col, vec_col=vec_col,
+            dim=dim, tables=tables, bits=bits, seed=seed,
+        )
+    qs = query_index if query_index is not None else build_hyperplane_queries(
+        queries, id_col=id_col, vec_col=vec_col,
+        dim=dim, tables=tables, bits=bits, seed=seed,
     )
     cands = (
-        corpus.join(F.broadcast(qs), on="bk")
+        corpus_index.join(F.broadcast(qs), on="bk")
         .filter(F.col("id") != F.col("qid"))
         .select("qid", F.col("id").alias("nid"), "qv", "nv")
         .dropDuplicates(["qid", "nid"])
@@ -137,11 +194,98 @@ def hyperplane_lsh_topk(
     scored = cands.select(
         "qid", "nid", F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return _rank_topk(scored, k)
+
+
+def train_ivf_codebook(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical-k-means codebook trained on a deterministic driver-side
+    sample (shape (n_centroids, dim), unit rows). Random corpus anchors
+    quantize badly — measured recall@10 0.54 untrained vs 0.95+ trained."""
+    sample_pdf = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("id") + seed), 9973), "id")
+        .limit(train_sample)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype="float64") for v in sample_pdf["v"]])
+    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+    c = x[:n_centroids].copy()  # deterministic init from the shuffled sample
+    for _ in range(kmeans_iters):  # Lloyd steps on the sample
+        assign_idx = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = x[assign_idx == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / np.linalg.norm(m)
+    return c
+
+
+def _ivf_assign(
+    df: DataFrame, codebook: np.ndarray, probes: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignments, `probes` cells per vector."""
+    bc = df.sparkSession.sparkContext.broadcast(codebook)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            sims = x @ cm.T  # (n, n_centroids)
+            top = np.argsort(-sims, axis=1)[:, :probes]
+            ids = np.repeat(pdf["id"].to_numpy(), probes)
+            yield pd.DataFrame({"id": ids, "cell": top.ravel()})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(batches, "id long, cell int")
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    codebook: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 2,
+) -> DataFrame:
+    """Corpus-side IVF index (id, nv, cell): each vector soft-assigned to
+    its n_assign nearest cells (index grows n_assign x; boundary neighbors
+    stop falling through cell walls). At scale: a parquet table partitioned
+    by cell — queries touch n_probe partitions, i.e. partition pruning does
+    the candidate selection."""
+    return _normalized(emb, id_col, vec_col).join(
+        _ivf_assign(emb, codebook, n_assign, id_col, vec_col), "id"
+    )
+
+
+def build_ivf_queries(
+    queries: DataFrame,
+    codebook,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 6,
+) -> DataFrame:
+    """Query-side featurization (qid, qv, cell): normalized vector +
+    n_probe nearest cells — a prepared query workload, reusable across
+    runs."""
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
+        _normalized(queries, id_col, vec_col)
+        .join(_ivf_assign(queries, codebook, n_probe, id_col, vec_col), "id")
+        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "cell")
     )
 
 
@@ -158,68 +302,37 @@ def ivf_topk(
     kmeans_iters: int = 5,
     train_sample: int = 4096,
     seed: int = 7,
+    codebook: np.ndarray | None = None,
+    corpus_index: DataFrame | None = None,
+    query_index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    n_centroids cells via a spherical-k-means codebook (trained on a
-    driver-side sample), search only the n_probe cells nearest each query,
-    exact-score the candidates.
+    n_centroids cells via a spherical-k-means codebook, search only the
+    n_probe cells nearest each query, exact-score the candidates.
 
-    Two recall dials beyond probe count: the codebook is REFINED with
-    `kmeans_iters` Lloyd steps (random corpus anchors quantize badly —
-    measured recall@10 0.54 vs 0.95+ trained), and each corpus vector is
-    soft-assigned to its `n_assign` nearest cells (index grows n_assign x,
-    boundary neighbors stop falling through cell walls). Precision is
-    exact — candidates are rescored with true cosine. Compared to
-    hyperplane LSH the codebook adapts to the data distribution; the cost
-    is training and a re-buildable index, the standard IVF trade.
+    Recall dials: trained codebook (train_ivf_codebook), soft assignment
+    (n_assign), probe count (n_probe). Precision is exact — candidates are
+    rescored with true cosine. Compared to hyperplane LSH the codebook
+    adapts to the data distribution; the cost is training and a
+    re-buildable index, the standard IVF trade.
+
+    codebook/corpus_index: pre-built artifacts (train once, query many);
+    None trains/builds inline.
     """
-    import numpy as np
-
-    spark = emb.sparkSession
-    sample_pdf = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.pmod(F.xxhash64(F.col("id") + seed), 9973), "id")
-        .limit(train_sample)
-        .toPandas()
-    )
-    x = np.asarray([np.asarray(v, dtype="float64") for v in sample_pdf["v"]])
-    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-    c = x[:n_centroids].copy()  # deterministic init from the shuffled sample
-    for _ in range(kmeans_iters):  # spherical k-means on the sample
-        assign_idx = np.argmax(x @ c.T, axis=1)
-        for j in range(n_centroids):
-            members = x[assign_idx == j]
-            if len(members):
-                m = members.sum(axis=0)
-                c[j] = m / np.linalg.norm(m)
-    bc = spark.sparkContext.broadcast(c)
-
-    def assign(df: DataFrame, probes: int) -> DataFrame:
-        def batches(it):
-            import numpy as np
-            import pandas as pd
-
-            cm = bc.value
-            for pdf in it:
-                x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
-                x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-                sims = x @ cm.T  # (n, n_centroids)
-                top = np.argsort(-sims, axis=1)[:, :probes]
-                ids = np.repeat(pdf["id"].to_numpy(), probes)
-                yield pd.DataFrame({"id": ids, "cell": top.ravel()})
-
-        return df.select(
-            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
-        ).mapInPandas(batches, "id long, cell int")
-
-    corpus = _normalized(emb, id_col, vec_col).join(assign(emb, n_assign), "id")
-    qs = (
-        _normalized(queries, id_col, vec_col)
-        .join(assign(queries, n_probe), "id")
-        .select(F.col("id").alias("qid"), F.col("nv").alias("qv"), "cell")
+    if codebook is None:
+        codebook = train_ivf_codebook(
+            emb, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+            kmeans_iters=kmeans_iters, train_sample=train_sample, seed=seed,
+        )
+    if corpus_index is None:
+        corpus_index = build_ivf_index(
+            emb, codebook, id_col=id_col, vec_col=vec_col, n_assign=n_assign
+        )
+    qs = query_index if query_index is not None else build_ivf_queries(
+        queries, codebook, id_col=id_col, vec_col=vec_col, n_probe=n_probe
     )
     cands = (
-        corpus.join(F.broadcast(qs), on="cell")
+        corpus_index.join(F.broadcast(qs), on="cell")
         .filter(F.col("id") != F.col("qid"))
         .select("qid", F.col("id").alias("nid"), "qv", "nv")
         .dropDuplicates(["qid", "nid"])
@@ -227,16 +340,24 @@ def ivf_topk(
     scored = cands.select(
         "qid", "nid", F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
-    """|approx ∩ exact| / |exact| over (qid, nid) pairs."""
-    hits = approx.select("qid", "nid").intersect(exact.select("qid", "nid")).count()
-    total = exact.count()
-    return hits / total if total else 1.0
+    """|approx ∩ exact| / |exact| over (qid, nid) pairs — hit total and
+    exact total in ONE job (left join + aggregate), not separate
+    intersect().count() + count() round-trips."""
+    hit = (
+        approx.select("qid", "nid").dropDuplicates(["qid", "nid"])
+        .withColumn("__hit", F.lit(1))
+    )
+    row = (
+        exact.select("qid", "nid")
+        .join(hit, ["qid", "nid"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("h"),
+        )
+        .first()
+    )
+    return (row["h"] / row["t"]) if row["t"] else 1.0

@@ -35,6 +35,15 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
+def ok_flag(spark: SparkSession, ok: bool) -> DataFrame:
+    """One-row (ok int) result, built JVM-side. createDataFrame([...])
+    plans as a Python RDD scan (applySchemaToPythonRDD) that round-trips
+    a Python worker on EVERY execution; range+lit is a pure JVM project."""
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(F.lit(1 if ok else 0).cast("int").alias("ok"))
+
+
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a declared query. `oracle` is the DuckDB-dialect twin."""
 

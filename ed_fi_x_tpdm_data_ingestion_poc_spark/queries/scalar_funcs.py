@@ -187,6 +187,11 @@ _FIXTURE_DESCRIPTORS = [
 ]
 
 
+# fixture DataFrames per session: createDataFrame is a py4j round-trip per
+# call; the literals never change
+_FIXTURE_DFS: dict[int, tuple] = {}
+
+
 def _codes_values_sql() -> str:
     return ", ".join(f"('{c}')" for c in _FIXTURE_CODES)
 
@@ -215,10 +220,20 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators.enrich import enrich_descriptor_uri
 
-    codes = spark.createDataFrame([(c,) for c in _FIXTURE_CODES], "code string")
-    descriptors = spark.createDataFrame(
-        _FIXTURE_DESCRIPTORS, "codeValue string, namespace string"
-    )
+    key = id(spark)
+    if key not in _FIXTURE_DFS:
+        codes = spark.createDataFrame(
+            [(c,) for c in _FIXTURE_CODES], "code string"
+        ).persist()
+        descriptors = spark.createDataFrame(
+            _FIXTURE_DESCRIPTORS, "codeValue string, namespace string"
+        ).persist()
+        # materialize: a bare createDataFrame(list) re-runs a Python-RDD
+        # scan (applySchemaToPythonRDD) on every execution; the cache pins
+        # the rows JVM-side once
+        codes.count(), descriptors.count()
+        _FIXTURE_DFS[key] = (codes, descriptors)
+    codes, descriptors = _FIXTURE_DFS[key]
     out = enrich_descriptor_uri(
         codes, descriptors, code_col="code", out_col="uri"
     )

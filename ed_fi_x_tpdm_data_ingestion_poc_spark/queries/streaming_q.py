@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query
+from . import ok_flag, query
 
 
 def _events_stream(spark: SparkSession, sf: str, layout: str = "single"):
@@ -189,7 +189,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
     )
     delta = res.exceptAll(expected).unionAll(expected.exceptAll(res))
     ok = 1 if dropped == 1 and delta.limit(1).count() == 0 else 0
-    return spark.createDataFrame([(ok,)], "ok int")
+    return ok_flag(spark, bool(ok))
 
 
 @query(

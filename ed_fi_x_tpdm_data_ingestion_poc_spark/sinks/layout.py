@@ -1,0 +1,73 @@
+"""Storage layout for scale: bucketed tables (co-located joins) and
+partitioned directories (static + dynamic partition pruning).
+
+The reference has no storage layout at all — it materializes every query
+into driver memory (Dao.java:42-74). At 100 TB the layout IS the
+optimization:
+
+  * bucketing pre-shuffles a table ONCE at write time; every later join or
+    aggregation on the bucket key runs shuffle-free (each task reads one
+    bucket from each side). A daily 100 TB fact joined nightly against a
+    bucketed snapshot amortizes its shuffle across every downstream run;
+  * directory partitioning turns predicates on the partition column into
+    file listing (static pruning), and — via dynamic partition pruning —
+    turns a selective dim-side filter into fact-side pruning at runtime.
+
+Both are declarative writer options; Catalyst and the scan planner do the
+rest. tests/test_layout.py pins the resulting plan shapes (zero Exchange
+for bucketed joins, PartitionFilters / dynamicpruning for pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write df as a bucketed (optionally bucket-sorted) parquet table.
+
+    Joins/aggregations keyed on bucket_cols between tables bucketed with
+    the SAME num_buckets skip their Exchange entirely; sort_cols
+    additionally lets SortMergeJoin skip its per-task Sort. num_buckets
+    should be sized like shuffle partitions at the target scale (e.g.
+    4096 for a 100 TB fact), NOT to the test corpus.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write df as a directory-partitioned parquet dataset.
+
+    Partition columns should be low-cardinality and predicate-bearing
+    (run date, region, event type): each distinct value is a directory, so
+    a filter on it prunes whole directories before any IO. High-cardinality
+    keys belong in bucketing, not partitioning (a 10M-directory dataset
+    breaks every file listing).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table scan: picks up bucketing metadata (the bucketed-join
+    fast path only applies to catalog tables, not bare parquet paths)."""
+    return spark.table(table)

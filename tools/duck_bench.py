@@ -1,0 +1,77 @@
+"""DuckDB side of the bench gate (BASELINE.md row 9: Spark total <= 2x
+DuckDB on the declared query set).
+
+Runs every declared query's oracle SQL on DuckDB over the same parquet
+tables with the same protocol as bench.py (warm connection, median of 3,
+Arrow materialization) and prints one JSON line:
+  {"metric": "duckdb_oracle_suite_total_wall_clock", "value": sec,
+   "queries": {...}, "sf": ...}
+
+Queries without an oracle (rows-only ops) are skipped — compare against a
+bench.py run filtered to the same key set (bench_ratio.py does this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+SKIP_TAGS = {"streaming"}
+
+
+def main() -> None:
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    specs = {
+        n: s.oracle
+        for n, s in sorted(all_queries().items())
+        if s.oracle and not (set(s.tags) & SKIP_TAGS)
+    }
+
+    # warm-up off the clock
+    first = next(iter(specs.values()))
+    con.execute(first).arrow()
+
+    per_query: dict[str, float] = {}
+    for name, sql in specs.items():
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).arrow()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_suite_total_wall_clock",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(m.group(1).rstrip(".")) if m else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
