@@ -1,0 +1,89 @@
+"""Sampling operators for training-data pipelines: deterministic hash
+sampling (shuffle-free scale path), exact stratified sampling, and
+per-stratum caps.
+
+Scale design:
+  * hash_sample is a pure FILTER — no shuffle, no state, reproducible
+    across runs and engines, composable with any downstream op. This is
+    the 100 TB default: rate control by hash threshold, never by
+    `rand()` (non-deterministic re-execution under task retry changes
+    the sample!).
+  * stratified_sample_exact / cap_per_stratum use one window shuffle on
+    the strata key to get EXACT per-stratum counts — the right tool when
+    the contract is "exactly ceil(f*n) per language", e.g. balancing a
+    fine-tuning mix. Ordering inside a stratum is by md5(id): decoupled
+    from ingestion order, stable across engines (used by the DuckDB
+    oracle twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 1_000_000, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, buckets) from xxhash64(id, seed)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    id_col: str,
+    seed: int = 0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic ~fraction sample as a shuffle-free filter:
+    keep rows with hash_bucket(id) < fraction * buckets.
+
+    Statistically exact rate in expectation (xxhash64 is uniform);
+    deterministic per id, so re-runs, retried tasks, and incremental
+    appends sample consistently — the property rand()-based sampling
+    loses. Fully pushed into the scan stage (no exchange)."""
+    return df.filter(hash_bucket(id_col, buckets, seed) < int(fraction * buckets))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    fraction: float,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """EXACT stratified sample: ceil(fraction * n_s) rows from each stratum
+    s, chosen deterministically by md5(id) order (engine-independent).
+
+    One shuffle on the strata key (two window functions share it). Skewed
+    strata are fine — the window is a streaming rank, not a collect."""
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(order_key, F.col(id_col))
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    max_rows: int,
+    *,
+    id_col: str,
+) -> DataFrame:
+    """At most max_rows per stratum, deterministic md5(id) order — the
+    "no language dominates the mix" cap. Same single-shuffle shape as
+    stratified_sample_exact."""
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

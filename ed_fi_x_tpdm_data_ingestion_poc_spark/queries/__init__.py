@@ -63,5 +63,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import streaming_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
     from . import scale_q  # noqa: F401
+    from . import curation_q  # noqa: F401
 
     return dict(QUERIES)

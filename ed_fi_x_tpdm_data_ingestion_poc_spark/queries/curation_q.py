@@ -1,0 +1,131 @@
+"""Corpus-curation queries: deterministic sampling and the end-to-end
+quality-filter + dedup curation pass a training-data pipeline runs before
+tokenization (north-star extension; SURVEY.md §2.3 family Q50-Q53).
+
+q66: exact stratified sample (hash-checked — md5-order selection is
+     engine-independent).
+q67: curation pipeline = language-ID + quality score + token gate + exact-
+     dedup survivorship in one pass (hash-checked).
+q68: shuffle-free hash sampling (xxhash64 isn't portable to DuckDB, so it
+     self-verifies rate + determinism and emits an ok flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from . import ok_flag, query
+
+_STOP_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+@query(
+    "q66_stratified_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang FROM t WHERE rn <= CEIL(n * 0.1)
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 10% stratified sample per language: ceil(0.1*n) docs per
+    stratum, selected by md5(id) order — deterministic, engine-independent,
+    one window shuffle (operators/sampling.py)."""
+    from ..operators.sampling import stratified_sample_exact
+
+    d = table(spark, sf, "documents")
+    return (
+        stratified_sample_exact(d, ["lang"], 0.1, id_col="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q67_curation_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+         m AS (SELECT doc_id, text, len(toks) AS n_tok,
+                      len(list_filter(toks, x -> x IN {_STOP_SQL})) / len(toks) AS sw,
+                      list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                        / len(toks) AS ml,
+                      md5(text) AS digest
+               FROM t),
+         s AS (SELECT doc_id,
+                      CASE WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+                           WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04FF}}]') THEN 'ru'
+                           WHEN regexp_matches(text, '[äöüßÄÖÜ]') THEN 'de'
+                           WHEN regexp_matches(text, '[ñáéíóú¡¿]') THEN 'es'
+                           ELSE 'en' END AS lang_pred,
+                      n_tok,
+                      ROUND((least(sw * 5, 1.0) +
+                             CASE WHEN ml >= 3 AND ml <= 10 THEN 1.0 ELSE 0.5 END) / 2, 6)
+                        AS quality,
+                      CAST(doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS INT)
+                        AS keep
+               FROM m)
+    SELECT doc_id, lang_pred, CAST(n_tok AS INT) AS n_tok, quality
+    FROM s
+    WHERE keep = 1 AND quality >= 0.5 AND n_tok BETWEEN 5 AND 10000
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical pre-tokenization curation pass, one DataFrame graph:
+    language-ID + quality score (text ops), token-count gate, exact-dedup
+    survivorship (digest window) — emit the curated doc list. All JVM-side
+    expressions; the only shuffle is the dedup window on the digest."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import lang_id, quality_score, token_count
+
+    d = table(spark, sf, "documents")
+    keep = exact_dedup(d).select("id", "keep")
+    curated = (
+        d.select(
+            "doc_id",
+            lang_id("text").alias("lang_pred"),
+            token_count("text").alias("n_tok"),
+            quality_score("text").alias("quality"),
+        )
+        .join(keep, d.doc_id == keep.id)
+        .filter(
+            (F.col("keep") == 1)
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tok").between(5, 10000)
+        )
+        .select("doc_id", "lang_pred", "n_tok", "quality")
+    )
+    return curated.orderBy("doc_id")
+
+
+@query(
+    "q68_hash_sample_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "curation", "sampling", "sketch"),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free deterministic sampling (filter on xxhash64 bucket —
+    the 100 TB default; no exchange, stable under task retry), self-
+    verified in one job: sampled rate within ±50% of the 20% target (the
+    xxhash64 outcome is FIXED per corpus, so this flag is deterministic)
+    and bucket values in range."""
+    from ..operators.sampling import hash_bucket
+
+    d = table(spark, sf, "documents")
+    thresh = int(0.2 * 1_000_000)
+    row = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((hash_bucket("doc_id") < thresh).cast("int")).alias("s"),
+    ).first()
+    rate = row["s"] / row["n"] if row["n"] else 0.0
+    return ok_flag(spark, 0.1 <= rate <= 0.3)
