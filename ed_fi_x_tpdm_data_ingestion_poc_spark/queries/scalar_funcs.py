@@ -81,10 +81,22 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     tags=("functions",),
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
-    """Math functions (round/abs/floor/ceil/sqrt, money arithmetic)."""
+    """Math functions (round/abs/floor/ceil/sqrt, money arithmetic).
+
+    Top-k first, THEN the expression projection: the sort keys are base
+    columns, so selecting the 500 rows before computing the math evaluates
+    the expressions 500 times instead of once per corpus row (Catalyst
+    keeps a projection below a Sort+Limit; this ordering is the manual
+    equivalent of project-after-top-k)."""
     li = table(spark, sf, "lineitem")
     return (
         li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+            "l_tax", "l_quantity",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+        .select(
             "l_orderkey",
             "l_linenumber",
             F.round(
@@ -98,8 +110,6 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
             F.ceil("l_quantity").alias("c"),
             F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(500)
     )
 
 
