@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import table
-from . import query
+from . import ok_flag, query
 
 # ---------------------------------------------------------------- scans ----
 
@@ -412,6 +412,32 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("ok")
     )
+
+
+@query(
+    "q69_approx_quantile_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch"),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (t-digest-ish sketch) vs EXACT percentile for
+    p50/p90/p99 of l_extendedprice, one aggregate job; ok=1 iff every
+    approximation is within 1% relative error. Sketch internals differ
+    across engines (DuckDB approx_quantile), so — like q20 — the hashed
+    result is the verified tolerance flag itself."""
+    li = table(spark, sf, "lineitem")
+    row = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10_000
+        ).alias("apx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex"),
+    ).first()
+    ok = all(
+        abs(a - e) / e <= 0.01 for a, e in zip(row["apx"], row["ex"])
+    )
+    return ok_flag(spark, ok)
 
 
 @query(

@@ -51,8 +51,35 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash_near_pairs,
     )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.dedup import exact_dedup
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    def _curation_count(d):
+        keep = exact_dedup(d).select("id", "keep")
+        return (
+            d.select(
+                "doc_id",
+                lang_id("text").alias("lang_pred"),
+                token_count("text").alias("n_tok"),
+                quality_score("text").alias("quality"),
+            )
+            .join(keep, F.col("doc_id") == F.col("id"))
+            .filter(
+                (F.col("keep") == 1)
+                & (F.col("quality") >= 0.5)
+                & F.col("n_tok").between(5, 10000)
+            )
+            .count()
+        )
 
     spark = get_spark()
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -96,6 +123,19 @@ def main() -> None:
             .count(),
             events,
             events_big,
+        ),
+        "curation_pass": (  # q67 shape: text exprs + digest-window dedup
+            lambda d: _curation_count(d),
+            docs,
+            docs_big,
+        ),
+        "stratified_sample": (  # one window shuffle on the strata key
+            lambda d: stratified_sample_exact(
+                d.withColumn("lang", F.substring("text", 1, 1)),
+                ["lang"], 0.1, id_col="doc_id",
+            ).count(),
+            docs,
+            docs_big,
         ),
     }
     for name, (fn, base, big) in probes.items():
