@@ -83,23 +83,27 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 def q67(spark: SparkSession, sf: str) -> DataFrame:
     """The canonical pre-tokenization curation pass, one DataFrame graph:
     language-ID + quality score (text ops), token-count gate, exact-dedup
-    survivorship (digest window) — emit the curated doc list. All JVM-side
-    expressions; the only shuffle is the dedup window on the digest."""
-    from ..operators.dedup import exact_dedup
+    survivorship — emit the curated doc list. All JVM-side expressions;
+    survivorship is the digest window computed INLINE on the scored rows
+    (one shuffle on the high-cardinality digest, no join-back — the shape
+    that survives a 100 B-doc corpus)."""
+    from pyspark.sql.window import Window
+
     from ..operators.text import lang_id, quality_score, token_count
 
     d = table(spark, sf, "documents")
-    keep = exact_dedup(d).select("id", "keep")
+    w = Window.partitionBy("digest")
     curated = (
         d.select(
             "doc_id",
             lang_id("text").alias("lang_pred"),
             token_count("text").alias("n_tok"),
             quality_score("text").alias("quality"),
+            F.md5("text").alias("digest"),
         )
-        .join(keep, d.doc_id == keep.id)
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
         .filter(
-            (F.col("keep") == 1)
+            F.col("keep")
             & (F.col("quality") >= 0.5)
             & F.col("n_tok").between(5, 10000)
         )
