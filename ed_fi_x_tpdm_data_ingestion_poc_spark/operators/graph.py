@@ -1,0 +1,108 @@
+"""Connected components over near-duplicate pair sets: pairs -> clusters.
+
+A dedup pipeline doesn't end at pairs — transitive near-dups (a~b, b~c)
+must collapse into ONE cluster with one survivor. That's connected
+components on the pair graph.
+
+Scale design: iterative min-label propagation expressed as DataFrame
+joins — each round every node adopts the smallest label among itself and
+its neighbors; rounds = graph diameter. Near-dup graphs are dense
+little cliques (diameter 2-3), so convergence is fast; for adversarial
+long-chain graphs the same loop structure accepts the large-star/
+small-star optimization (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) which converges in O(log n) rounds.
+Each round is one shuffle (join on node) + one aggregate (min per node);
+intermediates are persisted and the previous round unpersisted, so peak
+storage is 2 label tables. The driver loop only inspects a one-row
+convergence aggregate per round — no data is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "ida",
+    b_col: str = "idb",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, cluster) for every node in the pair graph; cluster = the
+    minimum node id reachable from the node (deterministic, engine-
+    independent — the DuckDB oracle recomputes it with a recursive CTE).
+
+    pairs: undirected edges (each pair listed once, either orientation).
+    Raises if max_iter rounds don't converge (pathological diameter —
+    switch to star-contraction before raising the cap at corpus scale).
+    """
+    # symmetrize once; self-edges are harmless but dropped for volume
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    # Lineage MUST be truncated each round (localCheckpoint), not merely
+    # persisted: persist caches partitions but the logical plan still
+    # nests one join+agg per round, and analysis/codegen over the
+    # compounding plan goes super-linear (measured: a 10-round chain took
+    # minutes and then failed). On a cluster with a checkpoint dir set,
+    # spark.sparkContext.setCheckpointDir + .checkpoint() is the
+    # fault-tolerant equivalent.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(df: DataFrame):
+        # decimal(38) sum: overflow-safe convergence fingerprint at any id
+        # range; labels are per-node non-increasing, so the total strictly
+        # decreases iff ANY node changed — one cheap aggregate replaces a
+        # join-based change probe
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        # candidate labels: own label + every neighbor's label
+        neighbor_lbls = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), "lbl")
+        )
+        labels = (
+            labels.select("node", "lbl")
+            .unionAll(neighbor_lbls)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "ida",
+    b_col: str = "idb",
+) -> DataFrame:
+    """Cluster assignment + survivorship from a near-dup pair set:
+    (node, cluster, keep) where keep=1 iff node == cluster (the min-id
+    member is the canonical survivor, matching exact_dedup's convention)."""
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    return cc.withColumn(
+        "keep", (F.col("node") == F.col("cluster")).cast("int")
+    )

@@ -118,27 +118,31 @@ def q50a(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup(d).select("id", "digest", "keep").orderBy("id")
 
 
+# Shared CTE chain producing the exact Jaccard>=0.8 pair set in DuckDB —
+# the oracle for q50b and the edge set for q70's recursive components.
+_PAIRS_WITH = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+            FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS s
+           FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT ida, idb,
+                     ROUND(inter / (sa.sz + sb.sz - inter), 3) AS jaccard
+              FROM common
+              JOIN sizes sa ON ida = sa.doc_id
+              JOIN sizes sb ON idb = sb.doc_id
+              WHERE ROUND(inter / (sa.sz + sb.sz - inter), 3) >= 0.8)
+"""
+
+
 @query(
     "q50b_ngram_jaccard_dups",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         idx AS (SELECT doc_id, toks,
-                        unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
-                 FROM t),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS s
-                FROM idx),
-         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2)
-    SELECT ida, idb,
-           ROUND(inter / (sa.sz + sb.sz - inter), 3) AS jaccard
-    FROM common
-    JOIN sizes sa ON ida = sa.doc_id
-    JOIN sizes sb ON idb = sb.doc_id
-    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 3) >= 0.8
-    ORDER BY ida, idb
-    """,
+    oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs ORDER BY ida, idb",
     tags=("llm", "dedup"),
 )
 def q50b(spark: SparkSession, sf: str) -> DataFrame:
@@ -330,6 +334,36 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
     )
     r = recall_at_k(approx, _exact_topk(spark, sf))
     return ok_flag(spark, r >= 0.9)
+
+
+@query(
+    "q70_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    )
+    SELECT n AS node, MIN(lbl) AS cluster,
+           CAST(n = MIN(lbl) AS INT) AS keep
+    FROM reach GROUP BY n ORDER BY node
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS from the exact pair set (q50b): transitive pairs
+    collapse via iterative min-label propagation (operators/graph.py, one
+    join + one min-agg per round, rounds = graph diameter) — cluster id =
+    min reachable doc id, survivor = the min-id member. The oracle
+    recomputes the same fixpoint with a recursive CTE."""
+    from ..operators.graph import dup_clusters
+
+    pairs = _exact_pairs(spark, sf).select("ida", "idb")
+    return dup_clusters(pairs).orderBy("node")
 
 
 # ---------------------------------------------------------- text analysis --

@@ -1,0 +1,46 @@
+"""Connected-components tests (operators/graph.py): transitivity, chain
+diameters beyond one round, determinism, survivor convention."""
+
+from __future__ import annotations
+
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.graph import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "ida long, idb long")
+    out = connected_components(df)
+    return {r["node"]: r["cluster"] for r in out.collect()}
+
+
+def test_transitive_pairs_collapse(spark):
+    # a~b, b~c => one cluster {1,2,3}; {7,8} separate
+    got = _cc(spark, [(1, 2), (2, 3), (7, 8)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: diameter 9, needs multiple rounds
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_orientation_and_duplicates_irrelevant(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dup_clusters_survivor(spark):
+    df = spark.createDataFrame([(5, 9), (9, 11)], "ida long, idb long")
+    rows = {r["node"]: (r["cluster"], r["keep"]) for r in dup_clusters(df).collect()}
+    assert rows == {5: (5, 1), 9: (5, 0), 11: (5, 0)}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "ida long, idb long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=2)
