@@ -237,11 +237,31 @@ def minhash_lsh_pairs(
     signatures: pre-computed (id, sig) from minhash_signatures — the sketch
     is a materialize-once corpus artifact (persist/write, then dedup
     incrementally against it); None computes+persists inline."""
-    rows_per_band = num_hashes // bands
     sigs = signatures if signatures is not None else minhash_signatures(
         docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
     ).persist()  # self-joined below: compute each signature once, not twice
-    banded = sigs.select(
+    banded = minhash_band_keys(sigs, num_hashes=num_hashes, bands=bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
+def minhash_band_keys(
+    sigs: DataFrame, *, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bh) banded keys from (id, sig) MinHash signatures — the
+    join-key form of the LSH index. At corpus scale this is the table you
+    persist (bucketed by (band, bh)); new batches join against it."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -255,17 +275,50 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
-        .distinct()
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_keys: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and an EXISTING corpus index —
+    the shape of dedup on a continuously-growing corpus: sketch only the
+    new batch, join its band keys against the stored index (plus a self-
+    join of the batch for new-new duplicates). Never re-sketches the
+    corpus.
+
+    index_keys: (id, band, bh) from minhash_band_keys over the stored
+    signatures (built with the SAME k/num_hashes/bands).
+    Returns (ida, idb) with ida < idb; new-new and new-index candidate
+    pairs unioned, deduplicated."""
+    sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, k=k, num_hashes=num_hashes
+    ).persist()
+    new_keys = minhash_band_keys(sigs, num_hashes=num_hashes, bands=bands)
+    n, i = new_keys.alias("n"), index_keys.alias("i")
+    vs_index = n.join(
+        i,
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.bh") == F.col("i.bh"))
+        & (F.col("n.id") != F.col("i.id")),
+    ).select(
+        F.least("n.id", "i.id").alias("ida"),
+        F.greatest("n.id", "i.id").alias("idb"),
     )
+    a, b = new_keys.alias("a"), new_keys.alias("b")
+    vs_self = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+    return vs_index.unionAll(vs_self).distinct()
 
 
 _BITS64 = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign bit
