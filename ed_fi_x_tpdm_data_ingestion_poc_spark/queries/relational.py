@@ -728,3 +728,67 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     n = table(spark, sf, "nation").select("n_nationkey")
     s = table(spark, sf, "supplier").select("s_nationkey")
     return n.subtract(s).orderBy("n_nationkey")
+
+
+@query(
+    "q71_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 2) AS urgent_rev
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: priority classes to columns per order status. Spark runs the
+    native pivot (explicit value list => single-pass conditional
+    aggregation, no extra distinct-values job); the oracle is the
+    equivalent engine-independent conditional-aggregation SQL."""
+    o = table(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return piv.select(
+        "o_orderstatus",
+        # a (status, priority) combo absent from the data pivots to NULL,
+        # but the oracle's COUNT(CASE ...) yields 0 — align on 0
+        F.coalesce(F.col("1-URGENT_n"), zero).alias("urgent"),
+        F.coalesce(F.col("2-HIGH_n"), zero).alias("high"),
+        F.coalesce(F.col("3-MEDIUM_n"), zero).alias("medium"),
+        F.col("1-URGENT_rev").alias("urgent_rev"),
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q72_vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+    SELECT word, COUNT(*) AS n FROM tok
+    GROUP BY word ORDER BY n DESC, word LIMIT 100
+    """,
+    tags=("llm", "text", "agg"),
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary head: top-100 tokens by frequency — explode + count +
+    total-ordered top-k, the first step of any tokenizer/vocab build.
+    Partial aggregation combines per-partition counts before the shuffle,
+    so the shuffle carries one row per distinct token per partition."""
+    d = table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(100)
+    )
