@@ -60,11 +60,12 @@ def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
         # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        # Respect the advisory partition size when coalescing instead of
-        # maximizing parallelism — the Spark-documented production posture
-        # (reducers sized by bytes, not cluster width); measured neutral at
-        # sf0.1 local, fewer+fuller reduce tasks at scale.
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        # NOTE: coalescePartitions.parallelismFirst stays at its default
+        # (true). Setting it false ("respect advisory partition size", the
+        # posture Spark docs suggest for large clusters) coalesces small
+        # reduce stages to ONE task and measurably regressed every window/
+        # sort query 50-70% at sf0.1 — byte-sized reducers belong in the
+        # cluster deploy conf where stages actually carry gigabytes.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Arrow for the pandas-UDF path (10-100x over row-at-a-time Python).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
