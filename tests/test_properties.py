@@ -87,3 +87,46 @@ def test_cast_scrubs_sentinel_to_null(spark, vals):
             assert out[i] is None
         else:
             assert str(out[i]) == v
+
+
+# ----------------------------------------------------- connected components
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress: label = min reachable node
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation on DataFrames == driver-side union-find for
+    arbitrary small graphs (self-loops, duplicate and reversed edges,
+    multiple components, chains)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "ida long, idb long")
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    want = _uf_components([e for e in edges if e[0] != e[1]])
+    assert got == want
