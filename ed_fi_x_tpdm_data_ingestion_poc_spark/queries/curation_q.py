@@ -133,3 +133,30 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     ).first()
     rate = row["s"] / row["n"] if row["n"] else 0.0
     return ok_flag(spark, 0.1 <= rate <= 0.3)
+
+
+@query(
+    "q74_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(
+               regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ])', ' \1 ', 'g'),
+               ' +'), x -> x != '')) AS INT) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting both ways (SURVEY §2.3 Q52 family): whitespace and
+    the BPE-ish regex split (digits + punctuation as separate tokens) —
+    the cheap subword proxy when no trained tokenizer ships. Pure JVM
+    regexp; the oracle mirrors it with RE2 in DuckDB."""
+    from ..operators.text import bpe_ish_tokens, token_count
+
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    ).orderBy("doc_id")
