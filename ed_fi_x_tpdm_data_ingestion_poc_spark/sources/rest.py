@@ -172,10 +172,13 @@ def read_rest(
         rows = list(iter_all_rows(src, token))
         return spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
 
-    offsets = list(range(0, max(total, 1), src.page_size))
-    plan = spark.createDataFrame([(o,) for o in offsets], "offset long").repartition(
-        min(len(offsets), 64)
-    )
+    # spark.range with step = page_size plans the offsets as a pure-JVM
+    # Range scan, one partition per slice (a createDataFrame(list) plan is
+    # a Python-RDD scan + repartition exchange re-executed per run)
+    n_offsets = len(range(0, max(total, 1), src.page_size))
+    plan = spark.range(
+        0, max(total, 1), src.page_size, min(n_offsets, 64)
+    ).withColumnRenamed("id", "offset")
 
     # Executor closure must be SELF-CONTAINED: cloudpickle serializes
     # module-level functions/classes by reference, and executor Python
