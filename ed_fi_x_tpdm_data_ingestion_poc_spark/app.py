@@ -211,3 +211,41 @@ def main(argv: list[str] | None = None) -> int:
     report = run(cfg, teacher_candidate_builder())
     print(report.render())
     return 1 if report.fatal_error else 0
+
+
+def load_descriptor_vocabularies(
+    spark: SparkSession,
+    base_url: str,
+    names: list[str],
+    *,
+    auth: OAuthConfig | None = None,
+    page_size: int = 500,
+) -> dict[str, DataFrame]:
+    """Descriptor vocabularies over the paginated REST source (ref R10+R16,
+    initializeMaps' 7 load*DescriptorsMap calls) — reading ALL pages, not
+    the first 100 (the reference truncates silently,
+    SisConnectorService.java:493). Returns name -> (codeValue, namespace)
+    DataFrame, persisted: vocabularies are broadcast-sized dims reused by
+    every enrichment join in the run."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .sources.rest import RestSource, read_rest
+
+    schema = StructType(
+        [
+            StructField("codeValue", StringType()),
+            StructField("namespace", StringType()),
+        ]
+    )
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        src = RestSource(
+            base_url=base_url,
+            path=f"/{name}Descriptors",
+            auth=auth,
+            page_size=page_size,
+        )
+        df = read_rest(spark, src, schema).persist()
+        df.count()  # materialize while building the run graph
+        out[name] = df
+    return out

@@ -63,7 +63,12 @@ def test_full_app_run(spark, tmp_path):
     src.write.jdbc(derby_url, "cand_src", mode="overwrite", properties=props)
     _write_inputs(tmp_path, derby_url)
 
-    with StubRestServer([], require_auth=True) as server:
+    # the same stub serves the descriptor list endpoints (GET pages) and
+    # the data sink (POST/DELETE)
+    vocab_rows = [
+        {"codeValue": "Bilingual", "namespace": "uri://tpdm/AcademicSubject"}
+    ]
+    with StubRestServer(vocab_rows, require_auth=True) as server:
         cfg = AppConfig(
             {
                 "database.url": derby_url,
@@ -79,6 +84,14 @@ def test_full_app_run(spark, tmp_path):
                 "output.data.to.dir": "true",
             }
         )
+        # vocabularies over the paginated REST source (R10 + R16)
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.app import (
+            load_descriptor_vocabularies,
+        )
+
+        vocabs = load_descriptor_vocabularies(
+            spark, server.url, ["academicSubject"], auth=cfg.oauth()
+        )
         # remote snapshot: 101 exists, ghost-9 must be deleted (R21)
         remote = spark.createDataFrame(
             [("101", "res-101"), ("ghost-9", "res-ghost")],
@@ -86,7 +99,7 @@ def test_full_app_run(spark, tmp_path):
         )
         report = run(
             cfg,
-            teacher_candidate_builder(),
+            teacher_candidate_builder(vocabs),
             spark=spark,
             remote_snapshot=remote,
         )
@@ -100,6 +113,9 @@ def test_full_app_run(spark, tmp_path):
         assert len(server.upserts) == 2
         names = {d["lastSurname"] for d in server.upserts}
         assert names == {"Alvarez-Smith", "Baker"}  # last row won
+        # vocabulary enrichment applied (R10: namespace#code URI)
+        subjects = {d["academicSubjectDescriptor"] for d in server.upserts}
+        assert subjects == {"uri://tpdm/AcademicSubject#Bilingual"}
         assert server.deletes == ["res-ghost"]
 
     # artifacts on disk: JSON documents + a .report file
