@@ -59,36 +59,18 @@ def exact_dedup(
     )
 
 
-def ngram_jaccard_pairs(
+def shingle_index(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
-    threshold: float = 0.8,
-    df_cap: int | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard >= threshold pairs over k-word shingle sets via an
-    inverted-index self-join (a,b ordered, with jaccard).
-
-    df_cap: drop shingles occurring in more than df_cap documents before
-    the join (boilerplate/stopword shingles). The join cost is
-    sum_s df(s)^2, so one shingle in 1% of a 100M-doc corpus alone costs
-    10^12 candidate pairs — capping is mandatory at that scale. Capping
-    makes the result approximate for pairs whose overlap was mostly
-    boilerplate (jaccard computed on surviving shingles; sizes are
-    recomputed post-cap so the ratio stays internally consistent).
-
-    Shuffle profile: one join keyed on 64-bit shingle hashes (8-byte keys,
-    not ~50-byte strings; a collision inflating `inter` needs ~2^32
-    distinct shingles, far beyond any per-corpus shard), one groupBy on
-    the pair — no cross join at any scale. Hot shingles (boilerplate) can
-    skew the join; cap them upstream with a document-frequency filter if
-    needed. Shingling+hashing is vectorized numpy per Arrow batch (the JVM
+    """(id, s) inverted-index rows: one row per DISTINCT k-word shingle per
+    doc, shingles as 64-bit hashes (8-byte join keys, not ~50-byte strings).
+    Shingling+hashing is vectorized numpy per Arrow batch (the JVM
     higher-order transform/slice/array_join expression measured ~6x
-    slower), and the (id, hash) index is persisted because the self-join
-    reads it twice.
-    """
+    slower). Shared by Jaccard dedup and eval-decontamination."""
     idc, tc = id_col, text_col
 
     def shingle_batches(batches):
@@ -125,12 +107,85 @@ def ngram_jaccard_pairs(
             yield out
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    return (
         docs.select(F.col(idc).alias("id"), F.col(tc).alias("text"))
         .repartition(par)  # corpus often arrives as one file = one partition
         .mapInPandas(shingle_batches, "id long, s long")
-        .persist()
     )
+
+
+def ngram_containment_pairs(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval-set DECONTAMINATION: (eval_id, corpus_id, containment) pairs
+    where containment = |shingles(eval) ∩ shingles(corpus)| / |shingles(eval)|
+    >= threshold — the n-gram-overlap check run before training to drop
+    corpus documents that leak benchmark/eval content.
+
+    Containment (not Jaccard): a short eval prompt embedded in a long
+    corpus document has low Jaccard but containment ~1. Join shape is the
+    same inverted-index join as ngram_jaccard_pairs — only docs SHARING a
+    shingle ever meet; the eval side is typically tiny, so its index
+    broadcasts and the corpus never shuffles."""
+    ce = shingle_index(corpus, id_col=id_col, text_col=text_col, k=k)
+    ee = shingle_index(evalset, id_col=id_col, text_col=text_col, k=k).persist()
+    sizes = ee.groupBy("id").agg(F.count(F.lit(1)).alias("esz"))
+    e, c = ee.alias("e"), ce.alias("c")
+    common = (
+        # eval index is the small side: broadcast it so the corpus index
+        # never shuffles
+        c.join(F.broadcast(e), F.col("e.s") == F.col("c.s"))
+        .filter(F.col("e.id") != F.col("c.id"))
+        .groupBy(F.col("e.id").alias("eval_id"), F.col("c.id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnRenamed("id", "eval_id")), "eval_id")
+        .withColumn("containment", F.col("inter") / F.col("esz"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "eval_id", "corpus_id", F.round("containment", 3).alias("containment")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs over k-word shingle sets via an
+    inverted-index self-join (a,b ordered, with jaccard).
+
+    df_cap: drop shingles occurring in more than df_cap documents before
+    the join (boilerplate/stopword shingles). The join cost is
+    sum_s df(s)^2, so one shingle in 1% of a 100M-doc corpus alone costs
+    10^12 candidate pairs — capping is mandatory at that scale. Capping
+    makes the result approximate for pairs whose overlap was mostly
+    boilerplate (jaccard computed on surviving shingles; sizes are
+    recomputed post-cap so the ratio stays internally consistent).
+
+    Shuffle profile: one join keyed on 64-bit shingle hashes (8-byte keys,
+    not ~50-byte strings; a collision inflating `inter` needs ~2^32
+    distinct shingles, far beyond any per-corpus shard), one groupBy on
+    the pair — no cross join at any scale. Hot shingles (boilerplate) can
+    skew the join; cap them upstream with a document-frequency filter if
+    needed. Shingling+hashing is vectorized numpy per Arrow batch (the JVM
+    higher-order transform/slice/array_join expression measured ~6x
+    slower), and the (id, hash) index is persisted because the self-join
+    reads it twice.
+    """
+    sh = shingle_index(docs, id_col=id_col, text_col=text_col, k=k).persist()
     if df_cap is not None:
         keep = (
             sh.groupBy("s")

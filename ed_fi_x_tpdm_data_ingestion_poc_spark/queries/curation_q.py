@@ -160,3 +160,42 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         F.size(bpe_ish_tokens("text")).alias("n_bpe"),
         token_count("text").alias("n_ws"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q75_decontamination",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         idx AS (SELECT doc_id, toks,
+                        unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i
+                 FROM t),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS s
+                FROM idx),
+         ev AS (SELECT * FROM sh WHERE doc_id < 20),
+         corp AS (SELECT * FROM sh WHERE doc_id >= 20),
+         esz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+         common AS (SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+                           COUNT(*) AS inter
+                    FROM ev e JOIN corp c ON e.s = c.s
+                    GROUP BY 1, 2)
+    SELECT eval_id, corpus_id,
+           ROUND(inter / esz.n, 3) AS containment
+    FROM common JOIN esz ON eval_id = esz.doc_id
+    WHERE inter / esz.n >= 0.5
+    ORDER BY eval_id, corpus_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: docs with id < 20 play the benchmark/eval
+    set; emit corpus documents whose 5-gram CONTAINMENT of an eval doc is
+    >= 0.5 (operators/dedup.py ngram_containment_pairs — inverted-index
+    join, eval index broadcast, corpus never shuffles)."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    d = table(spark, sf, "documents")
+    evalset = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return ngram_containment_pairs(
+        corpus, evalset, k=5, threshold=0.5
+    ).orderBy("eval_id", "corpus_id")
