@@ -122,6 +122,8 @@ def ngram_containment_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+    eval_index: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set DECONTAMINATION: (eval_id, corpus_id, containment) pairs
     where containment = |shingles(eval) ∩ shingles(corpus)| / |shingles(eval)|
@@ -133,8 +135,16 @@ def ngram_containment_pairs(
     same inverted-index join as ngram_jaccard_pairs — only docs SHARING a
     shingle ever meet; the eval side is typically tiny, so its index
     broadcasts and the corpus never shuffles."""
-    ce = shingle_index(corpus, id_col=id_col, text_col=text_col, k=k)
-    ee = shingle_index(evalset, id_col=id_col, text_col=text_col, k=k).persist()
+    ce = (
+        corpus_index
+        if corpus_index is not None
+        else shingle_index(corpus, id_col=id_col, text_col=text_col, k=k)
+    )
+    ee = (
+        eval_index
+        if eval_index is not None
+        else shingle_index(evalset, id_col=id_col, text_col=text_col, k=k).persist()
+    )
     sizes = ee.groupBy("id").agg(F.count(F.lit(1)).alias("esz"))
     e, c = ee.alias("e"), ce.alias("c")
     common = (

