@@ -795,3 +795,39 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(100)
     )
+
+
+@query(
+    "q73_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS measure,
+           ROUND(l_extendedprice, 2) AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    tags=("project", "unpivot"),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide measures -> long rows), the q71 complement. Spark's
+    native unpivot is a single-scan Expand node — one pass emitting 3 rows
+    per input row, not 3 UNIONed rescans (the oracle's portable form)."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 2).alias("discount"),
+        F.round("l_tax", 2).alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["price", "discount", "tax"],
+        "measure",
+        "val",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")

@@ -154,3 +154,30 @@ def test_dry_run_and_properties_parsing(spark, tmp_path):
     assert report.upsert_count == 0 and report.delete_count == 0
     assert any("dry run: 1 documents" in e for e in report.errors)
     assert glob.glob(os.path.join(str(tmp_path / "out2"), "*.report"))
+
+
+def test_cli_main_dry_run(spark, tmp_path, capsys):
+    """python -m ed_fi_x_tpdm_data_ingestion_poc_spark <props> (run.sh
+    analog): exit 0 and a rendered report on stdout."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.app import main
+
+    derby_url = f"jdbc:derby:{tmp_path}/db3;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    spark.createDataFrame(
+        [("301", "Dee", "Dunn", 1)],
+        "SPRIDEN_ID string, SPRIDEN_FIRST_NAME string,"
+        " SPRIDEN_LAST_NAME string, SRC_ORDER int",
+    ).write.jdbc(derby_url, "cand_src", mode="overwrite", properties=props)
+    _write_inputs(tmp_path, derby_url)
+    pfile = tmp_path / "application.properties"
+    pfile.write_text(
+        f"database.url={derby_url}\n"
+        "database.driver=org.apache.derby.jdbc.EmbeddedDriver\n"
+        f"input.sql.dir={tmp_path}/input/sql\n"
+        f"output.dir={tmp_path}/out3\n"
+        "tpdm.api.save=false\n"
+    )
+    assert main([str(pfile)]) == 0
+    out = capsys.readouterr().out
+    assert "Upsert count: 0" in out
+    assert main([]) == 2  # usage error
