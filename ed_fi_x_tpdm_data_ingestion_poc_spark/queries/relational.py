@@ -831,3 +831,70 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         "measure",
         "val",
     ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+@query(
+    "q76_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+           COALESCE(o_orderpriority, 'ALL') AS pr,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY st, pr
+    """,
+    tags=("agg",),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q21 ROLLUP / q22
+    CUBE): per-status totals, per-priority totals, and the grand total in
+    ONE pass — Catalyst plans a single Expand + hash aggregate, not three
+    scans."""
+    o = table(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+               COALESCE(o_orderpriority, 'ALL') AS pr,
+               COUNT(*) AS n
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY st, pr
+        """,
+        o=o,
+    )
+
+
+@query(
+    "q77_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+             AS days_to_ref,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+             AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    tags=("functions", "date"),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic (ref R8 family): add-days, day difference to a
+    reference date, month truncation, end-of-month — each a dialect
+    mapping (Spark date_add/datediff/trunc/last_day vs DuckDB interval
+    arithmetic and date_trunc)."""
+    o = table(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+            F.datediff(
+                F.lit("1998-12-01").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).cast("bigint").alias("days_to_ref"),
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month_start"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
