@@ -195,7 +195,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q48_stream_dedup",
     oracle="""
-    SELECT COUNT(*) AS n, SUM(event_id) AS id_sum,
+    SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     """,
@@ -204,12 +204,29 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 def q48(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming dedup: the replay delivers the whole table TWICE
     (two micro-batches); dropDuplicates on event_id must suppress the second
-    copy across batches, leaving exactly the batch-distinct aggregate."""
+    copy across batches, leaving exactly the batch-distinct aggregate.
+
+    The oracle CASTs SUM(event_id) to BIGINT: DuckDB's SUM over an integer
+    column yields HUGEINT (int128), which pandas narrows to float64
+    ("49995000.0") while Spark's LongType sum stays int64 ("49995000") —
+    a value-hash mismatch on identical numbers (round-1 driver red row).
+
+    The replay structure is asserted in-query: exactly two non-empty
+    micro-batches must arrive and the second copy must be fully dropped;
+    a violation raises with the observed per-batch input counts instead of
+    silently returning an aggregate from a mis-batched run."""
     ev = _events_stream(spark, sf, layout="dup")
     deduped = ev.dropDuplicates(["event_id"])
     from ..streaming.replay import run_to_memory
 
-    res = run_to_memory(deduped, output_mode="append")
+    res, progress = run_to_memory(deduped, output_mode="append", with_progress=True)
+    batch_inputs = [int(p["numInputRows"]) for p in progress if int(p["numInputRows"]) > 0]
+    n_out = res.count()
+    if len(batch_inputs) != 2 or sum(batch_inputs) != 2 * n_out:
+        raise RuntimeError(
+            "q48 replay mis-batched: expected 2 equal deliveries summing to "
+            f"2x output; got inputs={batch_inputs} output={n_out}"
+        )
     return res.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("id_sum"),

@@ -111,10 +111,12 @@ def read_replay_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, *, output_mode: str) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, *, output_mode: str, with_progress: bool = False):
     """Run a bounded (AvailableNow) stream into an in-memory sink; return
-    the final result table. The memory sink is a test/verification surface —
-    production streams write to real sinks (files, foreachBatch REST)."""
+    the final result table (and, with_progress=True, the recentProgress
+    list so callers can assert micro-batch structure). The memory sink is a
+    test/verification surface — production streams write to real sinks
+    (files, foreachBatch REST)."""
     name = "replay_" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
@@ -124,7 +126,10 @@ def run_to_memory(stream_df: DataFrame, *, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    result = stream_df.sparkSession.table(name)
+    if with_progress:
+        return result, list(q.recentProgress)
+    return result
 
 
 def run_foreach_batch(stream_df: DataFrame, fn) -> None:
