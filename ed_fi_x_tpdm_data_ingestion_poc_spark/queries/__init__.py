@@ -17,10 +17,28 @@ Conventions that make cross-engine value-hashing stable:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Build-once fixture/artifact caches are shared across queries; the bench
+# runs the suite CONCURRENTLY (Spark's scheduler amortizes the per-job
+# floor across in-flight queries), so cache fills must be serialized —
+# a double-build wastes a sketch pass and can collide on external
+# fixtures (Derby database dirs, REST stub ports). One process-wide
+# reentrant lock: builds happen once per session, contention after warmup
+# is a dict lookup.
+_BUILD_LOCK = threading.RLock()
+
+
+def memo(cache: dict, key, build):
+    """Thread-safe build-once memoization: cache[key] = build() exactly once."""
+    with _BUILD_LOCK:
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
 
 
 @dataclass(frozen=True)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query
+from . import memo, query
 
 # --------------------------------------------------------------- fixtures --
 # (pidm, first, last, birth_date 'YYYY-MM-DD'|None, sex_code, source_order)
@@ -52,12 +52,12 @@ _FIX_DFS: dict[tuple, DataFrame] = {}
 
 
 def _fixture_df(spark: SparkSession, name: str, data, schema: str) -> DataFrame:
-    key = (id(spark), name)
-    if key not in _FIX_DFS:
+    def build():
         df = spark.createDataFrame(data, schema).persist()
         df.count()  # materialize: downstream scans hit the JVM cache
-        _FIX_DFS[key] = df
-    return _FIX_DFS[key]
+        return df
+
+    return memo(_FIX_DFS, (id(spark), name), build)
 
 
 # One Derby "remote RDBMS" per (session, sf): the database is the fixture;
@@ -66,11 +66,11 @@ _DERBY_FIXTURE: dict[tuple, tuple[str, int, int]] = {}
 
 # One REST stub server per process: the server is the fixture ("the remote
 # ODS API"); the declared operator is the paginated executor-side read.
-_STUB_SERVER: list = []
+_STUB_CACHE: dict = {}
 
 
 def _stub_server():
-    if not _STUB_SERVER:
+    def build():
         from ..testing.rest_stub import StubRestServer
 
         rows = [{"id": i, "name": f"row-{i}"} for i in range(250)]
@@ -79,8 +79,9 @@ def _stub_server():
         import atexit
 
         atexit.register(lambda: server.__exit__())
-        _STUB_SERVER.append(server)
-    return _STUB_SERVER[0]
+        return server
+
+    return memo(_STUB_CACHE, "server", build)
 
 
 def _values(rows: list[tuple]) -> str:
@@ -272,8 +273,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.jdbc import JdbcSource, read_table
     from ..tables import table
 
-    key = (id(spark), sf)
-    if key not in _DERBY_FIXTURE:
+    def build_fixture():
         import tempfile
 
         li = table(spark, sf, "lineitem")
@@ -282,12 +282,13 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
             .limit(100)
             .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         )
-        url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q02-')}/db;create=true"
+        db_url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q02-')}/db;create=true"
         props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
-        src_rows.write.jdbc(url, "li_sample", mode="overwrite", properties=props)
+        src_rows.write.jdbc(db_url, "li_sample", mode="overwrite", properties=props)
         lo, hi = src_rows.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
-        _DERBY_FIXTURE[key] = (url, int(lo), int(hi))
-    url, lo, hi = _DERBY_FIXTURE[key]
+        return (db_url, int(lo), int(hi))
+
+    url, lo, hi = memo(_DERBY_FIXTURE, (id(spark), sf), build_fixture)
 
     jdbc = JdbcSource(url=url, driver="org.apache.derby.jdbc.EmbeddedDriver")
     back = read_table(

@@ -2,10 +2,19 @@
 DuckDB on the declared query set).
 
 Runs every declared query's oracle SQL on DuckDB over the same parquet
-tables with the same protocol as bench.py (warm connection, median of 3,
-Arrow materialization) and prints one JSON line:
+tables with the IDENTICAL dual protocol as bench.py:
+
+* Pass 1 — SEQUENTIAL: warm connection, median of 3 per query, Arrow
+  materialization. Reported per-query and as "sequential_total_sec".
+* Pass 2 — CONCURRENT: the whole suite submitted at once on
+  $SPARK_GRAFT_BENCH_THREADS client threads (default 8, longest-first),
+  one cursor per thread (DuckDB's documented multi-thread client
+  pattern), 3 sweeps, median suite wall-clock — the headline "value".
+
+Prints one JSON line:
   {"metric": "duckdb_oracle_suite_total_wall_clock", "value": sec,
-   "queries": {...}, "sf": ...}
+   "queries": {...}, "sf": ..., "sequential_total_sec": ...,
+   "concurrency": N}
 
 Queries without an oracle (rows-only ops) are skipped — compare against a
 bench.py run filtered to the same key set (bench_ratio.py does this).
@@ -17,13 +26,16 @@ import json
 import os
 import re
 import sys
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "8"))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -59,15 +71,35 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         per_query[name] = round(sorted(times)[1], 3)
 
+    # Concurrent pass: one cursor per client thread, longest-first packing.
+    ordered = sorted(specs, key=lambda n: -per_query[n])
+    local = threading.local()
+
+    def run_one(name: str) -> None:
+        cur = getattr(local, "cur", None)
+        if cur is None:
+            cur = local.cur = con.cursor()
+        cur.execute(specs[name]).arrow()
+
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(N_THREADS) as ex:
+            for _r in ex.map(run_one, ordered):
+                pass
+        walls.append(time.perf_counter() - t0)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     print(
         json.dumps(
             {
                 "metric": "duckdb_oracle_suite_total_wall_clock",
-                "value": round(sum(per_query.values()), 3),
+                "value": round(sorted(walls)[1], 3),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(m.group(1).rstrip(".")) if m else None,
+                "sequential_total_sec": round(sum(per_query.values()), 3),
+                "concurrency": N_THREADS,
             }
         )
     )
