@@ -72,7 +72,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q05_filter_conjunction",
+    "qz05_filter_conjunction",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem
     WHERE l_quantity > 30 AND l_returnflag = 'R'
@@ -94,7 +94,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q06_in_between",
+    "qz06_in_between",
     oracle="""
     SELECT o_orderkey FROM orders
     WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -117,7 +117,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q07_is_null",
+    "qz07_is_null",
     oracle="""
     SELECT event_id FROM events
     WHERE props IS NULL OR value IS NULL
@@ -137,7 +137,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q08_case_when",
+    "qz08_case_when",
     oracle="""
     SELECT o_orderkey,
            CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
@@ -160,7 +160,7 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q09_rename_alias",
+    "qz09_rename_alias",
     oracle="""
     SELECT c_custkey AS customer_id, c_name AS full_name
     FROM customer ORDER BY customer_id
@@ -204,7 +204,7 @@ _Q10_SQL = """
     """
 
 
-@query("q10_join_chain", oracle=_Q10_SQL, tags=("join",))
+@query("qz10_join_chain", oracle=_Q10_SQL, tags=("join",))
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     """Inner equi-join chain (ref §2.2 implicit-comma joins,
     teacherCandidateAddresses.sql:17-23). Planner picks the strategy."""
@@ -220,7 +220,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q12_left_join",
+    "qz12_left_join",
     oracle="""
     SELECT c.c_custkey, o.o_orderkey
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -240,7 +240,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q13_semi_join",
+    "qz13_semi_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -260,7 +260,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q14_anti_join",
+    "qz14_anti_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -281,7 +281,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q15_theta_join",
+    "qz15_theta_join",
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n
     FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
@@ -303,7 +303,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q16_cross_join",
+    "qz16_cross_join",
     oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
     tags=("join",),
 )
@@ -381,7 +381,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q19_count_distinct",
+    "qz19_count_distinct",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
     tags=("agg",),
 )
@@ -444,7 +444,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q21_rollup",
+    "qz21_rollup",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
            COUNT(*) AS n
@@ -469,7 +469,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q22_cube",
+    "qz22_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
            COUNT(*) AS n
@@ -494,7 +494,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q23_max_by",
+    "qz23_max_by",
     oracle="""
     SELECT o_custkey, last_order FROM (
       SELECT o_custkey, o_orderkey AS last_order,
@@ -552,7 +552,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q25_distinct",
+    "qz25_distinct",
     oracle="""
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
     ORDER BY l_returnflag, l_linestatus
@@ -598,7 +598,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q27_window_frame",
+    "qz27_window_frame",
     oracle="""
     SELECT o_orderkey,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
@@ -622,7 +622,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q28_lag",
+    "qz28_lag",
     oracle="""
     SELECT o_orderkey,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -641,7 +641,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q29_topk_per_group",
+    "qz29_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, rn FROM (
       SELECT o_custkey, o_orderkey,
@@ -689,7 +689,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q31_union",
+    "qz31_union",
     oracle="""
     SELECT c_nationkey AS k FROM customer
     UNION SELECT s_nationkey FROM supplier ORDER BY k
@@ -704,7 +704,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q32_intersect",
+    "qz32_intersect",
     oracle="""
     SELECT c_nationkey FROM customer
     INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey
@@ -719,7 +719,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q33_except",
+    "qz33_except",
     oracle="""
     SELECT n_nationkey FROM nation
     EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey

@@ -51,7 +51,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q45_stream_sliding",
+    "qz45_stream_sliding",
     oracle="""
     WITH starts AS (
       SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type
@@ -80,7 +80,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q46_stream_session",
+    "qz46_stream_session",
     oracle="""
     WITH o AS (
       SELECT user_id, ts,
