@@ -119,6 +119,11 @@ def run(
     docs, key_col, json_col = build_docs(spark, frames, spec.column_maps)
 
     out_dir = cfg.get("output.dir", "output")
+    if cfg.flag("output.data.to.dir") and cfg.flag("tpdm.api.save", True):
+        # Both outputs consume docs: persist so the JSON written to disk and
+        # the documents POSTed come from ONE execution of the JDBC reads
+        # (unpersisted, a source change between actions could diverge them).
+        docs = docs.persist()
     if cfg.flag("output.data.to.dir"):
         write_json_docs(
             docs.select(key_col, json_col),
@@ -143,6 +148,9 @@ def run(
             outcomes = outcomes.unionByName(
                 rest_delete(deletes.select("resource_id"), sink, id_col="resource_id")
             )
+        # The outcome rows are the record of side effects already performed;
+        # persist so no later action can re-fire the HTTP calls.
+        outcomes = outcomes.persist()
         t0 = report.start_time
         report = build_report(outcomes)
         report.start_time = t0

@@ -63,7 +63,13 @@ def equality_filter(df: DataFrame, params: dict[str, object]) -> DataFrame:
 
 def paginate(df: DataFrame, order_by: list[str], *, offset: int = 0, limit: int = 100) -> DataFrame:
     """offset/limit pagination over a total order (R16/R17 pagination
-    params) without collecting: row_number over the explicit sort."""
+    params) without collecting: row_number over the explicit sort.
+
+    Faithful to the reference's offset/limit REST semantics, but the
+    un-partitioned window funnels the whole input through ONE task — fine
+    for page-sized sources, wrong at corpus scale. The scale-safe
+    counterpart is paginate_keyset below: O(page) work per request and no
+    global sort, at the cost of a cursor instead of a random-access offset."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy(*order_by)
@@ -72,3 +78,33 @@ def paginate(df: DataFrame, order_by: list[str], *, offset: int = 0, limit: int 
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
         .drop("__rn")
     )
+
+
+def paginate_keyset(
+    df: DataFrame,
+    order_by: list[str],
+    *,
+    after: tuple | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """Keyset (cursor) pagination: rows strictly after the `after` key tuple
+    in the lexicographic order of `order_by`, first `limit` of them.
+
+    Scale shape: the predicate pushes to the scan (no global row_number, no
+    single-reducer sort of everything before the page); sortWithinPartitions
+    + the limit leave only per-partition page-sized sorts followed by
+    Spark's take-ordered merge. `order_by` must be a total order (include a
+    unique tiebreaker column last) or pages can skip/repeat ties. The last
+    row of each page is the next call's `after`."""
+    if after is not None:
+        if len(after) != len(order_by):
+            raise ValueError("after tuple must match order_by arity")
+        # (a,b) > (x,y) lexicographically: a > x OR (a = x AND b > y) ...
+        pred = F.lit(False)
+        eq_prefix = F.lit(True)
+        for col_name, val in zip(order_by, after):
+            c = F.col(col_name)
+            pred = pred | (eq_prefix & (c > F.lit(val)))
+            eq_prefix = eq_prefix & (c == F.lit(val))
+        df = df.filter(pred)
+    return df.orderBy(*order_by).limit(limit)

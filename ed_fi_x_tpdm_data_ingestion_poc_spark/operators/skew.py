@@ -52,9 +52,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join with the big side salted and the small side replicated, keyed
-    on (on..., salt). Identical result to big.join(small, on, how); each
-    hot key now spreads over `salt` reducers. The small side grows by
-    `salt`x — keep it the dimension side."""
+    on (on..., salt). Identical result to big.join(small, on, how) for the
+    big-side-preserving joins; each hot key now spreads over `salt`
+    reducers. The small side grows by `salt`x — keep it the dimension side.
+
+    how is restricted to {'inner', 'left', 'left_semi', 'left_anti'}: a
+    small-side-preserving join ('right'/'full') would emit each UNMATCHED
+    small row once per salt replica, multiplying it salt-fold. For those,
+    swap the sides or fall back to AQE's runtime skew-join split."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} would replicate unmatched small-side "
+            f"rows once per salt value; allowed: {sorted(allowed)}"
+        )
     b = with_salt(big, salt)
     s = replicate_salts(small, salt)
     return b.join(s, on=[*on, SALT_COL], how=how).drop(SALT_COL)

@@ -52,9 +52,32 @@ class RunReport:
 
 def build_report(outcomes: DataFrame, *, max_errors: int = 100) -> RunReport:
     """Aggregate sink outcome rows (schema rest_sink.OUTCOME_SCHEMA) into a
-    report. One job: grouped counts + a bounded error sample."""
+    report in ONE action.
+
+    The input is side-effecting (each mapInPandas partition POSTs/DELETEs
+    against the remote API), so a second action would replay every HTTP call
+    and sample errors from a *different* execution than the counts. Counts
+    and the bounded error sample therefore come from a single grouped
+    aggregation: the error strings are formatted in-query and collect_list'd
+    per (op, ok=false) group, sliced to max_errors driver-side. Error volume
+    is operator-bounded (a sink where errors rival data volume has already
+    failed); callers that re-use `outcomes` for anything else should persist
+    it first (app.run does)."""
+    err_str = F.when(
+        ~F.col("ok"),
+        F.format_string(
+            "%s %s: HTTP %s %s",
+            F.col("op"),
+            F.col("key"),
+            F.coalesce(F.col("status").cast("string"), F.lit("None")),
+            F.coalesce(F.col("error"), F.lit("None")),
+        ),
+    )
     agg = (
-        outcomes.groupBy("op", "ok").agg(F.count(F.lit(1)).alias("n")).collect()
+        outcomes.select("op", "ok", err_str.alias("err"))
+        .groupBy("op", "ok")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("err").alias("errs"))
+        .collect()
     )
     report = RunReport()
     for row in agg:
@@ -64,11 +87,7 @@ def build_report(outcomes: DataFrame, *, max_errors: int = 100) -> RunReport:
             report.delete_count = row.n
         if not row.ok:
             report.error_count += row.n
-    if report.error_count:
-        report.errors = [
-            f"{r.op} {r.key}: HTTP {r.status} {r.error}"
-            for r in outcomes.filter(~F.col("ok")).limit(max_errors).collect()
-        ]
+            report.errors.extend(row.errs[: max_errors - len(report.errors)])
     report.end_time = time.time()
     return report
 
