@@ -86,17 +86,21 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Key order matters: the driver records only the trailing ~2000 chars of
+    # stdout, so the headline fields go AFTER the (long) per-query dict to
+    # guarantee they land in the recorded tail.
     print(
         json.dumps(
             {
+                "queries": per_query,
                 "metric": "declared_query_suite_total_wall_clock",
                 "value": round(sorted(walls)[1], 3),
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
                 "sequential_total_sec": round(sum(per_query.values()), 3),
                 "concurrency": N_THREADS,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -33,7 +33,7 @@ def test_derby_reserved_and_mixed_case_roundtrip(spark):
     props = {"driver": DERBY}
     src_df = spark.createDataFrame(
         [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
-        ['id', '`ORDER`', 'MixedCase'],
+        ['id', 'ORDER', 'MixedCase'],
     )
     src_df.write.jdbc(url, "quoting_t", mode="overwrite", properties=props)
 
