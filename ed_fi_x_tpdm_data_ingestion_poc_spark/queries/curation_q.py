@@ -31,7 +31,6 @@ _STOP_SQL = "('the','a','of','and','to','in','is','it')"
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents)
     SELECT doc_id, lang FROM t WHERE rn <= CEIL(n * 0.1)
-    ORDER BY doc_id
     """,
     tags=("llm", "curation", "sampling"),
 )
@@ -45,7 +44,6 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     return (
         stratified_sample_exact(d, ["lang"], 0.1, id_col="doc_id")
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -76,7 +74,6 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, lang_pred, CAST(n_tok AS INT) AS n_tok, quality
     FROM s
     WHERE keep = 1 AND quality >= 0.5 AND n_tok BETWEEN 5 AND 10000
-    ORDER BY doc_id
     """,
     tags=("llm", "curation"),
 )
@@ -109,7 +106,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "n_tok", "quality")
     )
-    return curated.orderBy("doc_id")
+    return curated
 
 
 @query(
@@ -143,7 +140,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
                regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ])', ' \1 ', 'g'),
                ' +'), x -> x != '')) AS INT) AS n_bpe,
            CAST(len(string_split(text, ' ')) AS INT) AS n_ws
-    FROM documents ORDER BY doc_id
+    FROM documents
     """,
     tags=("llm", "text"),
 )
@@ -159,7 +156,7 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(bpe_ish_tokens("text")).alias("n_bpe"),
         token_count("text").alias("n_ws"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -182,7 +179,6 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(inter / esz.n, 3) AS containment
     FROM common JOIN esz ON eval_id = esz.doc_id
     WHERE inter / esz.n >= 0.5
-    ORDER BY eval_id, corpus_id
     """,
     tags=("llm", "curation", "dedup"),
 )
@@ -207,4 +203,4 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         corpus, evalset, k=5, threshold=0.5,
         corpus_index=full_idx.filter(F.col("id") >= 20),
         eval_index=full_idx.filter(F.col("id") < 20),
-    ).orderBy("eval_id", "corpus_id")
+    )

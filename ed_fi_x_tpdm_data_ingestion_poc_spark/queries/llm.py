@@ -101,7 +101,7 @@ def _pair_recall(exact: "DataFrame", approx: "DataFrame") -> float:
     oracle="""
     SELECT doc_id AS id, md5(text) AS digest,
            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS keep
-    FROM documents ORDER BY id
+    FROM documents
     """,
     tags=("llm", "dedup"),
 )
@@ -112,7 +112,7 @@ def q50a(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
     d = table(spark, sf, "documents")
-    return exact_dedup(d).select("id", "digest", "keep").orderBy("id")
+    return exact_dedup(d).select("id", "digest", "keep")
 
 
 # Shared CTE chain producing the exact Jaccard>=0.8 pair set in DuckDB —
@@ -139,13 +139,13 @@ _PAIRS_WITH = """
 
 @query(
     "q50b_ngram_jaccard_dups",
-    oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs ORDER BY ida, idb",
+    oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs",
     tags=("llm", "dedup"),
 )
 def q50b(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT 5-gram-shingle Jaccard >= 0.8 near-dup pairs via inverted-index
     join (no cross join; see operators.dedup.ngram_jaccard_pairs)."""
-    return _exact_pairs(spark, sf).orderBy("ida", "idb")
+    return _exact_pairs(spark, sf)
 
 
 @query(
@@ -207,7 +207,6 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.45
-    ORDER BY ida, idb
     """,
     tags=("llm", "dedup", "embedding"),
 )
@@ -225,7 +224,7 @@ def q50e(spark: SparkSession, sf: str) -> DataFrame:
         spark, sf, "corpus_tiles", lambda: broadcast_corpus_tiles(e, num_tiles=2)
     )
     out = embedding_dup_pairs(e, threshold=0.45, tiles=tiles)
-    return out.filter(F.col("cosine") >= 0.45).orderBy("ida", "idb")
+    return out.filter(F.col("cosine") >= 0.45)
 
 
 # ------------------------------------------------------------- similarity --
@@ -252,14 +251,13 @@ _NORM_SQL = """
                                 ORDER BY cosine DESC, nid) AS INT) AS rank
                     FROM scored)
     SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10
-    ORDER BY qid, rank
     """,
     tags=("llm", "similarity", "embedding"),
 )
 def q51a(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5) — the exact
     ANN baseline; query side broadcast, corpus never shuffles."""
-    return _exact_topk(spark, sf).orderBy("qid", "rank")
+    return _exact_topk(spark, sf)
 
 
 @query(
@@ -351,7 +349,7 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT n AS node, MIN(lbl) AS cluster,
            CAST(n = MIN(lbl) AS INT) AS keep
-    FROM reach GROUP BY n ORDER BY node
+    FROM reach GROUP BY n
     """,
     tags=("llm", "dedup", "iterative"),
 )
@@ -364,7 +362,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import dup_clusters
 
     pairs = _exact_pairs(spark, sf).select("ida", "idb")
-    return dup_clusters(pairs).orderBy("node")
+    return dup_clusters(pairs)
 
 
 # ---------------------------------------------------------- text analysis --
@@ -377,7 +375,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_chars), 4) AS avg_chars,
            ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
-    FROM documents GROUP BY lang ORDER BY lang
+    FROM documents GROUP BY lang
     """,
     tags=("llm", "text"),
 )
@@ -394,7 +392,6 @@ def q52a(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
         )
-        .orderBy("lang")
     )
 
 
@@ -416,7 +413,7 @@ def q52a(spark: SparkSession, sf: str) -> DataFrame:
            ROUND((least(sw * 5, 1.0) +
                   CASE WHEN ml >= 3 AND ml <= 10 THEN 1.0 ELSE 0.5 END) / 2, 6)
              AS quality
-    FROM m ORDER BY doc_id
+    FROM m
     """,
     tags=("llm", "text"),
 )
@@ -430,7 +427,7 @@ def q52b(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         lang_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -442,7 +439,7 @@ def q52b(spark: SparkSession, sf: str) -> DataFrame:
                list_transform(string_split(text, ' '),
                               x -> CAST(length(x) AS BIGINT))),
              (a, b) -> (a * 31 + b) % 1000000007) AS rh
-    FROM documents ORDER BY doc_id
+    FROM documents
     """,
     tags=("llm", "text"),
 )
@@ -456,7 +453,7 @@ def q52c(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         fingerprint_md5("text").alias("fp"),
         fingerprint_rolling("text").alias("rh"),
-    ).orderBy("doc_id")
+    )
 
 
 # -------------------------------------------------------------- multimodal --
@@ -468,7 +465,7 @@ def q52c(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            substr(hex(encode(text)), 1, 8) AS head_hex,
            md5(text) AS digest
-    FROM documents ORDER BY doc_id
+    FROM documents
     """,
     tags=("llm", "multimodal"),
 )
@@ -482,4 +479,4 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     wrapped = attach_binary(d, source_col="text", mime="text/plain")
     feats = extract_features(wrapped, id_col="doc_id")
-    return feats.select("doc_id", "n_bytes", "head_hex", "digest").orderBy("doc_id")
+    return feats.select("doc_id", "n_bytes", "head_hex", "digest")

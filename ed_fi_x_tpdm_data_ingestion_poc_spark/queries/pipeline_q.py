@@ -136,7 +136,6 @@ def _values(rows: list[tuple]) -> str:
     FROM last_cand c
     LEFT JOIN sexv sx ON c.sex_code = sx.code
     LEFT JOIN nested n ON c.pidm = n.pidm
-    ORDER BY tcid
     """,
     tags=("pipeline",),
 )
@@ -212,7 +211,6 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
             "sex_uri",
             F.coalesce("addresses_csv", F.lit("")).alias("addresses_csv"),
         )
-        .orderBy("tcid")
     )
 
 
@@ -227,7 +225,6 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT 'delete' AS op, k FROM remote
     WHERE k NOT IN (SELECT k FROM src)
-    ORDER BY op, k
     """,
     tags=("pipeline",),
 )
@@ -246,7 +243,6 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     return (
         upserts.select(F.lit("upsert").alias("op"), "k")
         .unionAll(deletes.select(F.lit("delete").alias("op"), "k"))
-        .orderBy("op", "k")
     )
 
 
@@ -256,7 +252,6 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
     FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100) t
     WHERE l_quantity > 5
-    ORDER BY l_orderkey, l_linenumber
     """,
     tags=("source", "jdbc"),
 )
@@ -303,7 +298,6 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         back.filter(F.col("l_quantity") > 5)  # pushed to the JDBC scan
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -311,7 +305,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     "q03_rest_paged",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name
-    FROM range(250) r ORDER BY id
+    FROM range(250) r
     """,
     tags=("source", "rest"),
 )
@@ -329,4 +323,4 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
     schema = StructType(
         [StructField("id", LongType()), StructField("name", StringType())]
     )
-    return read_rest(spark, src, schema).orderBy("id")
+    return read_rest(spark, src, schema)

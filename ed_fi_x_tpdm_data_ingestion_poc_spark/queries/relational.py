@@ -65,7 +65,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     df = q01(spark, sf)
     df.write.mode("overwrite").json(out)
     back = spark.read.schema(df.schema).json(out)
-    return back.orderBy("l_orderkey", "l_linenumber")
+    return back
 
 
 # -------------------------------------------------- filters / predicates ----
@@ -76,7 +76,6 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem
     WHERE l_quantity > 30 AND l_returnflag = 'R'
-    ORDER BY l_orderkey, l_linenumber
     """,
     tags=("filter",),
 )
@@ -89,7 +88,6 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
         .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -99,7 +97,6 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey FROM orders
     WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
       AND o_totalprice BETWEEN 1000 AND 100000
-    ORDER BY o_orderkey
     """,
     tags=("filter",),
 )
@@ -112,7 +109,6 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
             & F.col("o_totalprice").between(1000, 100000)
         )
         .select("o_orderkey")
-        .orderBy("o_orderkey")
     )
 
 
@@ -121,7 +117,6 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id FROM events
     WHERE props IS NULL OR value IS NULL
-    ORDER BY event_id
     """,
     tags=("filter",),
 )
@@ -132,7 +127,6 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.filter(F.col("props").isNull() | F.col("value").isNull())
         .select("event_id")
-        .orderBy("event_id")
     )
 
 
@@ -143,7 +137,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
            CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
                                 WHEN '2-HIGH' THEN 'warm'
                                 ELSE 'cold' END AS pr
-    FROM orders ORDER BY o_orderkey
+    FROM orders
     """,
     tags=("filter",),
 )
@@ -156,14 +150,14 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("o_orderpriority") == "2-HIGH", "warm")
         .otherwise("cold")
         .alias("pr"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
     "qz09_rename_alias",
     oracle="""
     SELECT c_custkey AS customer_id, c_name AS full_name
-    FROM customer ORDER BY customer_id
+    FROM customer
     """,
     tags=("project",),
 )
@@ -175,7 +169,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 
     c = table(spark, sf, "customer")
     out = rename_columns(c, {"customer_id": "c_custkey", "full_name": "c_name"})
-    return out.orderBy("customer_id")
+    return out
 
 
 # ---------------------------------------------------------------- joins ----
@@ -191,7 +185,6 @@ def _join_chain(spark: SparkSession, sf: str, hint: bool) -> DataFrame:
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -200,7 +193,6 @@ _Q10_SQL = """
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    ORDER BY c.c_custkey
     """
 
 
@@ -224,7 +216,6 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, o.o_orderkey
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-    ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST
     """,
     tags=("join",),
 )
@@ -235,7 +226,6 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .select("c_custkey", "o_orderkey")
-        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -244,7 +234,6 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
     """,
     tags=("join",),
 )
@@ -255,7 +244,6 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -264,7 +252,6 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
     """,
     tags=("join",),
 )
@@ -276,7 +263,6 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -285,7 +271,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n
     FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
-    GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+    GROUP BY s.s_suppkey
     """,
     tags=("join",),
 )
@@ -298,7 +284,6 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
         s.join(c, s.s_acctbal > c.c_acctbal)
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("s_suppkey")
     )
 
 
@@ -357,7 +342,6 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
     """,
     tags=("agg",),
 )
@@ -376,7 +360,6 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -449,7 +432,6 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    ORDER BY f, s
     """,
     tags=("agg",),
 )
@@ -464,7 +446,6 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("ALL")).alias("s"),
             "n",
         )
-        .orderBy("f", "s")
     )
 
 
@@ -474,7 +455,6 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
            COUNT(*) AS n
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    ORDER BY st, pr
     """,
     tags=("agg",),
 )
@@ -489,7 +469,6 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
             "n",
         )
-        .orderBy("st", "pr")
     )
 
 
@@ -501,7 +480,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       FROM orders) t
-    WHERE rn = 1 ORDER BY o_custkey
+    WHERE rn = 1
     """,
     tags=("agg",),
 )
@@ -518,7 +497,6 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
                 "last_order"
             )
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -528,7 +506,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c_custkey,
            array_to_string(list_sort(list(o_orderkey)), ',') AS orders_csv
     FROM customer JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey ORDER BY c_custkey
+    GROUP BY c_custkey
     """,
     tags=("agg", "nest"),
 )
@@ -547,7 +525,6 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
                 "orders_csv"
             )
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -555,7 +532,6 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     "qz25_distinct",
     oracle="""
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    ORDER BY l_returnflag, l_linestatus
     """,
     tags=("agg", "dedup"),
 )
@@ -565,7 +541,6 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.select("l_returnflag", "l_linestatus")
         .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -580,7 +555,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
                                    ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
            CAST(RANK() OVER (PARTITION BY o_custkey
                              ORDER BY o_totalprice DESC) AS INT) AS rk
-    FROM orders ORDER BY o_custkey, o_orderkey
+    FROM orders
     """,
     tags=("window",),
 )
@@ -594,7 +569,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.row_number().over(w1).alias("rn"),
         F.rank().over(w2).alias("rk"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -604,7 +579,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv
-    FROM orders ORDER BY o_orderkey
+    FROM orders
     """,
     tags=("window",),
 )
@@ -618,7 +593,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("mv")
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -627,7 +602,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS pv
-    FROM orders ORDER BY o_orderkey
+    FROM orders
     """,
     tags=("window",),
 )
@@ -637,7 +612,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_orderkey", F.lag("o_totalprice").over(w).alias("pv")
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -648,7 +623,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       FROM orders) t
-    WHERE rn <= 3 ORDER BY o_custkey, rn
+    WHERE rn <= 3
     """,
     tags=("window",),
 )
@@ -663,7 +638,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
     )
-    return out.select("o_custkey", "o_orderkey", "rn").orderBy("o_custkey", "rn")
+    return out.select("o_custkey", "o_orderkey", "rn")
 
 
 # ------------------------------------------------- sorts / limits / sets ----
@@ -692,7 +667,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     "qz31_union",
     oracle="""
     SELECT c_nationkey AS k FROM customer
-    UNION SELECT s_nationkey FROM supplier ORDER BY k
+    UNION SELECT s_nationkey FROM supplier
     """,
     tags=("setop",),
 )
@@ -700,14 +675,14 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     """UNION (distinct)."""
     c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.union(s).distinct().orderBy("k")
+    return c.union(s).distinct()
 
 
 @query(
     "qz32_intersect",
     oracle="""
     SELECT c_nationkey FROM customer
-    INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey
+    INTERSECT SELECT s_nationkey FROM supplier
     """,
     tags=("setop",),
 )
@@ -715,14 +690,14 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT."""
     c = table(spark, sf, "customer").select("c_nationkey")
     s = table(spark, sf, "supplier").select("s_nationkey")
-    return c.intersect(s).orderBy("c_nationkey")
+    return c.intersect(s)
 
 
 @query(
     "qz33_except",
     oracle="""
     SELECT n_nationkey FROM nation
-    EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey
+    EXCEPT SELECT s_nationkey FROM supplier
     """,
     tags=("setop",),
 )
@@ -730,7 +705,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     """EXCEPT — set-level analog of the reconciliation anti-join (R21)."""
     n = table(spark, sf, "nation").select("n_nationkey")
     s = table(spark, sf, "supplier").select("s_nationkey")
-    return n.subtract(s).orderBy("n_nationkey")
+    return n.subtract(s)
 
 
 @query(
@@ -742,7 +717,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
            ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                           THEN o_totalprice END), 2) AS urgent_rev
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg", "pivot"),
 )
@@ -769,7 +744,7 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("2-HIGH_n"), zero).alias("high"),
         F.coalesce(F.col("3-MEDIUM_n"), zero).alias("medium"),
         F.col("1-URGENT_rev").alias("urgent_rev"),
-    ).orderBy("o_orderstatus")
+    )
 
 
 @query(
@@ -809,7 +784,6 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'tax', ROUND(l_tax, 2)
     FROM lineitem WHERE l_orderkey <= 100
-    ORDER BY l_orderkey, l_linenumber, measure
     """,
     tags=("project", "unpivot"),
 )
@@ -830,7 +804,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         ["price", "discount", "tax"],
         "measure",
         "val",
-    ).orderBy("l_orderkey", "l_linenumber", "measure")
+    )
 
 
 @query(
@@ -841,7 +815,6 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    ORDER BY st, pr
     """,
     tags=("agg",),
 )
@@ -858,7 +831,6 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
                COUNT(*) AS n
         FROM {o}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY st, pr
         """,
         o=o,
     )

@@ -24,7 +24,7 @@ from . import query
            SUBSTR(c_name, 1, 8) AS s, CAST(LENGTH(c_name) AS INT) AS n,
            TRIM(c_name) AS t, REPLACE(c_name, '#', '-') AS r,
            CONCAT(c_mktsegment, '#', c_name) AS cc
-    FROM customer ORDER BY c_custkey
+    FROM customer
     """,
     tags=("functions",),
 )
@@ -40,7 +40,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         F.trim("c_name").alias("t"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("r"),
         F.concat("c_mktsegment", F.lit("#"), "c_name").alias("cc"),
-    ).orderBy("c_custkey")
+    )
 
 
 @query(
@@ -50,7 +50,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
            CAST(o_orderdate AS DATE) AS d,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS iso
-    FROM orders ORDER BY o_orderkey
+    FROM orders
     """,
     tags=("functions",),
 )
@@ -64,7 +64,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.col("o_orderdate").cast("date").alias("d"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -118,7 +118,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT doc_id, list_contains(string_split(text, ' '), 'the') AS hit,
            CAST(len(string_split(text, ' ')) AS INT) AS n
-    FROM documents ORDER BY doc_id
+    FROM documents
     """,
     tags=("functions", "array"),
 )
@@ -130,7 +130,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.array_contains(toks, "the").alias("hit"),
         F.size(toks).alias("n"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -139,7 +139,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_id,
            to_json(struct_pack(t := event_type,
                                v := CAST(ROUND(value * 10000) AS BIGINT))) AS j
-    FROM events ORDER BY event_id
+    FROM events
     """,
     tags=("functions", "json"),
 )
@@ -156,14 +156,14 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
                 F.round(F.col("value") * 10000, 0).cast("bigint").alias("v"),
             )
         ).alias("j"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
     "q39_json_extract",
     oracle="""
     SELECT event_id, json_extract_string(props, '$.k') AS k
-    FROM events ORDER BY event_id
+    FROM events
     """,
     tags=("functions", "json"),
 )
@@ -172,7 +172,7 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
     return e.select(
         "event_id", F.get_json_object("props", "$.k").alias("k")
-    ).orderBy("event_id")
+    )
 
 
 # Inline enrichment fixtures for q40 (FIXTURES.md §6: the driver does not
@@ -218,7 +218,6 @@ def _desc_values_sql() -> str:
     SELECT f.code, COALESCE(d.namespace || '#' || f.code, f.code) AS uri
     FROM fixture_codes f
     LEFT JOIN fixture_descriptors d ON f.code = d.codeValue
-    ORDER BY f.code
     """,
     tags=("enrich",),
 )
@@ -247,4 +246,4 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     out = enrich_descriptor_uri(
         codes, descriptors, code_col="code", out_col="uri"
     )
-    return out.select("code", "uri").orderBy("code")
+    return out.select("code", "uri")

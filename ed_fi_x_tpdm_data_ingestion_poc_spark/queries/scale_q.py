@@ -18,7 +18,6 @@ from . import query
            ROUND(SUM(e.value), 2) AS sv
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY e.user_id, c.c_mktsegment
-    ORDER BY e.user_id, seg
     """,
     tags=("scale", "skew"),
 )
@@ -37,7 +36,6 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     return (
         joined.groupBy("user_id", F.col("c_mktsegment").alias("seg"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
-        .orderBy("user_id", "seg")
     )
 
 
@@ -45,7 +43,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     "q63_salted_two_phase_agg",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n
-    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type
+    FROM events GROUP BY user_id, event_type
     """,
     tags=("scale", "skew"),
 )
@@ -55,9 +53,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.skew import salted_count
 
     e = table(spark, sf, "events")
-    return salted_count(e, ["user_id", "event_type"], salt=8).orderBy(
-        "user_id", "event_type"
-    )
+    return salted_count(e, ["user_id", "event_type"], salt=8)
 
 
 @query(
@@ -73,7 +69,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
             AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)
     )
     SELECT event_id, o_orderkey AS asof_order, od AS asof_date
-    FROM j WHERE rn = 1 ORDER BY event_id
+    FROM j WHERE rn = 1
     """,
     tags=("scale", "join"),
 )
@@ -100,4 +96,4 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.col("o_orderkey").alias("asof_order"),
         F.col("o_orderdate").cast("date").alias("asof_date"),
-    ).orderBy("event_id")
+    )

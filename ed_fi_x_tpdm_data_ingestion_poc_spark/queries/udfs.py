@@ -43,7 +43,7 @@ def _weighted_mean_udf():
     "q41_pandas_udf",
     oracle="""
     SELECT event_id, ROUND(value * value, 6) AS v2
-    FROM events WHERE value IS NOT NULL ORDER BY event_id
+    FROM events WHERE value IS NOT NULL
     """,
     tags=("udf",),
 )
@@ -54,7 +54,6 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     return (
         e.filter(F.col("value").isNotNull())
         .select("event_id", F.round(squared("value"), 6).alias("v2"))
-        .orderBy("event_id")
     )
 
 
@@ -63,7 +62,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4) AS wm
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM lineitem GROUP BY l_returnflag
     """,
     tags=("udf",),
 )
@@ -74,7 +73,6 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(F.round(weighted_mean("l_extendedprice", "l_discount"), 4).alias("wm"))
-        .orderBy("l_returnflag")
     )
 
 
