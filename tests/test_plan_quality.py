@@ -99,3 +99,65 @@ def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     for name in ("qz13_semi_join", "qz14_anti_join"):
         text = plan_string(_build(spark, sf_dir, name))
         assert "LeftSemi" in text or "LeftAnti" in text, name
+
+
+def test_trivial_queries_have_no_exchange(spark, sf_dir):
+    """Filter/CASE/projection queries are scan -> filter -> project, zero
+    shuffles. (Round-2 verdict: a determinism-only trailing sort was adding
+    a range exchange + AQE read to every one of these; the digest is
+    order-insensitive so the sort is gone.)"""
+    for name in (
+        "qz05_filter_conjunction",
+        "qz06_in_between",
+        "qz07_is_null",
+        "qz08_case_when",
+        "qz09_rename_alias",
+    ):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.exchanges == 0, name
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a full global sort — the only
+    plan that survives a 100 TB fact table."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    for name in ("q30_global_topk", "q72_vocab_topk"):
+        assert "TakeOrderedAndProject" in plan_string(
+            _build(spark, sf_dir, name)
+        ), name
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """Native unpivot = one Expand over one scan (3 rows out per row in),
+    not three UNIONed rescans of the fact table."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    df = _build(spark, sf_dir, "q73_unpivot")
+    f = audit(df)
+    assert "Expand" in plan_string(df)
+    assert len(f.read_schemas) == 1  # exactly one lineitem scan
+    assert f.exchanges == 0
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """ROLLUP/CUBE/GROUPING SETS plan one Expand + one partial+final hash
+    aggregate — a single pass over the fact, not one scan per set."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    for name in ("qz21_rollup", "qz22_cube", "q76_grouping_sets"):
+        df = _build(spark, sf_dir, name)
+        f = audit(df)
+        assert "Expand" in plan_string(df), name
+        assert len(f.read_schemas) == 1, name
+        assert f.partial_aggs >= 1, name
+
+
+def test_two_phase_salted_agg_combines_map_side(spark, sf_dir):
+    """The skew-tolerant two-phase aggregate must do partial aggregation
+    on BOTH phases (salted and unsalted) so the shuffle carries counts,
+    not rows."""
+    f = audit(_build(spark, sf_dir, "q63_salted_two_phase_agg"))
+    assert f.partial_aggs >= 2
+    assert f.cartesian_products == 0
