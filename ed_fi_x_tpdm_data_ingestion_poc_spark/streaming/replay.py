@@ -132,6 +132,48 @@ def run_to_memory(stream_df: DataFrame, *, output_mode: str, with_progress: bool
     return result
 
 
+def run_to_memory_processing_time(
+    stream_df: DataFrame,
+    *,
+    output_mode: str,
+    interval: str = "1 seconds",
+    idle_triggers: int = 3,
+    timeout_sec: float = 120.0,
+):
+    """Run a stream with Trigger.ProcessingTime into an in-memory sink and
+    stop once the source is drained (idle_triggers consecutive zero-input
+    progress reports). Result must equal the AvailableNow run of the same
+    plan — ProcessingTime is the production trigger (continuous service);
+    AvailableNow is the bounded backfill trigger. Both walk the same file
+    list under maxFilesPerTrigger, so state evolution is identical.
+    """
+    import time
+
+    name = "replay_pt_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    deadline = time.time() + timeout_sec
+    idle, seen = 0, 0
+    while time.time() < deadline and idle < idle_triggers:
+        time.sleep(0.25)
+        progress = q.recentProgress
+        for p in progress[seen:]:
+            idle = idle + 1 if int(p["numInputRows"]) == 0 else 0
+        seen = len(progress)
+    q.stop()
+    q.awaitTermination()
+    if idle < idle_triggers:
+        raise TimeoutError(
+            f"stream did not drain within {timeout_sec}s (idle={idle})"
+        )
+    return stream_df.sparkSession.table(name)
+
+
 def run_foreach_batch(stream_df: DataFrame, fn) -> None:
     """Run a bounded stream through foreachBatch(fn(batch_df, batch_id))."""
     q = stream_df.writeStream.foreachBatch(fn).trigger(availableNow=True).start()
