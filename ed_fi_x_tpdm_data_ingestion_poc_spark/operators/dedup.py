@@ -422,13 +422,25 @@ def simhash64(text_col, k: int = 1):
 
 
 def simhash_signatures(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    words: int = 1,
 ) -> DataFrame:
     """(id, sh) 64-bit SimHash per doc over k-word shingles, computed per
     Arrow batch in numpy: shingle hashes from pandas.util.hash_array
     (deterministic 64-bit), bit votes as one (shingles x 64) vectorized
     reduction. ~20x faster than the per-token JVM lambda (simhash64, kept
     for pure-SQL contexts).
+
+    words > 1 widens the signature to words*64 bits for billion-doc corpora
+    where 4-bit band keys stop being selective: output columns become
+    sh, sh1, ..., sh{words-1} (word w uses the w-times-rehashed shingle
+    hashes — pd.util.hash_array over uint64 is an independent deterministic
+    64-bit mix, so words are uncorrelated). simhash_near_pairs detects the
+    extra columns and bands across the full concatenated signature.
 
     Shingles (not unigrams) are essential for discrimination: documents of
     one corpus share vocabulary, so unigram SimHash collapses everything
@@ -442,7 +454,7 @@ def simhash_signatures(
 
         powers = 1 << np.arange(64, dtype="uint64")
         for pdf in batches:
-            sigs = np.empty(len(pdf), dtype="uint64")
+            sigs = np.empty((len(pdf), words), dtype="uint64")
             for i, text in enumerate(pdf["text"]):
                 toks = text.split(" ")
                 grams = (
@@ -453,16 +465,25 @@ def simhash_signatures(
                 h = pd.util.hash_array(
                     pd.unique(np.asarray(grams, dtype=object))
                 )  # uint64, fixed default key
-                bits = (h[:, None] >> np.arange(64, dtype="uint64")) & np.uint64(1)
-                votes = bits.sum(axis=0).astype("int64") * 2 - len(h)
-                sigs[i] = (powers[votes > 0]).sum()
-            yield pd.DataFrame({"id": pdf["id"], "sh": sigs.view("int64")})
+                for w in range(words):
+                    if w:
+                        h = pd.util.hash_array(h)  # independent 64-bit remix
+                    bits = (h[:, None] >> np.arange(64, dtype="uint64")) & np.uint64(1)
+                    votes = bits.sum(axis=0).astype("int64") * 2 - len(h)
+                    sigs[i, w] = (powers[votes > 0]).sum()
+            out = {"id": pdf["id"], "sh": sigs[:, 0].view("int64")}
+            for w in range(1, words):
+                out[f"sh{w}"] = sigs[:, w].view("int64")
+            yield pd.DataFrame(out)
 
+    schema = "id long, sh long" + "".join(
+        f", sh{w} long" for w in range(1, words)
+    )
     par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .repartition(par)  # single-file corpus would pin one python worker
-        .mapInPandas(sig_batches, "id long, sh long")
+        .mapInPandas(sig_batches, schema)
     )
 
 
@@ -483,29 +504,42 @@ def simhash_near_pairs(
     once corpus artifact); None computes inline.
 
     Scale note: narrow bands (4-bit at bands=16) make coarse buckets; for a
-    billion-doc corpus use a wider signature (2x64-bit words -> 16 8-bit
-    bands) or the permute-and-sort scheme (Manku et al., WWW'07) with a
-    smaller hamming budget so band keys stay selective."""
-    width = 64 // bands
+    billion-doc corpus pass words>1 signatures from simhash_signatures
+    (2x64-bit -> 8-bit bands at bands=16) so band keys stay selective —
+    pigeonhole recall still holds over the concatenated bits. The
+    permute-and-sort scheme (Manku et al., WWW'07) is the alternative when
+    even wide bands collide."""
     sh = signatures if signatures is not None else simhash_signatures(
         docs, id_col=id_col, text_col=text_col
     )
+    sig_cols = ["sh"] + sorted(
+        (c for c in sh.columns if c.startswith("sh") and c != "sh"),
+        key=lambda c: int(c[2:]),
+    )
+    n_words = len(sig_cols)
+    if bands % n_words:
+        raise ValueError(f"bands={bands} must be a multiple of words={n_words}")
+    per_word = bands // n_words
+    width = 64 // per_word
     band_structs = [
         F.struct(
-            F.lit(i).alias("band"),
-            F.shiftright("sh", i * width)
+            F.lit(w * per_word + i).alias("band"),
+            F.shiftright(sig_cols[w], i * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("bh"),
         )
-        for i in range(bands)
+        for w in range(n_words)
+        for i in range(per_word)
     ]
     banded = (
-        sh.select("id", "sh", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("id", "sh", "bk.band", "bk.bh")
+        sh.select("id", *sig_cols, F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", *sig_cols, "bk.band", "bk.bh")
         .persist()  # self-joined below: compute each signature once, not twice
     )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    for c in sig_cols[1:]:
+        hamming = hamming + F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
     return (
         a.join(
             b,

@@ -382,11 +382,17 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 def q20(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL++) within ±5% of exact — sketch values
     differ across engines, so the hashed result is the verified tolerance
-    flag itself (1 = within tolerance)."""
+    flag itself (1 = within tolerance).
+
+    Plan shape: distinct keys first, then ONE final aggregate computing
+    both the exact count and the HLL estimate over the deduplicated keys.
+    Mixing count_distinct with another aggregate in a single agg() makes
+    Catalyst plan an Expand (row doubling) + double two-phase aggregation
+    — measured 2x slower than this two-step at sf0.1."""
     o = table(spark, sf, "orders")
-    return o.agg(
+    return o.select("o_custkey").distinct().agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
-        F.count_distinct("o_custkey").alias("exact"),
+        F.count(F.lit(1)).alias("exact"),
     ).select(
         F.when(
             (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= 0.05, 1
