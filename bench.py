@@ -76,13 +76,20 @@ def main() -> None:
     def run_one(spec) -> None:
         spec.build(spark, SF_DIR).toPandas()
 
+    # Sweeps 0-1 are unmeasured warm-up of the concurrent path itself:
+    # measured on this suite, the first concurrent sweep runs ~2.5x slower
+    # than steady state (JVM C2 compilation still in progress, fresh
+    # executor threads + py4j gateway connections) and the second ~1.3x —
+    # a long-running cluster serves queries with a warm JIT, which is the
+    # regime the headline models. Identical treatment in duck_bench.py.
     walls = []
-    for _ in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(N_THREADS) as ex:
             for _r in ex.map(run_one, ordered):
                 pass
-        walls.append(time.perf_counter() - t0)
+        if i >= 2:
+            walls.append(time.perf_counter() - t0)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -81,13 +81,16 @@ def main() -> None:
             cur = local.cur = con.cursor()
         cur.execute(specs[name]).arrow()
 
+    # Sweeps 0-1 unmeasured: warms the concurrent path (fresh threads +
+    # per-thread cursors) — mirror of bench.py's treatment.
     walls = []
-    for _ in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(N_THREADS) as ex:
             for _r in ex.map(run_one, ordered):
                 pass
-        walls.append(time.perf_counter() - t0)
+        if i >= 2:
+            walls.append(time.perf_counter() - t0)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     print(
