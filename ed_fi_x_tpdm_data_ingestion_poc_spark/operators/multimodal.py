@@ -89,12 +89,13 @@ def decode_image(content: bytes) -> dict:
     """Decode an image to {width, height, channels, pixels: bytes}.
 
     Fast path: Pillow, when installed (import-gated — not present in this
-    container). Fallback: a pure-stdlib PNG decoder (struct header parse +
-    zlib inflate + scanline unfilter) covering 8-bit non-interlaced
-    grayscale/RGB/RGBA — real decoding with zero codec dependencies, so the
-    engine's decode surface is exercised end-to-end in any environment.
-    Other formats without Pillow raise NotImplementedError (the honest
-    boundary: JPEG/WebP entropy coding needs a codec library)."""
+    container). Fallbacks with zero codec dependencies: a pure-stdlib PNG
+    decoder (struct header parse + zlib inflate + scanline unfilter,
+    8-bit non-interlaced gray/RGB/RGBA) and a pure-numpy baseline JPEG
+    decoder (operators/jpeg.py: DQT/DHT parse, canonical Huffman entropy
+    decode, dequant + IDCT, chroma upsample, YCbCr->RGB — verified against
+    libjpeg-encoded files). Remaining formats (WebP, progressive JPEG)
+    raise NotImplementedError with the reason."""
     try:  # optional real-codec path
         import io
 
@@ -114,9 +115,13 @@ def decode_image(content: bytes) -> dict:
     import struct
     import zlib
 
+    if content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if not content.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "only PNG decodes without a codec library (Pillow not installed)"
+            "only PNG/JPEG decode without a codec library (Pillow not installed)"
         )
     pos = len(_PNG_SIG)
     width = height = bit_depth = color_type = interlace = None

@@ -92,8 +92,16 @@ def test_png_filters_decode(ftype):
     assert decode_image(png)["pixels"] == px
 
 
-def test_non_png_raises():
+def test_unsupported_format_raises():
+    # WebP: genuinely unsupported without a codec library
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def test_truncated_jpeg_raises():
+    # JPEG now decodes (operators/jpeg.py); a truncated one must error,
+    # not mis-decode
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
