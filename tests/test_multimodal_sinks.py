@@ -119,3 +119,35 @@ def test_file_sinks_roundtrip(spark):
 
     pruned = back_p.filter(F.col("grp") == "x")
     assert pruned.count() == 2
+
+
+def test_resize_images_real_for_decodable_content(spark):
+    """Round-4: resize is REAL for decodable bytes — decode, bilinear
+    resample, PNG re-encode — with the stand-in only for opaque bytes."""
+    import numpy as np
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.jpeg import encode_jpeg
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    solid_png = encode_png(32, 16, 3, bytes([10, 200, 60]) * (32 * 16))
+    solid_jpg = encode_jpeg(32, 16, 3, bytes([10, 200, 60]) * (32 * 16), quality=95)
+    df = spark.createDataFrame(
+        [(1, bytearray(solid_png)), (2, bytearray(solid_jpg)), (3, b"opaque")],
+        "doc_id long, content binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in resize_images(df, id_col="doc_id", width=8, height=8).collect()
+    }
+    for i in (1, 2):
+        assert rows[i].meta.mime == "image/png", i
+        d = decode_image(bytes(rows[i].content))
+        assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+        px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+        # solid color survives resize within codec noise
+        assert np.abs(px.astype(int) - [10, 200, 60]).max() <= 3, i
+    assert rows[3].meta.mime == "application/octet-stream"
+    assert len(bytes(rows[3].content)) == 8 * 8 // 64
