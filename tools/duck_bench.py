@@ -5,7 +5,7 @@ Runs every declared query's oracle SQL on DuckDB over the same parquet
 tables with the IDENTICAL dual protocol as bench.py:
 
 * Pass 1 — SEQUENTIAL: warm connection, median of 3 per query, Arrow
-  materialization. Reported per-query and as "sequential_total_sec".
+  materialization. Reported per-query and as "seq_s".
 * Pass 2 — CONCURRENT: the whole suite submitted at once on
   $SPARK_GRAFT_BENCH_THREADS client threads (default 8, longest-first),
   one cursor per thread (DuckDB's documented multi-thread client
@@ -13,8 +13,8 @@ tables with the IDENTICAL dual protocol as bench.py:
 
 Prints one JSON line:
   {"metric": "duckdb_oracle_suite_total_wall_clock", "value": sec,
-   "queries": {...}, "sf": ..., "sequential_total_sec": ...,
-   "concurrency": N}
+   "queries": {...}, "sf": ..., "seq_s": ...,
+   "threads": N}
 
 Queries without an oracle (rows-only ops) are skipped — compare against a
 bench.py run filtered to the same key set (bench_ratio.py does this).
@@ -99,10 +99,11 @@ def main() -> None:
                 "metric": "duckdb_oracle_suite_total_wall_clock",
                 "value": round(sorted(walls)[1], 3),
                 "unit": "sec",
-                "queries": per_query,
+                # qNN-prefix keys, mirroring bench.py's tail-window trim
+                "queries": {n.split("_")[0]: v for n, v in per_query.items()},
                 "sf": float(m.group(1).rstrip(".")) if m else None,
-                "sequential_total_sec": round(sum(per_query.values()), 3),
-                "concurrency": N_THREADS,
+                "seq_s": round(sum(per_query.values()), 2),
+                "threads": N_THREADS,
             }
         )
     )
