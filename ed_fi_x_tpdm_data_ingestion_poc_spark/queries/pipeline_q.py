@@ -324,3 +324,49 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
         [StructField("id", LongType()), StructField("name", StringType())]
     )
     return read_rest(spark, src, schema)
+
+
+@query(
+    "q49b_scd2_history",
+    oracle="""
+    WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
+                FROM events),
+     v AS (SELECT key, val, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY key ORDER BY ts, event_id)
+                    AS valid_to
+           FROM ch),
+     fc AS (SELECT key, MIN(ts) AS valid_to FROM ch GROUP BY key),
+     b AS (SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS val FROM customer),
+     br AS (SELECT b.key, b.val, TIMESTAMP '1900-01-01' AS valid_from,
+                   fc.valid_to
+            FROM b LEFT JOIN fc ON b.key = fc.key)
+    SELECT key, val, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM (SELECT * FROM br UNION ALL SELECT * FROM v)
+    """,
+    tags=("pipeline", "cdc"),
+)
+def q49b(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history merge (operators/scd.py): customer balances as the base
+    snapshot, events as a timestamped change feed keyed by user_id. The
+    reference's delivery is SCD1 overwrite-by-key (SisConnectorService.java
+    upsert loop); this is the table-side history complement — every version
+    kept with [valid_from, valid_to) and an is_current marker. One window
+    shuffle over the feed + one key join for the base; no driver state."""
+    from ..operators.scd import merge_scd2
+    from ..tables import table
+
+    base = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
+    changes = table(spark, sf, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.round("value", 2).alias("val"),
+        "event_id",
+    )
+    return merge_scd2(
+        base, changes, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["event_id"],
+    )

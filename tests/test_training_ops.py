@@ -166,3 +166,57 @@ def test_single_token_doc_edge(spark):
         duplicate_bigram_fraction("text").alias("dbf"),
     ).collect()[0]
     assert r.twf == 1.0 and r.dbf == 0.0
+
+
+def test_merge_scd2_intervals(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scd import merge_scd2
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "key bigint, val double")
+    ch = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 2), 11.0, 100),
+            (1, dt.datetime(2024, 1, 5), 12.0, 101),
+            (3, dt.datetime(2024, 1, 3), 30.0, 102),  # change-only key
+        ],
+        "key bigint, ts timestamp, val double, event_id bigint",
+    )
+    hist = merge_scd2(
+        base, ch, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["event_id"],
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.key, []).append(r)
+    # key 1: base (until 1/2), v11 (until 1/5), v12 current
+    k1 = sorted(by_key[1], key=lambda r: r.valid_from)
+    assert [r.val for r in k1] == [10.0, 11.0, 12.0]
+    assert [r.is_current for r in k1] == [0, 0, 1]
+    for prev, nxt in zip(k1, k1[1:]):
+        assert prev.valid_to == nxt.valid_from  # intervals tile exactly
+    # key 2: never changed -> single current base row
+    assert [(r.val, r.is_current, r.valid_to) for r in by_key[2]] == [
+        (20.0, 1, None)
+    ]
+    # key 3: insert via feed only -> one current version from the change
+    assert [(r.val, r.is_current) for r in by_key[3]] == [(30.0, 1)]
+    # exactly one current version per key, globally
+    for key, rows in by_key.items():
+        assert sum(r.is_current for r in rows) == 1, key
+
+
+def test_merge_scd2_ts_tiebreak(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scd import merge_scd2
+
+    t = dt.datetime(2024, 1, 1)
+    base = spark.createDataFrame([(1, 0.0)], "key bigint, val double")
+    ch = spark.createDataFrame(
+        [(1, t, 1.0, 2), (1, t, 2.0, 1)],
+        "key bigint, ts timestamp, val double, event_id bigint",
+    )
+    hist = merge_scd2(
+        base, ch, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["event_id"],
+    ).collect()
+    cur = [r.val for r in hist if r.is_current]
+    assert cur == [1.0]  # event_id 2 is the later version under the tiebreak
