@@ -339,3 +339,80 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [("delete", n_del), ("upsert", n_up)], "op string, n long"
     ).orderBy("op")
+
+
+@query(
+    "q49c_stream_session",
+    oracle="""
+    WITH w AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk FROM events),
+     s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid FROM w)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming",),
+)
+def q49c(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming session windows with watermark state eviction: the thirds_
+    flush replay delivers ts-ordered micro-batches, so sessions spanning a
+    file boundary must MERGE across batches in the state store; the flush
+    sentinel advances the watermark past every real session so append mode
+    emits all of them. Must equal the batch gaps-and-islands oracle (the
+    same oracle as q54's batch session_window — streaming and batch
+    sessionization agree)."""
+    ev = _events_stream(spark, sf, layout="thirds_flush")
+    sess = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(sess, output_mode="append")
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "q49d_stream_dedup_wm",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+    tags=("streaming",),
+)
+def q49d(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: q48's unbounded-state dedup holds
+    every key forever — correct, but state grows without bound on an
+    infinite stream. The within-watermark variant evicts keys older than
+    the delay, the production shape at stream scale. With a delay wider
+    than the replayed span (40 days > 30), the duplicate second batch is
+    still fully suppressed, so the result equals q48's batch-distinct
+    aggregate."""
+    ev = _events_stream(spark, sf, layout="dup")
+    deduped = ev.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    from ..streaming.replay import run_to_memory
+
+    res = run_to_memory(deduped, output_mode="append")
+    return res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.count_distinct("event_type").alias("n_types"),
+    )

@@ -51,6 +51,24 @@ def write_replay_dir(chunks: list, layout_key: str | None = None) -> str:
     return out_dir
 
 
+def _flush_frame(pdf):
+    """One far-future sentinel event (user_id -1, type __flush__): advances
+    the watermark past every real window/session so append-mode results are
+    complete; queries filter it back out."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [-1],
+            "ts": [pdf["ts"].max() + pd.Timedelta(hours=1)],
+            "user_id": [-1],
+            "event_type": ["__flush__"],
+            "value": [0.0],
+            "props": [None],
+        }
+    )
+
+
 def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single") -> str:
     """Replay directory for the events table in one of the test layouts:
 
@@ -59,7 +77,9 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
     thirds   — table split into three ts-ordered files (state must carry
                across micro-batches);
     late     — three files: [all but earliest event], [earliest event, now
-               late by ~30 days], [far-future flush event closing windows].
+               late by ~30 days], [far-future flush event closing windows];
+    thirds_flush — thirds plus a far-future flush file, so append-mode
+               watermark queries emit every real window/session.
     """
     key = (sf_dir, layout)
     if key in _replay_cache:
@@ -81,20 +101,16 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
         n = len(pdf)
         chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
     elif layout == "late":
-        import pandas as pd
-
         bulk, late = pdf.iloc[1:], pdf.iloc[:1]
-        flush = pd.DataFrame(
-            {
-                "event_id": [-1],
-                "ts": [pdf["ts"].max() + pd.Timedelta(hours=1)],
-                "user_id": [-1],
-                "event_type": ["__flush__"],
-                "value": [0.0],
-                "props": [None],
-            }
-        )
-        chunks = [bulk, late, flush]
+        chunks = [bulk, late, _flush_frame(pdf)]
+    elif layout == "thirds_flush":
+        n = len(pdf)
+        chunks = [
+            pdf.iloc[: n // 3],
+            pdf.iloc[n // 3 : 2 * n // 3],
+            pdf.iloc[2 * n // 3 :],
+            _flush_frame(pdf),
+        ]
     else:
         raise ValueError(f"unknown layout {layout!r}")
     _replay_cache[key] = write_replay_dir(chunks)
