@@ -60,8 +60,28 @@ def main() -> None:
         quality_score,
         token_count,
     )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.packing import (
+        pack_next_fit,
+    )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    def _interval_pairs(e):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rangejoin import (
+            interval_join,
+        )
+
+        a = e.select(
+            F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+        )
+        b = e.select(
+            F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+        )
+        return (
+            interval_join(a, b, "a_ts", "b_ts", 0, 300)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .count()
+        )
 
     def _curation_count(d):
         keep = exact_dedup(d).select("id", "keep")
@@ -86,6 +106,20 @@ def main() -> None:
     events = table(spark, sf_dir, "events")
     docs_big = inflate(docs, factor, ["doc_id"], text_col="text").persist()
     events_big = inflate(events, factor, ["event_id"]).persist()
+    # Time-shifted copies for the range-join probe: each copy lives in its
+    # own 31-day window, so the true pair count grows linearly with factor
+    # and the probe measures the PLAN's scaling, not the quadratic pair
+    # blow-up that denser-same-window data implies semantically.
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    events_ts_big = (
+        events.crossJoin(F.broadcast(copies))
+        .withColumn("event_id", F.col("event_id") + F.col("__copy") * 10_000_000)
+        .withColumn(
+            "ts", F.expr("ts + make_interval(0, 0, 0, __copy * 31, 0, 0, 0)")
+        )
+        .drop("__copy")
+        .persist()
+    )
     # warm pool + materialize inflated inputs off the clock
     par = spark.sparkContext.defaultParallelism
     spark.range(0, par * 4, 1, par).mapInPandas(lambda it: it, "id long").count()
@@ -133,6 +167,19 @@ def main() -> None:
             lambda d: stratified_sample_exact(
                 d.withColumn("lang", F.substring("text", 1, 1)),
                 ["lang"], 0.1, id_col="doc_id",
+            ).count(),
+            docs,
+            docs_big,
+        ),
+        "interval_join": (  # binned range join: bucket equi-join, no NLJ
+            lambda e: _interval_pairs(e),
+            events,
+            events_ts_big,
+        ),
+        "seq_packing": (  # sharded next-fit: parallel across shards
+            lambda d: pack_next_fit(
+                d.select("doc_id", token_count("text").alias("tok")),
+                "doc_id", "tok", capacity=256, num_shards=64,
             ).count(),
             docs,
             docs_big,
