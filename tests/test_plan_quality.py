@@ -161,3 +161,46 @@ def test_two_phase_salted_agg_combines_map_side(spark, sf_dir):
     f = audit(_build(spark, sf_dir, "q63_salted_two_phase_agg"))
     assert f.partial_aggs >= 2
     assert f.cartesian_products == 0
+
+
+def test_repetition_and_chunking_are_map_only(spark, sf_dir):
+    """q56/q57 are pure projections (higher-order array exprs / explode):
+    zero shuffles, zero Python, at any corpus size."""
+    for name in ("q56_repetition_stats", "q57_chunk_windows"):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.exchanges == 0, name
+        assert f.python_evals == 0 and f.arrow_evals == 0, name
+
+
+def test_binned_range_join_plan(spark, sf_dir):
+    """q55: the range self-join must run as an equi join on the time bucket
+    (hash/merge/broadcast), never nested-loop or cartesian."""
+    f = audit(_build(spark, sf_dir, "q55_interval_pairs"))
+    assert f.nested_loop_joins == 0 and f.cartesian_products == 0
+    assert f.joins >= 1
+
+
+def test_tfidf_small_sides_broadcast(spark, sf_dir):
+    """q58: document-frequency and corpus-count joins are broadcast — the
+    corpus-sized tf side never reshuffles for them."""
+    f = audit(_build(spark, sf_dir, "q58_tfidf_topk"))
+    assert f.broadcast_joins >= 2
+    assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
+
+
+def test_packing_single_shuffle_arrow(spark, sf_dir):
+    """q59: one shuffle (groupBy shard) into one Arrow-batched pandas
+    stage; no row-at-a-time Python."""
+    f = audit(_build(spark, sf_dir, "q59_seq_packing"))
+    # formatted mode prints the node in both tree and detail -> counts 2
+    assert 1 <= f.arrow_evals <= 2 and f.python_evals == 0
+    assert f.exchanges <= 2  # shard shuffle (+ AQE read node at most)
+
+
+def test_scd2_no_nested_loop_single_feed_window(spark, sf_dir):
+    """q49b: history merge is window + join + union — no nested-loop/
+    cartesian anywhere, and the base join may be broadcast or shuffled
+    but must be an equi join."""
+    f = audit(_build(spark, sf_dir, "q49b_scd2_history"))
+    assert f.nested_loop_joins == 0 and f.cartesian_products == 0
+    assert f.joins >= 1
