@@ -134,3 +134,58 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_zorder_write_narrows_file_envelopes(spark, sf_dir, tmp_path):
+    """Z-ordering on (user_id, value) must give parquet files whose
+    min/max envelopes are narrow on BOTH columns — i.e. a point predicate
+    on either column, using only file-level statistics, touches a small
+    fraction of files. A single-column sort gets one column narrow and
+    leaves the other full-range; z-order gets both."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.layout import zorder_write
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def envelope_hit_fraction(path: str, col: str, probes: list[float]) -> float:
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+        hits = [sum(1 for lo, hi in spans if lo <= p <= hi) / len(spans) for p in probes]
+        return sum(hits) / len(hits)
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "sorted_one_col")
+    zorder_write(events, zpath, ["user_id", "value"], num_files=8, bits=4)
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    stats = events.agg(
+        F.expr("percentile(user_id, array(0.1,0.3,0.5,0.7,0.9))").alias("u"),
+        F.expr("percentile(value, array(0.1,0.3,0.5,0.7,0.9))").alias("v"),
+    ).collect()[0]
+    u_probes, v_probes = list(stats.u), list(stats.v)
+
+    # one-column sort: user_id pruned hard, value unprunable (every file
+    # spans the full value range)
+    assert envelope_hit_fraction(spath, "user_id", u_probes) <= 0.5
+    assert envelope_hit_fraction(spath, "value", v_probes) >= 0.9
+    # z-order: BOTH columns prunable from file stats
+    zu = envelope_hit_fraction(zpath, "user_id", u_probes)
+    zv = envelope_hit_fraction(zpath, "value", v_probes)
+    assert zu <= 0.7, zu
+    assert zv <= 0.7, zv
+    # and no rows lost
+    assert spark.read.parquet(zpath).count() == events.count()
