@@ -416,3 +416,71 @@ def q49d(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("id_sum"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "q49f_stream_stream_join",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id < b.event_id
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q49f(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: two replay streams of the events table
+    joined on (time bucket, 5-minute range) — q55's binned-range-join plan
+    in its Structured Streaming form. The bucket equality gives the join a
+    proper state key; the range condition lives INSIDE the join condition,
+    so with both sides watermarked Spark derives state eviction bounds
+    (left rows age out once no future right row can reach them) — bounded
+    state on an infinite stream. Pairs spanning micro-batch boundaries
+    come from buffered state. Must equal the batch oracle (same digest as
+    q55)."""
+    from ..streaming.replay import events_replay_dir, read_replay_stream, run_to_memory
+
+    d = events_replay_dir(spark, sf, layout="thirds")
+    bucket = 300
+
+    a = (
+        read_replay_stream(spark, d)
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("ts").alias("a_ts"),
+            F.col("event_type").alias("type_a"),
+        )
+        .withWatermark("a_ts", "0 seconds")
+        .withColumn(
+            "a_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp("a_ts") / bucket),
+                    F.floor((F.unix_timestamp("a_ts") + bucket) / bucket),
+                )
+            ),
+        )
+    )
+    b = (
+        read_replay_stream(spark, d)
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+            F.col("event_type").alias("type_b"),
+        )
+        .withWatermark("b_ts", "0 seconds")
+        .withColumn("b_bin", F.floor(F.unix_timestamp("b_ts") / bucket))
+    )
+    cond = (
+        (F.col("a_bin") == F.col("b_bin"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 300 SECOND"))
+        & (F.col("a_id") < F.col("b_id"))
+    )
+    joined = a.join(b, cond, "inner").select("type_a", "type_b")
+    res = run_to_memory(joined, output_mode="append")
+    return res.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -285,3 +285,35 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     return pack_next_fit(
         d, "doc_id", "tok", capacity=_PACK_CAP, num_shards=_PACK_SHARDS
     )
+
+
+@query(
+    "q49e_profile_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS ndv,
+           ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4) AS min_v,
+           ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4) AS max_v,
+           ROUND(CAST(median(o_custkey) AS DOUBLE), 4) AS p50
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+           ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4),
+           ROUND(CAST(median(o_totalprice) AS DOUBLE), 4)
+    FROM orders
+    """,
+    tags=("profile",),
+)
+def q49e(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/profile.py): count /
+    non-null / exact NDV / min / max / exact median per column, one scan,
+    one single-row shuffle. The oracle recomputes per column with plain
+    SQL aggregates."""
+    from ..operators.profile import profile_columns
+
+    return profile_columns(
+        table(spark, sf, "orders"), ["o_custkey", "o_totalprice"]
+    )
