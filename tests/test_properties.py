@@ -130,3 +130,119 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
     want = _uf_components([e for e in edges if e[0] != e[1]])
     assert got == want
+
+
+_ts_offsets = st.lists(st.integers(0, 2000), min_size=1, max_size=24, unique=True)
+
+
+@settings(max_examples=10, deadline=None)
+@given(offs=_ts_offsets, lower=st.integers(-120, 120), width=st.integers(0, 400))
+def test_interval_join_equals_bruteforce(spark, offs, lower, width):
+    """Binned interval join == brute-force range predicate for arbitrary
+    event times and ranges (including negative lower bounds)."""
+    import datetime as dt
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    upper = lower + width
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(offs))]
+    a = spark.createDataFrame(rows, "a_id bigint, a_ts timestamp")
+    b = spark.createDataFrame(rows, "b_id bigint, b_ts timestamp")
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_join(a, b, "a_ts", "b_ts", lower, upper).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, ta in rows
+        for ib, tb in rows
+        if ta + dt.timedelta(seconds=lower) <= tb <= ta + dt.timedelta(seconds=upper)
+    }
+    assert got == want
+
+
+_sizes = st.lists(st.integers(1, 300), min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(sizes=_sizes, cap=st.integers(64, 512), shards=st.integers(1, 5))
+def test_packing_replay_and_capacity_law(spark, sizes, cap, shards):
+    """pack_next_fit == the sequential next-fit replay per shard, and no
+    bin that holds >1 row exceeds capacity, for arbitrary size mixes."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.packing import (
+        pack_next_fit,
+    )
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    out = pack_next_fit(df, "doc_id", "tok", capacity=cap, num_shards=shards)
+    got = {(r.doc_id): (r.shard, r.bin_id) for r in out.collect()}
+    assert len(got) == len(rows)
+    for shard in range(shards):
+        members = sorted(i for i, _ in rows if i % shards == shard)
+        bin_id, acc = 0, 0
+        fills: dict[int, list[int]] = {}
+        for i in members:
+            size = sizes[i]
+            if acc > 0 and acc + size > cap:
+                bin_id += 1
+                acc = 0
+            acc += size
+            assert got[i] == (shard, bin_id), i
+            fills.setdefault(bin_id, []).append(size)
+        for held in fills.values():
+            if len(held) > 1:
+                assert sum(held) <= cap
+
+
+_feed = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 99)),
+    min_size=0, max_size=25, unique_by=lambda t: t[2],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(feed=_feed, base_keys=st.sets(st.integers(0, 5), max_size=6))
+def test_scd2_interval_laws(spark, feed, base_keys):
+    """For arbitrary change feeds: per key exactly one open version, the
+    version count equals base-presence + changes, and validity intervals
+    tile (each valid_to equals the next valid_from under the version
+    order)."""
+    import datetime as dt
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scd import merge_scd2
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in sorted(base_keys)] or [], "key bigint, val double"
+    )
+    ch = spark.createDataFrame(
+        [
+            (k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), float(eid), eid)
+            for k, m, eid in feed
+        ]
+        or [],
+        "key bigint, ts timestamp, val double, event_id bigint",
+    )
+    hist = merge_scd2(
+        base, ch, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["event_id"],
+    ).collect()
+
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in hist:
+        by_key[r.key].append(r)
+    feed_keys = defaultdict(int)
+    for k, _m, _e in feed:
+        feed_keys[k] += 1
+    for k in set(base_keys) | set(feed_keys):
+        rows = by_key[k]
+        assert len(rows) == (1 if k in base_keys else 0) + feed_keys[k], k
+        assert sum(r.is_current for r in rows) == 1, k
+        rows.sort(key=lambda r: (r.valid_from, r.valid_to is None))
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.valid_to == nxt.valid_from, k
