@@ -39,7 +39,13 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.round(F.max(c).cast("double"), 4).alias(f"{c}__max_v"),
             F.round(F.percentile(c, F.lit(0.5)), 4).alias(f"{c}__p50"),
         ]
-    wide = df.agg(*aggs)
+    # localCheckpoint is a deliberate plan barrier: stacking directly over
+    # the Aggregate makes Catalyst re-optimize the (multi-distinct Expand +
+    # TypedImperative percentile) subtree under the Generate — measured
+    # 2-6s of pure PLANNING per fresh build (execution is 0.05s). The
+    # barrier materializes the one-row wide result (that job IS the
+    # profile's scan) and the unpivot plans over a trivial local relation.
+    wide = df.agg(*aggs).localCheckpoint(eager=True)
     parts = ", ".join(
         "'{c}', {fields}".format(
             c=c, fields=", ".join(f"`{c}__{m}`" for m in _METRICS)
