@@ -484,3 +484,37 @@ def q49f(spark: SparkSession, sf: str) -> DataFrame:
     return res.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "q49g_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def q49g(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: the events replay stream joined to
+    the static customer dimension with an explicit broadcast hint — the
+    standard streaming enrichment shape (dimension re-read per micro-
+    batch, fact side never shuffles for it; no state store involved,
+    unlike stream-stream joins). Aggregated per market segment and checked
+    against the batch join."""
+    from ..streaming.replay import run_to_memory
+    from ..tables import table
+
+    ev = _events_stream(spark, sf, layout="thirds")
+    dim = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id", "inner").select(
+        F.col("c_mktsegment").alias("segment"), "value"
+    )
+    res = run_to_memory(joined, output_mode="append")
+    return res.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
