@@ -220,3 +220,30 @@ def test_merge_scd2_ts_tiebreak(spark):
     ).collect()
     cur = [r.val for r in hist if r.is_current]
     assert cur == [1.0]  # event_id 2 is the later version under the tiebreak
+
+
+def test_bench_json_line_fits_driver_tail():
+    """The driver records only the trailing ~2000 chars of bench stdout;
+    the single JSON line (qNN-prefix keys + headline fields) must fit
+    entirely inside that window or the recorded result is unparseable.
+    Guard with worst-case-width values for every registered query."""
+    import json
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    names = [n for n, s in all_queries().items() if "streaming" not in s.tags]
+    short = {n.split("_")[0]: 99.999 for n in names}
+    assert len(short) == len(names), "qNN prefixes must stay unique"
+    line = json.dumps(
+        {
+            "queries": short,
+            "metric": "declared_query_suite_total_wall_clock",
+            "value": 999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "seq_s": 9999.99,
+            "threads": 8,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1800, len(line)
