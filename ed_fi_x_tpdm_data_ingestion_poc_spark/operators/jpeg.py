@@ -239,7 +239,11 @@ def _split_entropy(data: bytes) -> list[bytes]:
 
 def decode_jpeg(content: bytes) -> dict:
     """Decode a baseline-sequential JPEG -> {width, height, channels,
-    pixels: bytes} (interleaved uint8, RGB for 3 components, luma for 1)."""
+    pixels: bytes} (interleaved uint8, RGB for 3 components, luma for 1).
+
+    Contract: malformed/truncated input raises ValueError (never
+    struct.error / IndexError / KeyError) so callers and the Spark-side
+    error columns can match on a single domain exception type."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -252,13 +256,19 @@ def decode_jpeg(content: bytes) -> dict:
         if content[i] != 0xFF:
             i += 1
             continue
+        if i + 1 >= len(content):
+            raise ValueError("truncated JPEG: lone 0xFF at end of data")
         marker = content[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         if marker == 0xD9:  # EOI
             break
+        if i + 4 > len(content):
+            raise ValueError("truncated JPEG: segment header past end of data")
         (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > len(content):
+            raise ValueError("truncated JPEG: segment payload past end of data")
         seg = content[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -266,6 +276,8 @@ def decode_jpeg(content: bytes) -> dict:
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables unsupported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG: short DQT table")
                 qt[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(
                     np.int64
                 )
@@ -273,16 +285,24 @@ def decode_jpeg(content: bytes) -> dict:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG: short DHT header")
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
+                if p + 17 + nv > len(seg):
+                    raise ValueError("truncated JPEG: short DHT value list")
                 values = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_huffman(bits, values)
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: short SOF0 header")
             precision, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if len(seg) < 6 + ncomp * 3:
+                raise ValueError("truncated JPEG: short SOF0 component list")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
@@ -294,9 +314,15 @@ def decode_jpeg(content: bytes) -> dict:
                 f"0xFF{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG: short DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise ValueError("truncated JPEG: empty SOS header")
             ns = seg[0]
+            if len(seg) < 1 + ns * 2:
+                raise ValueError("truncated JPEG: short SOS component list")
             sel = {}
             for c in range(ns):
                 cid, tables = seg[1 + c * 2], seg[2 + c * 2]
@@ -316,8 +342,15 @@ def decode_jpeg(content: bytes) -> dict:
     mcus_y = -(-h // (8 * vmax))
 
     for c in comps:
-        c["dc_t"] = huff[(0, sel[c["id"]][0])]
-        c["ac_t"] = huff[(1, sel[c["id"]][1])]
+        if c["id"] not in sel:
+            raise ValueError(f"JPEG scan missing component id {c['id']}")
+        dc_id, ac_id = sel[c["id"]]
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("truncated JPEG: Huffman table missing for scan")
+        if c["tq"] not in qt:
+            raise ValueError("truncated JPEG: quant table missing for frame")
+        c["dc_t"] = huff[(0, dc_id)]
+        c["ac_t"] = huff[(1, ac_id)]
         c["q"] = qt[c["tq"]]
         c["plane"] = np.zeros(
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
@@ -332,6 +365,8 @@ def decode_jpeg(content: bytes) -> dict:
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("truncated JPEG: missing restart segment")
                 reader = _BitReader(segments[seg_idx])
                 for c in comps:
                     c["pred"] = 0
@@ -428,9 +463,14 @@ def _size_of(v: int) -> int:
 
 
 def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """Scale a NATURAL-order Annex K table and return it in ZIGZAG order —
+    the order both the DQT segment and _encode_block consume. Permuting
+    first (qt_zz[i] = base[ZIGZAG[i]]) keeps `quality` aligned with
+    standard JPEG quality scaling: without it the low/high-frequency
+    quant steps land on the wrong coefficients."""
     quality = max(1, min(100, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return np.clip((base * scale + 50) // 100, 1, 255)
+    return np.clip((base[ZIGZAG] * scale + 50) // 100, 1, 255)
 
 
 def _encode_block(writer, block, qt_zz, dc_tab, ac_tab, pred: int) -> int:

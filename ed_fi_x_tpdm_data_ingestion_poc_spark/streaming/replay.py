@@ -174,13 +174,24 @@ def run_to_memory_processing_time(
         .start()
     )
     deadline = time.time() + timeout_sec
-    idle, seen = 0, 0
+    # recentProgress is a capped ring buffer (default 100 entries), so a
+    # list offset goes stale once the run exceeds the cap; key new entries
+    # by (batchId, timestamp) instead — batchId repeats across no-data
+    # ticks, timestamp disambiguates them.
+    idle, last_key = 0, None
     while time.time() < deadline and idle < idle_triggers:
         time.sleep(0.25)
         progress = q.recentProgress
-        for p in progress[seen:]:
+        fresh = []
+        for p in reversed(progress):
+            key = (int(p["batchId"]), p["timestamp"])
+            if key == last_key:
+                break
+            fresh.append(p)
+        if fresh:
+            last_key = (int(fresh[0]["batchId"]), fresh[0]["timestamp"])
+        for p in reversed(fresh):
             idle = idle + 1 if int(p["numInputRows"]) == 0 else 0
-        seen = len(progress)
     q.stop()
     q.awaitTermination()
     if idle < idle_triggers:

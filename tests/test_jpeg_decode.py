@@ -109,3 +109,65 @@ def test_progressive_rejected_with_reason():
 def test_not_a_jpeg_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+
+def test_dqt_emitted_in_zigzag_order():
+    """At quality=50 the scale factor is 1.0, so the emitted DQT must be
+    EXACTLY the Annex K luma table permuted to zigzag order (qt_zz[i] =
+    nat[ZIGZAG[i]]). Before the round-5 fix the natural-order table was
+    written verbatim, so 'quality' mis-mapped frequencies (self-consistent
+    round-trip, wrong interop quality scaling)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.jpeg import (
+        STD_LUMA_QT,
+        ZIGZAG,
+    )
+
+    img = np.full((8, 8, 1), 128, dtype=np.uint8)
+    enc = encode_jpeg(8, 8, 1, img.tobytes(), quality=50)
+    idx = enc.find(b"\xff\xdb")
+    assert idx > 0
+    # DQT payload: 2-byte length, 1-byte pq/tq, 64 table bytes
+    table = np.frombuffer(enc[idx + 5 : idx + 5 + 64], dtype=np.uint8)
+    assert np.array_equal(table.astype(np.int64), STD_LUMA_QT[ZIGZAG])
+
+
+def test_quality_scales_standard_table():
+    """quality=25 doubles the quant steps of quality=50 (scale=200/quality
+    below 50), clipped to 255 — pins the standard scaling law end-to-end."""
+    img = np.full((8, 8, 1), 128, dtype=np.uint8)
+    q50 = encode_jpeg(8, 8, 1, img.tobytes(), quality=50)
+    q25 = encode_jpeg(8, 8, 1, img.tobytes(), quality=25)
+    t50 = np.frombuffer(
+        q50[q50.find(b"\xff\xdb") + 5 :][:64], dtype=np.uint8
+    ).astype(np.int64)
+    t25 = np.frombuffer(
+        q25[q25.find(b"\xff\xdb") + 5 :][:64], dtype=np.uint8
+    ).astype(np.int64)
+    assert np.array_equal(t25, np.clip((t50 * 200 + 50) // 100, 1, 255))
+
+
+def test_truncated_inputs_raise_value_error_only():
+    """Contract: every prefix of a valid JPEG either decodes or raises
+    ValueError/NotImplementedError — never struct.error, IndexError, or
+    KeyError (callers and the Spark error columns match on ValueError)."""
+    for cut in range(2, len(_LIBJPEG_FIXTURE), 7):
+        data = _LIBJPEG_FIXTURE[:cut]
+        try:
+            decode_jpeg(data)
+        except (ValueError, NotImplementedError):
+            pass  # the contract
+        # anything else propagates and fails the test
+
+
+def test_corrupt_segment_lengths_raise_value_error():
+    """Zeroing a segment-length field (or pointing it past EOF) must raise
+    ValueError, not struct.error."""
+    data = bytearray(_LIBJPEG_FIXTURE)
+    idx = bytes(data).find(b"\xff\xdb")
+    data[idx + 2 : idx + 4] = b"\x00\x01"  # length < 2: malformed
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+    data = bytearray(_LIBJPEG_FIXTURE)
+    data[idx + 2 : idx + 4] = b"\xff\xff"  # length past end of data
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
