@@ -55,20 +55,55 @@ def interval_join(
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
 
-    # Bucket ids from SECOND-truncated epochs: truncation only widens the
-    # candidate set (never drops a true match); the exact predicate below
-    # keeps full timestamp precision.
-    lsec = F.unix_timestamp(F.col(left_ts))
-    rsec = F.unix_timestamp(F.col(right_ts))
-    lo_bin = F.floor((lsec + F.lit(lower_s)) / F.lit(bucket_s))
-    hi_bin = F.floor((lsec + F.lit(upper_s)) / F.lit(bucket_s))
-    lb = left.withColumn(_BIN, F.explode(F.sequence(lo_bin, hi_bin)))
-    rb = right.withColumn(_BIN, F.floor(rsec / F.lit(bucket_s)))
+    # Everything runs on LONG epoch-microseconds (Spark timestamps are
+    # micros internally, so the extraction is lossless): the bin ids, the
+    # join key, and the exact post-filter are plain long arithmetic inside
+    # whole-stage codegen instead of timestamp/INTERVAL ops. _floordiv is
+    # exact integer floor division (pmod keeps it correct for pre-epoch
+    # negatives); a double division would lose exactness past 2^53 micros.
+    def _floordiv(x, y: int):
+        return ((x - F.pmod(x, F.lit(y))) / F.lit(y)).cast("bigint")
+
+    def _epoch_us(df: DataFrame, ts_col: str):
+        # TIMESTAMP: unix_micros is a representation-level extract.
+        # TIMESTAMP_NTZ (what nanos-parquet loads as): diff from the NTZ
+        # epoch literal — zone-FREE, unlike cast-to-timestamp which would
+        # route wall clocks through the session zone (and could mis-pair
+        # rows across a DST jump under a non-UTC driver session).
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+            )
+        return F.unix_micros(F.col(ts_col))
+
+    # The micros are MATERIALIZED as columns once per side, and the bin /
+    # exact-filter expressions are built over those column refs. Inlining
+    # the epoch expression into every downstream use (bin lo, bin hi,
+    # exact lower, exact upper) multiplies the optimizer's tree-walk work:
+    # measured at sf0.1, the inlined form spent ~2.5 s/run in Catalyst
+    # PLANNING vs ~1.0 s for this one (execution is 0.06 s either way —
+    # the range join is planning-bound at test scale). 16 extra shuffle
+    # bytes/row is noise; optimizer time is not.
+    bucket_us = bucket_s * 1_000_000
+    lo_us, hi_us = lower_s * 1_000_000, upper_s * 1_000_000
+    _LUS, _RUS = "__l_us__", "__r_us__"
+    lus, rus = F.col(_LUS), F.col(_RUS)
+    lb = left.withColumn(_LUS, _epoch_us(left, left_ts)).withColumn(
+        _BIN,
+        F.explode(
+            F.sequence(
+                _floordiv(lus + F.lit(lo_us), bucket_us),
+                _floordiv(lus + F.lit(hi_us), bucket_us),
+            )
+        ),
+    )
+    rb = right.withColumn(_RUS, _epoch_us(right, right_ts)).withColumn(
+        _BIN, _floordiv(rus, bucket_us)
+    )
 
     joined = lb.join(rb, on=on + [_BIN])
-    lo_iv = F.expr(f"INTERVAL {lower_s} SECOND")
-    hi_iv = F.expr(f"INTERVAL {upper_s} SECOND")
-    exact = (F.col(right_ts) >= F.col(left_ts) + lo_iv) & (
-        F.col(right_ts) <= F.col(left_ts) + hi_iv
-    )
-    return joined.filter(exact).drop(_BIN)
+    exact = (rus >= lus + F.lit(lo_us)) & (rus <= lus + F.lit(hi_us))
+    return joined.filter(exact).drop(_BIN, _LUS, _RUS)

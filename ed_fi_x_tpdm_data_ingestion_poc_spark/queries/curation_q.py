@@ -124,12 +124,15 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
     d = table(spark, sf, "documents")
     thresh = int(0.2 * 1_000_000)
-    row = d.select(
+    return d.select(
         F.count(F.lit(1)).alias("n"),
         F.sum((hash_bucket("doc_id") < thresh).cast("int")).alias("s"),
-    ).first()
-    rate = row["s"] / row["n"] if row["n"] else 0.0
-    return ok_flag(spark, 0.1 <= rate <= 0.3)
+    ).select(
+        F.when((F.col("s") / F.col("n")).between(0.1, 0.3), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("ok")
+    )
 
 
 @query(

