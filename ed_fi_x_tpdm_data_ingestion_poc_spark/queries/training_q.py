@@ -340,3 +340,104 @@ def q49e(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return memo(_PROFILES, (id(spark), sf), build)
+
+
+@query(
+    "q49h_profile_typed",
+    oracle="""
+    WITH u AS (
+      SELECT 'o_orderdate' AS col, CAST(o_orderdate AS VARCHAR) AS val
+      FROM orders
+      UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ),
+    c AS (SELECT col, val, COUNT(*) AS cnt FROM u WHERE val IS NOT NULL
+          GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY col
+                                       ORDER BY cnt DESC, val) AS rk FROM c),
+    t AS (SELECT col, string_agg(val || ':' || cnt, '|' ORDER BY rk)
+                   AS top_values
+          FROM r WHERE rk <= 3 GROUP BY col),
+    s AS (
+      SELECT 'o_orderstatus' AS col, COUNT(*) AS n_rows,
+             COUNT(o_orderstatus) AS n_nonnull,
+             COUNT(DISTINCT o_orderstatus) AS ndv,
+             ROUND(1.0 - COUNT(o_orderstatus) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS null_frac,
+             ROUND(SUM(CASE WHEN trim(o_orderstatus) = '' THEN 1 ELSE 0 END)
+                   / CAST(COUNT(o_orderstatus) AS DOUBLE), 6) AS blank_frac,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s,
+             CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             CAST(NULL AS DOUBLE) AS p50
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             ROUND(1.0 - COUNT(o_orderpriority) / CAST(COUNT(*) AS DOUBLE), 6),
+             ROUND(SUM(CASE WHEN trim(o_orderpriority) = '' THEN 1 ELSE 0 END)
+                   / CAST(COUNT(o_orderpriority) AS DOUBLE), 6),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             ROUND(1.0 - COUNT(o_orderdate) / CAST(COUNT(*) AS DOUBLE), 6),
+             CAST(NULL AS DOUBLE),
+             CAST(MIN(o_orderdate) AS VARCHAR),
+             CAST(MAX(o_orderdate) AS VARCHAR),
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*), COUNT(o_orderkey),
+             COUNT(DISTINCT o_orderkey),
+             ROUND(1.0 - COUNT(o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6),
+             CAST(NULL AS DOUBLE),
+             CAST(MIN(o_orderkey) AS VARCHAR),
+             CAST(MAX(o_orderkey) AS VARCHAR),
+             ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4),
+             ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4),
+             ROUND(CAST(median(o_orderkey) AS DOUBLE), 4)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             ROUND(1.0 - COUNT(o_totalprice) / CAST(COUNT(*) AS DOUBLE), 6),
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 4),
+             ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 4),
+             ROUND(CAST(median(o_totalprice) AS DOUBLE), 4)
+      FROM orders
+    )
+    SELECT s.*, t.top_values FROM s LEFT JOIN t USING (col)
+    """,
+    tags=("profile",),
+)
+def q49h(spark: SparkSession, sf: str) -> DataFrame:
+    """TYPED column profile (operators/profile.py profile_columns_typed):
+    string / temporal / integral / floating columns each get the stats
+    their type supports (string min/max, blank fraction, deterministic
+    top-k frequent values, exact median for numerics) — closes the
+    round-4 gap where only double-castable columns could be profiled
+    (the reference's Banner extracts are mostly VARCHAR, Dao.java:57-69).
+    Memoized per (session, sf) like q49e: a profile is computed once per
+    snapshot and read by every consumer."""
+    from ..operators.profile import profile_columns_typed
+
+    def build():
+        return profile_columns_typed(
+            table(spark, sf, "orders"),
+            [
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_orderdate",
+                "o_orderkey",
+                "o_totalprice",
+            ],
+            top_k=3,
+        )
+
+    return memo(_PROFILES, (id(spark), sf, "typed"), build)
