@@ -74,3 +74,110 @@ def merge_scd2(
     return hist.withColumn(
         "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
     )
+
+
+def apply_scd2_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One incremental CDC-apply step: merge a change-feed micro-batch into
+    an existing SCD2 history (columns keys + attrs + valid_from/valid_to/
+    is_current, e.g. from `merge_scd2` or a prior apply).
+
+    Closes each touched key's open version at the batch's first change ts
+    and appends the batch's own versions (lead() within the batch). With a
+    per-key monotonic feed — every batch row >= the key's open valid_from
+    under (ts, tiebreak) order, the CDC contract — the incremental result
+    is row-identical to rebuilding with `merge_scd2` on the full feed
+    (pinned by tests and the q49i/q49b shared oracle). Late rows need the
+    batch rebuild.
+
+    Cost shape: one window shuffle over the BATCH (not the history) plus a
+    broadcast of the batch's key set onto the history — the history table
+    itself never reshuffles. The full-history rewrite per batch is the
+    plain-parquet stand-in for a lakehouse MERGE; at 100 TB the same plan
+    writes only the partitions whose keys appear in the batch.
+    """
+    keys = list(keys)
+    attrs = list(attr_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    newv = batch.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).cast("timestamp").alias("valid_from"),
+        F.lead(F.col(ts_col).cast("timestamp")).over(w).alias("valid_to"),
+    ).withColumn(
+        "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+    )
+    firstb = batch.groupBy(*keys).agg(
+        F.min(F.col(ts_col).cast("timestamp")).alias("__new_first__")
+    )
+    closed = (
+        history.join(F.broadcast(firstb), on=keys, how="left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                (F.col("is_current") == 1)
+                & F.col("__new_first__").isNotNull(),
+                F.col("__new_first__"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+        .drop("__new_first__")
+    )
+    return closed.unionByName(newv)
+
+
+class Scd2Store:
+    """Driver-held handle to an SCD2 history table for foreachBatch CDC
+    apply: seed from a base snapshot, then `.apply(batch_df)` per
+    micro-batch (pass the bound method straight to foreachBatch).
+
+    localCheckpoint(eager) per batch materializes the merge and truncates
+    lineage — without it the plan (and Catalyst's optimization time) grows
+    by one join + union per batch, the same blow-up `connected_components`
+    hit (operators/graph.py). The checkpoint also makes the store safe to
+    read while the next micro-batch is being merged.
+    """
+
+    def __init__(
+        self,
+        base: DataFrame,
+        keys: Sequence[str],
+        attr_cols: Sequence[str],
+        ts_col: str,
+        tiebreak: Sequence[str] = (),
+    ):
+        self._keys = list(keys)
+        self._attrs = list(attr_cols)
+        self._ts = ts_col
+        self._tiebreak = list(tiebreak)
+        seed = base.select(
+            *self._keys,
+            *self._attrs,
+            F.lit(BASE_EPOCH).cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        )
+        self._hist = seed.localCheckpoint(eager=True)
+
+    def apply(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        self._hist = apply_scd2_batch(
+            self._hist,
+            batch,
+            self._keys,
+            self._ts,
+            self._attrs,
+            self._tiebreak,
+        ).localCheckpoint(eager=True)
+
+    def history(self) -> DataFrame:
+        return self._hist

@@ -518,3 +518,59 @@ def q49g(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "q49i_stream_cdc_scd2",
+    oracle="""
+    WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
+                FROM events),
+     v AS (SELECT key, val, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY key ORDER BY ts, event_id)
+                    AS valid_to
+           FROM ch),
+     fc AS (SELECT key, MIN(ts) AS valid_to FROM ch GROUP BY key),
+     b AS (SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS val FROM customer),
+     br AS (SELECT b.key, b.val, TIMESTAMP '1900-01-01' AS valid_from,
+                   fc.valid_to
+            FROM b LEFT JOIN fc ON b.key = fc.key)
+    SELECT key, val, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM (SELECT * FROM br UNION ALL SELECT * FROM v)
+    """,
+    tags=("streaming", "pipeline", "cdc"),
+)
+def q49i(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC-apply: the events change feed replayed as three
+    (ts, event_id)-ordered micro-batches and foreachBatch-merged into the
+    SCD2 history table seeded from the customer snapshot
+    (operators/scd.py Scd2Store). The oracle is the SAME full-feed batch
+    rebuild SQL as q49b — incremental apply == rebuild, hash-checked.
+    Completes the CDC story q49b opened: q49b is the backfill path, this
+    is the continuous path (foreachBatch is Spark's idiom for merging a
+    micro-batch into a mutable table)."""
+    from ..operators.scd import Scd2Store
+    from ..streaming.replay import (
+        events_replay_dir,
+        read_replay_stream,
+        run_foreach_batch,
+    )
+    from ..tables import table
+
+    base = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
+    store = Scd2Store(
+        base, keys=["key"], attr_cols=["val"], ts_col="ts",
+        tiebreak=["event_id"],
+    )
+    replay = events_replay_dir(spark, sf, layout="thirds_total")
+    ev = read_replay_stream(spark, replay).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.round("value", 2).alias("val"),
+        "event_id",
+    )
+    run_foreach_batch(ev, store.apply)
+    return store.history()

@@ -80,6 +80,10 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
                late by ~30 days], [far-future flush event closing windows];
     thirds_flush — thirds plus a far-future flush file, so append-mode
                watermark queries emit every real window/session.
+    thirds_total — thirds under the TOTAL (ts, event_id) order, so a ts
+               tie can never straddle a micro-batch boundary out of
+               tiebreak order (the per-key monotonic-feed contract the
+               incremental SCD2 apply requires).
     """
     key = (sf_dir, layout)
     if key in _replay_cache:
@@ -103,6 +107,14 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
     elif layout == "late":
         bulk, late = pdf.iloc[1:], pdf.iloc[:1]
         chunks = [bulk, late, _flush_frame(pdf)]
+    elif layout == "thirds_total":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        n = len(pdf)
+        chunks = [
+            pdf.iloc[: n // 3],
+            pdf.iloc[n // 3 : 2 * n // 3],
+            pdf.iloc[2 * n // 3 :],
+        ]
     elif layout == "thirds_flush":
         n = len(pdf)
         chunks = [

@@ -1,0 +1,104 @@
+"""Incremental SCD2 CDC-apply (operators/scd.py apply_scd2_batch /
+Scd2Store): the incremental merge of an ordered change feed must be
+row-identical to rebuilding with merge_scd2 on the full feed — including
+ts ties that straddle a micro-batch boundary (tiebreak order), keys with
+no base row (inserts), and base keys the feed never touches.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scd import (
+    Scd2Store,
+    apply_scd2_batch,
+    merge_scd2,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def _frames(spark):
+    base = spark.createDataFrame(
+        [(1, "a0"), (2, "b0"), (3, "c0")], "key bigint, val string"
+    )
+    # key 1: changes in batches 1 and 2, with a ts TIE across the boundary
+    # (seq is the tiebreak); key 2: never changes; key 4: feed-only insert
+    feed = [
+        (1, _ts(1), "a1", 10),
+        (4, _ts(2), "d1", 11),
+        (1, _ts(5), "a2", 12),  # tie with next row, earlier seq
+        (1, _ts(5), "a3", 13),  # tie, later seq -> later version
+        (4, _ts(6), "d2", 14),
+        (1, _ts(9), "a4", 15),
+    ]
+    changes = spark.createDataFrame(
+        feed, "key bigint, ts timestamp, val string, seq bigint"
+    )
+    return base, changes, feed
+
+
+def _sorted_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_incremental_equals_rebuild_with_boundary_tie(spark):
+    base, changes, feed = _frames(spark)
+    expected = merge_scd2(
+        base, changes, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["seq"],
+    )
+
+    # split between the two tied rows: (ts=5, seq=12) | (ts=5, seq=13)
+    batches = [feed[:3], feed[3:5], feed[5:]]
+    store = Scd2Store(
+        base, keys=["key"], attr_cols=["val"], ts_col="ts", tiebreak=["seq"]
+    )
+    for rows in batches:
+        store.apply(
+            spark.createDataFrame(
+                rows, "key bigint, ts timestamp, val string, seq bigint"
+            )
+        )
+    got = store.history()
+    assert got.columns == expected.columns
+    assert _sorted_rows(got) == _sorted_rows(expected)
+
+
+def test_apply_semantics_single_batch(spark):
+    base, changes, _ = _frames(spark)
+    store = Scd2Store(
+        base, keys=["key"], attr_cols=["val"], ts_col="ts", tiebreak=["seq"]
+    )
+    store.apply(changes)
+    h = {(r.key, r.val): r for r in store.history().collect()}
+    # untouched base key stays open
+    assert h[(2, "b0")].is_current == 1 and h[(2, "b0")].valid_to is None
+    # touched base key closed at its first change
+    assert h[(1, "a0")].is_current == 0 and h[(1, "a0")].valid_to == _ts(1)
+    # feed-only key: versions exist, last one open
+    assert h[(4, "d2")].is_current == 1
+    assert h[(4, "d1")].valid_to == _ts(6)
+    # tied versions ordered by the tiebreak
+    assert h[(1, "a2")].valid_to == _ts(5)  # closed by its tie sibling
+    assert h[(1, "a3")].valid_to == _ts(9)
+
+
+def test_empty_batch_is_identity(spark):
+    base, changes, _ = _frames(spark)
+    store = Scd2Store(
+        base, keys=["key"], attr_cols=["val"], ts_col="ts", tiebreak=["seq"]
+    )
+    before = _sorted_rows(store.history())
+    empty = changes.limit(0)
+    after = _sorted_rows(
+        apply_scd2_batch(
+            store.history(), empty, ["key"], "ts", ["val"], ["seq"]
+        )
+    )
+    assert before == after
