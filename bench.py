@@ -101,10 +101,17 @@ def main() -> None:
     # queries). duck_bench.py shortens identically so ratios line up.
     short = {n.split("_")[0]: v for n, v in per_query.items()}
     assert len(short) == len(per_query), "qNN prefixes must stay unique"
+    # Cold-build cost of every memoized artifact (sketch signatures, ANN
+    # indexes, profiles, fixtures), recorded by queries.memo as the
+    # sequential pass first touched each — the regression signal the
+    # per-query medians no longer carry once the artifact is warm.
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import BUILD_TIMES
+
     print(
         json.dumps(
             {
                 "queries": short,
+                "build_s": {k: round(v, 2) for k, v in sorted(BUILD_TIMES.items())},
                 "metric": "declared_query_suite_total_wall_clock",
                 "value": round(sorted(walls)[1], 3),
                 "unit": "sec",

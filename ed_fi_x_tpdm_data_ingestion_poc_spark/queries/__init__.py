@@ -32,13 +32,36 @@ from pyspark.sql import DataFrame, SparkSession
 # is a dict lookup.
 _BUILD_LOCK = threading.RLock()
 
+# Cold-build cost per artifact label, accumulated by memo(). bench.py
+# emits this as the JSON line's "build_s" field so regression tracking
+# sees index/sketch build costs again — memoization otherwise hides them
+# from the per-query medians (round-4 verdict, "What's wrong" #1).
+BUILD_TIMES: dict[str, float] = {}
 
-def memo(cache: dict, key, build):
-    """Thread-safe build-once memoization: cache[key] = build() exactly once."""
+
+def memo(cache: dict, key, build, label: str | None = None):
+    """Thread-safe build-once memoization: cache[key] = build() exactly once.
+    With `label`, the (cold) build's wall-clock is accumulated into
+    BUILD_TIMES under that name."""
+    import time
+
     with _BUILD_LOCK:
         if key not in cache:
+            t0 = time.perf_counter()
             cache[key] = build()
+            if label is not None:
+                BUILD_TIMES[label] = round(
+                    BUILD_TIMES.get(label, 0.0) + time.perf_counter() - t0, 3
+                )
         return cache[key]
+
+
+def built(df: DataFrame) -> DataFrame:
+    """Force a persisted artifact DataFrame to materialize INSIDE its timed
+    build: a lazy persist() would shift the real compute into whichever
+    query first touches the artifact, hiding it from build_s."""
+    df.count()
+    return df
 
 
 @dataclass(frozen=True)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import memo, ok_flag, query
+from . import built, memo, ok_flag, query
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -41,9 +41,9 @@ def _exact_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     def build():
         d = table(spark, sf, "documents")
-        return ngram_jaccard_pairs(d, k=5, threshold=0.8).persist()
+        return built(ngram_jaccard_pairs(d, k=5, threshold=0.8).persist())
 
-    return memo(_EXACT_PAIRS, (id(spark), sf), build)
+    return memo(_EXACT_PAIRS, (id(spark), sf), build, label="exact_pairs")
 
 
 # Exact cosine top-10: declared result (q51a) and the recall oracle for
@@ -57,9 +57,9 @@ def _exact_topk(spark: SparkSession, sf: str) -> DataFrame:
     def build():
         e = table(spark, sf, "embeddings")
         qs = e.filter(F.col("vec_id") < 5)
-        return cosine_topk(e, qs, k=10).persist()
+        return built(cosine_topk(e, qs, k=10).persist())
 
-    return memo(_EXACT_TOPK, (id(spark), sf), build)
+    return memo(_EXACT_TOPK, (id(spark), sf), build, label="exact_topk")
 
 
 # Sketch signatures and ANN indexes are materialize-once corpus artifacts
@@ -70,7 +70,7 @@ _ARTIFACTS: dict[tuple, object] = {}
 
 
 def _artifact(spark: SparkSession, sf: str, kind: str, build):
-    return memo(_ARTIFACTS, (id(spark), sf, kind), build)
+    return memo(_ARTIFACTS, (id(spark), sf, kind), build, label=kind)
 
 
 def _pair_recall(exact: "DataFrame", approx: "DataFrame") -> float:
@@ -164,7 +164,7 @@ def q50c(spark: SparkSession, sf: str) -> DataFrame:
     exact = _exact_pairs(spark, sf).select("ida", "idb")
     sigs = _artifact(
         spark, sf, "minhash_sigs",
-        lambda: minhash_signatures(d, k=5, num_hashes=64).persist(),
+        lambda: built(minhash_signatures(d, k=5, num_hashes=64).persist()),
     )
     lsh = minhash_lsh_pairs(d, k=5, num_hashes=64, bands=16, signatures=sigs)
     return ok_flag(spark, _pair_recall(exact, lsh) >= 0.9)
@@ -187,7 +187,7 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
     exact = _exact_pairs(spark, sf).select("ida", "idb")
     sigs = _artifact(
         spark, sf, "simhash_sigs",
-        lambda: simhash_signatures(d).persist(),
+        lambda: built(simhash_signatures(d).persist()),
     )
     sim = simhash_near_pairs(
         d, max_hamming=14, bands=16, signatures=sigs
@@ -279,11 +279,11 @@ def q51b(spark: SparkSession, sf: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 5)
     idx = _artifact(
         spark, sf, "lsh_index",
-        lambda: build_hyperplane_index(e, tables=24, bits=4, seed=42).persist(),
+        lambda: built(build_hyperplane_index(e, tables=24, bits=4, seed=42).persist()),
     )
     qidx = _artifact(
         spark, sf, "lsh_queries",
-        lambda: build_hyperplane_queries(qs, tables=24, bits=4, seed=42).persist(),
+        lambda: built(build_hyperplane_queries(qs, tables=24, bits=4, seed=42).persist()),
     )
     approx = hyperplane_lsh_topk(
         e, qs, k=10, tables=24, bits=4, seed=42,
@@ -321,11 +321,11 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
     )
     idx = _artifact(
         spark, sf, "ivf_index",
-        lambda: build_ivf_index(e, cb, n_assign=3).persist(),
+        lambda: built(build_ivf_index(e, cb, n_assign=3).persist()),
     )
     qidx = _artifact(
         spark, sf, "ivf_queries",
-        lambda: build_ivf_queries(qs, cb, n_probe=5).persist(),
+        lambda: built(build_ivf_queries(qs, cb, n_probe=5).persist()),
     )
     approx = ivf_topk(
         e, qs, k=10, n_centroids=8, n_probe=5, n_assign=3,

@@ -57,7 +57,7 @@ def _fixture_df(spark: SparkSession, name: str, data, schema: str) -> DataFrame:
         df.count()  # materialize: downstream scans hit the JVM cache
         return df
 
-    return memo(_FIX_DFS, (id(spark), name), build)
+    return memo(_FIX_DFS, (id(spark), name), build, label="fixture_dfs")
 
 
 # One Derby "remote RDBMS" per (session, sf): the database is the fixture;
@@ -81,7 +81,7 @@ def _stub_server():
         atexit.register(lambda: server.__exit__())
         return server
 
-    return memo(_STUB_CACHE, "server", build)
+    return memo(_STUB_CACHE, "server", build, label="rest_stub")
 
 
 def _values(rows: list[tuple]) -> str:
@@ -283,7 +283,9 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
         lo, hi = src_rows.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
         return (db_url, int(lo), int(hi))
 
-    url, lo, hi = memo(_DERBY_FIXTURE, (id(spark), sf), build_fixture)
+    url, lo, hi = memo(
+        _DERBY_FIXTURE, (id(spark), sf), build_fixture, label="derby_fixture"
+    )
 
     jdbc = JdbcSource(url=url, driver="org.apache.derby.jdbc.EmbeddedDriver")
     back = read_table(

@@ -339,7 +339,7 @@ def q49e(spark: SparkSession, sf: str) -> DataFrame:
             table(spark, sf, "orders"), ["o_custkey", "o_totalprice"]
         )
 
-    return memo(_PROFILES, (id(spark), sf), build)
+    return memo(_PROFILES, (id(spark), sf), build, label="profile")
 
 
 @query(
@@ -440,4 +440,4 @@ def q49h(spark: SparkSession, sf: str) -> DataFrame:
             top_k=3,
         )
 
-    return memo(_PROFILES, (id(spark), sf, "typed"), build)
+    return memo(_PROFILES, (id(spark), sf, "typed"), build, label="profile_typed")
