@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
 
-    return all_queries()["q18_hash_agg"].build(spark, "/root/testdata/sf0.001")
+    return all_queries()["qz18_hash_agg"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -97,7 +97,7 @@ def _pair_recall(exact: "DataFrame", approx: "DataFrame") -> float:
 
 
 @query(
-    "q50a_exact_dedup",
+    "qz50a_exact_dedup",
     oracle="""
     SELECT doc_id AS id, md5(text) AS digest,
            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS keep
@@ -138,7 +138,7 @@ _PAIRS_WITH = """
 
 
 @query(
-    "q50b_ngram_jaccard_dups",
+    "qz50b_ngram_jaccard_dups",
     oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs",
     tags=("llm", "dedup"),
 )
@@ -149,7 +149,7 @@ def q50b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50c_minhash_lsh_ok",
+    "qz50c_minhash_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -171,7 +171,7 @@ def q50c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50d_simhash_ok",
+    "qz50d_simhash_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -196,7 +196,7 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50e_embedding_dups",
+    "qz50e_embedding_dups",
     oracle="""
     WITH n AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[],
@@ -239,7 +239,7 @@ _NORM_SQL = """
 
 
 @query(
-    "q51a_cosine_topk",
+    "qz51a_cosine_topk",
     oracle=_NORM_SQL
     + """
        , q AS (SELECT vec_id AS qid, nv AS qv FROM n WHERE vec_id < 5),
@@ -261,7 +261,7 @@ def q51a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q51b_ann_lsh_ok",
+    "qz51b_ann_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -294,7 +294,7 @@ def q51b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q51c_ann_ivf_ok",
+    "qz51c_ann_ivf_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -369,7 +369,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52a_text_stats",
+    "qz52a_text_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -396,7 +396,7 @@ def q52a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52b_lang_quality",
+    "qz52b_lang_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          m AS (SELECT doc_id, text,
@@ -431,7 +431,7 @@ def q52b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52c_fingerprint",
+    "qz52c_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp,
            list_reduce(

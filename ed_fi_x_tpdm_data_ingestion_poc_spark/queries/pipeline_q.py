@@ -96,7 +96,7 @@ def _values(rows: list[tuple]) -> str:
 
 
 @query(
-    "q60_pipeline_docs",
+    "qz60_pipeline_docs",
     oracle=f"""
     WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
            (VALUES {_values(_CANDS)}),
@@ -215,7 +215,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q61_reconcile_snapshot",
+    "qz61_reconcile_snapshot",
     oracle=f"""
     WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
            (VALUES {_values(_CANDS)}),
@@ -247,7 +247,7 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q02_jdbc_scan",
+    "qz02_jdbc_scan",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
     FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100) t
@@ -304,7 +304,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q03_rest_paged",
+    "qz03_rest_paged",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name
     FROM range(250) r
@@ -329,7 +329,7 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49b_scd2_history",
+    "qz49b_scd2_history",
     oracle="""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),

@@ -27,7 +27,7 @@ from . import ok_flag, query
 
 
 @query(
-    "q01_scan_project",
+    "qz01_scan_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
     FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
@@ -48,7 +48,7 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q04_sink_roundtrip",
+    "qz04_sink_roundtrip",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
     FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
@@ -72,7 +72,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz05_filter_conjunction",
+    "q05_filter_conjunction",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem
     WHERE l_quantity > 30 AND l_returnflag = 'R'
@@ -92,7 +92,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz06_in_between",
+    "q06_in_between",
     oracle="""
     SELECT o_orderkey FROM orders
     WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -113,7 +113,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz07_is_null",
+    "q07_is_null",
     oracle="""
     SELECT event_id FROM events
     WHERE props IS NULL OR value IS NULL
@@ -131,7 +131,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz08_case_when",
+    "q08_case_when",
     oracle="""
     SELECT o_orderkey,
            CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
@@ -154,7 +154,7 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz09_rename_alias",
+    "q09_rename_alias",
     oracle="""
     SELECT c_custkey AS customer_id, c_name AS full_name
     FROM customer
@@ -196,14 +196,14 @@ _Q10_SQL = """
     """
 
 
-@query("qz10_join_chain", oracle=_Q10_SQL, tags=("join",))
+@query("q10_join_chain", oracle=_Q10_SQL, tags=("join",))
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     """Inner equi-join chain (ref §2.2 implicit-comma joins,
     teacherCandidateAddresses.sql:17-23). Planner picks the strategy."""
     return _join_chain(spark, sf, hint=False)
 
 
-@query("q11_broadcast_join", oracle=_Q10_SQL, tags=("join",))
+@query("qz11_broadcast_join", oracle=_Q10_SQL, tags=("join",))
 def q11(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit broadcast-hash join of small dims (ref R10's in-heap lookup
     maps, SisConnectorService.java:503-507 -> broadcast, not driver HashMap).
@@ -212,7 +212,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz12_left_join",
+    "q12_left_join",
     oracle="""
     SELECT c.c_custkey, o.o_orderkey
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -230,7 +230,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz13_semi_join",
+    "q13_semi_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -248,7 +248,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz14_anti_join",
+    "q14_anti_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -267,7 +267,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz15_theta_join",
+    "q15_theta_join",
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n
     FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
@@ -288,7 +288,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz16_cross_join",
+    "q16_cross_join",
     oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
     tags=("join",),
 )
@@ -300,7 +300,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q17_asof_style_join",
+    "qz17_asof_style_join",
     oracle="""
     SELECT e.event_id, o.o_orderkey
     FROM events e
@@ -334,7 +334,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q18_hash_agg",
+    "qz18_hash_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
@@ -364,7 +364,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz19_count_distinct",
+    "q19_count_distinct",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
     tags=("agg",),
 )
@@ -441,7 +441,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz21_rollup",
+    "q21_rollup",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
            COUNT(*) AS n
@@ -464,7 +464,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz22_cube",
+    "q22_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
            COUNT(*) AS n
@@ -487,7 +487,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz23_max_by",
+    "q23_max_by",
     oracle="""
     SELECT o_custkey, last_order FROM (
       SELECT o_custkey, o_orderkey AS last_order,
@@ -515,7 +515,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q24_collect_nest",
+    "qz24_collect_nest",
     oracle="""
     SELECT c_custkey,
            array_to_string(list_sort(list(o_orderkey)), ',') AS orders_csv
@@ -543,7 +543,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz25_distinct",
+    "q25_distinct",
     oracle="""
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
     """,
@@ -562,7 +562,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q26_ranking",
+    "qz26_ranking",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -587,7 +587,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz27_window_frame",
+    "q27_window_frame",
     oracle="""
     SELECT o_orderkey,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
@@ -611,7 +611,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz28_lag",
+    "q28_lag",
     oracle="""
     SELECT o_orderkey,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -630,7 +630,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz29_topk_per_group",
+    "q29_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, rn FROM (
       SELECT o_custkey, o_orderkey,
@@ -659,7 +659,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q30_global_topk",
+    "qz30_global_topk",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
@@ -678,7 +678,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz31_union",
+    "q31_union",
     oracle="""
     SELECT c_nationkey AS k FROM customer
     UNION SELECT s_nationkey FROM supplier
@@ -693,7 +693,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz32_intersect",
+    "q32_intersect",
     oracle="""
     SELECT c_nationkey FROM customer
     INTERSECT SELECT s_nationkey FROM supplier
@@ -708,7 +708,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz33_except",
+    "q33_except",
     oracle="""
     SELECT n_nationkey FROM nation
     EXCEPT SELECT s_nationkey FROM supplier

@@ -18,7 +18,7 @@ from . import query
 
 
 @query(
-    "qz34_string_funcs",
+    "q34_string_funcs",
     oracle="""
     SELECT c_custkey, UPPER(c_name) AS u, LOWER(c_mktsegment) AS l,
            SUBSTR(c_name, 1, 8) AS s, CAST(LENGTH(c_name) AS INT) AS n,
@@ -44,7 +44,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q35_date_funcs",
+    "qz35_date_funcs",
     oracle="""
     SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
@@ -68,7 +68,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz36_math_funcs",
+    "q36_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg,
@@ -114,7 +114,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz37_array_funcs",
+    "q37_array_funcs",
     oracle="""
     SELECT doc_id, list_contains(string_split(text, ' '), 'the') AS hit,
            CAST(len(string_split(text, ' ')) AS INT) AS n
@@ -134,7 +134,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz38_struct_json",
+    "q38_struct_json",
     oracle="""
     SELECT event_id,
            to_json(struct_pack(t := event_type,
@@ -160,7 +160,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q39_json_extract",
+    "qz39_json_extract",
     oracle="""
     SELECT event_id, json_extract_string(props, '$.k') AS k
     FROM events
@@ -211,7 +211,7 @@ def _desc_values_sql() -> str:
 
 
 @query(
-    "q40_descriptor_enrich",
+    "qz40_descriptor_enrich",
     oracle=f"""
     WITH fixture_codes(code) AS (VALUES {_codes_values_sql()}),
          fixture_descriptors(codeValue, namespace) AS (VALUES {_desc_values_sql()})

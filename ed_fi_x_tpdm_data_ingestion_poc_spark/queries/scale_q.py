@@ -12,7 +12,7 @@ from . import query
 
 
 @query(
-    "q62_salted_join_agg",
+    "qz62_salted_join_agg",
     oracle="""
     SELECT e.user_id, c.c_mktsegment AS seg, COUNT(*) AS n,
            ROUND(SUM(e.value), 2) AS sv
@@ -40,7 +40,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q63_salted_two_phase_agg",
+    "qz63_salted_two_phase_agg",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n
     FROM events GROUP BY user_id, event_type
@@ -57,7 +57,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q64_asof_join",
+    "qz64_asof_join",
     oracle="""
     WITH j AS (
       SELECT e.event_id, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,

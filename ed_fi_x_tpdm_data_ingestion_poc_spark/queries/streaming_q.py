@@ -51,7 +51,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz45_stream_sliding",
+    "q45_stream_sliding",
     oracle="""
     WITH starts AS (
       SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type
@@ -80,7 +80,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz46_stream_session",
+    "q46_stream_session",
     oracle="""
     WITH o AS (
       SELECT user_id, ts,
@@ -115,7 +115,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q47_stream_watermark_ok",
+    "qz47_stream_watermark_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming",),
 )
@@ -193,7 +193,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q48_stream_dedup",
+    "qz48_stream_dedup",
     oracle="""
     SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
            COUNT(DISTINCT event_type) AS n_types
@@ -235,7 +235,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q65_stream_stateful_custom",
+    "qz65_stream_stateful_custom",
     oracle="""
     SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
     FROM events GROUP BY user_id ORDER BY user_id
@@ -292,7 +292,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49_stream_rest_reconcile",
+    "qz49_stream_rest_reconcile",
     oracle="""
     SELECT 'delete' AS op, 2 AS n
     UNION ALL
@@ -342,7 +342,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49c_stream_session",
+    "qz49c_stream_session",
     oracle="""
     WITH w AS (SELECT user_id, ts, value,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -388,7 +388,7 @@ def q49c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49d_stream_dedup_wm",
+    "qz49d_stream_dedup_wm",
     oracle="""
     SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
            COUNT(DISTINCT event_type) AS n_types
@@ -419,7 +419,7 @@ def q49d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49f_stream_stream_join",
+    "qz49f_stream_stream_join",
     oracle="""
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            COUNT(*) AS n_pairs
@@ -487,7 +487,7 @@ def q49f(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49g_stream_static_join",
+    "qz49g_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
            ROUND(SUM(e.value), 4) AS sum_value

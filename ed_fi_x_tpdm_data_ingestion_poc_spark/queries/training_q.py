@@ -44,7 +44,7 @@ _PACK_CAP, _PACK_SHARDS = 256, 16
 
 
 @query(
-    "q54_session_agg",
+    "qz54_session_agg",
     oracle="""
     WITH w AS (SELECT user_id, ts, value,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -163,7 +163,7 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q57_chunk_windows",
+    "qz57_chunk_windows",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
      s AS (SELECT doc_id, toks,
@@ -261,7 +261,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q59_seq_packing",
+    "qz59_seq_packing",
     oracle=f"""
     WITH RECURSIVE d AS (SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
@@ -301,7 +301,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49e_profile_stats",
+    "qz49e_profile_stats",
     oracle="""
     SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
            COUNT(o_custkey) AS n_nonnull,

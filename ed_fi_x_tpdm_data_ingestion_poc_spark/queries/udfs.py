@@ -40,7 +40,7 @@ def _weighted_mean_udf():
 
 
 @query(
-    "q41_pandas_udf",
+    "qz41_pandas_udf",
     oracle="""
     SELECT event_id, ROUND(value * value, 6) AS v2
     FROM events WHERE value IS NOT NULL
@@ -58,7 +58,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q42_grouped_agg_udaf",
+    "qz42_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
            ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4) AS wm
@@ -77,7 +77,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz43_explode",
+    "q43_explode",
     oracle="""
     SELECT doc_id, unnest(string_split(text, ' ')) AS word
     FROM documents ORDER BY doc_id, word LIMIT 2000

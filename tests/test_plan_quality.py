@@ -18,13 +18,13 @@ def _build(spark, sf_dir, name):
 
 def test_scan_prunes_columns(spark, sf_dir):
     """A 4-column projection must read exactly 4 columns (lineitem has 16)."""
-    df = _build(spark, sf_dir, "q01_scan_project")
+    df = _build(spark, sf_dir, "qz01_scan_project")
     cols = scan_columns(df)
     assert cols and cols[0] == {"l_orderkey", "l_linenumber", "l_partkey", "l_quantity"}
 
 
 def test_filters_reach_parquet_scan(spark, sf_dir):
-    df = _build(spark, sf_dir, "qz05_filter_conjunction")
+    df = _build(spark, sf_dir, "q05_filter_conjunction")
     pushed = " ".join(audit(df).pushed_filters)
     assert "GreaterThan(l_quantity,30.0)" in pushed
     assert "EqualTo(l_returnflag,R)" in pushed
@@ -33,7 +33,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir):
 def test_dimension_joins_broadcast(spark, sf_dir):
     """customer x nation x region: both dims broadcast; the fact side never
     shuffles for the join (no SortMergeJoin, no ShuffledHashJoin)."""
-    f = audit(_build(spark, sf_dir, "qz10_join_chain"))
+    f = audit(_build(spark, sf_dir, "q10_join_chain"))
     assert f.broadcast_joins >= 2
     assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
 
@@ -41,7 +41,7 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 def test_descriptor_enrichment_broadcasts(spark, sf_dir):
     """R10 enrichment is a broadcast join by construction — at 100 TB the
     fact side must not shuffle to pick up a vocabulary."""
-    f = audit(_build(spark, sf_dir, "q40_descriptor_enrich"))
+    f = audit(_build(spark, sf_dir, "qz40_descriptor_enrich"))
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0
 
@@ -49,7 +49,7 @@ def test_descriptor_enrichment_broadcasts(spark, sf_dir):
 def test_agg_is_jvm_only(spark, sf_dir):
     """The TPC-H Q1-style aggregate stays JVM-side with map-side combine
     (partial aggregation before the shuffle) over a vectorized scan."""
-    f = audit(_build(spark, sf_dir, "q18_hash_agg"))
+    f = audit(_build(spark, sf_dir, "qz18_hash_agg"))
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert f.partial_aggs >= 1
     assert f.batched_scans >= 1
@@ -58,7 +58,7 @@ def test_agg_is_jvm_only(spark, sf_dir):
 def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
     """When Python is unavoidable it must be Arrow-batched (pandas UDF),
     never row-at-a-time BatchEvalPython."""
-    for name in ("q41_pandas_udf", "q42_grouped_agg_udaf", "q53_multimodal_features"):
+    for name in ("qz41_pandas_udf", "qz42_grouped_agg_udaf", "q53_multimodal_features"):
         f = audit(_build(spark, sf_dir, name))
         assert f.arrow_evals >= 1, name
         assert f.python_evals == 0, name
@@ -67,7 +67,7 @@ def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
 def test_no_cartesian_in_similarity(spark, sf_dir):
     """Embedding near-dup runs as blocked GEMM + prefilter, not a Catalyst
     cartesian join of interpreted dot products."""
-    f = audit(_build(spark, sf_dir, "q50e_embedding_dups"))
+    f = audit(_build(spark, sf_dir, "qz50e_embedding_dups"))
     assert f.cartesian_products == 0
     assert f.arrow_evals >= 1
 
@@ -75,20 +75,20 @@ def test_no_cartesian_in_similarity(spark, sf_dir):
 def test_asof_join_is_joinless(spark, sf_dir):
     """The as-of operator's whole point: union + one sorted window carry,
     NO join node at all (the naive encoding is a nested-loop range join)."""
-    f = audit(_build(spark, sf_dir, "q64_asof_join"))
+    f = audit(_build(spark, sf_dir, "qz64_asof_join"))
     assert f.joins == 0
 
 
 def test_interval_join_uses_equi_key(spark, sf_dir):
     """events x orders with a range condition still joins on the equality
     key (hash/merge), never a cartesian product."""
-    f = audit(_build(spark, sf_dir, "q17_asof_style_join"))
+    f = audit(_build(spark, sf_dir, "qz17_asof_style_join"))
     assert f.cartesian_products == 0
     assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
 
 
 def test_salted_join_no_cartesian(spark, sf_dir):
-    f = audit(_build(spark, sf_dir, "q62_salted_join_agg"))
+    f = audit(_build(spark, sf_dir, "qz62_salted_join_agg"))
     assert f.cartesian_products == 0 and f.nested_loop_joins == 0
 
 
@@ -96,7 +96,7 @@ def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("qz13_semi_join", "qz14_anti_join"):
+    for name in ("q13_semi_join", "q14_anti_join"):
         text = plan_string(_build(spark, sf_dir, name))
         assert "LeftSemi" in text or "LeftAnti" in text, name
 
@@ -107,11 +107,11 @@ def test_trivial_queries_have_no_exchange(spark, sf_dir):
     a range exchange + AQE read to every one of these; the digest is
     order-insensitive so the sort is gone.)"""
     for name in (
-        "qz05_filter_conjunction",
-        "qz06_in_between",
-        "qz07_is_null",
-        "qz08_case_when",
-        "qz09_rename_alias",
+        "q05_filter_conjunction",
+        "q06_in_between",
+        "q07_is_null",
+        "q08_case_when",
+        "q09_rename_alias",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.exchanges == 0, name
@@ -123,7 +123,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     plan that survives a 100 TB fact table."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("q30_global_topk", "q72_vocab_topk"):
+    for name in ("qz30_global_topk", "q72_vocab_topk"):
         assert "TakeOrderedAndProject" in plan_string(
             _build(spark, sf_dir, name)
         ), name
@@ -146,7 +146,7 @@ def test_grouping_sets_single_pass(spark, sf_dir):
     aggregate — a single pass over the fact, not one scan per set."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("qz21_rollup", "qz22_cube", "q76_grouping_sets"):
+    for name in ("q21_rollup", "q22_cube", "q76_grouping_sets"):
         df = _build(spark, sf_dir, name)
         f = audit(df)
         assert "Expand" in plan_string(df), name
@@ -158,7 +158,7 @@ def test_two_phase_salted_agg_combines_map_side(spark, sf_dir):
     """The skew-tolerant two-phase aggregate must do partial aggregation
     on BOTH phases (salted and unsalted) so the shuffle carries counts,
     not rows."""
-    f = audit(_build(spark, sf_dir, "q63_salted_two_phase_agg"))
+    f = audit(_build(spark, sf_dir, "qz63_salted_two_phase_agg"))
     assert f.partial_aggs >= 2
     assert f.cartesian_products == 0
 
@@ -168,11 +168,11 @@ def test_repetition_and_chunking_are_map_only(spark, sf_dir):
     pure JVM projection; q56 is one Arrow-batched mapInPandas pass (the
     repetition gates moved off Catalyst's interpreted-lambda evaluator in
     round 5) — Arrow-batched, never row-at-a-time BatchEvalPython."""
-    for name in ("q56_repetition_stats", "q57_chunk_windows"):
+    for name in ("q56_repetition_stats", "qz57_chunk_windows"):
         f = audit(_build(spark, sf_dir, name))
         assert f.exchanges == 0, name
         assert f.python_evals == 0, name
-    f = audit(_build(spark, sf_dir, "q57_chunk_windows"))
+    f = audit(_build(spark, sf_dir, "qz57_chunk_windows"))
     assert f.arrow_evals == 0
 
 
@@ -195,7 +195,7 @@ def test_tfidf_small_sides_broadcast(spark, sf_dir):
 def test_packing_single_shuffle_arrow(spark, sf_dir):
     """q59: one shuffle (groupBy shard) into one Arrow-batched pandas
     stage; no row-at-a-time Python."""
-    f = audit(_build(spark, sf_dir, "q59_seq_packing"))
+    f = audit(_build(spark, sf_dir, "qz59_seq_packing"))
     # formatted mode prints the node in both tree and detail -> counts 2
     assert 1 <= f.arrow_evals <= 2 and f.python_evals == 0
     assert f.exchanges <= 2  # shard shuffle (+ AQE read node at most)
@@ -205,6 +205,6 @@ def test_scd2_no_nested_loop_single_feed_window(spark, sf_dir):
     """q49b: history merge is window + join + union — no nested-loop/
     cartesian anywhere, and the base join may be broadcast or shuffled
     but must be an equi join."""
-    f = audit(_build(spark, sf_dir, "q49b_scd2_history"))
+    f = audit(_build(spark, sf_dir, "qz49b_scd2_history"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
     assert f.joins >= 1
