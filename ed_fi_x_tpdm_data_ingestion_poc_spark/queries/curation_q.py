@@ -207,3 +207,220 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         corpus_index=full_idx.filter(F.col("id") >= 20),
         eval_index=full_idx.filter(F.col("id") < 20),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 surface: weighted/mixture sampling, PII scrubbing, bigram LM stats
+# ---------------------------------------------------------------------------
+
+# Engine-portable deterministic uniform in [0,1): Knuth multiplicative
+# hash of the id. Both engines evaluate the identical BIGINT arithmetic,
+# so the sample is hash-checkable cross-engine — the property xxhash64
+# (q68's shuffle-free sampler) can't give. At 1e9+ ids swap the constant
+# arithmetic for xxhash64: the multiplicative form overflows BIGINT near
+# id ~3.5e9 and its low bits are weaker.
+def _uniform01(col, salt: int = 0):
+    return ((F.col(col) + F.lit(salt)) * F.lit(2654435761) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+
+
+_UNIFORM_SQL = "(((doc_id + {salt}) * 2654435761) % 4294967296) / 4294967296.0"
+
+
+@query(
+    "q78_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, ROUND(LEAST(n_chars / 400.0, 1.0), 6) AS w
+    FROM documents
+    WHERE {_UNIFORM_SQL.format(salt=0)} < LEAST(n_chars / 400.0, 1.0)
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each doc with probability equal
+    to its weight (here length-derived, capped at 1) by comparing a
+    deterministic per-id uniform against the weight. The standard
+    mixture-reweighting primitive for training corpora — map-only, zero
+    shuffle, stable under task retry; at 100 TB this is a scan+filter
+    whose selectivity is the mean weight."""
+    d = table(spark, sf, "documents")
+    w = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return (
+        d.withColumn("w", F.round(w, 6))
+        .filter(_uniform01("doc_id") < w)
+        .select("doc_id", "w")
+    )
+
+
+@query(
+    "q79_pii_scrub",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                  ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS scrub_md5
+    FROM t
+    """,
+    tags=("llm", "curation", "text"),
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: redact emails and phone-shaped tokens, count the
+    redactions, and hash the scrubbed text (the fixture injects
+    deterministic PII derived from doc_id so there is real signal to
+    scrub). Pure JVM regexp — map-only, the regex subset (char classes,
+    \\b, {m,n}) behaves identically under Java regex and RE2, which the
+    cross-engine hash check enforces."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b555-[0-9]{4}\b"
+    d = table(spark, sf, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email_re)).cast("int").alias("n_email"),
+        F.regexp_count(raw, F.lit(phone_re)).cast("int").alias("n_phone"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+@query(
+    "q80_source_mixture",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_UNIFORM_SQL.format(salt=7919)} <
+          CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.9
+               WHEN source IN ('src3', 'src4') THEN 0.5
+               ELSE 0.2 END
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-mixture sampling: each source gets a target inclusion rate
+    (up-weight curated sources, down-weight bulk crawl) applied as a
+    deterministic per-id uniform threshold — how a 100 TB pretraining mix
+    is drawn without a shuffle or a count pass. Map-only; the realized
+    mix converges to the rates by LLN, and determinism makes the draw
+    reproducible across reruns and engines (hash-checked)."""
+    d = table(spark, sf, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 0.9)
+        .when(F.col("source").isin("src3", "src4"), 0.5)
+        .otherwise(0.2)
+    )
+    return d.filter(_uniform01("doc_id", salt=7919) < rate).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "q81_jsonl_roundtrip",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("formats", "sink"),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL sink/source round-trip (the interchange format of training-
+    data pipelines): write documents as line-delimited JSON, read it back
+    with an explicit schema (schema inference at 100 TB means reading the
+    corpus twice), and self-verify the round-trip preserved every row
+    (count + order-insensitive digest-sum over all fields). ok=1 pinned
+    by the oracle."""
+    import tempfile
+
+    from .llm import _artifact
+
+    d = table(spark, sf, "documents")
+
+    def _write():
+        out = tempfile.mkdtemp(prefix="jsonl_rt_")
+        d.coalesce(4).write.mode("overwrite").json(out)
+        return out
+
+    path = _artifact(spark, sf, "jsonl_dir", _write)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+
+    def digest(df: DataFrame):
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "text", "lang", "source", "n_chars").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        )
+
+    a = digest(d).collect()[0]
+    b = digest(back).collect()[0]
+    return ok_flag(spark, a["n"] == b["n"] and a["h"] == b["h"])
+
+
+@query(
+    "q82_bigram_topk",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+               FROM t)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+    tags=("llm", "text"),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (n-gram LM statistics; unigram vocab is
+    q72). zip_with over two shifted slices builds bigrams without a
+    Python round-trip; explode -> partial-agg -> shuffle on the bigram
+    key -> global top-k. Same scale shape as vocab counting: the shuffle
+    carries one row per DISTINCT bigram per partition (map-side combine),
+    not one per occurrence."""
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )
