@@ -29,15 +29,30 @@ def connected_components(
     a_col: str = "ida",
     b_col: str = "idb",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, cluster) for every node in the pair graph; cluster = the
     minimum node id reachable from the node (deterministic, engine-
     independent — the DuckDB oracle recomputes it with a recursive CTE).
 
     pairs: undirected edges (each pair listed once, either orientation).
-    Raises if max_iter rounds don't converge (pathological diameter —
-    switch to star-contraction before raising the cap at corpus scale).
+
+    algorithm="label" (default): min-label propagation, rounds = diameter.
+    Right for near-dup graphs (dense cliques, diameter 2-3) — one
+    join+agg per round. Raises if max_iter rounds don't converge.
+
+    algorithm="star": alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds regardless of diameter, two groupBy+join
+    shuffles per round. The dial for adversarial/long-chain graphs
+    (linked-page chains, citation paths) at corpus scale.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            pairs, a_col=a_col, b_col=b_col, max_iter=max_iter
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # symmetrize once; self-edges are harmless but dropped for volume
     e = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -91,6 +106,107 @@ def connected_components(
         )
     edges.unpersist()
     return labels.select(F.col("node"), F.col("lbl").alias("cluster"))
+
+
+def _edge_fingerprint(edges: DataFrame):
+    """Order-insensitive fingerprint of an edge set: (count, decimal sum of
+    per-edge hashes). Star rounds are monotone contractions, so an equal
+    fingerprint across a round means the edge set is fixed — one cheap
+    two-column aggregate per round, nothing collected but two scalars."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    *,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 32,
+) -> DataFrame:
+    """Large-star/small-star alternation. Invariant carried between rounds:
+    `edges` is a set of (src, dst) with dst < src (every edge points from
+    the larger id to a smaller one). At the fixed point the edge set is a
+    union of stars — every non-root node points directly at its
+    component's minimum id."""
+    raw = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    # All nodes that must appear in the output (star contraction drops
+    # isolated roots from the edge list).
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionAll(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonicalize: larger -> smaller
+    edges = (
+        raw.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    prev = _edge_fingerprint(edges)
+    for _ in range(max_iter):
+        # -- large-star: for each node u (over the SYMMETRIZED adjacency),
+        # m(u) = min(N(u) ∪ {u}); connect every strictly-larger neighbor
+        # v > u directly to m(u). Long chains halve here.
+        sym = edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym.groupBy("src").agg(
+            F.min(F.least("src", "dst")).alias("m")
+        )
+        edges = (
+            sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: every edge now points large -> small, so per node
+        # u, m(u) = min over its smaller neighbors; rewire each smaller
+        # neighbor v (and u itself) to m(u). Stars flatten here.
+        m2 = edges.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = edges.join(m2, "src").select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        own = m2.select(F.col("src"), F.col("m").alias("dst"))
+        edges = (
+            rewired.unionAll(own)
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # Fixed point: edges = (node, root) stars. Roots (and any node whose
+    # whole component collapsed into it) label themselves.
+    return nodes.join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("root")),
+        "node",
+        "left",
+    ).select(
+        F.col("node"), F.coalesce("root", "node").alias("cluster")
+    )
 
 
 def dup_clusters(

@@ -44,3 +44,64 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(9)], "ida long, idb long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=2)
+
+
+def _cc_star(spark, edges):
+    df = spark.createDataFrame(edges, "ida long, idb long")
+    out = connected_components(df, algorithm="star")
+    return {r["node"]: r["cluster"] for r in out.collect()}
+
+
+def test_star_small_graphs_match_label(spark):
+    for edges in (
+        [(1, 2)],
+        [(1, 2), (2, 3), (7, 8)],
+        [(2, 1), (1, 2), (2, 3), (3, 2)],
+        [(5, 9), (9, 11), (20, 21), (30, 31), (31, 20)],
+        [(1, 2), (3, 4), (5, 6), (2, 3), (4, 5)],  # chained pairs
+    ):
+        assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_star_adversarial_chain_beyond_label_cap(spark):
+    # Path graph of diameter 300: label propagation needs 300 rounds
+    # (far past its max_iter); star contraction converges in O(log n).
+    edges = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(edges, "ida long, idb long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=20)
+    got = _cc_star(spark, edges)
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_star_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(120))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {n: find(n) for n in touched}
+    assert _cc_star(spark, edges) == want
+
+
+def test_star_unknown_algorithm_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "ida long, idb long")
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(df, algorithm="bogus")
