@@ -39,21 +39,34 @@ _TYPED_METRICS = (
 )
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], *, approx: bool = False
+) -> DataFrame:
     """Profile numeric columns: one row per column with
     (col, n_rows, n_nonnull, ndv, min_v, max_v, p50); min/max/p50 as
-    ROUND(..., 4) doubles so results are engine-portable."""
+    ROUND(..., 4) doubles so results are engine-portable.
+
+    approx=True swaps exact NDV/median for approx_count_distinct /
+    percentile_approx — the 100 TB stats pass (multi-column exact
+    count_distinct plans an Expand that duplicates scan rows per
+    distinct column; sketches keep one pass with bounded memory)."""
     if not cols:
         raise ValueError("cols must be non-empty")
     aggs = []
     for c in cols:
+        ndv = F.approx_count_distinct(c) if approx else F.count_distinct(c)
+        p50 = (
+            F.percentile_approx(c, 0.5, 10_000)
+            if approx
+            else F.percentile(c, F.lit(0.5))
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n_rows"),
             F.count(c).alias(f"{c}__n_nonnull"),
-            F.count_distinct(c).alias(f"{c}__ndv"),
+            ndv.alias(f"{c}__ndv"),
             F.round(F.min(c).cast("double"), 4).alias(f"{c}__min_v"),
             F.round(F.max(c).cast("double"), 4).alias(f"{c}__max_v"),
-            F.round(F.percentile(c, F.lit(0.5)), 4).alias(f"{c}__p50"),
+            F.round(p50.cast("double"), 4).alias(f"{c}__p50"),
         ]
     # localCheckpoint is a deliberate plan barrier: stacking directly over
     # the Aggregate makes Catalyst re-optimize the (multi-distinct Expand +

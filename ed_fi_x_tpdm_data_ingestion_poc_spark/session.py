@@ -41,6 +41,45 @@ def _default_parallelism() -> int:
 # later session object after GC (which would wrongly skip tuning it)
 _TUNED: dict[int, SparkSession] = {}
 
+# SparkContext id -> context (same id-pinning rationale as _TUNED)
+_SHIPPED: dict[int, object] = {}
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile (the --py-files path).
+
+    Several operators run package code INSIDE executor Python workers
+    (mapInPandas/pandas-UDF closures import operators.multimodal,
+    operators.dedup, ...). cloudpickle serializes module-level functions
+    by REFERENCE, so the worker must be able to import the package — true
+    when the driver runs from the repo checkout (cwd on path), false for
+    an external driver process launched elsewhere. Zipping the package
+    once per SparkContext and addPyFile-ing it makes worker imports
+    location-independent — identical to shipping --py-files on a real
+    cluster, where executor hosts share nothing with the driver's
+    filesystem. ~100 KB, once per context."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(prefix=pkg_name + "_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED[id(sc)] = sc
+
 
 def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
     """Apply engine runtime conf to an existing session (driver-provided or ours).
@@ -81,6 +120,7 @@ def tune(spark: SparkSession, cfg: EngineConfig | None = None) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on a live session: keep going
+    ship_package(spark)
     _TUNED[id(spark)] = spark
     return spark
 

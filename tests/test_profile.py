@@ -80,6 +80,20 @@ def test_approx_mode_within_tolerance(messy):
     assert abs(apx["id"]["p50"] - exact["id"]["p50"]) <= 1.0
 
 
+def test_numeric_profile_approx_mode(messy):
+    exact = {r["col"]: r.asDict() for r in profile_columns(messy, ["id"]).collect()}
+    apx = {
+        r["col"]: r.asDict()
+        for r in profile_columns(messy, ["id"], approx=True).collect()
+    }
+    assert abs(apx["id"]["ndv"] - exact["id"]["ndv"]) <= max(
+        1, 0.05 * exact["id"]["ndv"]
+    )
+    assert apx["id"]["min_v"] == exact["id"]["min_v"]
+    assert apx["id"]["max_v"] == exact["id"]["max_v"]
+    assert abs(apx["id"]["p50"] - exact["id"]["p50"]) <= 1.0
+
+
 def test_unsupported_type_and_empty_cols_raise(messy):
     arr = messy.selectExpr("array(id) AS a")
     with pytest.raises(ValueError, match="unsupported"):
