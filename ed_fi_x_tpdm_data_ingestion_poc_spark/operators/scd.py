@@ -181,3 +181,24 @@ class Scd2Store:
 
     def history(self) -> DataFrame:
         return self._hist
+
+
+def asof_snapshot(
+    history: DataFrame, ts, keys: Sequence[str] | None = None
+) -> DataFrame:
+    """Point-in-time (time-travel) read of an SCD2 history: the table
+    state AS OF `ts` — the version whose validity interval contains it
+    (valid_from <= ts < valid_to, open-ended current rows included).
+
+    Pure filter over the history — no window, no join, no shuffle: the
+    interval-validity invariant (`merge_scd2` emits non-overlapping,
+    per-key contiguous intervals) guarantees at most one surviving row
+    per key, so there is nothing to deduplicate. At 100 TB this prunes
+    by partition/file stats on valid_from when the history is written
+    sorted or Z-ordered on it (sinks/layout.py). Keys inserted after
+    `ts` simply have no matching interval and drop out."""
+    t = F.lit(ts).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")

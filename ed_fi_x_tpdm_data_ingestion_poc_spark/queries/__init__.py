@@ -106,5 +106,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import scale_q  # noqa: F401
     from . import curation_q  # noqa: F401
     from . import training_q  # noqa: F401
+    from . import quality_q  # noqa: F401
 
     return dict(QUERIES)

@@ -1,0 +1,261 @@
+"""Round-5 quality/observability surface: data-quality expectations,
+skew diagnostics, SCD2 point-in-time reads, lexical RAG retrieval.
+
+q83: lexical chunk retrieval (RAG prep) — Jaccard top-5 chunks per query.
+q85: hot-key diagnostics — the skew report you run BEFORE picking a
+     salting factor (q62/q63 are the mitigation; this is the detector).
+q86: declarative DQ expectation checks (operators/dq.py).
+q87: AS-OF snapshot of an SCD2 history (operators/scd.py asof_snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from . import query
+
+_CHUNK, _STRIDE = 64, 48
+_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "q83_rag_retrieval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         q AS (SELECT doc_id AS qid, list_distinct(toks) AS qt
+               FROM t WHERE doc_id < 3),
+         s AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), {_STRIDE})) AS start
+               FROM t WHERE doc_id >= 3),
+         c AS (SELECT doc_id, CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+                      list_distinct(toks[start+1:start+{_CHUNK}]) AS ct
+               FROM s),
+         scored AS (
+           SELECT q.qid, c.doc_id, c.chunk_idx,
+                  ROUND(CAST(len(list_filter(c.ct, x -> list_contains(q.qt, x)))
+                             AS DOUBLE)
+                        / len(list_distinct(list_concat(c.ct, q.qt))), 6)
+                    AS score
+           FROM c, q),
+         ranked AS (
+           SELECT qid, doc_id, chunk_idx, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc_id, chunk_idx) AS INT) AS rank
+           FROM scored)
+    SELECT qid, doc_id, chunk_idx, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "retrieval", "text"),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical retrieval over chunked corpus (sparse-RAG prep): chunk the
+    corpus 64/48 (q57's splitter), score each chunk against each query
+    doc by token-set Jaccard, keep top-5 per query. Query side is tiny
+    and broadcast (the q51a exact-ANN shape — corpus never shuffles; the
+    only exchange is the per-query top-k window). For large query sets
+    the inverted-index join (q75 decontamination) replaces the broadcast
+    product; this is the exact baseline it's measured against."""
+    from ..operators.text import tokens
+
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    q = t.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.array_distinct("toks").alias("qt")
+    )
+    s = (
+        t.filter(F.col("doc_id") >= 3)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / _STRIDE).cast("bigint").alias("chunk_idx"),
+            F.array_distinct(
+                F.slice("toks", F.col("start") + 1, _CHUNK)
+            ).alias("ct"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = s.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "doc_id",
+        "chunk_idx",
+        F.round(
+            F.size(F.array_intersect("ct", "qt"))
+            / F.size(F.array_union("ct", "qt")).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query(
+    "q85_hot_keys",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY o_custkey),
+         t AS (SELECT SUM(cnt) AS tot FROM c)
+    SELECT key, cnt, ROUND(CAST(cnt AS DOUBLE) / tot, 6) AS share
+    FROM c, t
+    ORDER BY cnt DESC, key LIMIT 20
+    """,
+    tags=("diagnostics", "skew"),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key detector: per-key row counts with corpus share, top-20 —
+    the skew report that decides whether a join/agg key needs salting
+    (q62/q63) or AQE skew splitting. One partial-agg shuffle keyed on the
+    candidate key; the scalar total joins back by broadcast (a global
+    window here would collapse the counts table to one partition — wrong
+    at 1e9 distinct keys)."""
+    d = table(spark, sf, "orders")
+    counts = d.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(20)
+    )
+
+
+@query(
+    "q86_dq_checks",
+    oracle="""
+    SELECT 'totalprice_positive' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 AS INT)
+             AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL
+                          OR o_orderdate < DATE '1992-01-01'
+                          OR o_orderdate > DATE '1998-12-31'
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL
+                          OR o_orderdate < DATE '1992-01-01'
+                          OR o_orderdate > DATE '1998-12-31'
+                         THEN 1 ELSE 0 END) = 0 AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) = 0
+                AS INT)
+    """,
+    tags=("diagnostics", "quality"),
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/dq.py): three
+    row/uniqueness rules fold into ONE aggregate over ONE orders scan;
+    the FK rule is one broadcast anti-join against the customer key set.
+    The contract table a pipeline gates a deploy on — the reference
+    validates nothing it moves."""
+    from ..operators.dq import Rule, check_rules
+
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    rules = [
+        Rule("totalprice_positive", violation=F.col("o_totalprice") <= 0),
+        Rule(
+            "orderdate_in_range",
+            violation=(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+            ),
+        ),
+        Rule("orderkey_unique", unique_col="o_orderkey"),
+        Rule("custkey_fk_customer", fk=(c, "o_custkey", "c_custkey")),
+    ]
+    return check_rules(o, rules)
+
+
+@query(
+    "q87_scd2_asof",
+    oracle=f"""
+    WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
+                FROM events),
+     v AS (SELECT key, val, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY key ORDER BY ts, event_id)
+                    AS valid_to
+           FROM ch),
+     fc AS (SELECT key, MIN(ts) AS valid_to FROM ch GROUP BY key),
+     b AS (SELECT c_custkey AS key, ROUND(c_acctbal, 2) AS val FROM customer),
+     br AS (SELECT b.key, b.val, TIMESTAMP '1900-01-01' AS valid_from,
+                   fc.valid_to
+            FROM b LEFT JOIN fc ON b.key = fc.key),
+     h AS (SELECT * FROM br UNION ALL SELECT * FROM v)
+    SELECT key, val, valid_from, valid_to
+    FROM h
+    WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_TS}')
+    """,
+    tags=("pipeline", "cdc"),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (time-travel) read: reconstruct the qz49b SCD2 table
+    state AS OF mid-feed. Pure interval filter over the history — no
+    window, no join, no shuffle (the SCD2 invariant guarantees one
+    surviving version per key); at scale this prunes on valid_from
+    file stats when the history is Z-ordered (sinks/layout.py)."""
+    from ..operators.scd import asof_snapshot, merge_scd2
+
+    base = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round("c_acctbal", 2).alias("val"),
+    )
+    changes = table(spark, sf, "events").select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.round("value", 2).alias("val"),
+        "event_id",
+    )
+    hist = merge_scd2(
+        base,
+        changes,
+        keys=["key"],
+        ts_col="ts",
+        attr_cols=["val"],
+        tiebreak=["event_id"],
+    )
+    return asof_snapshot(hist, _ASOF_TS)
