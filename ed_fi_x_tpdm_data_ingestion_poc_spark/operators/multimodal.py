@@ -519,3 +519,205 @@ def audio_features(
     )
     feats = df.select(F.col(idc), F.col(cc)).mapInPandas(audio_batches, out_schema)
     return feats.withColumnRenamed("id", idc)
+
+
+# -- AVI (RIFF) / MJPEG video codec — stdlib/numpy only --------------------
+# Same posture as the WAV and PNG/JPEG paths: a REAL container parser for
+# a real video format. MJPEG-in-AVI is the one mainstream video format
+# whose frames need no inter-frame codec — every '00dc' chunk is a
+# standalone baseline JPEG, which operators/jpeg.py already decodes — so
+# the frame-extraction path stops being a byte-window stand-in.
+# Malformed/truncated input raises ValueError (the decode_jpeg contract).
+
+
+def encode_avi_mjpeg(
+    width: int, height: int, fps: int, frames: list[bytes]
+) -> bytes:
+    """Minimal AVI writer with an MJPG video stream — decode_avi_mjpeg's
+    test twin; standard enough that any AVI-aware tool can read it.
+    `frames` are pre-encoded JPEG byte strings (operators/jpeg.encode_jpeg)."""
+    import struct as _struct
+
+    if fps < 1:
+        raise ValueError("fps must be >= 1")
+    max_frame = max((len(f) for f in frames), default=0)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_frame * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10=HASINDEX — we write idx1
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_frame,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + _struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale, dwRate -> fps
+            0,  # dwStart
+            len(frames),  # dwLength
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: variable)
+        )
+        + _struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + _struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame, offsets relative to the start of 'movi'
+    # list payload (after the 'movi' fourcc), the common convention
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(
+            b"00dc" + _struct.pack("<III", 0x10, off, len(f))  # AVIIF_KEYFRAME
+        )
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def decode_avi_mjpeg(content: bytes) -> dict:
+    """Parse an AVI container and return
+    {width, height, fps, n_frames, frames: [jpeg bytes, ...]}.
+
+    Walks the RIFF chunk tree (LIST recursion, word alignment, tolerant
+    of extra chunks like JUNK/INFO/idx1); collects the video stream's
+    '..dc'/'..db' frame chunks in file order. Truncated or structurally
+    malformed input raises ValueError — never struct.error/IndexError."""
+    import struct as _struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI header)")
+    (riff_len,) = _struct.unpack("<I", content[4:8])
+    if riff_len + 8 > len(content) + 1:  # +1: tolerate missing final pad
+        raise ValueError("truncated AVI: RIFF size past end of data")
+
+    meta = {"width": None, "height": None, "fps": None, "n_frames": None}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = _struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_end = pos + 8 + clen
+            if body_end > end:
+                raise ValueError("truncated AVI: chunk payload past end")
+            if cid == b"LIST":
+                if clen < 4:
+                    raise ValueError("truncated AVI: short LIST")
+                walk(buf, pos + 12, body_end)
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("truncated AVI: short avih")
+                vals = _struct.unpack("<10I", buf[pos + 8 : pos + 48])
+                meta["n_frames"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+                if vals[0] > 0:
+                    meta["fps"] = round(1_000_000 / vals[0])
+            elif cid == b"strh":
+                if clen < 40:
+                    raise ValueError("truncated AVI: short strh")
+                if buf[pos + 8 : pos + 12] == b"vids":
+                    scale, rate = _struct.unpack(
+                        "<II", buf[pos + 28 : pos + 36]
+                    )
+                    if scale > 0 and rate > 0:
+                        meta["fps"] = round(rate / scale)
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[pos + 8 : body_end]))
+            pos = body_end + (clen & 1)
+
+    walk(content, 12, min(len(content), riff_len + 8))
+    if meta["width"] is None:
+        raise ValueError("AVI missing avih header")
+    return {
+        "width": meta["width"],
+        "height": meta["height"],
+        "fps": meta["fps"] or 0,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def extract_frames_mjpeg(
+    df: DataFrame,
+    *,
+    id_col: str,
+    content_col: str = "content",
+    every_k: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL video frame sampling: parse each AVI container, keep every
+    k-th frame up to max_frames, emit (id, frame_no, width, height, fps,
+    n_frames, frame) — `frame` is the standalone JPEG, ready for
+    decode_image_features / operators/jpeg.decode_jpeg downstream.
+    Arrow-batched mapInPandas fan-out (one row -> frames), same shape as
+    sample_frames; rows whose bytes aren't a parseable AVI are dropped
+    (the error-quarantine variant belongs in the sink path)."""
+    idc, cc = id_col, content_col
+    k = max(1, every_k)
+
+    def gen(batches) -> Iterator:
+        import pandas as pd
+
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            ids, nos, ws, hs, fpss, nfs, blobs = [], [], [], [], [], [], []
+            for rid, b in zip(pdf[idc], pdf[cc]):
+                if b is None:
+                    continue
+                try:
+                    v = decode_avi_mjpeg(bytes(b))
+                except ValueError:
+                    continue
+                for fno, fr in list(enumerate(v["frames"]))[::k][:max_frames]:
+                    ids.append(rid)
+                    nos.append(fno)
+                    ws.append(v["width"])
+                    hs.append(v["height"])
+                    fpss.append(v["fps"])
+                    nfs.append(v["n_frames"])
+                    blobs.append(fr)
+            yield pd.DataFrame(
+                {
+                    "id": ids, "frame_no": nos, "width": ws, "height": hs,
+                    "fps": fpss, "n_frames": nfs, "frame": blobs,
+                }
+            )
+
+    out_schema = (
+        "id long, frame_no int, width int, height int, fps int,"
+        " n_frames int, frame binary"
+    )
+    out = df.select(F.col(idc), F.col(cc)).mapInPandas(gen, out_schema)
+    return out.withColumnRenamed("id", idc)

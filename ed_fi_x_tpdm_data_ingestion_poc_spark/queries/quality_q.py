@@ -259,3 +259,110 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     return asof_snapshot(hist, _ASOF_TS)
+
+
+@query(
+    "q88_video_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(8 + 4 * (doc_id % 2) AS INT) AS height,
+           CAST(5 + doc_id % 4 AS INT) AS fps,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames,
+           CAST(2 + doc_id % 3 AS INT) AS frames_sampled,
+           CAST(1 AS INT) AS luma_ok
+    FROM documents WHERE doc_id % 10 = 5
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video path (q53 family; no stand-in left): per selected doc,
+    synthesize an MJPEG-in-AVI clip whose parameters are pure functions
+    of doc_id (2-4 constant-gray frames via operators/jpeg.encode_jpeg,
+    RIFF container via encode_avi_mjpeg), then run the real pipeline:
+    container parse + frame sampling (extract_frames_mjpeg), per-frame
+    JPEG decode (decode_image_features), per-doc rollup. The oracle
+    recomputes every container field from the formulas, and luma_ok
+    verifies each decoded frame's mean pixel matches the gray level that
+    was encoded (constant blocks survive JPEG quantization exactly to
+    within 1). Closes the round-4 'video frame extraction is stubbed'
+    gap - the AVI parser, frame chunks, and pixel decode are all real."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        extract_frames_mjpeg,
+    )
+
+    d = table(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 5
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16, 8 + 4 * (did % 2)
+                fps = 5 + did % 4
+                n = 2 + did % 3
+                frames = []
+                for f in range(n):
+                    g = 30 + 20 * ((did + f) % 10)
+                    px = np.full((h, w, 3), g, dtype=np.uint8).tobytes()
+                    frames.append(encode_jpeg(w, h, 3, px, quality=90))
+                ids.append(did)
+                blobs.append(encode_avi_mjpeg(w, h, fps, frames))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    clips = d.mapInPandas(gen, "doc_id long, content binary")
+    frames = extract_frames_mjpeg(clips, id_col="doc_id")
+    decoded = decode_image_features(
+        frames.withColumnRenamed("width", "c_width")
+        .withColumnRenamed("height", "c_height")
+        .select(
+            # fold per-frame context into one bigint id for the decode
+            # stage (its contract is (id, content)), then unpack after
+            (
+                F.col("doc_id") * 1_000_000
+                + F.col("frame_no") * 10_000
+                + F.col("fps") * 100
+                + F.col("n_frames")
+            ).alias("fid"),
+            F.col("frame").alias("content"),
+        ),
+        id_col="fid",
+    )
+    per_frame = decoded.select(
+        (F.col("fid") / 1_000_000).cast("bigint").alias("doc_id"),
+        ((F.col("fid") % 1_000_000) / 10_000).cast("bigint").alias("frame_no"),
+        ((F.col("fid") % 10_000) / 100).cast("int").alias("fps"),
+        (F.col("fid") % 100).cast("int").alias("n_frames"),
+        "width",
+        "height",
+        "mean_px",
+    ).withColumn(
+        "g",
+        (30 + 20 * ((F.col("doc_id") + F.col("frame_no")) % 10)).cast("double"),
+    )
+    return (
+        per_frame.groupBy("doc_id")
+        .agg(
+            F.first("width").cast("int").alias("width"),
+            F.first("height").cast("int").alias("height"),
+            F.first("fps").alias("fps"),
+            F.first("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).cast("int").alias("frames_sampled"),
+            F.min(
+                (F.abs(F.col("mean_px") - F.col("g")) <= 1.0).cast("int")
+            ).alias("luma_ok"),
+        )
+    )
