@@ -574,3 +574,98 @@ def q49i(spark: SparkSession, sf: str) -> DataFrame:
     )
     run_foreach_batch(ev, store.apply)
     return store.history()
+
+
+_SPACK_CAP, _SPACK_SHARDS = 256, 8
+
+
+@query(
+    "q84_stream_packing",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, doc_id % {_SPACK_SHARDS} AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+     r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn FROM d),
+     p AS (
+       SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin_id, tok AS acc
+       FROM r WHERE rn = 1
+       UNION ALL
+       SELECT r.shard, r.rn, r.doc_id, r.tok,
+              CASE WHEN p.acc + r.tok > {_SPACK_CAP} THEN p.bin_id + 1
+                   ELSE p.bin_id END,
+              CASE WHEN p.acc + r.tok > {_SPACK_CAP} THEN r.tok
+                   ELSE p.acc + r.tok END
+       FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+    SELECT doc_id, shard, bin_id, tok FROM p
+    """,
+    tags=("streaming", "stateful", "llm", "pack"),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING sequence packing: the q59 sharded next-fit packer as a
+    custom stateful operator (applyInPandasWithState). Per-shard state is
+    the open bin's (bin_id, acc) — O(1), carried across micro-batches;
+    each arriving doc either extends the open bin or starts the next one,
+    and every row is emitted with its final assignment immediately
+    (append mode — assignments never revise). The replay delivers
+    documents in three id-ordered files, satisfying the per-shard
+    monotonic-arrival contract under which streaming assignment ==
+    batch `pack_next_fit` == the recursive-CTE oracle, all verified by
+    one hash. The 100 TB stream shape: state per shard is two longs no
+    matter how many documents flow through."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.replay import (
+        DOCS_SIZED_DDL,
+        documents_sized_replay_dir,
+        read_replay_stream,
+        run_to_memory,
+    )
+
+    replay = documents_sized_replay_dir(spark, sf)
+    docs = read_replay_stream(spark, replay, DOCS_SIZED_DDL)
+    shards = _SPACK_SHARDS
+    cap = _SPACK_CAP
+
+    def pack_shard(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        bin_id, acc = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            bins = []
+            for tok in pdf["tok"]:
+                tok = int(tok)
+                if acc > 0 and acc + tok > cap:
+                    bin_id += 1
+                    acc = 0
+                acc += tok
+                bins.append(bin_id)
+            pdf = pdf.assign(shard=key[0], bin_id=pd.Series(bins, dtype="int64").values)
+            out.append(pdf[["doc_id", "shard", "bin_id", "tok"]])
+        state.update((bin_id, acc))
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=["doc_id", "shard", "bin_id", "tok"]
+        )
+
+    import pandas as pd  # noqa: F401  (bound into the closure above)
+
+    assigned = (
+        docs.withColumn("shard", F.pmod("doc_id", F.lit(shards)).cast("bigint"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            pack_shard,
+            outputStructType="doc_id long, shard long, bin_id long, tok long",
+            stateStructType="bin_id long, acc long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # 8 shard groups don't need 32 state stores per micro-batch (see q65)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_to_memory(assigned, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

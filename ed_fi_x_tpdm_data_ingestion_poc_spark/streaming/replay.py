@@ -129,6 +129,34 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, *, layout: str = "single
     return _replay_cache[key]
 
 
+DOCS_SIZED_DDL = "doc_id long, tok long"
+
+
+def documents_sized_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay directory for (doc_id, tok) over the documents table, split
+    into three doc_id-ordered files. Because the split respects id order,
+    every downstream per-shard consumer (shard = doc_id % n) sees its ids
+    monotonically increasing ACROSS micro-batches — the arrival contract
+    a streaming packer needs to reproduce the batch next-fit assignment."""
+    key = (sf_dir, "docs_sized_thirds")
+    if key in _replay_cache:
+        return _replay_cache[key]
+
+    from ..operators.text import token_count
+    from ..tables import table
+
+    pdf = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").cast("long").alias("tok"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n = len(pdf)
+    chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+    _replay_cache[key] = write_replay_dir(chunks)
+    return _replay_cache[key]
+
+
 def read_replay_stream(
     spark: SparkSession, replay_dir: str, ddl: str = EVENTS_DDL, *, files_per_trigger: int = 1
 ) -> DataFrame:

@@ -247,3 +247,33 @@ def test_bench_json_line_fits_driver_tail():
         separators=(",", ":"),
     )
     assert len(line) <= 1800, len(line)
+
+
+def test_stream_packing_matches_batch(spark, sf_dir):
+    """q84's streaming next-fit (state carried across micro-batches) must
+    reproduce the batch pack_next_fit assignment exactly under the
+    id-ordered replay contract."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import token_count
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.streaming_q import (
+        _SPACK_CAP,
+        _SPACK_SHARDS,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    streamed = all_queries()["q84_stream_packing"].build(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["shard"], r["bin_id"], r["tok"])
+        for r in streamed.collect()
+    }
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("tok")
+    )
+    batch = pack_next_fit(
+        d, "doc_id", "tok", capacity=_SPACK_CAP, num_shards=_SPACK_SHARDS
+    )
+    want = {
+        (r["doc_id"], r["shard"], r["bin_id"], r["tok"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == d.count()
