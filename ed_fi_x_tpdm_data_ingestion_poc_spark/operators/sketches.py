@@ -1,0 +1,158 @@
+"""Mergeable-sketch operators: HLL sketch tables/rollups and a portable
+Bloom filter with JVM-side probes.
+
+The 100 TB pattern both implement: scan the corpus ONCE into a fixed-size
+summary (KBs per group), persist it, and answer later questions by MERGING
+or PROBING the summary — never by re-scanning the corpus.
+
+* HLL sketch table: per-group ``hll_sketch_agg`` binaries (Spark's
+  HllSketch, Apache DataSketches). A nightly job materializes sketches at
+  the finest grain; any coarser rollup is ``hll_union_agg`` over the
+  sketch table — bytes in, bytes out, no base-table scan. Map-side partial
+  aggregation means the shuffle moves one ~2^lgk-byte buffer per group per
+  partition, not the raw keys.
+
+* Bloom membership: Spark 4 does not expose ``bloom_filter_agg`` in the
+  SQL registry (it is an internal runtime-filter expression), so this is a
+  from-scratch split-Bloom-filter: bits are built driver-side from the
+  (small, broadcastable — same assumption q75's decontamination join
+  makes) reference set's xxhash64 values, embedded as an array<bigint>
+  literal, and PROBED with pure JVM expressions (double hashing
+  ``g_i = h1 + i*h2 mod m``, shiftright/& bit tests). The probe is
+  map-only: no join, no shuffle, no Python — strictly cheaper than the
+  broadcast-join decontamination path when only the verdict (keep/drop)
+  is needed. False negatives are impossible by construction (a LAW the
+  tests pin); false-positive rate is the classic (1-e^{-kn/m})^k.
+
+No analog in the reference (SisConnectorService.java synchronizes
+documents row-at-a-time and keeps exact HashMaps); brief-mandated
+beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HLL sketch tables
+
+
+def hll_sketch_table(
+    df: DataFrame, group_cols: list[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """Materialize the finest-grain distinct-count sketch table:
+    one linear scan, one shuffle on ``group_cols`` (map-side partials),
+    one ~2^lgk-byte binary per group in column ``<col>_hll``."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias(f"{col}_hll")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str,
+    out: str = "distinct_est",
+) -> DataFrame:
+    """Roll a sketch table up to a coarser grain by MERGING sketches —
+    the base table is never touched. Union is lossless over the sketched
+    SET (no re-scan error accrues), though the merged estimate can differ
+    from a direct coarse-grain ``hll_sketch_agg`` by well under the
+    sketch's error bound (union may switch internal representation)."""
+    est = F.hll_sketch_estimate(F.hll_union_agg(sketch_col))
+    if not group_cols:
+        return sketches.agg(est.alias(out))
+    return sketches.groupBy(*group_cols).agg(est.alias(out))
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (JVM probe)
+
+_MASK64 = (1 << 64) - 1
+
+
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for ``n_items`` at target ``fpp``. m is rounded
+    UP to a power of two: with m | 2^64, the probe's signed ``pmod`` and
+    the build's uint64 ``%`` reduce the same two's-complement bit pattern
+    to the same index — the power-of-two is what makes the JVM/numpy hash
+    arithmetic agree, not just an addressing trick. Rounding up only
+    lowers the realized fpp."""
+    n = max(1, n_items)
+    m_opt = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = 1 << (m_opt - 1).bit_length()
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _probe_hashes(col: Column) -> tuple[Column, Column]:
+    """The (h1, h2) double-hash pair for double hashing. Seeds differ by
+    hashing the value alone vs. with a salt literal; both are plain JVM
+    xxhash64 so build and probe agree bit-for-bit."""
+    return F.xxhash64(col), F.xxhash64(col, F.lit("bloom-h2"))
+
+
+def build_bloom(values_df: DataFrame, col: str, fpp: float = 0.01) -> dict:
+    """Build the bit array driver-side from a SMALL reference set (eval
+    benchmarks, blocklists — broadcast-sized by definition). Hashing runs
+    distributed in the JVM; only the (h1, h2) pairs are collected. Returns
+    {"words": list[int] signed 64-bit, "m": bits, "k": probes, "n": items}.
+
+    Sizing guard: at fpp=1e-2 the literal is ~1.2 KiB per 1k items; a 1M-item
+    reference set (~1.2 MiB plan literal) is still fine, far beyond any eval
+    benchmark. Corpus-sized sets belong in dedup/LSH, not a driver bloom.
+    """
+    h1c, h2c = _probe_hashes(F.col(col))
+    pairs = (
+        values_df.select(F.col(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .select(h1c.alias("h1"), h2c.alias("h2"))
+        .collect()
+    )
+    m, k = bloom_params(len(pairs), fpp)
+    words = [0] * (m // 64)
+    for r in pairs:
+        # reduce mod m BEFORE combining: with m a power of two the
+        # double-hash index (h1 + i*h2) mod m equals
+        # (h1 mod m + i*(h2 mod m)) mod m, and the reduced form stays
+        # below ~k*m — no 64-bit wraparound, so the JVM probe can run
+        # the identical arithmetic under ANSI overflow checking
+        h1m, h2m = (r.h1 & _MASK64) % m, (r.h2 & _MASK64) % m
+        for i in range(k):
+            idx = (h1m + i * h2m) % m
+            words[idx >> 6] |= 1 << (idx & 63)
+    # two's-complement to signed for the array<bigint> literal
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return {"words": signed, "m": m, "k": k, "n": len(pairs)}
+
+
+def bloom_might_contain(bloom: dict, col: Column) -> Column:
+    """Pure-JVM membership probe: k unrolled double-hash bit tests against
+    the array<bigint> literal. Map-only — composes into any filter/select
+    without a join or shuffle. No false negatives, ~fpp false positives.
+
+    The mod arithmetic matches the build exactly: JVM signed-long
+    add/multiply wraps to the same bit pattern as the build's uint64 wrap,
+    and because m is a power of two (m | 2^64), ``pmod(signed, m)`` and
+    the build's ``uint64 % m`` select the same low bits."""
+    words = F.lit(bloom["words"])
+    m, k = bloom["m"], bloom["k"]
+    h1, h2 = _probe_hashes(col)
+    # reduced double hashing (see build_bloom): pmod(signed, m) selects the
+    # same low bits as the build's uint64 % m because m | 2^64, and the
+    # combined value stays < k*m — ANSI-safe, no overflow
+    h1m = F.pmod(h1, F.lit(m).cast("bigint"))
+    h2m = F.pmod(h2, F.lit(m).cast("bigint"))
+    cond = F.lit(True)
+    for i in range(k):
+        idx = F.pmod(h1m + F.lit(i) * h2m, F.lit(m).cast("bigint"))
+        word = F.element_at(words, (idx / 64).cast("int") + 1)
+        # getbit, not shiftright: PySpark's shiftright only takes a Python
+        # int shift amount; getbit takes a Column position (range [0,64)
+        # on a bigint operand, sign bit included)
+        cond = cond & (F.getbit(word, F.pmod(idx, F.lit(64))) == 1)
+    return cond

@@ -107,5 +107,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import curation_q  # noqa: F401
     from . import training_q  # noqa: F401
     from . import quality_q  # noqa: F401
+    from . import sketch_q  # noqa: F401
 
     return dict(QUERIES)

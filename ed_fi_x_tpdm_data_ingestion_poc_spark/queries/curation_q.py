@@ -424,3 +424,115 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "q91_shard_export",
+    oracle="""
+    WITH s AS (SELECT *, ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+               FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment: the engine-portable
+    multiplicative hash (same arithmetic as _uniform01) buckets every doc
+    into one of 16 shards — the global pseudo-shuffle ahead of a sharded
+    training-data export, so shard membership is reproducible across runs
+    and engines (vs. repartition(), whose assignment is plan-dependent).
+    The query emits the per-shard manifest (doc count, byte mass, source
+    spread, id range) that a writer would log; the actual parquet write
+    (df.repartition('shard').write.partitionBy('shard') with
+    maxRecordsPerFile) is exercised in tests — at 100 TB each shard lands
+    as its own partition directory, written in parallel, no driver
+    choke point. ORDER BY shard is semantic: the manifest is the output."""
+    d = table(spark, sf, "documents")
+    shard = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(16),
+    )
+    return (
+        d.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SEG = 16
+
+
+@query(
+    "q92_segment_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         w AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), {_SEG})) AS start FROM t),
+         s AS (SELECT doc_id,
+                      md5(array_to_string(toks[start+1:start+{_SEG}], ' '))
+                        AS seg
+               FROM w WHERE len(toks[start+1:start+{_SEG}]) = {_SEG}),
+         c AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY seg)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_seg,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_frac
+    FROM s JOIN c USING (seg)
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document (segment-level) dedup: CCNet-style granularity one
+    level below q50a's whole-document hash. Docs split into non-
+    overlapping 16-token segments (full segments only — trailing
+    fragments are mostly stopword-heavy noise); a segment occurring under
+    more than one (doc, position) anywhere in the corpus is duplicated,
+    and each doc reports its duplicated-segment fraction — the signal
+    used to strip boilerplate that survives document-level dedup. Plan:
+    explode is map-side; ONE shuffle on the segment hash builds the
+    occurrence counts; the count joins back on the same key (AQE turns it
+    into a co-partitioned join, no third shuffle of the big side); per-doc
+    agg shuffles on doc_id. All hashing/slicing is JVM expressions."""
+    from ..operators.text import tokens
+
+    d = table(spark, sf, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    w = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)),
+                       F.lit(_SEG))
+        ).alias("start"),
+    )
+    seg_col = F.slice("toks", F.col("start") + 1, _SEG)
+    s = w.select(
+        "doc_id", F.md5(F.concat_ws(" ", seg_col)).alias("seg"),
+        F.size(seg_col).alias("n_tok"),
+    ).filter(F.col("n_tok") == _SEG).drop("n_tok")
+    c = s.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        s.join(c, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum((F.col("n") > 1).cast("int")).alias("dup_seg"),
+            F.round(
+                F.sum((F.col("n") > 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

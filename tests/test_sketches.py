@@ -1,0 +1,145 @@
+"""Sketch operators: HLL sketch-table rollups, portable Bloom filter,
+shard export write path, segment-level dedup semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+    bloom_might_contain,
+    bloom_params,
+    build_bloom,
+    hll_rollup,
+    hll_sketch_table,
+)
+
+
+def test_bloom_params_power_of_two():
+    for n, fpp in [(1, 0.01), (100, 0.01), (5000, 0.001), (10, 0.5)]:
+        m, k = bloom_params(n, fpp)
+        assert m >= 64 and (m & (m - 1)) == 0, (n, fpp, m)
+        assert k >= 1
+
+
+def test_bloom_no_false_negatives(spark):
+    """The law: every inserted value must probe positive."""
+    members = spark.range(500).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("s")
+    )
+    bloom = build_bloom(members, "s", fpp=0.01)
+    hits = members.select(
+        bloom_might_contain(bloom, F.col("s")).alias("hit")
+    ).agg(F.sum(F.col("hit").cast("int")).alias("n")).collect()[0]
+    assert hits.n == 500
+
+
+def test_bloom_fpr_within_bound(spark):
+    """Disjoint probes flag at ~fpp; allow 5x slack for sample variance."""
+    members = spark.range(2000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("s")
+    )
+    bloom = build_bloom(members, "s", fpp=0.01)
+    out = spark.range(20000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("s")
+    )
+    fpr = out.select(
+        bloom_might_contain(bloom, F.col("s")).cast("int").alias("hit")
+    ).agg(F.avg("hit").alias("fpr")).collect()[0].fpr
+    assert fpr <= 0.05, fpr
+
+
+def test_bloom_probe_plan_is_map_only(spark):
+    """The probe must compose as a pure projection: no join, no exchange,
+    no Python — that is the whole point vs. the broadcast-join path."""
+    members = spark.range(100).select(F.col("id").cast("string").alias("s"))
+    bloom = build_bloom(members, "s", fpp=0.01)
+    probe = spark.range(1000).select(
+        F.col("id").cast("string").alias("s")
+    ).select(bloom_might_contain(bloom, F.col("s")).alias("hit"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in probe plan:\n{plan}"
+
+
+def test_hll_rollup_matches_direct_sketch(spark):
+    """Merging fine-grain sketches must agree with sketching the coarse
+    grain directly to well under the sketch's own error bound (union can
+    change the internal representation mode, so bit-exact equality does
+    not hold), and land within 5% of the true distinct count."""
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 40).alias("sub"),
+        (F.col("id") % 7000).alias("v"),
+    )
+    fine = hll_sketch_table(df, ["g", "sub"], "v", lgk=14)
+    rolled = hll_rollup(fine, ["g"], "v_hll", out="est")
+    direct = df.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(14))).alias("direct")
+    )
+    exact = df.groupBy("g").agg(F.count_distinct("v").alias("exact"))
+    rows = rolled.join(direct, "g").join(exact, "g").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r.est - r.direct) / r.direct <= 0.01, (r.g, r.est, r.direct)
+        assert abs(r.est - r.exact) / r.exact <= 0.05
+
+
+def test_hll_global_rollup(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    fine = hll_sketch_table(df, ["g"], "v", lgk=14)
+    est = hll_rollup(fine, [], "v_hll", out="est").collect()[0].est
+    assert abs(est - 5000) / 5000 <= 0.05
+
+
+def test_shard_export_write_path(spark, sf_dir, tmp_path):
+    """q91's write half: partitionBy('shard') parquet export — every doc
+    lands in exactly one shard dir and the round-trip preserves rows."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(16),
+    )
+    out = str(tmp_path / "shards")
+    (
+        d.withColumn("shard", shard)
+        .repartition("shard")
+        .write.option("maxRecordsPerFile", 1000)
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    n_shards = back.select("shard").distinct().count()
+    manifest = all_queries()["q91_shard_export"].build(spark, sf_dir)
+    assert manifest.count() == n_shards
+
+
+def test_segment_dedup_plants_duplicate(spark, tmp_path):
+    """A doc duplicated verbatim must report dup_frac 1.0 on all its full
+    segments; a unique doc with unique words reports 0.0."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    text_dup = " ".join(f"w{i % 17}" for i in range(48))
+    text_uni = " ".join(f"unique{i}" for i in range(48))
+    df = spark.createDataFrame(
+        [
+            (1, text_dup, "en", "a", len(text_dup)),
+            (2, text_dup, "en", "a", len(text_dup)),
+            (3, text_uni, "en", "a", len(text_uni)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    spec = all_queries()["q92_segment_dedup"]
+    rows = {
+        r.doc_id: r for r in spec.build(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
+    assert rows[3].dup_frac == 0.0
+    assert rows[1].n_seg == 3  # 48 tokens -> 3 full 16-token segments
