@@ -84,7 +84,11 @@ def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     n = max(1, n_items)
     m_opt = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     m = 1 << (m_opt - 1).bit_length()
-    k = max(1, int(round(m / n * math.log(2))))
+    # k from the TARGET fpp, not from the rounded-up m: recomputing
+    # k = m/n ln2 after the power-of-two round-up inflates the probe count
+    # (and probe cost is k JVM expressions per row) for a marginal fpp
+    # gain; k = -log2(fpp) hits the target and the larger m only helps.
+    k = max(1, round(-math.log2(fpp)))
     return m, k
 
 

@@ -365,6 +365,78 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+@query(
+    "q93_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    comp AS (SELECT n AS node, MIN(lbl) AS cluster FROM reach GROUP BY n),
+    memb AS (SELECT c.cluster, c.node, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.node),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY n_chars DESC, node ASC) AS rn
+               FROM memb)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz,
+           MAX(CASE WHEN rn = 1 THEN node END) AS survivor,
+           CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END)
+                AS BIGINT) AS chars_dropped
+    FROM ranked GROUP BY cluster
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor selection — the step after clustering that materializes
+    the KEPT corpus: within each near-dup cluster keep the longest member
+    (ties -> smallest doc_id), the policy real curation pipelines use so
+    truncated mirrors lose to the fullest copy (q70's min-id survivor is
+    the cheap default; this is the quality-aware one). Emits the per-
+    cluster manifest (size, survivor, chars dropped); the kept corpus is
+    then one broadcast anti-join of losers against the full table. Plan:
+    the cluster map covers only docs that HAVE a near-dup partner (a tiny
+    fraction of any real corpus), so it broadcasts; the documents side
+    never shuffles. Survivor choice is one max_by-style struct aggregate,
+    no window over the corpus."""
+    from ..operators.graph import dup_clusters
+
+    pairs = _exact_pairs(spark, sf).select("ida", "idb")
+    clusters = dup_clusters(pairs).select("node", "cluster")
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    memb = d.join(
+        F.broadcast(clusters), d.doc_id == clusters.node
+    ).select("cluster", "node", "n_chars")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("len"),
+            (-F.col("node")).alias("neg"),
+            F.col("node").alias("doc"),
+        )
+    )
+    return (
+        memb.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            best.alias("best"),
+            F.sum("n_chars").alias("tot"),
+        )
+        .select(
+            "cluster",
+            "sz",
+            F.col("best.doc").alias("survivor"),
+            (F.col("tot") - F.col("best.len")).cast("bigint").alias(
+                "chars_dropped"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------- text analysis --
 
 

@@ -79,24 +79,6 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _doc_shingles(d: DataFrame) -> DataFrame:
-    """Distinct 5-gram shingle strings per doc (q75's granularity)."""
-    from ..operators.text import tokens
-
-    t = d.select("doc_id", tokens("text").alias("toks"))
-    idx = t.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - 4, F.lit(1)))
-        ).alias("i"),
-    )
-    return idx.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice("toks", F.col("i"), 5)).alias("s"),
-    ).distinct()
-
-
 @query(
     "q90_bloom_decontam_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
@@ -105,21 +87,28 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
 def q90(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter decontamination: flag corpus docs whose 5-gram
     containment against the eval set (docs id < 20, q75's split) reaches
-    0.5, using a driver-built Bloom over the eval shingles probed with
-    pure JVM expressions. The corpus side is MAP-ONLY until its per-doc
-    aggregate — no join against the eval set, which is the plan you want
-    when the verdict (keep/drop) is all you need at 100 TB.
+    0.5, using a driver-built Bloom over the eval shingle hashes probed
+    with pure JVM expressions. Shingles come from the SAME memoized
+    64-bit shingle index q75/q50b share (one corpus shingling pass per
+    session, persisted); the corpus side is then MAP-ONLY until its
+    per-doc aggregate — no join against the eval set, which is the plan
+    you want when the verdict (keep/drop) is all you need at 100 TB.
 
     ok=1 iff (a) zero false negatives vs the exact containment join —
     a LAW of the filter, not a tolerance — and (b) the shingle-level
     false-positive rate among shingles NOT in the eval set is within
     5x the design fpp (slack for the small-sample variance at test SF)."""
+    from ..operators.dedup import shingle_index
     from ..operators.sketches import bloom_might_contain, build_bloom
+    from .llm import _artifact
 
     d = table(spark, sf, "documents")
-    sh = _doc_shingles(d)
-    ev_sh = sh.filter(F.col("doc_id") < 20).select("s").distinct()
-    corp_sh = sh.filter(F.col("doc_id") >= 20)
+    full_idx = _artifact(
+        spark, sf, "shingle_index_k5",
+        lambda: shingle_index(d, k=5).persist(),
+    )
+    ev_sh = full_idx.filter(F.col("id") < 20).select("s").distinct()
+    corp_sh = full_idx.filter(F.col("id") >= 20)
 
     bloom = memo(
         _BLOOMS,
@@ -128,32 +117,32 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         label="bloom_eval_5gram",
     )
 
-    probed = corp_sh.select(
-        "doc_id", "s", bloom_might_contain(bloom, F.col("s")).alias("hit")
+    # Production path: the probe column alone — map-only, no eval join
+    # (tests/test_sketches.py pins that plan). Verification fuses the
+    # bloom fraction and the exact fraction into ONE pass over the index
+    # joined against the broadcast eval marks, then checks the law
+    # per doc: exact >= θ must imply bloom >= θ.
+    hit = bloom_might_contain(bloom, F.col("s")).cast("int")
+    ev_mark = F.broadcast(ev_sh.withColumn("in_eval", F.lit(1)))
+    marked = corp_sh.join(ev_mark, "s", "left")
+    inev = F.coalesce("in_eval", F.lit(0))
+    per_doc = marked.groupBy("id").agg(
+        (F.sum(hit) / F.count("*")).alias("hit_frac"),
+        (F.sum(inev) / F.count("*")).alias("c"),
+        F.sum(hit * (1 - inev)).alias("fp_occ"),
+        F.sum(1 - inev).alias("neg_occ"),
     )
-    per_doc = probed.groupBy("doc_id").agg(
-        (F.sum(F.col("hit").cast("int")) / F.count("*")).alias("hit_frac")
-    )
-    flagged = per_doc.filter(F.col("hit_frac") >= 0.5).select("doc_id")
-
-    # exact side (verification only): containment against the eval union
-    exact_frac = (
-        corp_sh.join(ev_sh.withColumn("in_eval", F.lit(1)), "s", "left")
-        .groupBy("doc_id")
-        .agg((F.sum(F.coalesce("in_eval", F.lit(0))) / F.count("*")).alias("c"))
-    )
-    exact_flagged = exact_frac.filter(F.col("c") >= 0.5).select("doc_id")
-    fn = exact_flagged.join(flagged, "doc_id", "left_anti").count()
-
-    # shingle-level FPR among true negatives
-    truth = corp_sh.join(
-        ev_sh.withColumn("in_eval", F.lit(1)), "s", "left"
-    ).select("s", F.coalesce("in_eval", F.lit(0)).alias("in_eval"))
-    neg = truth.filter(F.col("in_eval") == 0).select("s").distinct()
-    fpr_row = neg.select(
-        bloom_might_contain(bloom, F.col("s")).cast("int").alias("hit")
-    ).agg(F.avg("hit").alias("fpr")).collect()[0]
-    fpr_ok = (fpr_row.fpr or 0.0) <= 5 * _FPP
+    # one verification job: false-negative docs (the law) + occurrence-
+    # weighted FPR among non-eval shingle occurrences (shingles here are
+    # near-unique, so occurrence weighting ~= distinct-shingle FPR and
+    # saves the extra distinct+probe pass)
+    v = per_doc.agg(
+        F.sum(
+            ((F.col("c") >= 0.5) & (F.col("hit_frac") < 0.5)).cast("int")
+        ).alias("fn"),
+        (F.sum("fp_occ") / F.sum("neg_occ")).alias("fpr"),
+    ).collect()[0]
+    fn, fpr_ok = v.fn, (v.fpr or 0.0) <= 5 * _FPP
 
     from . import ok_flag
 
