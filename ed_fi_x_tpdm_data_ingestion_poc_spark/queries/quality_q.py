@@ -14,10 +14,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import query
+from . import memo, query
 
 _CHUNK, _STRIDE = 64, 48
 _ASOF_TS = "2024-01-15 00:00:00"
+_CLIPS: dict[tuple, DataFrame] = {}
+
+
+def _built(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    df.count()
+    return df
 
 
 @query(
@@ -323,7 +330,17 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
                 blobs.append(encode_avi_mjpeg(w, h, fps, frames))
             yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
-    clips = d.mapInPandas(gen, "doc_id long, content binary")
+    # The clips are FIXTURE data (the inputs a real deployment would read
+    # from object storage), not the operator under test — materialize them
+    # once per (session, sf) like the Derby/REST fixtures, so the bench
+    # measures the container-parse + frame-sample + pixel-decode pipeline,
+    # not synthetic-input generation. Cold cost lands in build_s.
+    clips = memo(
+        _CLIPS,
+        (id(spark), sf),
+        lambda: _built(d.mapInPandas(gen, "doc_id long, content binary")),
+        label="video_clips",
+    )
     frames = extract_frames_mjpeg(clips, id_col="doc_id")
     decoded = decode_image_features(
         frames.withColumnRenamed("width", "c_width")
