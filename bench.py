@@ -107,11 +107,17 @@ def main() -> None:
     # per-query medians no longer carry once the artifact is warm.
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import BUILD_TIMES
 
+    # keep the line inside the driver tail window: sub-50ms artifact
+    # builds carry no regression signal worth their bytes
     print(
         json.dumps(
             {
                 "queries": short,
-                "build_s": {k: round(v, 2) for k, v in sorted(BUILD_TIMES.items())},
+                "build_s": {
+                    k: round(v, 2)
+                    for k, v in sorted(BUILD_TIMES.items())
+                    if v >= 0.05
+                },
                 "metric": "declared_query_suite_total_wall_clock",
                 "value": round(sorted(walls)[1], 3),
                 "unit": "sec",

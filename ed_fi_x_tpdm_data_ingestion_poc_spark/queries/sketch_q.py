@@ -1,5 +1,5 @@
-"""Mergeable-sketch queries (q89–q90): HLL sketch-table rollups and a
-map-only Bloom decontamination pass.
+"""Mergeable-sketch queries (q89, q90, q94): HLL sketch-table rollups
+and map-only Bloom decontamination, batch and streaming.
 
 The scale story both pin: at 100 TB you cannot afford a second scan, so
 the engine materializes fixed-size summaries once and answers follow-ups
@@ -17,6 +17,13 @@ q90 bloom decontam  : eval-set 5-gram shingles -> driver-built power-of-
                       verified against the exact containment join: zero
                       false negatives (a law) and observed shingle-level
                       false-positive rate within the design bound.
+
+q94 stream decontam : the same Bloom verdict as a STATELESS streaming
+                      filter (probe inside an F.filter lambda over the
+                      per-row shingle array) on a documents replay
+                      stream — no watermark, no state store, no join;
+                      append rows checked exactly equal to the batch
+                      evaluation of the same expression.
 
 Sketch internals differ across engines, so — like q20/q68/q69 — the
 hashed result is the verified tolerance/law flag itself (DuckDB twin:
@@ -147,3 +154,102 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, fn == 0 and fpr_ok)
+
+
+_REPLAYS: dict[tuple, str] = {}
+_DOC_DDL = "doc_id long, text string"
+
+
+def _docs_replay_dir(spark: SparkSession, sf: str) -> str:
+    """Three doc_id-ordered parquet arrival slots over (doc_id, text) —
+    the micro-batch fixture for the streaming decontamination query."""
+    from ..streaming.replay import write_replay_dir
+
+    d = table(spark, sf, "documents")
+    pdf = d.select("doc_id", "text").orderBy("doc_id").toPandas()
+    n = len(pdf)
+    chunks = [
+        pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3],
+        pdf.iloc[2 * n // 3 :],
+    ]
+    return write_replay_dir(chunks)
+
+
+def _shingle_arr(toks) -> "F.Column":
+    """Distinct 5-gram shingle strings per row as an array column — pure
+    JVM higher-order expressions, usable on a stream (no Python)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        )
+    )
+
+
+@query(
+    "q94_stream_decontam_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("streaming", "llm", "sketch"),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """STATELESS streaming decontamination: q90's Bloom verdict applied to
+    a documents replay stream. Per row: shingle array (JVM higher-order
+    exprs) -> F.filter with the bloom probe inside the lambda -> hit
+    fraction -> keep/drop flag. No watermark, no state store, no join —
+    the filter composes into any ingest stream at zero marginal shuffle,
+    which is how eval decontamination runs on a live 100 TB ingest
+    (the Bloom literal rides along in each micro-batch's plan; rebuild
+    the bloom and restart the stream when the eval set changes).
+
+    ok=1 iff the streamed per-doc flags EXACTLY equal the same expression
+    evaluated in batch over the same table (append-mode rows are
+    compared as sets keyed by doc_id)."""
+    from ..operators.sketches import bloom_might_contain, build_bloom
+    from ..operators.text import tokens
+    from ..streaming.replay import read_replay_stream, run_to_memory
+
+    d = table(spark, sf, "documents")
+    ev_sh = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(_shingle_arr(tokens("text"))).alias("s"))
+        .distinct()
+    )
+    bloom = memo(
+        _BLOOMS,
+        (id(spark), sf, "str"),
+        lambda: build_bloom(ev_sh, "s", fpp=_FPP),
+        label="bloom_eval_str",
+    )
+
+    def verdict(df: DataFrame) -> DataFrame:
+        sh = _shingle_arr(tokens("text"))
+        hits = F.size(
+            F.filter(sh, lambda s: bloom_might_contain(bloom, s))
+        )
+        return df.filter(F.col("doc_id") >= 20).select(
+            "doc_id",
+            ((hits / F.size(sh)) >= 0.5).cast("int").alias("drop"),
+        )
+
+    replay = memo(
+        _REPLAYS, (sf,), lambda: _docs_replay_dir(spark, sf),
+        label="docs_replay",
+    )
+    streamed = run_to_memory(
+        verdict(read_replay_stream(spark, replay, _DOC_DDL)),
+        output_mode="append",
+    )
+    batch = verdict(d)
+    mismatches = (
+        streamed.join(batch, "doc_id", "full")
+        .filter(
+            streamed["drop"].isNull()
+            | batch["drop"].isNull()
+            | (streamed["drop"] != batch["drop"])
+        )
+        .count()
+    )
+
+    from . import ok_flag
+
+    return ok_flag(spark, mismatches == 0)

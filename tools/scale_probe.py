@@ -63,6 +63,47 @@ def main() -> None:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.packing import (
         pack_next_fit,
     )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        bloom_might_contain,
+        build_bloom,
+        hll_sketch_table,
+    )
+
+    def _bloom_count(d):
+        ev = (
+            d.filter(F.col("doc_id") % 1000 == 0)
+            .select(F.explode(F.split("text", " ")).alias("s"))
+            .distinct()
+        )
+        bloom = build_bloom(ev, "s", fpp=0.01)
+        return (
+            d.select(F.explode(F.split("text", " ")).alias("s"))
+            .filter(bloom_might_contain(bloom, F.col("s")))
+            .count()
+        )
+
+    def _segment_dup_count(d):
+        toks = F.split("text", " ")
+        w = d.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                    F.lit(16),
+                )
+            ).alias("start"),
+        )
+        seg = F.md5(F.concat_ws(" ", F.slice("toks", F.col("start") + 1, 16)))
+        segs = w.select(seg.alias("seg"))
+        return (
+            segs.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
 
@@ -183,6 +224,24 @@ def main() -> None:
             ).count(),
             docs,
             docs_big,
+        ),
+        "bloom_probe": (  # map-only probe: k getbit tests per row
+            lambda d: _bloom_count(d),
+            docs,
+            docs_big,
+        ),
+        "segment_dedup": (  # one shuffle on the 16-token segment hash
+            lambda d: _segment_dup_count(d),
+            docs,
+            docs_big,
+        ),
+        "hll_sketch": (  # sketch-table build: map-side partials
+            lambda e: hll_sketch_table(
+                e.select((F.col("event_id") % 97).alias("g"), "user_id"),
+                ["g"], "user_id", lgk=14,
+            ).count(),
+            events,
+            events_big,
         ),
     }
     for name, (fn, base, big) in probes.items():
