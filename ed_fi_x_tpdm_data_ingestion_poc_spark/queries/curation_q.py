@@ -536,3 +536,43 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "q97_orc_roundtrip",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("formats", "sink"),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink/source round-trip (q81's JSONL twin for the other
+    columnar ecosystem): write documents as ORC, read back, self-verify
+    count + order-insensitive digest-sum over all fields. Exercises the
+    second native columnar format end-to-end — predicate pushdown and
+    column pruning ride the same Catalyst scan machinery as parquet."""
+    import tempfile
+
+    from .llm import _artifact
+
+    d = table(spark, sf, "documents")
+
+    def _write():
+        out = tempfile.mkdtemp(prefix="orc_rt_")
+        d.coalesce(4).write.mode("overwrite").orc(out)
+        return out
+
+    path = _artifact(spark, sf, "orc_dir", _write)
+    back = spark.read.orc(path)
+
+    def digest(df: DataFrame):
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "text", "lang", "source", "n_chars").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+        )
+
+    a = digest(d).collect()[0]
+    b = digest(back).collect()[0]
+    return ok_flag(spark, a["n"] == b["n"] and a["h"] == b["h"])

@@ -247,3 +247,41 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
         codes, descriptors, code_col="code", out_col="uri"
     )
     return out.select("code", "uri")
+
+
+@query(
+    "q95_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    ONCE into the binary variant encoding, then typed variant_get
+    extractions feed the aggregate — the engine answer to ad-hoc JSON at
+    scale (qz39's get_json_object re-parses the string per path; variant
+    parses once and its columnar/shredded form keeps extraction cheap
+    when many paths read the same cell). Typed NULL-safe extraction via
+    try_variant_get."""
+    e = table(spark, sf, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -253,3 +253,56 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, mismatches == 0)
+
+
+@query(
+    "q96_hll_incremental_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch", "incremental"),
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental sketch-table maintenance: the nightly contract that a
+    new day's partition updates the distinct-count summary WITHOUT
+    re-scanning history. Split events at the median day; build the
+    per-event_type sketch table over the OLD days (the stored artifact),
+    sketch ONLY the new days' rows, and merge the two sketch tables with
+    hll_union_agg. ok=1 iff the merged estimate per type is (a) within
+    1% of a from-scratch single-pass sketch over all rows (union is
+    lossless over sketch state; only representation-mode wobble remains)
+    and (b) within 5% of the exact distinct count."""
+    from ..operators.sketches import hll_rollup, hll_sketch_table
+
+    e = table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    split = e.agg(
+        F.expr("percentile_approx(unix_date(day), 0.5, 1000)").alias("m")
+    ).collect()[0].m
+    old = e.filter(F.unix_date("day") <= F.lit(split))
+    new = e.filter(F.unix_date("day") > F.lit(split))
+
+    stored = hll_sketch_table(old, ["event_type"], "user_id", lgk=14)
+    fresh = hll_sketch_table(new, ["event_type"], "user_id", lgk=14)
+    merged = hll_rollup(
+        stored.unionByName(fresh), ["event_type"], "user_id_hll", out="inc"
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("full"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .agg(
+            F.min(
+                ((F.abs(F.col("inc") - F.col("full")) / F.col("full")) <= 0.01)
+                & (
+                    (F.abs(F.col("inc") - F.col("exact")) / F.col("exact"))
+                    <= 0.05
+                )
+            )
+            .cast("int")
+            .alias("ok")
+        )
+    )
