@@ -73,7 +73,7 @@ def _stub_server():
     def build():
         from ..testing.rest_stub import StubRestServer
 
-        rows = [{"id": i, "name": f"row-{i}"} for i in range(250)]
+        rows = [{"id": i, "name": f"row-{i}", "grp": i % 10} for i in range(250)]
         server = StubRestServer(rows, page_size_cap=100)
         server.__enter__()
         import atexit
@@ -372,3 +372,36 @@ def q49b(spark: SparkSession, sf: str) -> DataFrame:
         base, changes, keys=["key"], ts_col="ts", attr_cols=["val"],
         tiebreak=["event_id"],
     )
+
+
+@query(
+    "q98_rest_datasource",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
+           CAST(r.range % 10 AS BIGINT) AS grp
+    FROM range(250) r WHERE r.range % 10 = 3
+    """,
+    tags=("source", "rest"),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """The REST source as a first-class Spark 4 Python DataSource
+    (sources/rest_datasource.py): spark.read.format("edfi_rest") with the
+    equality predicate PUSHED DOWN into the REST query string (ref R17 as
+    real DSv2 pushdown — the stub filters server-side and reports the
+    filtered Total-Count, so only 25 rows ever cross the wire; asserted
+    against the stub's request log in tests/test_rest_datasource.py).
+    Page partitions are planned from the probed count and fetched by
+    executors, same plan as q03's read_rest."""
+    from ..sources.rest_datasource import register_rest_datasource
+
+    server = _stub_server()
+    register_rest_datasource(spark)
+    df = (
+        spark.read.format("edfi_rest")
+        .schema("id long, name string, grp long")
+        .option("base_url", server.url)
+        .option("path", "/items")
+        .option("page_size", "100")
+        .load()
+    )
+    return df.filter(F.col("grp") == 3)

@@ -1,0 +1,197 @@
+"""The paginated REST source as a Spark 4 Python DataSource —
+``spark.read.format("edfi_rest")`` with real filter pushdown.
+
+Where ``sources/rest.py::read_rest`` is a helper function, this is the
+first-class integration: the reader participates in Catalyst planning, so
+
+* equality predicates PUSH DOWN into the REST query string — the Ed-Fi
+  API's native filter surface (ref R17: equality-AND + offset/limit,
+  SURVEY.md §2.4; compiled the same way as
+  ``functions/scalars.py::equality_filter``). A pushed filter means the
+  SERVER skips the rows — at 100 TB of remote data that is the difference
+  between moving a partition and moving a table. Unsupported predicates
+  (ranges, LIKE, compound) are left to Spark and still applied — pushdown
+  is an optimization, never a semantics change;
+* pagination is planned as one InputPartition per page from the probed
+  Total-Count (same plan ``read_rest`` builds by hand), fetched in
+  parallel by executors; endpoints that report no count fall back to one
+  sequential partition — complete, just not parallel;
+* OAuth2 client-credentials + the reference's 401-refresh-retry pattern
+  run inside each partition read (TokenRetriever.java:44-73,
+  SisConnectorService.java:494-501).
+
+Executor-side note: the reader object is pickled by reference to this
+module, which reaches workers via session.ship_package (addPyFile); the
+read path itself uses only stdlib.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class _Page(InputPartition):
+    def __init__(self, offset: int | None):
+        self.offset = offset  # None -> sequential drain fallback
+
+
+class RestDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.fields = [f.name for f in schema.fields]
+        self.base_url = options["base_url"].rstrip("/")
+        self.path = options.get("path", "/").strip("/")
+        self.page_size = int(options.get("page_size", "100"))
+        self.timeout = float(options.get("timeout_sec", "30"))
+        self.total_count_header = options.get(
+            "total_count_header", "total-count"
+        ).lower()
+        self.auth = None
+        if "token_url" in options:
+            self.auth = (
+                options["token_url"],
+                options.get("client_id", ""),
+                options.get("client_secret", ""),
+            )
+        self.params: dict[str, str] = {}
+
+    # -- filter pushdown (R17) ----------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume top-level equality filters on scalar values as REST
+        query params; yield everything else back for Spark to apply."""
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and isinstance(f.value, (str, int, bool))
+            ):
+                v = str(f.value).lower() if isinstance(f.value, bool) else str(f.value)
+                self.params[f.attribute[0]] = v
+            else:
+                yield f
+
+    # -- http ----------------------------------------------------------
+    def _token(self) -> str | None:
+        if self.auth is None:
+            return None
+        import base64
+
+        tok_url, cid, secret = self.auth
+        basic = base64.b64encode(f"{cid}:{secret}".encode()).decode()
+        req = urllib.request.Request(
+            tok_url,
+            data=b"grant_type=client_credentials",
+            headers={
+                "Authorization": f"Basic {basic}",
+                "Content-Type": "application/x-www-form-urlencoded",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read())["access_token"]
+
+    def _get(self, url: str, token: str | None):
+        headers = {"Accept": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status, resp.read(), dict(resp.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    def _url(self, offset: int, limit: int, total_count: bool = False) -> str:
+        params = {"offset": str(offset), "limit": str(limit), **self.params}
+        if total_count:
+            params["totalCount"] = "true"
+        return (
+            f"{self.base_url}/{self.path}?" + urllib.parse.urlencode(params)
+        )
+
+    def _fetch(self, offset: int, token: str | None) -> list[dict]:
+        url = self._url(offset, self.page_size)
+        status, body, _ = self._get(url, token)
+        if status == 401 and self.auth is not None:
+            token = self._token()
+            status, body, _ = self._get(url, token)
+        if status != 200:
+            raise OSError(f"REST GET {url}: HTTP {status}: {body[:200]!r}")
+        return json.loads(body)
+
+    # -- planning + read ------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        token = self._token()
+        status, _, headers = self._get(self._url(0, 1, total_count=True), token)
+        total = None
+        if status == 200:
+            for k, v in headers.items():
+                if k.lower() == self.total_count_header:
+                    total = int(v)
+                    break
+        if total is None:
+            return [_Page(None)]
+        return [
+            _Page(o) for o in range(0, max(total, 1), self.page_size)
+        ] or [_Page(0)]
+
+    def read(self, partition: _Page) -> Iterator[tuple]:
+        token = self._token()
+        if partition.offset is None:
+            offset = 0
+            while True:
+                page = self._fetch(offset, token)
+                for r in page:
+                    yield tuple(r.get(f) for f in self.fields)
+                if len(page) < self.page_size:
+                    return
+                offset += self.page_size
+        else:
+            for r in self._fetch(partition.offset, token):
+                yield tuple(r.get(f) for f in self.fields)
+
+
+class RestDataSource(DataSource):
+    """``spark.read.format("edfi_rest").schema(...).option(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "edfi_rest"
+
+    def schema(self) -> str:
+        # REST payloads carry no schema; require an explicit one (schema
+        # inference at scale means fetching the dataset twice)
+        if "schema_ddl" in self.options:
+            return self.options["schema_ddl"]
+        raise ValueError(
+            "edfi_rest requires .schema(...) or option('schema_ddl', ...)"
+        )
+
+    def reader(self, schema: StructType) -> RestDataSourceReader:
+        return RestDataSourceReader(schema, self.options)
+
+
+def register_rest_datasource(spark) -> None:
+    """Idempotent per-session registration."""
+    try:
+        if getattr(spark, "_edfi_rest_registered", False):
+            return
+        # default-off gate for Python DSv2 pushdown; runtime-mutable
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(RestDataSource)
+        spark._edfi_rest_registered = True  # noqa: SLF001 (our own flag)
+    except Exception:
+        # already registered under this name in this session
+        spark._edfi_rest_registered = True

@@ -37,6 +37,7 @@ class StubRestServer:
         self.fail_first_with_401 = fail_first_with_401
         self.upserts: list[dict] = []
         self.deletes: list[str] = []
+        self.get_requests: list[str] = []  # raw query strings, for pushdown asserts
         self.updates: list[tuple[str, dict]] = []
         # resource store for etag semantics (R20): id -> (doc, etag version)
         self.store: dict[str, tuple[dict, int]] = {}
@@ -138,15 +139,25 @@ class StubRestServer:
                     )
                     return
                 qs = urllib.parse.parse_qs(parsed.query)
+                with stub._lock:
+                    stub.get_requests.append(parsed.query)
                 offset = int(qs.get("offset", ["0"])[0])
                 limit = min(
                     int(qs.get("limit", ["100"])[0]), stub.page_size_cap
                 )
-                page = stub.rows[offset : offset + limit]
+                # Ed-Fi API equality filters: any other query param matches
+                # a field by string equality (SURVEY.md §2.4 — the surface
+                # the engine's filter pushdown compiles to)
+                rows = stub.rows
+                for k, vals in qs.items():
+                    if k in ("offset", "limit", "totalCount"):
+                        continue
+                    rows = [r for r in rows if str(r.get(k)) == vals[0]]
+                page = rows[offset : offset + limit]
                 self._reply(
                     200,
                     json.dumps(page).encode(),
-                    {"Total-Count": str(len(stub.rows))},
+                    {"Total-Count": str(len(rows))},
                 )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)

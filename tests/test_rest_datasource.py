@@ -1,0 +1,90 @@
+"""Spark 4 Python DataSource REST integration: filter pushdown reaches the
+server, unsupported predicates stay correct, pagination parallelizes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.sources.rest_datasource import (
+    register_rest_datasource,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.testing.rest_stub import (
+    StubRestServer,
+)
+
+
+@pytest.fixture(scope="module")
+def stub():
+    rows = [
+        {"id": i, "name": f"row-{i}", "grp": i % 10} for i in range(250)
+    ]
+    with StubRestServer(rows, page_size_cap=100) as s:
+        yield s
+
+
+def _reader(spark, stub):
+    register_rest_datasource(spark)
+    return (
+        spark.read.format("edfi_rest")
+        .schema("id long, name string, grp long")
+        .option("base_url", stub.url)
+        .option("path", "/items")
+        .option("page_size", "100")
+        .load()
+    )
+
+
+def test_equality_filter_pushed_to_server(spark, stub):
+    """The EqualTo predicate must reach the REST query string: the stub
+    filters server-side, so every data request carries grp=3 and only the
+    25 matching rows cross the wire."""
+    stub.get_requests.clear()
+    rows = _reader(spark, stub).filter(F.col("grp") == 3).collect()
+    assert sorted(r.id for r in rows) == list(range(3, 250, 10))
+    data_reqs = [q for q in stub.get_requests if "totalCount" not in q]
+    assert data_reqs and all("grp=3" in q for q in data_reqs), data_reqs
+
+
+def test_unsupported_filter_still_correct(spark, stub):
+    """Range predicates are NOT pushed (yielded back to Spark) — results
+    must still be exact, and the request string must not mention id."""
+    stub.get_requests.clear()
+    rows = _reader(spark, stub).filter(F.col("id") < 7).collect()
+    assert sorted(r.id for r in rows) == list(range(7))
+    assert all("id=" not in q for q in stub.get_requests)
+
+
+def test_pages_planned_from_total_count(spark, stub):
+    """Unfiltered read: 250 rows at page size 100 -> 3 page partitions,
+    each fetched with its own offset."""
+    stub.get_requests.clear()
+    df = _reader(spark, stub)
+    assert df.count() == 250
+    offsets = sorted(
+        int(q.split("offset=")[1].split("&")[0])
+        for q in stub.get_requests
+        if "totalCount" not in q
+    )
+    assert offsets == [0, 100, 200]
+
+
+def test_combined_pushed_and_residual(spark, stub):
+    """grp == 7 pushes; id >= 100 stays residual — conjunction correct."""
+    rows = (
+        _reader(spark, stub)
+        .filter((F.col("grp") == 7) & (F.col("id") >= 100))
+        .collect()
+    )
+    assert sorted(r.id for r in rows) == list(range(107, 250, 10))
+
+
+def test_schema_required(spark, stub):
+    register_rest_datasource(spark)
+    with pytest.raises(Exception, match="schema"):
+        (
+            spark.read.format("edfi_rest")
+            .option("base_url", stub.url)
+            .option("path", "/items")
+            .load()
+        )
