@@ -405,3 +405,37 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         .load()
     )
     return df.filter(F.col("grp") == 3)
+
+
+@query(
+    "q99_stream_rest_source",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
+           CAST(r.range % 10 AS BIGINT) AS grp
+    FROM range(250) r
+    """,
+    tags=("streaming", "source", "rest"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """The REST endpoint as a STREAMING source
+    (sources/rest_datasource.py::RestStreamReader): micro-batches read
+    rows beyond the checkpointed offset — the Ed-Fi change-query poll
+    expressed as a Structured Streaming source instead of the reference's
+    full-snapshot re-pull (SisConnectorService.java:129-140). Bounded
+    drain (availableNow) of the 250-row stub, hash-checked against the
+    full collection; incremental-growth and restart behavior are pinned
+    in tests/test_rest_datasource.py::test_rest_stream_incremental."""
+    from ..sources.rest_datasource import register_rest_datasource
+    from ..streaming.replay import run_to_memory
+
+    server = _stub_server()
+    register_rest_datasource(spark)
+    stream = (
+        spark.readStream.format("edfi_rest")
+        .schema("id long, name string, grp long")
+        .option("base_url", server.url)
+        .option("path", "/items")
+        .option("page_size", "100")
+        .load()
+    )
+    return run_to_memory(stream, output_mode="append")

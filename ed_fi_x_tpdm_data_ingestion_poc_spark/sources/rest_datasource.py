@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -182,6 +183,9 @@ class RestDataSource(DataSource):
     def reader(self, schema: StructType) -> RestDataSourceReader:
         return RestDataSourceReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "RestStreamReader":
+        return RestStreamReader(schema, self.options)
+
 
 def register_rest_datasource(spark) -> None:
     """Idempotent per-session registration."""
@@ -195,3 +199,56 @@ def register_rest_datasource(spark) -> None:
     except Exception:
         # already registered under this name in this session
         spark._edfi_rest_registered = True
+
+
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Incremental REST polling as a streaming source: each micro-batch
+    reads the rows BEYOND the last consumed offset (the Ed-Fi change-query
+    idiom — poll a monotonically growing collection; at real scale the
+    offset would be a changeVersion watermark instead of a row offset).
+
+    SimpleDataSourceStreamReader is the right variant here: offsets are
+    dicts checkpointed by the engine, reads happen driver-side in arrival
+    order (a polling API has no parallel-scan shape within one batch), and
+    `readBetweenOffsets` replays a committed range deterministically on
+    recovery — the stub serves offset slices, so replay returns the same
+    rows and the exactly-once file-sink contract holds end to end."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.inner = RestDataSourceReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _total(self) -> int:
+        r = self.inner
+        token = r._token()
+        status, _, headers = r._get(r._url(0, 1, total_count=True), token)
+        if status != 200:
+            raise OSError(f"REST count probe failed: HTTP {status}")
+        for k, v in headers.items():
+            if k.lower() == r.total_count_header:
+                return int(v)
+        raise OSError("endpoint reports no Total-Count; cannot stream")
+
+    def _slice(self, start: int, end: int):
+        r = self.inner
+        token = r._token()
+        offset = start
+        while offset < end:
+            page = r._fetch(offset, token)
+            take = page[: end - offset]
+            for row in take:
+                yield tuple(row.get(f) for f in r.fields)
+            if len(page) < r.page_size:
+                return
+            offset += len(take)
+
+    def read(self, start: dict):
+        # rows are prefetched driver-side and PICKLED by the engine —
+        # must be a concrete list, not a generator
+        end = max(self._total(), start["offset"])
+        return list(self._slice(start["offset"], end)), {"offset": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._slice(start["offset"], end["offset"]))
