@@ -208,3 +208,48 @@ def test_scd2_no_nested_loop_single_feed_window(spark, sf_dir):
     f = audit(_build(spark, sf_dir, "qz49b_scd2_history"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
     assert f.joins >= 1
+
+
+def test_segment_dedup_single_pass_window(spark, sf_dir):
+    """q92's occurrence counts come from a partition-only window, not a
+    groupBy + join-back: the exploded segment stream is scanned ONCE, no
+    join appears, and everything stays JVM-side."""
+    f = audit(_build(spark, sf_dir, "q92_segment_dedup"))
+    assert f.joins == 0
+    assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_shard_export_jvm_only_partial_agg(spark, sf_dir):
+    """q91's shard manifest: portable-hash assignment + aggregate, all
+    JVM, with map-side combine, reading only the three needed columns."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import scan_columns
+
+    df = _build(spark, sf_dir, "q91_shard_export")
+    f = audit(df)
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert f.partial_aggs >= 1
+    cols = scan_columns(df)
+    assert cols and cols[0] == {"doc_id", "n_chars", "source"}
+
+
+def test_variant_path_is_jvm_only(spark, sf_dir):
+    """q95: parse_json/variant_get are JVM expressions — no Python node,
+    one aggregation shuffle with map-side combine."""
+    f = audit(_build(spark, sf_dir, "q95_variant_json"))
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert f.partial_aggs >= 1
+    assert f.joins == 0
+
+
+def test_hll_sketch_table_partial_agg(spark, sf_dir):
+    """Sketch tables must combine map-side: the shuffle moves one sketch
+    buffer per (group, partition), not raw keys."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        hll_sketch_table,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    e = table(spark, sf_dir, "events")
+    f = audit(hll_sketch_table(e, ["event_type"], "user_id", lgk=12))
+    assert f.partial_aggs >= 1
+    assert f.python_evals == 0 and f.arrow_evals == 0
