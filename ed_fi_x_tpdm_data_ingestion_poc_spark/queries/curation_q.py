@@ -582,3 +582,123 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     a = digest(d).collect()[0]
     b = digest(back).collect()[0]
     return ok_flag(spark, a["n"] == b["n"] and a["h"] == b["h"])
+
+
+def _q100_oracle() -> str:
+    from .llm import _PAIRS_WITH
+
+    return f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    ev AS (SELECT * FROM sh WHERE doc_id < 20),
+    corp AS (SELECT * FROM sh WHERE doc_id >= 20),
+    esz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+    commonc AS (SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+                       COUNT(*) AS inter
+                FROM ev e JOIN corp c ON e.s = c.s GROUP BY 1, 2),
+    contaminated AS (SELECT DISTINCT corpus_id AS doc_id
+                     FROM commonc JOIN esz ON eval_id = esz.doc_id
+                     WHERE inter / esz.n >= 0.5),
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    comp AS (SELECT n AS node, MIN(lbl) AS cluster FROM reach GROUP BY n),
+    ranked AS (SELECT c.cluster, c.node,
+                      ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                         ORDER BY d.n_chars DESC, c.node ASC)
+                        AS rn
+               FROM comp c JOIN documents d ON d.doc_id = c.node
+               WHERE c.node >= 20),
+    losers AS (SELECT node AS doc_id FROM ranked WHERE rn > 1),
+    kept AS (SELECT * FROM documents
+             WHERE doc_id >= 20
+               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+               AND doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT CAST(((doc_id * 2654435761) % 4294967296) % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "q100_curation_e2e",
+    oracle=_q100_oracle(),
+    tags=("llm", "curation", "dedup", "pipeline"),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation pipeline END TO END, composed from the declared
+    operators: eval-set decontamination (q75's 5-gram containment, eval
+    index broadcast) -> near-dup survivor selection (q93's keep-longest
+    policy over the materialize-once cluster map) -> deterministic shard
+    manifest of the KEPT corpus (q91's portable hash). One query a
+    training-data owner actually runs nightly; every stage reuses the
+    session's shared shingle/cluster artifacts, so the marginal cost is
+    two broadcast anti-joins and the manifest aggregate. The oracle
+    recomputes all three stages from first principles (containment CTEs +
+    recursive-CTE components + window rank + shard rollup)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import ngram_containment_pairs, shingle_index
+    from ..operators.graph import dup_clusters
+    from .llm import _artifact, _exact_pairs
+
+    d = table(spark, sf, "documents")
+    evalset = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    full_idx = _artifact(
+        spark, sf, "shingle_index_k5",
+        lambda: shingle_index(d, k=5).persist(),
+    )
+    contaminated = (
+        ngram_containment_pairs(
+            corpus, evalset, k=5, threshold=0.5,
+            corpus_index=full_idx.filter(F.col("id") >= 20),
+            eval_index=full_idx.filter(F.col("id") < 20),
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    clusters = _artifact(
+        spark, sf, "dup_cluster_map",
+        lambda: dup_clusters(
+            _exact_pairs(spark, sf).select("ida", "idb")
+        ).select("node", "cluster").persist(),
+    )
+    memb = d.join(
+        F.broadcast(clusters.filter(F.col("node") >= 20)),
+        d.doc_id == F.col("node"),
+    ).select("cluster", "node", "n_chars")
+    rn = F.row_number().over(
+        Window.partitionBy("cluster").orderBy(
+            F.desc("n_chars"), F.asc("node")
+        )
+    )
+    losers = (
+        memb.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    kept = corpus.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    ).join(F.broadcast(losers), "doc_id", "left_anti")
+    shard = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(16),
+    )
+    return (
+        kept.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
