@@ -99,7 +99,12 @@ def _probe_hashes(col: Column) -> tuple[Column, Column]:
     return F.xxhash64(col), F.xxhash64(col, F.lit("bloom-h2"))
 
 
-def build_bloom(values_df: DataFrame, col: str, fpp: float = 0.01) -> dict:
+def build_bloom(
+    values_df: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    params: tuple[int, int] | None = None,
+) -> dict:
     """Build the bit array driver-side from a SMALL reference set (eval
     benchmarks, blocklists — broadcast-sized by definition). Hashing runs
     distributed in the JVM; only the (h1, h2) pairs are collected. Returns
@@ -117,7 +122,9 @@ def build_bloom(values_df: DataFrame, col: str, fpp: float = 0.01) -> dict:
         .select(h1c.alias("h1"), h2c.alias("h2"))
         .collect()
     )
-    m, k = bloom_params(len(pairs), fpp)
+    # explicit (m, k) lets cooperating builders size every bloom for the
+    # EVENTUAL union (bloom_union requires identical params)
+    m, k = params if params is not None else bloom_params(len(pairs), fpp)
     words = [0] * (m // 64)
     for r in pairs:
         # reduce mod m BEFORE combining: with m a power of two the
@@ -160,3 +167,21 @@ def bloom_might_contain(bloom: dict, col: Column) -> Column:
         # on a bigint operand, sign bit included)
         cond = cond & (F.getbit(word, F.pmod(idx, F.lit(64))) == 1)
     return cond
+
+
+def bloom_union(a: dict, b: dict) -> dict:
+    """OR-merge two blooms built with identical (m, k): membership in
+    EITHER set — the mergeable-summary property that lets each corpus
+    partition (or each new eval benchmark) build its own bloom and a
+    reduce step combine them without touching raw data. False-negative
+    impossibility is preserved; fpp degrades gracefully with fill.
+    To plan for growth, build every bloom with bloom_params sized for the
+    eventual union (m depends only on n and fpp, not on the values)."""
+    if (a["m"], a["k"]) != (b["m"], b["k"]):
+        raise ValueError(
+            f"bloom_union needs identical (m,k): {(a['m'], a['k'])} vs "
+            f"{(b['m'], b['k'])}"
+        )
+    words = [x | y for x, y in zip(a["words"], b["words"])]
+    # re-sign: Python's | on negatives stays in int range already signed
+    return {"words": words, "m": a["m"], "k": a["k"], "n": a["n"] + b["n"]}

@@ -143,3 +143,39 @@ def test_segment_dedup_plants_duplicate(spark, tmp_path):
     assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
     assert rows[3].dup_frac == 0.0
     assert rows[1].n_seg == 3  # 48 tokens -> 3 full 16-token segments
+
+
+def test_bloom_union_mergeable(spark):
+    """Union law: bloom(A) | bloom(B) ≡ membership in A ∪ B — zero false
+    negatives for members of either side; params must match."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        bloom_params,
+        bloom_union,
+    )
+
+    pa = bloom_params(1000, 0.01)
+    a = spark.range(500).select(F.concat(F.lit("a-"), F.col("id")).alias("s"))
+    b = spark.range(500).select(F.concat(F.lit("b-"), F.col("id")).alias("s"))
+    ba = build_bloom(a, "s", params=pa)
+    bb = build_bloom(b, "s", params=pa)
+    u = bloom_union(ba, bb)
+    both = a.unionByName(b)
+    hits = both.select(
+        bloom_might_contain(u, F.col("s")).cast("int").alias("h")
+    ).agg(F.sum("h").alias("n")).collect()[0]
+    assert hits.n == 1000
+    with pytest.raises(ValueError, match="identical"):
+        bloom_union(ba, build_bloom(b, "s", fpp=0.5))
+
+
+def test_bloom_property_random_strings(spark):
+    """Property sweep (hypothesis-style deterministic corpus): arbitrary
+    unicode-ish member strings all probe positive across fpp settings."""
+    vals = [f"v{i}-é中{'x' * (i % 7)}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for fpp in (0.1, 0.01, 0.001):
+        bloom = build_bloom(df, "s", fpp=fpp)
+        n = df.select(
+            bloom_might_contain(bloom, F.col("s")).cast("int").alias("h")
+        ).agg(F.sum("h").alias("n")).collect()[0].n
+        assert n == 300, (fpp, n)
