@@ -28,6 +28,7 @@ read path itself uses only stdlib.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -36,10 +37,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -186,6 +189,14 @@ class RestDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "RestStreamReader":
         return RestStreamReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "RestDataSourceWriter":
+        if overwrite:
+            raise ValueError(
+                "edfi_rest writes are upserts (mode='append'); a REST "
+                "collection has no atomic truncate to overwrite"
+            )
+        return RestDataSourceWriter(schema, self.options)
+
 
 def register_rest_datasource(spark) -> None:
     """Idempotent per-session registration."""
@@ -252,3 +263,76 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return list(self._slice(start["offset"], end["offset"]))
+
+
+@dataclass
+class _Posted(WriterCommitMessage):
+    ok: int
+    failed: int
+
+
+class RestDataSourceWriter(DataSourceWriter):
+    """``df.write.format("edfi_rest").mode("append").save()`` — each row
+    POSTed as a JSON upsert (the reference's delivery model,
+    SisConnectorService.java:142-160, re-expressed as a first-class sink).
+
+    Commit semantics are the honest REST ones: upserts are idempotent by
+    natural key, so a retried task re-POSTs the same documents and the
+    endpoint converges — that is the exactly-once *effect* available
+    without transactions; there is no rollback, so ``abort`` is a no-op
+    and a failed job may leave earlier rows delivered (same as the
+    reference). Per-row failures raise by default (fail the task -> Spark
+    retries); set option("best_effort", "true") to count-and-continue,
+    mirroring sinks/rest_sink.py's error-accumulation mode."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.inner = RestDataSourceReader(schema, options)
+        self.best_effort = (
+            str(options.get("best_effort", "false")).lower() == "true"
+        )
+
+    def write(self, rows) -> _Posted:
+        r = self.inner
+        url = f"{r.base_url}/{r.path}"
+        token = r._token()
+        ok = failed = 0
+        for row in rows:
+            body = json.dumps(row.asDict(), default=str).encode()
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
+            try:
+                with urllib.request.urlopen(req, timeout=r.timeout) as resp:
+                    status = resp.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+                if status == 401 and r.auth is not None:
+                    token = r._token()
+                    req.add_header("Authorization", f"Bearer {token}")
+                    try:
+                        with urllib.request.urlopen(
+                            req, timeout=r.timeout
+                        ) as resp:
+                            status = resp.status
+                    except urllib.error.HTTPError as e2:
+                        status = e2.code
+            if 200 <= status < 300:
+                ok += 1
+            elif self.best_effort:
+                failed += 1
+            else:
+                raise OSError(f"REST POST {url}: HTTP {status}")
+        return _Posted(ok=ok, failed=failed)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        # no transactional rollback over REST; idempotent upserts make the
+        # retry path safe (documented above)
+        return None

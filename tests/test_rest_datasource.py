@@ -128,3 +128,34 @@ def test_rest_stream_incremental(spark, tmp_path):
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         # every row exactly once: the restart resumed past offset 10
         assert got == list(range(17))
+
+
+def test_write_path_posts_upserts(spark, stub):
+    """df.write.format('edfi_rest') delivers every row as a JSON POST."""
+    before = len(stub.upserts)
+    df = spark.createDataFrame(
+        [(1000 + i, f"new-{i}") for i in range(7)], "id long, name string"
+    )
+    (
+        df.coalesce(2)
+        .write.format("edfi_rest")
+        .mode("append")
+        .option("base_url", stub.url)
+        .option("path", "/items")
+        .save()
+    )
+    new = stub.upserts[before:]
+    assert sorted(u["id"] for u in new) == list(range(1000, 1007))
+    assert all(u["name"].startswith("new-") for u in new)
+
+
+def test_write_overwrite_rejected(spark, stub):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(Exception, match="upsert"):
+        (
+            df.write.format("edfi_rest")
+            .mode("overwrite")
+            .option("base_url", stub.url)
+            .option("path", "/items")
+            .save()
+        )
