@@ -22,7 +22,7 @@ _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
 
 @query(
-    "q66_stratified_sample",
+    "qz66_stratified_sample",
     oracle="""
     WITH t AS (
       SELECT doc_id, lang,
@@ -48,7 +48,7 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q67_curation_pipeline",
+    "qz67_curation_pipeline",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                FROM documents),
@@ -110,7 +110,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q68_hash_sample_ok",
+    "qz68_hash_sample_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "curation", "sampling", "sketch"),
 )
@@ -136,7 +136,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q74_bpe_token_count",
+    "qz74_bpe_token_count",
     oracle=r"""
     SELECT doc_id,
            CAST(len(list_filter(string_split_regex(
@@ -163,7 +163,7 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q75_decontamination",
+    "qz75_decontamination",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          idx AS (SELECT doc_id, toks,

@@ -97,7 +97,7 @@ def _pair_recall(exact: "DataFrame", approx: "DataFrame") -> float:
 
 
 @query(
-    "qz50a_exact_dedup",
+    "q50a_exact_dedup",
     oracle="""
     SELECT doc_id AS id, md5(text) AS digest,
            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS keep
@@ -138,7 +138,7 @@ _PAIRS_WITH = """
 
 
 @query(
-    "qz50b_ngram_jaccard_dups",
+    "q50b_ngram_jaccard_dups",
     oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs",
     tags=("llm", "dedup"),
 )
@@ -149,7 +149,7 @@ def q50b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz50c_minhash_lsh_ok",
+    "q50c_minhash_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -171,7 +171,7 @@ def q50c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz50d_simhash_ok",
+    "q50d_simhash_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -196,7 +196,7 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz50e_embedding_dups",
+    "q50e_embedding_dups",
     oracle="""
     WITH n AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[],
@@ -239,7 +239,7 @@ _NORM_SQL = """
 
 
 @query(
-    "qz51a_cosine_topk",
+    "q51a_cosine_topk",
     oracle=_NORM_SQL
     + """
        , q AS (SELECT vec_id AS qid, nv AS qv FROM n WHERE vec_id < 5),
@@ -261,7 +261,7 @@ def q51a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz51b_ann_lsh_ok",
+    "q51b_ann_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -294,7 +294,7 @@ def q51b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz51c_ann_ivf_ok",
+    "q51c_ann_ivf_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -336,7 +336,7 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q70_dup_clusters",
+    "qz70_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_WITH},
     edges AS (SELECT ida AS src, idb AS dst FROM pairs
@@ -450,7 +450,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz52a_text_stats",
+    "q52a_text_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -477,7 +477,7 @@ def q52a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz52b_lang_quality",
+    "q52b_lang_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          m AS (SELECT doc_id, text,
@@ -512,7 +512,7 @@ def q52b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz52c_fingerprint",
+    "q52c_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp,
            list_reduce(
@@ -541,7 +541,7 @@ def q52c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q53_multimodal_features",
+    "qz53_multimodal_features",
     oracle="""
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            substr(hex(encode(text)), 1, 8) AS head_hex,
@@ -564,7 +564,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q53b_audio_wav",
+    "qz53b_audio_wav",
     oracle="""
     SELECT doc_id,
            CAST(1 AS INT) AS n_channels,

@@ -364,7 +364,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q19_count_distinct",
+    "qz19_count_distinct",
     oracle="SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
     tags=("agg",),
 )
@@ -375,7 +375,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q20_approx_distinct_ok",
+    "qz20_approx_distinct_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -406,7 +406,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q69_approx_quantile_ok",
+    "qz69_approx_quantile_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -441,7 +441,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q21_rollup",
+    "qz21_rollup",
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
            COUNT(*) AS n
@@ -464,7 +464,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q22_cube",
+    "qz22_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
            COUNT(*) AS n
@@ -487,7 +487,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q23_max_by",
+    "qz23_max_by",
     oracle="""
     SELECT o_custkey, last_order FROM (
       SELECT o_custkey, o_orderkey AS last_order,
@@ -543,7 +543,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q25_distinct",
+    "qz25_distinct",
     oracle="""
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
     """,
@@ -587,7 +587,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q27_window_frame",
+    "qz27_window_frame",
     oracle="""
     SELECT o_orderkey,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
@@ -611,7 +611,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q28_lag",
+    "qz28_lag",
     oracle="""
     SELECT o_orderkey,
            LAG(o_totalprice) OVER (PARTITION BY o_custkey
@@ -630,7 +630,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q29_topk_per_group",
+    "qz29_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, rn FROM (
       SELECT o_custkey, o_orderkey,
@@ -678,7 +678,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q31_union",
+    "qz31_union",
     oracle="""
     SELECT c_nationkey AS k FROM customer
     UNION SELECT s_nationkey FROM supplier
@@ -693,7 +693,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q32_intersect",
+    "qz32_intersect",
     oracle="""
     SELECT c_nationkey FROM customer
     INTERSECT SELECT s_nationkey FROM supplier
@@ -708,7 +708,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q33_except",
+    "qz33_except",
     oracle="""
     SELECT n_nationkey FROM nation
     EXCEPT SELECT s_nationkey FROM supplier
@@ -723,7 +723,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q71_pivot",
+    "qz71_pivot",
     oracle="""
     SELECT o_orderstatus,
            COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
@@ -762,7 +762,7 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q72_vocab_topk",
+    "qz72_vocab_topk",
     oracle="""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
                  FROM documents)
@@ -787,7 +787,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q73_unpivot",
+    "qz73_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'price' AS measure,
            ROUND(l_extendedprice, 2) AS val
@@ -822,7 +822,7 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q76_grouping_sets",
+    "qz76_grouping_sets",
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL') AS st,
            COALESCE(o_orderpriority, 'ALL') AS pr,
@@ -851,7 +851,7 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q77_date_arith",
+    "qz77_date_arith",
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) + 30 AS plus30,

@@ -18,7 +18,7 @@ from . import query
 
 
 @query(
-    "q34_string_funcs",
+    "qz34_string_funcs",
     oracle="""
     SELECT c_custkey, UPPER(c_name) AS u, LOWER(c_mktsegment) AS l,
            SUBSTR(c_name, 1, 8) AS s, CAST(LENGTH(c_name) AS INT) AS n,
@@ -68,7 +68,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q36_math_funcs",
+    "qz36_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg,
@@ -114,7 +114,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q37_array_funcs",
+    "qz37_array_funcs",
     oracle="""
     SELECT doc_id, list_contains(string_split(text, ' '), 'the') AS hit,
            CAST(len(string_split(text, ' ')) AS INT) AS n
@@ -134,7 +134,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q38_struct_json",
+    "qz38_struct_json",
     oracle="""
     SELECT event_id,
            to_json(struct_pack(t := event_type,

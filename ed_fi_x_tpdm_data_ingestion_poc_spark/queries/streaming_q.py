@@ -27,7 +27,7 @@ def _events_stream(spark: SparkSession, sf: str, layout: str = "single"):
 
 
 @query(
-    "q44_stream_tumbling",
+    "qz44_stream_tumbling",
     oracle="""
     SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type,
            COUNT(*) AS n
@@ -51,7 +51,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q45_stream_sliding",
+    "qz45_stream_sliding",
     oracle="""
     WITH starts AS (
       SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type
@@ -80,7 +80,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q46_stream_session",
+    "qz46_stream_session",
     oracle="""
     WITH o AS (
       SELECT user_id, ts,
@@ -521,7 +521,7 @@ def q49g(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49i_stream_cdc_scd2",
+    "qz49i_stream_cdc_scd2",
     oracle="""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),

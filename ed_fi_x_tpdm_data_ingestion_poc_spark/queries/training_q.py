@@ -127,7 +127,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q56_repetition_stats",
+    "qz56_repetition_stats",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
      b AS (SELECT doc_id, toks,
@@ -343,7 +343,7 @@ def q49e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49h_profile_typed",
+    "qz49h_profile_typed",
     oracle="""
     WITH u AS (
       SELECT 'o_orderdate' AS col, CAST(o_orderdate AS VARCHAR) AS val

@@ -77,7 +77,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q43_explode",
+    "qz43_explode",
     oracle="""
     SELECT doc_id, unnest(string_split(text, ' ')) AS word
     FROM documents ORDER BY doc_id, word LIMIT 2000

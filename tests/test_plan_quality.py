@@ -58,7 +58,7 @@ def test_agg_is_jvm_only(spark, sf_dir):
 def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
     """When Python is unavoidable it must be Arrow-batched (pandas UDF),
     never row-at-a-time BatchEvalPython."""
-    for name in ("qz41_pandas_udf", "qz42_grouped_agg_udaf", "q53_multimodal_features"):
+    for name in ("qz41_pandas_udf", "qz42_grouped_agg_udaf", "qz53_multimodal_features"):
         f = audit(_build(spark, sf_dir, name))
         assert f.arrow_evals >= 1, name
         assert f.python_evals == 0, name
@@ -67,7 +67,7 @@ def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
 def test_no_cartesian_in_similarity(spark, sf_dir):
     """Embedding near-dup runs as blocked GEMM + prefilter, not a Catalyst
     cartesian join of interpreted dot products."""
-    f = audit(_build(spark, sf_dir, "qz50e_embedding_dups"))
+    f = audit(_build(spark, sf_dir, "q50e_embedding_dups"))
     assert f.cartesian_products == 0
     assert f.arrow_evals >= 1
 
@@ -123,7 +123,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     plan that survives a 100 TB fact table."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("qz30_global_topk", "q72_vocab_topk"):
+    for name in ("qz30_global_topk", "qz72_vocab_topk"):
         assert "TakeOrderedAndProject" in plan_string(
             _build(spark, sf_dir, name)
         ), name
@@ -134,7 +134,7 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
     not three UNIONed rescans of the fact table."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    df = _build(spark, sf_dir, "q73_unpivot")
+    df = _build(spark, sf_dir, "qz73_unpivot")
     f = audit(df)
     assert "Expand" in plan_string(df)
     assert len(f.read_schemas) == 1  # exactly one lineitem scan
@@ -146,7 +146,7 @@ def test_grouping_sets_single_pass(spark, sf_dir):
     aggregate — a single pass over the fact, not one scan per set."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("q21_rollup", "q22_cube", "q76_grouping_sets"):
+    for name in ("qz21_rollup", "qz22_cube", "qz76_grouping_sets"):
         df = _build(spark, sf_dir, name)
         f = audit(df)
         assert "Expand" in plan_string(df), name
@@ -168,7 +168,7 @@ def test_repetition_and_chunking_are_map_only(spark, sf_dir):
     pure JVM projection; q56 is one Arrow-batched mapInPandas pass (the
     repetition gates moved off Catalyst's interpreted-lambda evaluator in
     round 5) — Arrow-batched, never row-at-a-time BatchEvalPython."""
-    for name in ("q56_repetition_stats", "qz57_chunk_windows"):
+    for name in ("qz56_repetition_stats", "qz57_chunk_windows"):
         f = audit(_build(spark, sf_dir, name))
         assert f.exchanges == 0, name
         assert f.python_evals == 0, name
