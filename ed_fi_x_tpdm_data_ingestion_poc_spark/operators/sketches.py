@@ -124,7 +124,20 @@ def build_bloom(
     )
     # explicit (m, k) lets cooperating builders size every bloom for the
     # EVENTUAL union (bloom_union requires identical params)
-    m, k = params if params is not None else bloom_params(len(pairs), fpp)
+    if params is not None:
+        m, k = params
+        # the probe's pmod(signed, m) == build's uint64 % m equivalence
+        # holds ONLY for power-of-two m (m | 2^64); and words sizing
+        # needs 64 | m — reject sizes that would silently break the
+        # no-false-negative law or under-allocate the bit array
+        if m < 64 or (m & (m - 1)) != 0:
+            raise ValueError(
+                f"bloom m must be a power of two >= 64, got {m}"
+            )
+        if k < 1:
+            raise ValueError(f"bloom k must be >= 1, got {k}")
+    else:
+        m, k = bloom_params(len(pairs), fpp)
     words = [0] * (m // 64)
     for r in pairs:
         # reduce mod m BEFORE combining: with m a power of two the

@@ -56,6 +56,24 @@ def memo(cache: dict, key, build, label: str | None = None):
         return cache[key]
 
 
+def broadcast_if_small(df: DataFrame, max_rows: int = 2_000_000) -> DataFrame:
+    """Broadcast-hint a PERSISTED artifact only when it is provably small.
+
+    A hard ``F.broadcast`` on a corpus-proportional side is a scale bug:
+    near-dup cluster membership commonly covers 20-50% of a web corpus,
+    and at 100 TB an unconditional hint forces a driver-OOM-sized
+    broadcast instead of letting AQE pick a shuffle join. The side here
+    is already materialized (persisted artifact), so ``count()`` is a
+    metadata read — cheap and exact, unlike Catalyst's LogicalRDD stats,
+    which are unknown for checkpointed iterative results. Above the cap
+    the frame is returned unhinted and AQE chooses the strategy from
+    runtime shuffle sizes (including its own broadcast conversion when
+    the side turns out small after filters)."""
+    from pyspark.sql import functions as _F
+
+    return _F.broadcast(df) if df.count() <= max_rows else df
+
+
 def built(df: DataFrame) -> DataFrame:
     """Force a persisted artifact DataFrame to materialize INSIDE its timed
     build: a lazy persist() would shift the real compute into whichever

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import ok_flag, query
+from . import broadcast_if_small, ok_flag, query
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -214,15 +214,33 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Engine-portable deterministic uniform in [0,1): Knuth multiplicative
-# hash of the id. Both engines evaluate the identical BIGINT arithmetic,
-# so the sample is hash-checkable cross-engine — the property xxhash64
-# (q68's shuffle-free sampler) can't give. At 1e9+ ids swap the constant
-# arithmetic for xxhash64: the multiplicative form overflows BIGINT near
-# id ~3.5e9 and its low bits are weaker.
-def _uniform01(col, salt: int = 0):
-    return ((F.col(col) + F.lit(salt)) * F.lit(2654435761) % F.lit(4294967296)) / F.lit(
-        4294967296.0
+# hash of the id. Both engines evaluate arithmetic with identical VALUES
+# for every BIGINT id, so the sample is hash-checkable cross-engine — the
+# property xxhash64 (q68's shuffle-free sampler) can't give. The hash's
+# low bits are weaker than xxhash64's; for adversarial id distributions
+# prefer the xxhash64 sampler.
+
+
+def _mul_hash32(col):
+    """(col * 2654435761) mod 2^32, exact for ANY bigint input under
+    ANSI mode. The naive product overflows signed 64-bit once the operand
+    exceeds ~3.47e9 (throws under ANSI; silently diverges from the
+    oracle's 128-bit arithmetic otherwise), so: reduce to 32 bits, split
+    into 16-bit halves, recombine mod 2^32 — every intermediate stays
+    below 2^48. Value-identical to the naive form where that form is
+    defined, so shard assignments are stable across the fix."""
+    c, m32 = 2654435761, 4294967296
+    d = F.pmod(col.cast("bigint"), F.lit(m32))
+    lo, hi = d.bitwiseAND(F.lit(65535)), F.shiftright(d, 16)
+    return F.pmod(
+        F.pmod(lo * F.lit(c), F.lit(m32))
+        + F.pmod(F.pmod(hi * F.lit(c), F.lit(m32)) * F.lit(65536), F.lit(m32)),
+        F.lit(m32),
     )
+
+
+def _uniform01(col, salt: int = 0):
+    return _mul_hash32(F.col(col) + F.lit(salt)) / F.lit(4294967296.0)
 
 
 _UNIFORM_SQL = "(((doc_id + {salt}) * 2654435761) % 4294967296) / 4294967296.0"
@@ -453,10 +471,7 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     as its own partition directory, written in parallel, no driver
     choke point. ORDER BY shard is semantic: the manifest is the output."""
     d = table(spark, sf, "documents")
-    shard = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
-        F.lit(16),
-    )
+    shard = F.pmod(_mul_hash32(F.col("doc_id")), F.lit(16))
     return (
         d.withColumn("shard", shard)
         .groupBy("shard")
@@ -639,7 +654,9 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     manifest of the KEPT corpus (q91's portable hash). One query a
     training-data owner actually runs nightly; every stage reuses the
     session's shared shingle/cluster artifacts, so the marginal cost is
-    two broadcast anti-joins and the manifest aggregate. The oracle
+    two anti-joins (AQE broadcasts them when the runtime sides are
+    small; no hard hints — see broadcast_if_small) and the manifest
+    aggregate. The oracle
     recomputes all three stages from first principles (containment CTEs +
     recursive-CTE components + window rank + shard rollup)."""
     from pyspark.sql.window import Window
@@ -671,7 +688,7 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         ).select("node", "cluster").persist(),
     )
     memb = d.join(
-        F.broadcast(clusters.filter(F.col("node") >= 20)),
+        broadcast_if_small(clusters).filter(F.col("node") >= 20),
         d.doc_id == F.col("node"),
     ).select("cluster", "node", "n_chars")
     rn = F.row_number().over(
@@ -684,13 +701,14 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select(F.col("node").alias("doc_id"))
     )
-    kept = corpus.join(
-        F.broadcast(contaminated), "doc_id", "left_anti"
-    ).join(F.broadcast(losers), "doc_id", "left_anti")
-    shard = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
-        F.lit(16),
+    # contaminated/losers are DERIVED frames (not persisted artifacts):
+    # counting them to gate a hint would run their pipelines twice, and a
+    # hard broadcast is corpus-proportional in the worst case — leave
+    # them unhinted and let AQE pick broadcast from runtime sizes.
+    kept = corpus.join(contaminated, "doc_id", "left_anti").join(
+        losers, "doc_id", "left_anti"
     )
+    shard = F.pmod(_mul_hash32(F.col("doc_id")), F.lit(16))
     return (
         kept.withColumn("shard", shard)
         .groupBy("shard")

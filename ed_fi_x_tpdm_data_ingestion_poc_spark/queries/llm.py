@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import built, memo, ok_flag, query
+from . import broadcast_if_small, built, memo, ok_flag, query
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -400,10 +400,13 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     the cheap default; this is the quality-aware one). Emits the per-
     cluster manifest (size, survivor, chars dropped); the kept corpus is
     then one broadcast anti-join of losers against the full table. Plan:
-    the cluster map covers only docs that HAVE a near-dup partner (a tiny
-    fraction of any real corpus), so it broadcasts; the documents side
-    never shuffles. Survivor choice is one max_by-style struct aggregate,
-    no window over the corpus."""
+    the cluster map covers only docs that HAVE a near-dup partner — often
+    small, but web corpora can run 20-50% near-dup membership, so the
+    broadcast hint is GATED on the artifact's materialized row count
+    (broadcast_if_small): small map -> broadcast, documents never
+    shuffle; corpus-proportional map -> unhinted, AQE picks the shuffle
+    join. Survivor choice is one max_by-style struct aggregate, no window
+    over the corpus."""
     from ..operators.graph import dup_clusters
 
     # The cluster map is a materialize-once artifact (dedup clusters are
@@ -419,7 +422,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     )
     d = table(spark, sf, "documents").select("doc_id", "n_chars")
     memb = d.join(
-        F.broadcast(clusters), d.doc_id == clusters.node
+        broadcast_if_small(clusters), d.doc_id == clusters.node
     ).select("cluster", "node", "n_chars")
     best = F.max(
         F.struct(

@@ -9,9 +9,16 @@ first-class integration: the reader participates in Catalyst planning, so
   SURVEY.md §2.4; compiled the same way as
   ``functions/scalars.py::equality_filter``). A pushed filter means the
   SERVER skips the rows — at 100 TB of remote data that is the difference
-  between moving a partition and moving a table. Unsupported predicates
-  (ranges, LIKE, compound) are left to Spark and still applied — pushdown
-  is an optimization, never a semantics change;
+  between moving a partition and moving a table. Every filter — pushed or
+  not — is ALSO yielded back to Spark for re-application: a real REST
+  endpoint that silently ignores unknown query params (common behavior)
+  would otherwise return unfiltered rows as if they matched. Re-applying
+  an equality predicate to already-filtered rows is a no-op scan cost;
+  skipping it on a non-conforming endpoint is a correctness bug. So
+  pushdown here is strictly an optimization, never a semantics change;
+* ``option("limit", n)`` / ``option("offset", n)`` plan only the pages
+  covering [offset, offset+limit) instead of the whole collection —
+  the reference's own paging surface (TeacherCandidatesApi.java:187-191);
 * pagination is planned as one InputPartition per page from the probed
   Total-Count (same plan ``read_rest`` builds by hand), fetched in
   parallel by executors; endpoints that report no count fall back to one
@@ -48,8 +55,9 @@ from pyspark.sql.types import StructType
 
 
 class _Page(InputPartition):
-    def __init__(self, offset: int | None):
+    def __init__(self, offset: int | None, take: int | None = None):
         self.offset = offset  # None -> sequential drain fallback
+        self.take = take  # rows to keep from this page (limit window tail)
 
 
 class RestDataSourceReader(DataSourceReader):
@@ -70,11 +78,21 @@ class RestDataSourceReader(DataSourceReader):
                 options.get("client_secret", ""),
             )
         self.params: dict[str, str] = {}
+        # user-declared page window (R17 offset/limit surface): plan only
+        # the pages covering [opt_offset, opt_offset + opt_limit)
+        self.opt_offset = int(options.get("offset", "0"))
+        self.opt_limit = (
+            int(options["limit"]) if "limit" in options else None
+        )
 
     # -- filter pushdown (R17) ----------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Consume top-level equality filters on scalar values as REST
-        query params; yield everything else back for Spark to apply."""
+        """Compile top-level equality filters on scalar values into REST
+        query params, but yield EVERY filter back for Spark to re-apply:
+        an endpoint that ignores unknown query params would otherwise
+        silently return unfiltered rows as if they matched. The re-check
+        on conforming endpoints is a free scan over already-matching
+        rows; the pushdown still saves the network transfer."""
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -83,8 +101,7 @@ class RestDataSourceReader(DataSourceReader):
             ):
                 v = str(f.value).lower() if isinstance(f.value, bool) else str(f.value)
                 self.params[f.attribute[0]] = v
-            else:
-                yield f
+            yield f
 
     # -- http ----------------------------------------------------------
     def _token(self) -> str | None:
@@ -125,7 +142,12 @@ class RestDataSourceReader(DataSourceReader):
             f"{self.base_url}/{self.path}?" + urllib.parse.urlencode(params)
         )
 
-    def _fetch(self, offset: int, token: str | None) -> list[dict]:
+    def _fetch(
+        self, offset: int, token: str | None
+    ) -> tuple[list[dict], str | None]:
+        """GET one page; returns (rows, token) so a 401-refreshed token
+        propagates back to the pagination loop instead of every later
+        page paying a 401 round-trip plus a token fetch."""
         url = self._url(offset, self.page_size)
         status, body, _ = self._get(url, token)
         if status == 401 and self.auth is not None:
@@ -133,7 +155,7 @@ class RestDataSourceReader(DataSourceReader):
             status, body, _ = self._get(url, token)
         if status != 200:
             raise OSError(f"REST GET {url}: HTTP {status}: {body[:200]!r}")
-        return json.loads(body)
+        return json.loads(body), token
 
     # -- planning + read ------------------------------------------------
     def partitions(self) -> Sequence[InputPartition]:
@@ -147,23 +169,37 @@ class RestDataSourceReader(DataSourceReader):
                     break
         if total is None:
             return [_Page(None)]
-        return [
-            _Page(o) for o in range(0, max(total, 1), self.page_size)
-        ] or [_Page(0)]
+        # plan only the pages covering the declared [offset, offset+limit)
+        # window — a LIMIT-style read fetches ceil(n/page_size) pages, not
+        # the whole collection (R17, TeacherCandidatesApi.java:187-191)
+        lo = min(self.opt_offset, total)
+        hi = total if self.opt_limit is None else min(total, lo + self.opt_limit)
+        pages = [
+            _Page(o, take=min(self.page_size, hi - o))
+            for o in range(lo, hi, self.page_size)
+        ]
+        return pages or [_Page(lo, take=0)]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
         token = self._token()
         if partition.offset is None:
-            offset = 0
-            while True:
-                page = self._fetch(offset, token)
-                for r in page:
+            offset = self.opt_offset
+            remaining = self.opt_limit  # None -> drain to exhaustion
+            while remaining is None or remaining > 0:
+                page, token = self._fetch(offset, token)
+                take = page if remaining is None else page[:remaining]
+                for r in take:
                     yield tuple(r.get(f) for f in self.fields)
                 if len(page) < self.page_size:
                     return
                 offset += self.page_size
+                if remaining is not None:
+                    remaining -= len(take)
         else:
-            for r in self._fetch(partition.offset, token):
+            page, token = self._fetch(partition.offset, token)
+            if partition.take is not None:
+                page = page[: partition.take]
+            for r in page:
                 yield tuple(r.get(f) for f in self.fields)
 
 
@@ -199,17 +235,21 @@ class RestDataSource(DataSource):
 
 
 def register_rest_datasource(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Only the already-registered
+    collision is swallowed; any other failure (conf rejected, import
+    error) propagates — masking it would turn every later read into an
+    opaque unknown-format error."""
+    if getattr(spark, "_edfi_rest_registered", False):
+        return
+    # default-off gate for Python DSv2 pushdown; runtime-mutable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
-        if getattr(spark, "_edfi_rest_registered", False):
-            return
-        # default-off gate for Python DSv2 pushdown; runtime-mutable
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(RestDataSource)
-        spark._edfi_rest_registered = True  # noqa: SLF001 (our own flag)
-    except Exception:
-        # already registered under this name in this session
-        spark._edfi_rest_registered = True
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        msg = str(e).upper()
+        if "ALREADY" not in msg and "EXISTS" not in msg:
+            raise
+    spark._edfi_rest_registered = True  # noqa: SLF001 (our own flag)
 
 
 class RestStreamReader(SimpleDataSourceStreamReader):
@@ -242,27 +282,39 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                 return int(v)
         raise OSError("endpoint reports no Total-Count; cannot stream")
 
-    def _slice(self, start: int, end: int):
+    def _slice(self, start: int, end: int) -> tuple[list[tuple], int]:
+        """Fetch rows in [start, end); returns (rows, reached) where
+        `reached` is the offset ACTUALLY consumed. A server can return a
+        short page below its own advertised Total-Count (concurrent
+        delete between the probe and the page fetch) — committing the
+        probed count then would permanently skip the rows in between, so
+        the caller commits `reached`, and the next poll re-reads from
+        there."""
         r = self.inner
         token = r._token()
         offset = start
+        rows: list[tuple] = []
         while offset < end:
-            page = r._fetch(offset, token)
+            page, token = r._fetch(offset, token)
             take = page[: end - offset]
             for row in take:
-                yield tuple(row.get(f) for f in r.fields)
-            if len(page) < r.page_size:
-                return
+                rows.append(tuple(row.get(f) for f in r.fields))
             offset += len(take)
+            if len(page) < r.page_size:
+                break
+        return rows, offset
 
     def read(self, start: dict):
         # rows are prefetched driver-side and PICKLED by the engine —
-        # must be a concrete list, not a generator
+        # must be a concrete list, not a generator. Commit the offset
+        # actually reached, never the probed total (see _slice).
         end = max(self._total(), start["offset"])
-        return list(self._slice(start["offset"], end)), {"offset": end}
+        rows, reached = self._slice(start["offset"], end)
+        return rows, {"offset": reached}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(self._slice(start["offset"], end["offset"]))
+        rows, _ = self._slice(start["offset"], end["offset"])
+        return rows
 
 
 @dataclass

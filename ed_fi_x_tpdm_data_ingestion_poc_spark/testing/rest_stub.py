@@ -30,11 +30,23 @@ class StubRestServer:
         page_size_cap: int = 100,
         require_auth: bool = False,
         fail_first_with_401: bool = False,
+        ignore_filters: bool = False,
+        extra_total: int = 0,
+        reject_tokens_below: int = 0,
     ) -> None:
         self.rows = rows
         self.page_size_cap = page_size_cap
         self.require_auth = require_auth
         self.fail_first_with_401 = fail_first_with_401
+        # non-conforming endpoint: silently ignores unknown query params
+        # (exercises the client's re-apply-after-pushdown guarantee)
+        self.ignore_filters = ignore_filters
+        # over-reported Total-Count: server claims extra_total more rows
+        # than it serves (concurrent-delete race shape)
+        self.extra_total = extra_total
+        # hard expiry: tokens tok-n with n < this ALWAYS 401 (vs
+        # fail_first_with_401's fail-once) — exercises refresh propagation
+        self.reject_tokens_below = reject_tokens_below
         self.upserts: list[dict] = []
         self.deletes: list[str] = []
         self.get_requests: list[str] = []  # raw query strings, for pushdown asserts
@@ -70,6 +82,14 @@ class StubRestServer:
 
             def _auth_gate(self) -> bool:
                 tok = self._token()
+                if stub.reject_tokens_below and tok.startswith("tok-"):
+                    try:
+                        n = int(tok.removeprefix("tok-"))
+                    except ValueError:
+                        n = 0
+                    if n < stub.reject_tokens_below:
+                        self._reply(401, b'{"error":"expired"}')
+                        return False
                 if stub.fail_first_with_401:
                     with stub._lock:
                         first = tok not in stub._seen_tokens
@@ -149,15 +169,16 @@ class StubRestServer:
                 # a field by string equality (SURVEY.md §2.4 — the surface
                 # the engine's filter pushdown compiles to)
                 rows = stub.rows
-                for k, vals in qs.items():
-                    if k in ("offset", "limit", "totalCount"):
-                        continue
-                    rows = [r for r in rows if str(r.get(k)) == vals[0]]
+                if not stub.ignore_filters:
+                    for k, vals in qs.items():
+                        if k in ("offset", "limit", "totalCount"):
+                            continue
+                        rows = [r for r in rows if str(r.get(k)) == vals[0]]
                 page = rows[offset : offset + limit]
                 self._reply(
                     200,
                     json.dumps(page).encode(),
-                    {"Total-Count": str(len(rows))},
+                    {"Total-Count": str(len(rows) + stub.extra_total)},
                 )
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)

@@ -253,3 +253,38 @@ def test_hll_sketch_table_partial_agg(spark, sf_dir):
     f = audit(hll_sketch_table(e, ["event_type"], "user_id", lgk=12))
     assert f.partial_aggs >= 1
     assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_broadcast_gate_respects_size(spark):
+    """broadcast_if_small: a side over the row cap must NOT carry a
+    broadcast hint — with the auto-threshold disabled the join plans as
+    a shuffle join AQE can manage; under the cap the hint forces the
+    broadcast regardless of threshold. Guards against reintroducing the
+    corpus-proportional hard hints in q93/q100 (driver OOM at 100 TB
+    when near-dup membership is 20-50% of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import (
+        broadcast_if_small,
+    )
+
+    side = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).persist()
+    try:
+        fact = spark.range(10000)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hinted = fact.join(broadcast_if_small(side, max_rows=5000), "id")
+            plan_h = hinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan_h
+
+            unhinted = fact.join(broadcast_if_small(side, max_rows=10), "id")
+            plan_u = unhinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan_u
+            assert hinted.count() == unhinted.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        side.unpersist()

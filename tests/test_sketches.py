@@ -168,6 +168,20 @@ def test_bloom_union_mergeable(spark):
         bloom_union(ba, build_bloom(b, "s", fpp=0.5))
 
 
+def test_bloom_explicit_params_validated(spark):
+    """Explicit (m, k) must be a power-of-two m >= 64 and k >= 1: any
+    other m breaks the signed-pmod/uint64-% probe equivalence (silent
+    false negatives) or under-allocates the word array."""
+    a = spark.range(10).select(F.col("id").cast("string").alias("s"))
+    for bad_m in (0, 63, 100, 96):  # zero, <64, non-pow2, 64∤m-pow2 mix
+        with pytest.raises(ValueError, match="power of two"):
+            build_bloom(a, "s", params=(bad_m, 3))
+    with pytest.raises(ValueError, match="k must be"):
+        build_bloom(a, "s", params=(128, 0))
+    ok = build_bloom(a, "s", params=(128, 3))
+    assert ok["m"] == 128 and len(ok["words"]) == 2
+
+
 def test_bloom_property_random_strings(spark):
     """Property sweep (hypothesis-style deterministic corpus): arbitrary
     unicode-ish member strings all probe positive across fpp settings."""
