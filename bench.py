@@ -43,6 +43,18 @@ def main() -> None:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
 
     spark = get_spark()
+    # The warm sweeps re-touch persisted artifacts; CacheManager's
+    # "already cached" WARNs are harmless but land in the driver's
+    # ~2000-char stdout tail, crowding out per-query keys — drop that
+    # one logger to ERROR (log4j2 API; best-effort across versions).
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.CacheManager",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     specs = {
         n: s for n, s in sorted(all_queries().items())
         if not (set(s.tags) & SKIP_TAGS)

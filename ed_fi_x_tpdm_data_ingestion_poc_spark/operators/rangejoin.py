@@ -34,6 +34,7 @@ def interval_join(
     upper_s: int,
     on: list[str] | None = None,
     bucket_s: int | None = None,
+    drop_ts: bool = False,
 ) -> DataFrame:
     """Join rows where right[right_ts] is in [left[left_ts] + lower_s,
     left[left_ts] + upper_s] (seconds, inclusive both ends), plus optional
@@ -42,6 +43,12 @@ def interval_join(
     Column names must be disjoint apart from `on` — prefix them first for a
     self-join. `bucket_s` defaults to the range width; it must be >= the
     width so every left row explodes to at most 2 candidate buckets.
+
+    ``drop_ts=True`` omits the original timestamp columns from the join
+    payload (the range predicate runs on the extracted epoch-micros
+    columns, so the timestamps are dead weight once extracted — 16
+    bytes/row less through the exploded shuffle for callers that only
+    aggregate, e.g. pair counting).
     """
     if upper_s < lower_s:
         raise ValueError(f"empty range: lower_s={lower_s} > upper_s={upper_s}")
@@ -103,6 +110,8 @@ def interval_join(
     rb = right.withColumn(_RUS, _epoch_us(right, right_ts)).withColumn(
         _BIN, _floordiv(rus, bucket_us)
     )
+    if drop_ts:
+        lb, rb = lb.drop(left_ts), rb.drop(right_ts)
 
     joined = lb.join(rb, on=on + [_BIN])
     exact = (rus >= lus + F.lit(lo_us)) & (rus <= lus + F.lit(hi_us))
