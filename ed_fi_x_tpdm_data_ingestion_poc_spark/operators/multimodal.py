@@ -89,13 +89,11 @@ def decode_image(content: bytes) -> dict:
     """Decode an image to {width, height, channels, pixels: bytes}.
 
     Fast path: Pillow, when installed (import-gated — not present in this
-    container). Fallbacks with zero codec dependencies: a pure-stdlib PNG
-    decoder (struct header parse + zlib inflate + scanline unfilter,
-    8-bit non-interlaced gray/RGB/RGBA) and a pure-numpy baseline JPEG
-    decoder (operators/jpeg.py: DQT/DHT parse, canonical Huffman entropy
-    decode, dequant + IDCT, chroma upsample, YCbCr->RGB — verified against
-    libjpeg-encoded files). Remaining formats (WebP, progressive JPEG)
-    raise NotImplementedError with the reason."""
+    container). Fallback: decode_image_pure, the zero-codec-dependency
+    path. Both paths are exercised by tests/test_image_decode.py's
+    parity test whenever Pillow IS importable (skip-marked otherwise),
+    pinning byte-identical PNG pixels and bounded-error JPEG decode
+    across the gate."""
     try:  # optional real-codec path
         import io
 
@@ -111,7 +109,17 @@ def decode_image(content: bytes) -> dict:
         }
     except ImportError:
         pass
+    return decode_image_pure(content)
 
+
+def decode_image_pure(content: bytes) -> dict:
+    """The dependency-free decode path: a pure-stdlib PNG decoder (struct
+    header parse + zlib inflate + scanline unfilter, 8-bit non-interlaced
+    gray/RGB/RGBA) and a pure-numpy baseline JPEG decoder
+    (operators/jpeg.py: DQT/DHT parse, canonical Huffman entropy decode,
+    dequant + IDCT, chroma upsample, YCbCr->RGB — verified against
+    libjpeg-encoded files). Remaining formats (WebP, progressive JPEG)
+    raise NotImplementedError with the reason."""
     import struct
     import zlib
 

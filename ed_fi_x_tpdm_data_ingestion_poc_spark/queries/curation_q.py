@@ -486,6 +486,70 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "qz101_nightly_rollup",
+    oracle="""
+    WITH s AS (SELECT *, ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+               FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS INT) AS est_ok
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "curation", "sketch", "incremental", "pipeline"),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """The nightly shard-summary maintenance pipeline: q91's portable
+    shard manifest composed with q96's incremental HLL contract, in one
+    declared query. Each night the new batch (here: doc_id above the
+    median, the same split rule as q96) must update the per-shard
+    distinct-doc summary WITHOUT re-scanning history: sketch ONLY the
+    new rows per shard, merge with the stored per-shard sketch table via
+    hll_union_agg (hll_rollup), and re-emit the manifest. The exact
+    columns (n_docs, sum_chars) are hash-checked against DuckDB; the
+    sketch path is verified in-row — est_ok=1 iff the merged estimate is
+    within 5% of the shard's exact count (HLL lgk=14 on a few hundred
+    ids per shard is sub-1% in practice, so the flag is deterministic).
+    At 100 TB the nightly cost is one scan of the NEW partition plus a
+    16-row sketch merge — history is never re-read; the oracle pins the
+    from-scratch result the incremental path must converge to."""
+    from ..operators.sketches import hll_rollup, hll_sketch_table
+
+    d = table(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.pmod(_mul_hash32(F.col("doc_id")), F.lit(16)).alias("shard")
+    )
+    split = d.agg(
+        F.expr("percentile_approx(doc_id, 0.5, 10000)").alias("m")
+    ).collect()[0].m
+    old = d.filter(F.col("doc_id") <= F.lit(split))
+    new = d.filter(F.col("doc_id") > F.lit(split))
+    stored = hll_sketch_table(old, ["shard"], "doc_id", lgk=14)
+    fresh = hll_sketch_table(new, ["shard"], "doc_id", lgk=14)
+    merged = hll_rollup(
+        stored.unionByName(fresh), ["shard"], "doc_id_hll", out="est"
+    )
+    manifest = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return (
+        manifest.join(merged, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "sum_chars",
+            (
+                (F.abs(F.col("est") - F.col("n_docs")) / F.col("n_docs"))
+                <= 0.05
+            )
+            .cast("int")
+            .alias("est_ok"),
+        )
+        .orderBy("shard")
+    )
+
+
 _SEG = 16
 
 

@@ -408,6 +408,39 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "qz98b_rest_limit",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
+           CAST(r.range % 10 AS BIGINT) AS grp
+    FROM range(10, 130) r
+    """,
+    tags=("source", "rest"),
+)
+def q98b(spark: SparkSession, sf: str) -> DataFrame:
+    """R17's offset/limit surface on the DataSource read path
+    (TeacherCandidatesApi.java:187-191): option('offset', 10) +
+    option('limit', 120) plan only the pages covering rows [10, 130) —
+    ceil(120/100) = 2 page fetches instead of the whole 250-row
+    collection (request count asserted against the stub log in
+    tests/test_rest_datasource.py::
+    test_limit_offset_options_fetch_only_needed_pages)."""
+    from ..sources.rest_datasource import register_rest_datasource
+
+    server = _stub_server()
+    register_rest_datasource(spark)
+    return (
+        spark.read.format("edfi_rest")
+        .schema("id long, name string, grp long")
+        .option("base_url", server.url)
+        .option("path", "/items")
+        .option("page_size", "100")
+        .option("offset", "10")
+        .option("limit", "120")
+        .load()
+    )
+
+
+@query(
     "q99_stream_rest_source",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,

@@ -127,3 +127,33 @@ def test_decode_image_features_distributed(spark):
     bad = spark.createDataFrame([(99, b"not an image")], "doc_id long, content binary")
     r = decode_image_features(bad, id_col="doc_id").collect()[0]
     assert r["width"] is None and r["mean_px"] is None
+
+
+def test_pillow_and_pure_paths_agree():
+    """When Pillow IS importable, decode_image takes the real-codec path
+    — pin it against decode_image_pure on the shared fixtures so the
+    import gate never hides a semantic fork. PNG is lossless: pixels
+    must match byte-for-byte. JPEG decoders are not bit-exact across
+    implementations (IDCT rounding), so pin shape + per-pixel error
+    bound instead. Skipped cleanly where Pillow is absent (this
+    container); runs for real under `pip install pillow`."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+        decode_image_pure,
+    )
+
+    w, h = 13, 9
+    for channels in (1, 3, 4):
+        px = _pixels(w, h, channels)
+        data = encode_png(w, h, channels, px)
+        via_pillow, via_pure = decode_image(data), decode_image_pure(data)
+        assert via_pillow == via_pure  # lossless: exact agreement
+
+    from tests.test_jpeg_decode import _LIBJPEG_FIXTURE
+
+    jp, jq = decode_image(_LIBJPEG_FIXTURE), decode_image_pure(_LIBJPEG_FIXTURE)
+    assert (jp["width"], jp["height"], jp["channels"]) == (
+        jq["width"], jq["height"], jq["channels"],
+    )
+    diffs = [abs(a - b) for a, b in zip(jp["pixels"], jq["pixels"])]
+    assert max(diffs) <= 8 and sum(diffs) / len(diffs) <= 2.0

@@ -246,3 +246,29 @@ def test_scd2_interval_laws(spark, feed, base_keys):
         rows.sort(key=lambda r: (r.valid_from, r.valid_to is None))
         for prev, nxt in zip(rows, rows[1:]):
             assert prev.valid_to == nxt.valid_from, k
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_mul_hash32_exact_for_any_bigint(spark, ids):
+    """The split-multiply shard hash must equal the mathematically exact
+    (id * 2654435761) mod 2^32 for ANY bigint id — including ids past
+    ~3.47e9 where the naive 64-bit product overflows (throws under ANSI
+    mode). Python ints are arbitrary-precision, so they are the oracle."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.curation_q import (
+        _mul_hash32,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", _mul_hash32(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == (i * 2654435761) % (2**32), i

@@ -63,6 +63,9 @@ def main() -> None:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.packing import (
         pack_next_fit,
     )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rangejoin import (
+        interval_join,
+    )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
         bloom_might_contain,
         build_bloom,
@@ -142,11 +145,45 @@ def main() -> None:
             .count()
         )
 
+    def _tfidf_topk_count(d):
+        # q58's shape: map-combined tf, distinct-explode df (broadcast),
+        # rank window — the plan whose zipf behavior the skew probe pins
+        from pyspark.sql.window import Window
+
+        toks = F.split("text", " ")
+        n_docs = float(d.count())
+        tf = (
+            d.select("doc_id", F.explode(toks).alias("word"))
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = (
+            d.select(F.explode(F.array_distinct(toks)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        sc = tf.join(F.broadcast(dfreq), "word").select(
+            "doc_id", "word",
+            F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("score"),
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+        )
+        return sc.withColumn("rk", rk).filter(F.col("rk") <= 3).count()
+
     spark = get_spark()
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     events = table(spark, sf_dir, "events")
     docs_big = inflate(docs, factor, ["doc_id"], text_col="text").persist()
     events_big = inflate(events, factor, ["event_id"]).persist()
+    # Zipf-skewed corpus for the TF-IDF probe: every doc gains a stopword
+    # burst (16/8/4 occurrences of three corpus-wide words), so one word's
+    # df == n_docs and its tf rows appear in EVERY doc — the reducer-side
+    # worst case the map-side-combined df branch must absorb.
+    docs_zipf_big = docs_big.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" zq0" * 16 + " zq1" * 8 + " zq2" * 4)),
+    ).persist()
     # Time-shifted copies for the range-join probe: each copy lives in its
     # own 31-day window, so the true pair count grows linearly with factor
     # and the probe measures the PLAN's scaling, not the quadratic pair
@@ -243,6 +280,11 @@ def main() -> None:
             events,
             events_big,
         ),
+        "tfidf_zipf": (  # q58 under stopword skew: df(word)==n_docs hot keys
+            lambda d: _tfidf_topk_count(d),
+            docs,
+            docs_zipf_big,
+        ),
     }
     for name, (fn, base, big) in probes.items():
         fn(base)  # warm
@@ -263,6 +305,63 @@ def main() -> None:
                 }
             )
         )
+
+    # q55 hot-bucket skew probe: replicate ONE 5-minute window to
+    # `factor`x density on the probe (b) side only. The a side of the
+    # hot bucket is unchanged, so TRUE pairs grow ~linearly with the
+    # replication — wall-clock tracking the pair-count ratio means the
+    # binned join absorbs bucket skew (AQE skew split shards the hot
+    # bucket's reducer); wall growing much faster than pairs would flag
+    # a reducer hot spot no scale-up could hide.
+    def _pairs2(ae, be):
+        a = ae.select(F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+        b = be.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+        return (
+            interval_join(a, b, "a_ts", "b_ts", 0, 300, drop_ts=True)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .count()
+        )
+
+    mn = (
+        events.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .agg(F.min("us"))
+        .collect()[0][0]
+    )
+    # hot REGION = the corpus's first hour (12 consecutive 5-min buckets)
+    # so the probe has signal even at small SF
+    hot_src = events.filter(
+        F.unix_micros(F.col("ts").cast("timestamp")) < mn + 3_600_000_000
+    )
+    b_hot = events_ts_big.unionByName(
+        inflate(hot_src, factor, ["event_id"]).withColumn(
+            "event_id", F.col("event_id") + F.lit(1_000_000_000)
+        )
+    ).persist()
+    # warm BOTH paths (the hot side's union must materialize its cache
+    # off the clock, same as the even side's persisted input)
+    _pairs2(events_ts_big, events_ts_big)
+    _pairs2(events_ts_big, b_hot)
+    t0 = time.perf_counter()
+    n_even = _pairs2(events_ts_big, events_ts_big)
+    t_even = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_hot = _pairs2(events_ts_big, b_hot)
+    t_hot = time.perf_counter() - t0
+    pair_ratio = n_hot / max(n_even, 1)
+    wall_ratio = t_hot / max(t_even, 1e-9)
+    print(
+        json.dumps(
+            {
+                "probe": "interval_hot_bucket",
+                "factor": factor,
+                "pairs_even": n_even,
+                "pairs_hot": n_hot,
+                "sec_even": round(t_even, 2),
+                "sec_hot": round(t_hot, 2),
+                "skew_overhead_vs_pairs": round(wall_ratio / pair_ratio, 2),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
