@@ -361,3 +361,197 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
         .first()
     )
     return (row["h"] / row["t"]) if row["t"] else 1.0
+
+
+# ---------------------------------------------------------------- PQ (ADC) --
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    kmeans_iters: int = 8,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split
+    the (normalized) vector into m contiguous subspaces and run L2
+    k-means independently in each — shape (m, k, dim/m), trained on the
+    same deterministic driver-side sample discipline as
+    train_ivf_codebook (bounded rows, never the corpus). A corpus vector
+    then compresses to m small codes: at dim=64 float32 -> 8 bytes,
+    a 32x store shrink, which is what makes billion-vector ANN fit on a
+    cluster at all — the full-precision vectors stay in cold storage and
+    are fetched only for the final re-rank."""
+    sample_pdf = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.pmod(F.xxhash64(F.col("id") + seed), 9973), "id")
+        .limit(train_sample)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype="float64") for v in sample_pdf["v"]])
+    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        c = xs[:k].copy()  # deterministic init from the shuffled sample
+        for _ in range(kmeans_iters):  # Lloyd, Euclidean
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign_idx = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = xs[assign_idx == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus -> (id, codes array<int> of length m): nearest centroid per
+    subspace. Arrow-batched numpy (codec-style work, the same slot as
+    _ivf_assign); the output is the persistable compressed index — the
+    raw vectors are NOT carried."""
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        books = bc.value
+        m, _, dsub = books.shape
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            codes = np.empty((len(x), m), dtype="int32")
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(batches, "id long, codes array<int>")
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query -> (qid, qv, lut array<double> of length m*k): the ADC
+    lookup table lut[s*k + j] = <q_sub_s, codebook[s][j]>. Inner product
+    then decomposes as sum_s lut[s*k + code_s] — one flat-array gather
+    per corpus code, no vector math in the scan."""
+    bc = queries.sparkSession.sparkContext.broadcast(codebooks)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        books = bc.value
+        m, k, dsub = books.shape
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            luts = np.empty((len(x), m * k))
+            for s in range(m):
+                qs = x[:, s * dsub : (s + 1) * dsub]
+                luts[:, s * k : (s + 1) * k] = qs @ books[s].T
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["id"].to_numpy(),
+                    "qv": list(x),
+                    "lut": list(luts),
+                }
+            )
+
+    return queries.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(batches, "qid long, qv array<double>, lut array<double>")
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codes_k: int = 16,
+    shortlist: int = 4,
+    codebooks: np.ndarray | None = None,
+    corpus_codes: DataFrame | None = None,
+    query_luts: DataFrame | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank.
+
+    Scan phase: approx_score(id) = sum_s lut[s*k + codes[s]] — a pure-JVM
+    aggregate over the compressed code array against the broadcast query
+    LUT (F.transform's index form does the gather; no Python, no raw
+    vectors). The ADC shortlist (shortlist*k per query) is then re-ranked
+    with EXACT cosine by joining back to the full-precision vectors —
+    candidate-sized fetch, the production cold-store pattern — so
+    precision is exact and only recall is approximate, same contract as
+    the LSH/IVF paths. At 100 TB the scan touches 8-byte codes instead
+    of 256-byte vectors: the shuffle-free map-side gather is the entire
+    corpus cost."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            emb, id_col=id_col, vec_col=vec_col, m=m, k=codes_k
+        )
+    if corpus_codes is None:
+        corpus_codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    if query_luts is None:
+        query_luts = pq_query_luts(
+            queries, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    kk = codebooks.shape[1]
+    approx = corpus_codes.join(
+        F.broadcast(query_luts.select("qid", "lut")), how="cross"
+    ).filter(F.col("id") != F.col("qid"))
+    gather = F.transform(
+        F.col("codes"), lambda c, i: F.element_at(F.col("lut"), i * kk + c + 1)
+    )
+    approx = approx.select(
+        "qid",
+        F.col("id").alias("nid"),
+        F.aggregate(gather, F.lit(0.0), lambda a, x: a + x).alias("adc"),
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    cands = (
+        approx.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= shortlist * k)
+        .select("qid", "nid")
+    )
+    nv = _normalized(emb, id_col, vec_col)
+    scored = (
+        cands.join(nv, cands.nid == nv.id)
+        .join(
+            F.broadcast(query_luts.select("qid", "qv")).alias("q"), "qid"
+        )
+        .select(
+            "qid",
+            "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
