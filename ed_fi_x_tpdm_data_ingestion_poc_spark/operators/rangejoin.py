@@ -35,6 +35,7 @@ def interval_join(
     on: list[str] | None = None,
     bucket_s: int | None = None,
     drop_ts: bool = False,
+    hash_build_right: bool = False,
 ) -> DataFrame:
     """Join rows where right[right_ts] is in [left[left_ts] + lower_s,
     left[left_ts] + upper_s] (seconds, inclusive both ends), plus optional
@@ -49,6 +50,16 @@ def interval_join(
     columns, so the timestamps are dead weight once extracted — 16
     bytes/row less through the exploded shuffle for callers that only
     aggregate, e.g. pair counting).
+
+    ``hash_build_right=True`` hints SHUFFLE_HASH with the right side as
+    the build: the right side is the smaller one by construction (one
+    bucket per row vs the left's <=2-way explode), and a hash join skips
+    BOTH sort passes a sort-merge join pays (measured 0.99 -> 0.71 s at
+    sf0.1). The default stays sort-merge: SMJ spills gracefully when a
+    bucket is pathologically dense, while SHJ needs the build partition
+    in memory — opt in when per-bucket density is bounded by
+    construction (e.g. events per range-width window). AQE skew-join
+    splitting applies to both forms.
     """
     if upper_s < lower_s:
         raise ValueError(f"empty range: lower_s={lower_s} > upper_s={upper_s}")
@@ -112,6 +123,8 @@ def interval_join(
     )
     if drop_ts:
         lb, rb = lb.drop(left_ts), rb.drop(right_ts)
+    if hash_build_right:
+        rb = rb.hint("SHUFFLE_HASH")
 
     joined = lb.join(rb, on=on + [_BIN])
     exact = (rus >= lus + F.lit(lo_us)) & (rus <= lus + F.lit(hi_us))

@@ -123,7 +123,8 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").alias("type_b"),
     )
     pairs = interval_join(
-        a, b, "a_ts", "b_ts", lower_s=0, upper_s=300, drop_ts=True
+        a, b, "a_ts", "b_ts", lower_s=0, upper_s=300, drop_ts=True,
+        hash_build_right=True,  # bucket density bounded by the 5-min window
     )
     return (
         pairs.filter(F.col("a_event_id") < F.col("b_event_id"))

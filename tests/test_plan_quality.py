@@ -178,17 +178,20 @@ def test_repetition_and_chunking_are_map_only(spark, sf_dir):
 
 def test_binned_range_join_plan(spark, sf_dir):
     """q55: the range self-join must run as an equi join on the time bucket
-    (hash/merge/broadcast), never nested-loop or cartesian."""
+    (hash/merge/broadcast), never nested-loop or cartesian; with
+    hash_build_right it must actually take the shuffled-hash form (skips
+    both sort passes — the bounded-bucket-density opt-in)."""
     f = audit(_build(spark, sf_dir, "q55_interval_pairs"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
-    assert f.joins >= 1
+    assert f.shuffled_hash_joins >= 1
+    assert f.sortmerge_joins == 0
 
 
 def test_tfidf_small_sides_broadcast(spark, sf_dir):
-    """q58: document-frequency and corpus-count joins are broadcast — the
-    corpus-sized tf side never reshuffles for them."""
+    """q58: the vocab-sized document-frequency side is broadcast — the
+    corpus-sized tf side never reshuffles for the idf join."""
     f = audit(_build(spark, sf_dir, "q58_tfidf_topk"))
-    assert f.broadcast_joins >= 2
+    assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
 
 
