@@ -1,6 +1,7 @@
 """Similarity search over embedding columns: brute-force cosine top-k
-(exact baseline) and two ANN paths — hyperplane-LSH buckets and a trained
-IVF codebook.
+(exact baseline) and four ANN paths — hyperplane-LSH buckets, a trained
+IVF codebook, product quantization (ADC over 8-byte codes), and the
+composed IVF+PQ (residual quantization, the FAISS IVFPQ design).
 
 Scale design: brute force is O(Q x N) dot products — fine when the query
 set is small and broadcast; the ANN variants bucket vectors (sign patterns
@@ -386,6 +387,17 @@ def train_pq_codebooks(
     a 32x store shrink, which is what makes billion-vector ANN fit on a
     cluster at all — the full-precision vectors stay in cold storage and
     are fetched only for the final re-rank."""
+    x = _train_sample_matrix(
+        emb, id_col=id_col, vec_col=vec_col,
+        train_sample=train_sample, seed=seed,
+    )
+    return _kmeans_subspaces(x, m=m, k=k, iters=kmeans_iters)
+
+
+def _train_sample_matrix(
+    emb: DataFrame, *, id_col: str, vec_col: str, train_sample: int, seed: int
+) -> np.ndarray:
+    """Deterministic driver-side training sample, row-normalized."""
     sample_pdf = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.pmod(F.xxhash64(F.col("id") + seed), 9973), "id")
@@ -393,7 +405,15 @@ def train_pq_codebooks(
         .toPandas()
     )
     x = np.asarray([np.asarray(v, dtype="float64") for v in sample_pdf["v"]])
-    x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+    return x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+
+
+def _kmeans_subspaces(
+    x: np.ndarray, *, m: int, k: int, iters: int
+) -> np.ndarray:
+    """Independent L2 Lloyd k-means per contiguous subspace of x -> books
+    of shape (m, k, dim/m). Deterministic: init from the (shuffled-order)
+    first k rows, fixed iteration count."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -401,8 +421,8 @@ def train_pq_codebooks(
     books = np.empty((m, k, dsub))
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
-        c = xs[:k].copy()  # deterministic init from the shuffled sample
-        for _ in range(kmeans_iters):  # Lloyd, Euclidean
+        c = xs[:k].copy()
+        for _ in range(iters):
             d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign_idx = np.argmin(d2, axis=1)
             for j in range(k):
@@ -548,6 +568,219 @@ def pq_topk(
         .join(
             F.broadcast(query_luts.select("qid", "qv")).alias("q"), "qid"
         )
+        .select(
+            "qid",
+            "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+# --------------------------------------------------------- IVF+PQ (residual) --
+
+
+def train_ivfpq(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    m: int = 8,
+    k: int = 64,
+    kmeans_iters: int = 8,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the composed IVF+PQ model (the FAISS IVFPQ design): a coarse
+    spherical-k-means codebook partitions the space into cells, then PQ
+    codebooks quantize the RESIDUAL x - c(cell) — residuals concentrate
+    near the origin, so the same byte budget spends its centroids on a
+    much smaller volume than raw-vector PQ (the recall win that makes
+    the composition the production standard). Returns (coarse_codebook
+    (n_centroids, dim), pq_books (m, k, dim/m)); both trained on the one
+    bounded driver-side sample."""
+    coarse = train_ivf_codebook(
+        emb, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        kmeans_iters=kmeans_iters, train_sample=train_sample, seed=seed,
+    )
+    x = _train_sample_matrix(
+        emb, id_col=id_col, vec_col=vec_col,
+        train_sample=train_sample, seed=seed,
+    )
+    assign_idx = np.argmax(x @ coarse.T, axis=1)
+    residuals = x - coarse[assign_idx]
+    books = _kmeans_subspaces(residuals, m=m, k=k, iters=kmeans_iters)
+    return coarse, books
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 2,
+) -> DataFrame:
+    """Corpus -> (id, cell, codes): each vector soft-assigned to its
+    n_assign nearest cells, the per-cell RESIDUAL PQ-encoded. The
+    persistable compressed index — cell for partition pruning, codes for
+    the ADC scan; raw vectors stay in the cold store. At scale: parquet
+    partitioned by cell, n_assign x compressed size."""
+    bc = emb.sparkSession.sparkContext.broadcast((coarse, books))
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cm, bks = bc.value
+        m, _, dsub = bks.shape
+        n_cells = cm.shape[0]
+        probes = min(n_assign, n_cells)
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            top = np.argsort(-(x @ cm.T), axis=1)[:, :probes]
+            ids, cells, codes_out = [], [], []
+            for a in range(probes):
+                cell = top[:, a]
+                res = x - cm[cell]
+                codes = np.empty((len(x), m), dtype="int32")
+                for s in range(m):
+                    rs = res[:, s * dsub : (s + 1) * dsub]
+                    d2 = ((rs[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, s] = np.argmin(d2, axis=1)
+                ids.append(pdf["id"].to_numpy())
+                cells.append(cell)
+                codes_out.extend(list(codes))
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "cell": np.concatenate(cells).astype("int32"),
+                    "codes": codes_out,
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(batches, "id long, cell int, codes array<int>")
+
+
+def build_ivfpq_queries(
+    queries: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 6,
+) -> DataFrame:
+    """Query -> (qid, qv, cell, qc_dot, lut): n_probe nearest cells, the
+    query-centroid inner product per probed cell, and the residual ADC
+    table lut[s*k + j] = <q_sub, books[s][j]> (cell-INDEPENDENT — the
+    decomposition <q, c + r̂> = <q, c> + sum_s lut[s*k + code_s] is what
+    keeps the per-cell cost one flat gather)."""
+    bc = queries.sparkSession.sparkContext.broadcast((coarse, books))
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cm, bks = bc.value
+        m, k, dsub = bks.shape
+        probes = min(n_probe, cm.shape[0])
+        for pdf in it:
+            x = np.asarray([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            sims = x @ cm.T
+            top = np.argsort(-sims, axis=1)[:, :probes]
+            luts = np.empty((len(x), m * k))
+            for s in range(m):
+                qs = x[:, s * dsub : (s + 1) * dsub]
+                luts[:, s * k : (s + 1) * k] = qs @ bks[s].T
+            rows = {
+                "qid": np.repeat(pdf["id"].to_numpy(), probes),
+                "qv": [v for v in x for _ in range(probes)],
+                "cell": top.ravel().astype("int32"),
+                "qc_dot": np.take_along_axis(sims, top, axis=1).ravel(),
+                "lut": [l for l in luts for _ in range(probes)],
+            }
+            yield pd.DataFrame(rows)
+
+    return queries.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(
+        batches,
+        "qid long, qv array<double>, cell int, qc_dot double, lut array<double>",
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 6,
+    n_assign: int = 2,
+    pq_m: int = 8,
+    pq_k: int = 64,
+    shortlist: int = 4,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
+    corpus_index: DataFrame | None = None,
+    query_index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ approximate top-k: cell equi-join prunes the corpus to the
+    probed cells (partition pruning at scale), the residual-ADC gather
+    scores candidates from 8-byte codes (pure JVM), the shortlist is
+    exact-re-ranked from full precision. Same exact-precision /
+    approximate-recall contract as the other ANN paths; vs plain PQ the
+    scan touches only n_probe/n_centroids of the corpus, vs plain IVF
+    each candidate costs a flat gather instead of a dim-length dot."""
+    if model is None:
+        model = train_ivfpq(
+            emb, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids, m=pq_m, k=pq_k,
+        )
+    coarse, books = model
+    if corpus_index is None:
+        corpus_index = build_ivfpq_index(
+            emb, coarse, books, id_col=id_col, vec_col=vec_col,
+            n_assign=n_assign,
+        )
+    qs = query_index if query_index is not None else build_ivfpq_queries(
+        queries, coarse, books, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    )
+    kk = books.shape[1]
+    cands = corpus_index.join(
+        F.broadcast(qs.select("qid", "cell", "qc_dot", "lut")), on="cell"
+    ).filter(F.col("id") != F.col("qid"))
+    gather = F.transform(
+        F.col("codes"), lambda c, i: F.element_at(F.col("lut"), i * kk + c + 1)
+    )
+    approx = cands.select(
+        "qid",
+        F.col("id").alias("nid"),
+        (
+            F.col("qc_dot")
+            + F.aggregate(gather, F.lit(0.0), lambda a, x: a + x)
+        ).alias("adc"),
+    ).groupBy("qid", "nid").agg(F.max("adc").alias("adc"))
+    wa = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("nid"))
+    short = (
+        approx.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= shortlist * k)
+        .select("qid", "nid")
+    )
+    nv = _normalized(emb, id_col, vec_col)
+    qv = qs.select("qid", "qv").dropDuplicates(["qid"])
+    scored = (
+        short.join(nv, short.nid == nv.id)
+        .join(F.broadcast(qv), "qid")
         .select(
             "qid",
             "nid",

@@ -90,3 +90,25 @@ def test_pq_lut_gather_matches_numpy_adc(spark, emb):
 def test_pq_dim_not_divisible_raises(spark, emb):
     with pytest.raises(ValueError, match="divisible"):
         train_pq_codebooks(emb, m=7, k=16)
+
+
+def test_ivfpq_full_probe_and_shortlist_equals_exact(spark, emb):
+    """Probing every cell with a corpus-covering shortlist degenerates
+    IVF+PQ to a candidate generator over the whole corpus — the exact
+    re-rank must then reproduce cosine_topk exactly."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    model = train_ivfpq(emb, n_centroids=4, m=8, k=16)
+    approx = ivfpq_topk(
+        emb, qs, k=5, model=model,
+        n_probe=4, n_assign=1, shortlist=(n // 5) + 1,
+    )
+    exact = cosine_topk(emb, qs, k=5)
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
