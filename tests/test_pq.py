@@ -112,3 +112,22 @@ def test_ivfpq_full_probe_and_shortlist_equals_exact(spark, emb):
     assert sorted(map(tuple, approx.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_pq_incremental_encode_equals_full(spark, emb):
+    """Nightly-maintenance contract for the compressed index: encoding is
+    stateless given frozen codebooks, so encoding only the NEW batch and
+    unioning with the stored codes must equal a from-scratch encode of
+    the full corpus — history is never re-read (the q96/qz101 contract,
+    applied to the ANN index)."""
+    books = train_pq_codebooks(emb, m=8, k=16)
+    split = 10
+    old = emb.filter(F.col("vec_id") < split)
+    new = emb.filter(F.col("vec_id") >= split)
+    stored = pq_encode(old, books)
+    fresh = pq_encode(new, books)
+    merged = {
+        r.id: list(r.codes) for r in stored.unionByName(fresh).collect()
+    }
+    full = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert merged == full
