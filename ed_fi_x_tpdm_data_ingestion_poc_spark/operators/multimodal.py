@@ -729,3 +729,59 @@ def extract_frames_mjpeg(
     )
     out = df.select(F.col(idc), F.col(cc)).mapInPandas(gen, out_schema)
     return out.withColumnRenamed("id", idc)
+
+
+def dhash64_features(
+    df, id_col: str = "doc_id", content_col: str = "content"
+):
+    """Perceptual difference-hash (dHash) per image: decode -> grayscale
+    -> area-downsample to a 9x8 grid -> one bit per horizontal neighbor
+    comparison -> 64-bit signature (id, sh). The standard cheap
+    image-near-dup fingerprint: resizing/recompression/brightness jitter
+    barely move the downsampled gradient signs, so near-dup frames land
+    within a few hamming bits while unrelated images sit near 32. The
+    (id, sh) output plugs directly into the banded-hamming pair join
+    (operators/dedup.py::simhash_near_pairs signatures=...) — image
+    dedup reuses the text-sketch blocking machinery unchanged.
+    Arrow-batched; decode errors yield NULL (poison rows never fail the
+    job)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        def one(content):
+            d = decode_image_pure(bytes(content))
+            w, h, ch = d["width"], d["height"], d["channels"]
+            px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, ch)
+            gray = px.mean(axis=2, dtype="float64")
+            # area-pool to 8 rows x 9 cols via bin-boundary splits (exact
+            # block mean when divisible, near-area otherwise)
+            ys = np.linspace(0, h, 9, dtype=int)
+            xs = np.linspace(0, w, 10, dtype=int)
+            cells = np.empty((8, 9))
+            for yy in range(8):
+                for xx in range(9):
+                    cells[yy, xx] = gray[
+                        ys[yy] : ys[yy + 1], xs[xx] : xs[xx + 1]
+                    ].mean()
+            bits = 0
+            for yy in range(8):
+                for xx in range(8):
+                    if cells[yy, xx] > cells[yy, xx + 1]:
+                        bits |= 1 << (yy * 8 + xx)
+            return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+        for pdf in it:
+            out = []
+            for content in pdf["content"]:
+                try:
+                    out.append(one(content))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "sh": out})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).alias("content"),
+    ).mapInPandas(batches, "id long, sh long")

@@ -383,3 +383,102 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("luma_ok"),
         )
     )
+
+
+_DHASH_IMGS: dict[tuple, DataFrame] = {}
+
+
+@query(
+    "qz104_image_dhash_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "multimodal", "dedup", "sketch"),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup detection: perceptual dHash over REAL decoded
+    pixels, paired through the SAME banded-hamming join the text
+    SimHash path uses (operators/dedup.py::simhash_near_pairs with
+    signatures=dhash64_features(...)) — one blocking machine serves both
+    modalities, the shape an image-dedup pass takes at 100 TB (64-bit
+    signatures shuffle; pixels never do).
+
+    Fixture: per selected doc a 36x32 grayscale PNG rendered from a
+    9x8 cell grid whose horizontal neighbors ALWAYS differ by exactly
+    +-16 (a seeded random walk keyed by doc_id % 7 — the pattern id),
+    plus per-doc +-1 pixel noise. Same pattern => identical dhash even
+    under the noise (a +-1 shift cannot flip a 16-level step); different
+    patterns => ~32 hamming bits apart. The true near-dup pair set is
+    therefore EXACTLY the same-pattern pairs, and ok=1 iff the banded
+    hamming<=8 pairs equal that set — recall AND precision, both laws,
+    both deterministic."""
+    from ..operators.dedup import simhash_near_pairs
+    from ..operators.multimodal import dhash64_features
+
+    d = table(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 1
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+            encode_png,
+        )
+
+        def cells_for(pattern: int) -> np.ndarray:
+            # seeded +-16 random walk per row: adjacent cells differ by
+            # exactly 16 at every step, clamped inside [32, 224]
+            out = np.empty((8, 9))
+            for y in range(8):
+                v = 128
+                out[y, 0] = v
+                for x in range(1, 9):
+                    h = hashlib.md5(f"{pattern}:{y}:{x}".encode()).digest()[0]
+                    step = 16 if (h & 1) else -16
+                    if not 32 <= v + step <= 224:
+                        step = -step
+                    v += step
+                    out[y, x] = v
+            return out
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cells = cells_for(did % 7)
+                px = np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1)
+                noise = ((did * 2654435761) % 3) - 1  # -1, 0, or +1
+                px = np.clip(px + noise, 0, 255).astype(np.uint8)
+                ids.append(did)
+                blobs.append(encode_png(36, 32, 1, px.tobytes()))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    imgs = memo(
+        _DHASH_IMGS,
+        (id(spark), sf),
+        lambda: _built(d.mapInPandas(gen, "doc_id long, content binary")),
+        label="dhash_images",
+    )
+    sigs = dhash64_features(imgs)
+    got = simhash_near_pairs(
+        spark.createDataFrame([], "doc_id long, text string"),
+        max_hamming=8,
+        signatures=sigs,
+    ).select("ida", "idb")
+    want = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.doc_id") % 7 == F.col("b.doc_id") % 7)
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+        )
+    )
+    diff = got.exceptAll(want).unionAll(want.exceptAll(got)).count()
+    from . import ok_flag
+
+    return ok_flag(spark, diff == 0)

@@ -157,3 +157,51 @@ def test_pillow_and_pure_paths_agree():
     )
     diffs = [abs(a - b) for a, b in zip(jp["pixels"], jq["pixels"])]
     assert max(diffs) <= 8 and sum(diffs) / len(diffs) <= 2.0
+
+
+def test_dhash64_invariances():
+    """dHash laws on synthetic pixels: identical under ±1 brightness
+    jitter and under 2x upscaling (area pooling recovers the same cell
+    grid); far apart for an unrelated pattern."""
+    import numpy as np
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.multimodal import (
+        dhash64_features,  # noqa: F401  (spark path covered by qz104)
+    )
+
+    # exercise the pure hashing core through decode_image on PNG bytes
+    def dhash_of(px, w, h):
+        d = decode_image(encode_png(w, h, 1, px.astype(np.uint8).tobytes()))
+        x = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 1)
+        gray = x.mean(axis=2, dtype="float64")
+        ys = np.linspace(0, h, 9, dtype=int)
+        xs = np.linspace(0, w, 10, dtype=int)
+        cells = np.array(
+            [
+                [
+                    gray[ys[yy]: ys[yy + 1], xs[xx]: xs[xx + 1]].mean()
+                    for xx in range(9)
+                ]
+                for yy in range(8)
+            ]
+        )
+        bits = 0
+        for yy in range(8):
+            for xx in range(8):
+                if cells[yy, xx] > cells[yy, xx + 1]:
+                    bits |= 1 << (yy * 8 + xx)
+        return bits
+
+    rng = np.random.default_rng(3)
+    cells = rng.integers(2, 14, size=(8, 9)) * 16.0
+    base = np.repeat(np.repeat(cells, 4, axis=0), 4, axis=1)
+    h1 = dhash_of(base, 36, 32)
+    h2 = dhash_of(np.clip(base + 1, 0, 255), 36, 32)  # brightness jitter
+    big = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)  # 2x upscale
+    h3 = dhash_of(big, 72, 64)
+    assert h1 == h2 == h3
+    other = np.repeat(
+        np.repeat(rng.integers(2, 14, size=(8, 9)) * 16.0, 4, axis=0), 4, axis=1
+    )
+    h4 = dhash_of(other, 36, 32)
+    assert bin(h1 ^ h4).count("1") > 12
