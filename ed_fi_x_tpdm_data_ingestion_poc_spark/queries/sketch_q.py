@@ -306,3 +306,57 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
             .alias("ok")
         )
     )
+
+
+@query(
+    "qz105_hll_intersect_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch"),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-algebra intersection estimate: |A∩B| from mergeable HLL
+    summaries alone via inclusion-exclusion, est(A) + est(B) −
+    est(A∪B) — the union sketch comes from hll_union_agg over the two
+    sets' sketches, so the answer needs NO re-scan of either set and no
+    join: the question every audience-overlap / cross-corpus-coverage
+    report asks at 100 TB, answered from two fixed-size summaries.
+    Sets: users in deterministic xxhash buckets [0,60) and [40,100) —
+    a designed ~20% overlap, so the subtraction is non-degenerate.
+    ok=1 iff the estimate lands within 10% of the exact intersection
+    (lgk=14 keeps each term sub-1%; the flag is deterministic).
+    Inclusion-exclusion noise grows as overlap shrinks relative to the
+    union — for tiny intersections production uses theta/KMV sketches
+    instead; that boundary is the point the docstring records."""
+    e = table(spark, sf, "events")
+    h = F.pmod(F.xxhash64("user_id"), F.lit(100))
+    users = e.select("user_id", h.alias("h"))
+    a = users.filter(F.col("h") < 60)
+    b = users.filter(F.col("h") >= 40)
+    sk = (
+        a.select(F.lit("a").alias("s"), "user_id")
+        .unionByName(b.select(F.lit("b").alias("s"), "user_id"))
+        .groupBy("s")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("hll"))
+    )
+    ests = sk.select(
+        "s", F.hll_sketch_estimate("hll").alias("est")
+    ).groupBy().pivot("s", ["a", "b"]).sum("est")
+    union_est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("u")
+    )
+    exact = users.filter(
+        (F.col("h") >= 40) & (F.col("h") < 60)
+    ).agg(F.count_distinct("user_id").alias("x"))
+    row = (
+        ests.crossJoin(union_est)
+        .crossJoin(exact)
+        .select(
+            (F.col("a") + F.col("b") - F.col("u")).alias("inter_est"),
+            "x",
+        )
+        .collect()[0]
+    )
+    from . import ok_flag
+
+    ok = row.x > 0 and abs(row.inter_est - row.x) / row.x <= 0.10
+    return ok_flag(spark, ok)
