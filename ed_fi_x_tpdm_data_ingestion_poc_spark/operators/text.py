@@ -214,3 +214,51 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         _gates,
         f"{id_col} {id_type}, top_word_frac double, dup_bigram_frac double",
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying — the CommonCrawl-style
+    normalization a web-corpus pipeline applies before exact/near dedup
+    so trivially-different mirrors collapse to one key:
+
+    * scheme and host lowercased (path/query case is significant, left),
+    * fragment stripped,
+    * default ports removed (http:80, https:443),
+    * duplicate slashes in the path collapsed,
+    * utm_* tracking params dropped (other params kept in order),
+    * trailing '?' removed when the query empties.
+
+    Pure JVM expressions (regexp + split/filter/array_join) — map-only,
+    no UDF; mirrors 1:1 into DuckDB SQL so the declared query is
+    hash-checked rather than flag-checked."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?]+)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).otherwise(host)
+    pathq = F.regexp_replace(rest, "^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, "^([^?]*)", 1), "//+", "/"
+    )
+    qstr = F.regexp_extract(pathq, "\\?(.*)$", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(qstr, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )

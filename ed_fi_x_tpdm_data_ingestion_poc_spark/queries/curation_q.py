@@ -784,3 +784,109 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# Messy-URL construction shared by qz106's Spark and DuckDB sides: scheme
+# casing, default ports, doubled path slashes, utm_* tracking params and a
+# fragment, all pure functions of doc_id so both engines build IDENTICAL
+# inputs and the normalized output hash-checks.
+_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://WWW.Site' || (doc_id % 3) || '.COM'
+    || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+             WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END)
+    || '/Docs//Item' || (doc_id % 5)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+             ELSE '?utm_source=feed&id=' || (doc_id % 7) || '&utm_campaign=x'
+        END)
+    || '#sec' || (doc_id % 3)
+"""
+
+
+@query(
+    "qz106_url_canonical",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id,
+                  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                    AS scheme,
+                  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM s1),
+    s3 AS (SELECT doc_id, scheme,
+                  lower(regexp_extract(rest, '^([^/?]+)', 1)) AS host0,
+                  regexp_replace(rest, '^[^/?]+', '') AS pathq
+           FROM s2),
+    s4 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                       THEN regexp_replace(host0, ':80$', '')
+                       WHEN scheme = 'https' AND host0 LIKE '%:443'
+                       THEN regexp_replace(host0, ':443$', '')
+                       ELSE host0 END AS host,
+                  regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                 '//+', '/') AS path,
+                  COALESCE(array_to_string(
+                      list_filter(
+                          string_split(regexp_extract(pathq, '\\?(.*)$', 1),
+                                       '&'),
+                          p -> NOT starts_with(p, 'utm_') AND p <> ''),
+                      '&'), '') AS kept
+           FROM s3),
+    n AS (SELECT doc_id,
+                 scheme || '://' || host || path ||
+                 CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS url_norm
+          FROM s4)
+    SELECT doc_id, url_norm,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS INT)
+             AS keep
+    FROM n
+    """,
+    tags=("llm", "curation", "text"),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup keying (operators/text.py::canonical_url): the
+    normalization a web-corpus pipeline applies before dedup so mirror
+    URLs (scheme/host case, default ports, doubled slashes, utm_*
+    tracking params, fragments) collapse to one key, plus the min-id
+    survivor flag per canonical key. Map-only JVM string expressions +
+    one digest-window shuffle; the messy inputs are pure functions of
+    doc_id built identically in both engines, so the normalized output
+    and survivor assignment are fully hash-checked (no ok-flag)."""
+    from ..operators.text import canonical_url
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf, "documents").select("doc_id")
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise("https")
+    port = (
+        F.when(F.col("doc_id") % 3 == 0, ":80")
+        .when(F.col("doc_id") % 3 == 1, ":443")
+        .otherwise("")
+    )
+    qpart = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed")
+    ).otherwise(
+        F.concat(
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=x"),
+        )
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://WWW.Site"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".COM"),
+        port,
+        F.lit("/Docs//Item"),
+        (F.col("doc_id") % 5).cast("string"),
+        qpart,
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    n = d.select("doc_id", canonical_url(url).alias("url_norm"))
+    w = Window.partitionBy("url_norm")
+    return n.select(
+        "doc_id",
+        "url_norm",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+    )
