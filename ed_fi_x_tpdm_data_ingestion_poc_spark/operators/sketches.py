@@ -198,3 +198,83 @@ def bloom_union(a: dict, b: dict) -> dict:
     words = [x | y for x, y in zip(a["words"], b["words"])]
     # re-sign: Python's | on negatives stays in int range already signed
     return {"words": words, "m": a["m"], "k": a["k"], "n": a["n"] + b["n"]}
+
+
+def cms_build(
+    values_df: DataFrame,
+    col: str,
+    *,
+    weight: Column | None = None,
+    d: int = 4,
+    w: int = 2048,
+) -> dict:
+    """Count-min sketch over a column: {"tables": d lists of w counts,
+    "d", "w", "n"} — the mergeable FREQUENCY summary next to HLL
+    (distincts) and Bloom (membership). Build is one distributed
+    map-side-combined aggregation: each row explodes to d (depth, slot)
+    cells (slot = pmod(xxhash64(v, depth), w) — ANSI-safe like the bloom
+    path) and the groupBy reduces the corpus to at most d*w cells before
+    the driver sees anything; the collected summary is d*w longs
+    (d=4, w=2048 -> 64 KiB), independent of corpus size."""
+    if d < 1 or w < 1:
+        raise ValueError(f"cms needs d >= 1 and w >= 1, got d={d} w={w}")
+    wt = (weight if weight is not None else F.lit(1)).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(w))
+                .cast("int")
+                .alias("slot"),
+            )
+            for i in range(d)
+        ]
+    )
+    agg = (
+        values_df.select(F.col(col).alias("v"), wt.alias("wt"))
+        .where(F.col("v").isNotNull())
+        .select(F.explode(cells).alias("h"), "wt")
+        .groupBy("h.depth", "h.slot")
+        .agg(F.sum("wt").alias("c"))
+        .collect()
+    )
+    tables = [[0] * w for _ in range(d)]
+    for r in agg:
+        tables[r.depth][r.slot] = r.c
+    return {"tables": tables, "d": d, "w": w, "n": sum(tables[0])}
+
+
+def cms_point(cms: dict, col: Column) -> Column:
+    """Pure-JVM point-frequency estimate: min over depths of the
+    depth-table literal at this value's slot — map-only, composes into
+    any select/filter with no join or shuffle (same contract as
+    bloom_might_contain). Never underestimates (a law: every cell the
+    value hashes to counted ALL of its occurrences); overestimates by
+    at most e*n/w with high probability (Cormode & Muthukrishnan
+    2005)."""
+    d, w = cms["d"], cms["w"]
+    ests = [
+        F.element_at(
+            F.lit(cms["tables"][i]),
+            (F.pmod(F.xxhash64(col, F.lit(i)), F.lit(w)) + 1).cast("int"),
+        )
+        for i in range(d)
+    ]
+    return F.least(*ests) if len(ests) > 1 else ests[0]
+
+
+def cms_merge(a: dict, b: dict) -> dict:
+    """Cell-wise sum of two sketches built with identical (d, w):
+    frequencies over the UNION of the inputs — partitions/days sketch
+    independently, a reduce step combines, raw data is never re-read
+    (the same mergeable-summary contract as bloom_union/hll_union)."""
+    if (a["d"], a["w"]) != (b["d"], b["w"]):
+        raise ValueError(
+            f"cms_merge needs identical (d,w): {(a['d'], a['w'])} vs "
+            f"{(b['d'], b['w'])}"
+        )
+    tables = [
+        [x + y for x, y in zip(ta, tb)]
+        for ta, tb in zip(a["tables"], b["tables"])
+    ]
+    return {"tables": tables, "d": a["d"], "w": a["w"], "n": a["n"] + b["n"]}

@@ -360,3 +360,68 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
 
     ok = row.x > 0 and abs(row.inter_est - row.x) / row.x <= 0.10
     return ok_flag(spark, ok)
+
+
+@query(
+    "qz107_cms_freq_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch", "llm", "text"),
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch over corpus tokens
+    (operators/sketches.py::cms_build/cms_point/cms_merge) — the
+    mergeable FREQUENCY summary completing the sketch family (HLL:
+    distincts, Bloom: membership, CMS: counts). Three laws verified in
+    one flag, all deterministic (xxhash64 slots, fixed data):
+
+    * overestimate law — for every exact top-50 word, the JVM point
+      probe (min over 4 depth-table literals, map-only, no join) is
+      >= the true count: a cell counts ALL occurrences of everything
+      hashing into it, so underestimation is impossible;
+    * error bound — est - true <= 3 * ceil(e*n/w) on those words
+      (Cormode & Muthukrishnan's bound with slack for the small-w
+      regime at test SF);
+    * merge law — sketches built on the two doc_id halves merge
+      CELL-IDENTICALLY to the full-corpus sketch (counting is linear,
+      so mergeability is exact, not approximate): the nightly pattern
+      of sketching only the new partition and summing summaries."""
+    import math
+
+    from ..operators.sketches import cms_build, cms_merge, cms_point
+    from ..operators.text import tokens
+
+    d = table(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    cms_key = ("cms", sf)
+    full = memo(
+        _BLOOMS, cms_key,
+        lambda: cms_build(words, "w", d=4, w=2048),
+        label="cms_tokens",
+    )
+    halves = memo(
+        _BLOOMS, ("cms_halves", sf),
+        lambda: cms_merge(
+            cms_build(words.filter(F.col("doc_id") % 2 == 0), "w", d=4, w=2048),
+            cms_build(words.filter(F.col("doc_id") % 2 == 1), "w", d=4, w=2048),
+        ),
+        label="cms_tokens_halves",
+    )
+    merge_ok = halves["tables"] == full["tables"]
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "w")
+        .limit(50)
+    )
+    bound = 3 * math.ceil(math.e * full["n"] / full["w"])
+    probed = top.select(
+        "true_cnt", cms_point(full, F.col("w")).alias("est")
+    ).agg(
+        F.min(F.col("est") >= F.col("true_cnt")).alias("law"),
+        F.max(F.col("est") - F.col("true_cnt")).alias("max_err"),
+    ).collect()[0]
+    from . import ok_flag
+
+    return ok_flag(
+        spark, bool(probed.law) and probed.max_err <= bound and merge_ok
+    )

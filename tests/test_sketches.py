@@ -193,3 +193,38 @@ def test_bloom_property_random_strings(spark):
             bloom_might_contain(bloom, F.col("s")).cast("int").alias("h")
         ).agg(F.sum("h").alias("n")).collect()[0].n
         assert n == 300, (fpp, n)
+
+
+def test_cms_exact_when_wide_and_merge_linear(spark):
+    """With w far above the distinct count every value gets clean cells
+    in at least one depth's view... stronger: the sketch is EXACT for
+    any value whose d cells hold only its own count — with 20 distinct
+    values in w=4096 the min over 4 depths collides with nothing whp for
+    this fixed hash; pin the measured exactness plus the hard laws:
+    never underestimates, and merge is cell-identical to a single
+    build."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_point,
+    )
+
+    rows = [(f"k{i % 20}",) for i in range(400)]  # each key exactly 20x
+    df = spark.createDataFrame(rows, "s string")
+    cms = cms_build(df, "s", d=4, w=4096)
+    assert cms["n"] == 400
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(20)], "s string")
+    got = probe.select("s", cms_point(cms, F.col("s")).alias("e")).collect()
+    assert all(r.e >= 20 for r in got)  # law: never under
+    assert all(r.e == 20 for r in got)  # measured exact at this width
+
+    a = cms_build(df.limit(100), "s", d=4, w=4096)
+    b_rows = spark.createDataFrame(rows[100:], "s string")
+    b = cms_build(b_rows, "s", d=4, w=4096)
+    merged = cms_merge(a, b)
+    assert merged["tables"] == cms["tables"] and merged["n"] == 400
+
+    with pytest.raises(ValueError, match="identical"):
+        cms_merge(a, cms_build(df, "s", d=4, w=2048))
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_build(df, "s", d=0, w=16)
