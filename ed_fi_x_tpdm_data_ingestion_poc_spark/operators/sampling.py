@@ -87,3 +87,49 @@ def cap_per_stratum(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def portable_uniform01(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic engine-portable uniform in (0, 1): the overflow-safe
+    Knuth multiplicative hash (queries/curation_q.py::_mul_hash32 is the
+    re-exported twin) shifted by +0.5 so the value is never exactly 0 —
+    safe under ln(). Identical BIGINT+double arithmetic is expressible in
+    DuckDB SQL, which is what makes samples drawn from it hash-checkable
+    cross-engine (unlike xxhash64)."""
+    c, m32 = 2654435761, 4294967296
+    col = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("bigint")
+    d = F.pmod(col + F.lit(salt), F.lit(m32))
+    lo, hi = d.bitwiseAND(F.lit(65535)), F.shiftright(d, 16)
+    h = F.pmod(
+        F.pmod(lo * F.lit(c), F.lit(m32))
+        + F.pmod(F.pmod(hi * F.lit(c), F.lit(m32)) * F.lit(65536), F.lit(m32)),
+        F.lit(m32),
+    )
+    return (h + F.lit(0.5)) / F.lit(float(m32))
+
+
+def weighted_reservoir_exact(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws key = ln(u) / w for a
+    per-row deterministic uniform u and positive weight w; the k largest
+    keys are a weighted reservoir — inclusion probability proportional
+    to weight, no replacement, single pass. Plan: a global
+    orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    top-k then a k-row driver merge — no full sort, no shuffle of the
+    corpus; the 100 TB shape). Keys are ROUNDed to 9 dp with an id
+    tiebreak so the selected SET is stable cross-engine."""
+    key = F.round(
+        F.log(portable_uniform01(id_col, salt)) / F.col(weight_col), 9
+    )
+    return (
+        df.withColumn("__wr_key", key)
+        .orderBy(F.col("__wr_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wr_key")
+    )

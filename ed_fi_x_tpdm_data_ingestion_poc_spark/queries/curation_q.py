@@ -890,3 +890,32 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
         "url_norm",
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
     )
+
+
+@query(
+    "qz108_weighted_reservoir",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars,
+                      ROUND(LN((((doc_id + 9) * 2654435761) % 4294967296
+                                + 0.5) / 4294967296.0)
+                            / n_chars, 9) AS key
+               FROM documents)
+    SELECT doc_id, n_chars FROM t ORDER BY key DESC, doc_id LIMIT 64
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-64 weighted sample without replacement (A-ES reservoir,
+    operators/sampling.py::weighted_reservoir_exact): longer documents
+    proportionally likelier, sample size FIXED — the knob q78's
+    Bernoulli sampler doesn't have (its output size is a random
+    variable). Executes as TakeOrdered: per-partition top-64, 64-row
+    driver merge, no corpus shuffle. The hash-derived uniform makes the
+    draw reproducible AND recomputable in DuckDB, so the selected set is
+    fully hash-checked — ORDER BY is semantic under the LIMIT."""
+    from ..operators.sampling import weighted_reservoir_exact
+
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_reservoir_exact(
+        d, 64, "n_chars", id_col="doc_id", salt=9
+    )

@@ -272,3 +272,35 @@ def test_mul_hash32_exact_for_any_bigint(spark, ids):
     }
     for i in ids:
         assert got[i] == (i * 2654435761) % (2**32), i
+
+
+@given(
+    hosts=st.lists(
+        st.sampled_from(["WWW.A.COM", "b.ORG:80", "C.net:443", "d.io:8080"]),
+        min_size=1, max_size=8,
+    ),
+    frag=st.booleans(),
+)
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_idempotent(spark, hosts, frag):
+    """Normalization law: canonical_url(canonical_url(u)) ==
+    canonical_url(u) — a second pass must find nothing left to fix, for
+    any mix of casing, default/explicit ports, doubled slashes, utm
+    params, and fragments."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import (
+        canonical_url,
+    )
+
+    urls = [
+        f"HTTP://{h}//p{i}//Q?utm_source=x&id={i}&utm_b=y"
+        + ("#frag" if frag else "")
+        for i, h in enumerate(hosts)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c2"))
+    a = [r.c for r in once.collect()]
+    b = [r.c2 for r in twice.collect()]
+    assert a == b
+    for c in a:
+        assert "#" not in c and "utm_" not in c and "//p" not in c.split("://")[1]

@@ -59,3 +59,41 @@ def test_cap_per_stratum(spark, sf_dir):
     a = {r[0] for r in out.select("doc_id").collect()}
     b = {r[0] for r in cap_per_stratum(d, ["lang"], 3, id_col="doc_id").select("doc_id").collect()}
     assert a == b
+
+
+def test_weighted_reservoir_laws(spark):
+    """A-ES reservoir: exactly k rows, deterministic per salt, and across
+    many salts heavy rows are included far more often than light ones
+    (inclusion probability proportional to weight)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        weighted_reservoir_exact,
+    )
+
+    # ids 0..199: weight 1000 for the first 20, weight 10 for the rest
+    df = spark.createDataFrame(
+        [(i, 1000 if i < 20 else 10) for i in range(200)], "id long, w long"
+    )
+    a = weighted_reservoir_exact(df, 30, "w", id_col="id", salt=1)
+    rows_a = sorted(r.id for r in a.collect())
+    assert len(rows_a) == 30
+    rows_a2 = sorted(
+        r.id
+        for r in weighted_reservoir_exact(
+            df, 30, "w", id_col="id", salt=1
+        ).collect()
+    )
+    assert rows_a == rows_a2  # deterministic
+
+    heavy = light = 0
+    for salt in range(25):
+        got = {
+            r.id
+            for r in weighted_reservoir_exact(
+                df, 30, "w", id_col="id", salt=salt
+            ).collect()
+        }
+        heavy += sum(1 for i in got if i < 20)
+        light += sum(1 for i in got if i >= 20)
+    # 20 rows at 100x the weight of the other 180: heavy rows must be
+    # included at a far higher RATE (per-row inclusion frequency)
+    assert heavy / 20 > 5 * (light / 180), (heavy, light)
