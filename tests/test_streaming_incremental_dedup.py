@@ -62,3 +62,39 @@ def test_streaming_batches_match_full_rerun(spark, sf_dir):
     # the index now covers the whole corpus
     idx = spark.read.parquet(index_dir)
     assert idx.select("id").distinct().count() == n
+
+
+def test_streaming_cms_maintenance_matches_batch(spark, sf_dir):
+    """Streaming frequency-summary maintenance: each micro-batch is
+    sketched ALONE and cms_merge'd into the running summary (the state a
+    live ingest keeps — 64 KiB, never the corpus). After the drain the
+    accumulated sketch must be CELL-IDENTICAL to a single batch build
+    over all rows: counting is linear, so streaming == batch exactly."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    n = len(pdf)
+    replay = write_replay_dir(
+        [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+    )
+    state = {"cms": None}
+
+    def sketch_batch(batch_df, batch_id):
+        words = batch_df.select(F.explode(tokens("text")).alias("w"))
+        part = cms_build(words, "w", d=4, w=1024)
+        state["cms"] = (
+            part if state["cms"] is None else cms_merge(state["cms"], part)
+        )
+
+    stream = read_replay_stream(spark, replay, DOCS_DDL)
+    run_foreach_batch(stream, sketch_batch)
+    full = cms_build(
+        docs.select(F.explode(tokens("text")).alias("w")), "w", d=4, w=1024
+    )
+    assert state["cms"]["tables"] == full["tables"]
+    assert state["cms"]["n"] == full["n"]
