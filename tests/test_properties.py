@@ -304,3 +304,28 @@ def test_canonical_url_idempotent(spark, hosts, frag):
     assert a == b
     for c in a:
         assert "#" not in c and "utm_" not in c and "//p" not in c.split("://")[1]
+
+
+@given(
+    paths=st.lists(
+        st.sampled_from(["/", "/a", "/a//b///c", ""]), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_canonical_url_edges(spark, paths):
+    """Edge shapes: bare host (empty path), root path, utm-only query
+    (must drop the '?'), non-default port kept, multi-slash collapse."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import (
+        canonical_url,
+    )
+
+    urls = [f"HTTPS://Host.Example:443{p}?utm_x=1" for p in paths] + [
+        "http://h.example:8080/a?id=1&utm_y=2",
+        "https://h.example",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    for p, c in zip(paths, got):
+        assert c == "https://host.example" + p.replace("///", "/").replace("//", "/")
+    assert got[-2] == "http://h.example:8080/a?id=1"  # non-default port kept
+    assert got[-1] == "https://h.example"

@@ -228,3 +228,29 @@ def test_cms_exact_when_wide_and_merge_linear(spark):
         cms_merge(a, cms_build(df, "s", d=4, w=2048))
     with pytest.raises(ValueError, match="d >= 1"):
         cms_build(df, "s", d=0, w=16)
+
+
+def test_cms_overestimate_law_property(spark):
+    """Hypothesis-style sweep without fixture luck: for arbitrary skewed
+    string multisets and tight widths (heavy collisions), the point
+    estimate must NEVER undercount any present value."""
+    for seed, w in [(1, 16), (2, 32), (3, 64)]:
+        vals = [f"s{(i * seed) % 23}" for i in range(500)]
+        from collections import Counter
+
+        truth = Counter(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+            cms_build,
+            cms_point,
+        )
+
+        cms = cms_build(df, "s", d=3, w=w)
+        probe = spark.createDataFrame(
+            [(k,) for k in truth], "s string"
+        )
+        got = probe.select(
+            "s", cms_point(cms, F.col("s")).alias("e")
+        ).collect()
+        for r in got:
+            assert r.e >= truth[r.s], (seed, w, r.s, r.e, truth[r.s])

@@ -277,3 +277,29 @@ def test_stream_packing_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) == d.count()
+
+
+def test_interval_join_hash_form_equals_sortmerge(spark):
+    """hash_build_right is a physical-plan choice only: the shuffled-hash
+    form must return exactly the sort-merge form's rows."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=37 * i))
+        for i in range(200)
+    ]
+    a = spark.createDataFrame(rows, "a_id long, a_ts timestamp")
+    b = spark.createDataFrame(
+        [(i + 1000, ts) for i, ts in rows], "b_id long, b_ts timestamp"
+    )
+    smj = {
+        (r.a_id, r.b_id)
+        for r in interval_join(a, b, "a_ts", "b_ts", 0, 120).collect()
+    }
+    shj = {
+        (r.a_id, r.b_id)
+        for r in interval_join(
+            a, b, "a_ts", "b_ts", 0, 120, hash_build_right=True
+        ).collect()
+    }
+    assert smj == shj and len(smj) > 200
