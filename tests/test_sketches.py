@@ -254,3 +254,22 @@ def test_cms_overestimate_law_property(spark):
         ).collect()
         for r in got:
             assert r.e >= truth[r.s], (seed, w, r.s, r.e, truth[r.s])
+
+
+def test_cms_probe_plan_is_map_only(spark):
+    """Like the bloom probe, cms_point must compose as a pure projection
+    — no join, no exchange, no Python — so frequency gating can ride any
+    scan for free."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_point,
+    )
+
+    vals = spark.range(200).select(F.col("id").cast("string").alias("s"))
+    cms = cms_build(vals, "s", d=4, w=256)
+    probe = spark.range(1000).select(
+        F.col("id").cast("string").alias("s")
+    ).select(cms_point(cms, F.col("s")).alias("e"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in probe plan:\n{plan}"
