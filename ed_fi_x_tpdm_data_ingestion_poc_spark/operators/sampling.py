@@ -89,23 +89,51 @@ def cap_per_stratum(
     )
 
 
-def portable_uniform01(id_col: Column | str, salt: int = 0) -> Column:
-    """Deterministic engine-portable uniform in (0, 1): the overflow-safe
-    Knuth multiplicative hash (queries/curation_q.py::_mul_hash32 is the
-    re-exported twin) shifted by +0.5 so the value is never exactly 0 —
-    safe under ln(). Identical BIGINT+double arithmetic is expressible in
-    DuckDB SQL, which is what makes samples drawn from it hash-checkable
-    cross-engine (unlike xxhash64)."""
+def mul_hash32(col: Column) -> Column:
+    """(col * 2654435761) mod 2^32, exact for ANY bigint input under
+    ANSI mode — THE canonical implementation; every multiplicative-hash
+    call site (shard assignment, Bernoulli sampling, reservoir keys, and
+    their DuckDB oracle twins via mul_hash32_sql) routes through here so
+    the arithmetic can never drift between sites. The naive product
+    overflows signed 64-bit once the operand exceeds ~3.47e9 (throws
+    under ANSI; silently diverges from the oracle's 128-bit arithmetic
+    otherwise), so: reduce to 32 bits, split into 16-bit halves,
+    recombine mod 2^32 — every intermediate stays below 2^48.
+    Value-identical to the naive form where that form is defined."""
     c, m32 = 2654435761, 4294967296
-    col = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("bigint")
-    d = F.pmod(col + F.lit(salt), F.lit(m32))
+    d = F.pmod(col.cast("bigint"), F.lit(m32))
     lo, hi = d.bitwiseAND(F.lit(65535)), F.shiftright(d, 16)
-    h = F.pmod(
+    return F.pmod(
         F.pmod(lo * F.lit(c), F.lit(m32))
         + F.pmod(F.pmod(hi * F.lit(c), F.lit(m32)) * F.lit(65536), F.lit(m32)),
         F.lit(m32),
     )
-    return (h + F.lit(0.5)) / F.lit(float(m32))
+
+
+def mul_hash32_sql(expr: str) -> str:
+    """ANSI-SQL twin of mul_hash32 for DuckDB oracle strings: the same
+    pmod + 16-bit-half split multiply, so engine and oracle agree for
+    EVERY bigint input (not just ids small enough that the naive 64-bit
+    product happens not to overflow). `//` is DuckDB integer division;
+    d is non-negative after the pmod, so floor == truncate."""
+    d = f"((({expr}) % 4294967296 + 4294967296) % 4294967296)"
+    return (
+        f"((({d} % 65536) * 2654435761) % 4294967296"
+        f" + ((({d} // 65536) * 2654435761 % 4294967296) * 65536)"
+        f" % 4294967296) % 4294967296"
+    )
+
+
+def portable_uniform01(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic engine-portable uniform in (0, 1): the overflow-safe
+    Knuth multiplicative hash (mul_hash32, shared with the shard/sample
+    call sites in queries/curation_q.py) shifted by +0.5 so the value is
+    never exactly 0 — safe under ln(). Identical BIGINT+double arithmetic
+    is expressible in DuckDB SQL (mul_hash32_sql), which is what makes
+    samples drawn from it hash-checkable cross-engine (unlike xxhash64)."""
+    col = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("bigint")
+    h = mul_hash32(col + F.lit(salt))
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
 
 
 def weighted_reservoir_exact(

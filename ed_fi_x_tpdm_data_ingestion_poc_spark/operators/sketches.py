@@ -227,7 +227,13 @@ def cms_build(
     cells (slot = pmod(xxhash64(v, depth), w) — ANSI-safe like the bloom
     path) and the groupBy reduces the corpus to at most d*w cells before
     the driver sees anything; the collected summary is d*w longs
-    (d=4, w=2048 -> 64 KiB), independent of corpus size."""
+    (d=4, w=2048 -> 64 KiB), independent of corpus size.
+
+    Weights must be NON-NEGATIVE: cms_point's never-underestimates law
+    and the Cormode-Muthukrishnan error bound both assume it (a negative
+    weight lets an unrelated value's cell dip below a value's true
+    count). Enforced at build time via a min(wt) rider on the same
+    aggregation — no extra job."""
     if d < 1 or w < 1:
         raise ValueError(f"cms needs d >= 1 and w >= 1, got d={d} w={w}")
     wt = (weight if weight is not None else F.lit(1)).cast("long")
@@ -247,9 +253,14 @@ def cms_build(
         .where(F.col("v").isNotNull())
         .select(F.explode(cells).alias("h"), "wt")
         .groupBy("h.depth", "h.slot")
-        .agg(F.sum("wt").alias("c"))
+        .agg(F.sum("wt").alias("c"), F.min("wt").alias("mn"))
         .collect()
     )
+    if agg and min(r.mn for r in agg) < 0:
+        raise ValueError(
+            "cms_build requires non-negative weights: cms_point's "
+            "never-underestimates law does not hold for signed updates"
+        )
     tables = [[0] * w for _ in range(d)]
     for r in agg:
         tables[r.depth][r.slot] = r.c

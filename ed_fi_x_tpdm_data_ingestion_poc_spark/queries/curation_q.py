@@ -221,29 +221,23 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
 # prefer the xxhash64 sampler.
 
 
-def _mul_hash32(col):
-    """(col * 2654435761) mod 2^32, exact for ANY bigint input under
-    ANSI mode. The naive product overflows signed 64-bit once the operand
-    exceeds ~3.47e9 (throws under ANSI; silently diverges from the
-    oracle's 128-bit arithmetic otherwise), so: reduce to 32 bits, split
-    into 16-bit halves, recombine mod 2^32 — every intermediate stays
-    below 2^48. Value-identical to the naive form where that form is
-    defined, so shard assignments are stable across the fix."""
-    c, m32 = 2654435761, 4294967296
-    d = F.pmod(col.cast("bigint"), F.lit(m32))
-    lo, hi = d.bitwiseAND(F.lit(65535)), F.shiftright(d, 16)
-    return F.pmod(
-        F.pmod(lo * F.lit(c), F.lit(m32))
-        + F.pmod(F.pmod(hi * F.lit(c), F.lit(m32)) * F.lit(65536), F.lit(m32)),
-        F.lit(m32),
-    )
+# Canonical implementation lives with the sampling operators; re-exported
+# here because every shard/sample call site below (and the property test)
+# historically referenced it under this name. One implementation, one SQL
+# twin — engine and oracle can never drift.
+from ..operators.sampling import mul_hash32 as _mul_hash32  # noqa: E402
+from ..operators.sampling import mul_hash32_sql as _mul_hash32_sql  # noqa: E402
 
 
 def _uniform01(col, salt: int = 0):
     return _mul_hash32(F.col(col) + F.lit(salt)) / F.lit(4294967296.0)
 
 
-_UNIFORM_SQL = "(((doc_id + {salt}) * 2654435761) % 4294967296) / 4294967296.0"
+# Overflow-safe oracle twin of _uniform01 — same split-multiply arithmetic
+# as the engine (mul_hash32_sql), so the pair agrees for ALL doc_id ranges,
+# not just ids below the naive form's ~3.47e9 signed-64 overflow point.
+_UNIFORM_SQL = "(" + _mul_hash32_sql("doc_id + {salt}") + ") / 4294967296.0"
+_SHARD16_SQL = "(" + _mul_hash32_sql("doc_id") + ") % 16"
 
 
 @query(
@@ -446,8 +440,8 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q91_shard_export",
-    oracle="""
-    WITH s AS (SELECT *, ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+    oracle=f"""
+    WITH s AS (SELECT *, {_SHARD16_SQL} AS shard
                FROM documents)
     SELECT CAST(shard AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -487,9 +481,9 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz101_nightly_rollup",
-    oracle="""
-    WITH s AS (SELECT *, ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+    "q101_nightly_rollup",
+    oracle=f"""
+    WITH s AS (SELECT *, {_SHARD16_SQL} AS shard
                FROM documents)
     SELECT CAST(shard AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -697,7 +691,7 @@ def _q100_oracle() -> str:
              WHERE doc_id >= 20
                AND doc_id NOT IN (SELECT doc_id FROM contaminated)
                AND doc_id NOT IN (SELECT doc_id FROM losers))
-    SELECT CAST(((doc_id * 2654435761) % 4294967296) % 16 AS BIGINT) AS shard,
+    SELECT CAST({_SHARD16_SQL} AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
@@ -804,7 +798,7 @@ _URL_SQL = """
 
 
 @query(
-    "qz106_url_canonical",
+    "q106_url_canonical",
     oracle=f"""
     WITH raw AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
@@ -893,10 +887,10 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz108_weighted_reservoir",
-    oracle="""
+    "q108_weighted_reservoir",
+    oracle=f"""
     WITH t AS (SELECT doc_id, n_chars,
-                      ROUND(LN((((doc_id + 9) * 2654435761) % 4294967296
+                      ROUND(LN((({_mul_hash32_sql("doc_id + 9")})
                                 + 0.5) / 4294967296.0)
                             / n_chars, 9) AS key
                FROM documents)

@@ -97,7 +97,7 @@ def _pair_recall(exact: "DataFrame", approx: "DataFrame") -> float:
 
 
 @query(
-    "q50a_exact_dedup",
+    "qz50a_exact_dedup",
     oracle="""
     SELECT doc_id AS id, md5(text) AS digest,
            CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS keep
@@ -138,7 +138,7 @@ _PAIRS_WITH = """
 
 
 @query(
-    "q50b_ngram_jaccard_dups",
+    "qz50b_ngram_jaccard_dups",
     oracle=f"WITH {_PAIRS_WITH} SELECT ida, idb, jaccard FROM pairs",
     tags=("llm", "dedup"),
 )
@@ -149,7 +149,7 @@ def q50b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50c_minhash_lsh_ok",
+    "qz50c_minhash_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -171,7 +171,7 @@ def q50c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50d_simhash_ok",
+    "qz50d_simhash_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "sketch"),
 )
@@ -336,7 +336,7 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz102_pq_ann_ok",
+    "q102_pq_ann_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -385,7 +385,7 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz103_ivfpq_ann_ok",
+    "q103_ivfpq_ann_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )

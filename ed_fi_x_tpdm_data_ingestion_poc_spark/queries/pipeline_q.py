@@ -408,7 +408,7 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz98b_rest_limit",
+    "q98b_rest_limit",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
            CAST(r.range % 10 AS BIGINT) AS grp

@@ -72,7 +72,7 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q05_filter_conjunction",
+    "qz05_filter_conjunction",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem
     WHERE l_quantity > 30 AND l_returnflag = 'R'
@@ -92,7 +92,7 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q06_in_between",
+    "qz06_in_between",
     oracle="""
     SELECT o_orderkey FROM orders
     WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -113,7 +113,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q07_is_null",
+    "qz07_is_null",
     oracle="""
     SELECT event_id FROM events
     WHERE props IS NULL OR value IS NULL
@@ -131,7 +131,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q08_case_when",
+    "qz08_case_when",
     oracle="""
     SELECT o_orderkey,
            CASE o_orderpriority WHEN '1-URGENT' THEN 'hot'
@@ -154,7 +154,7 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q09_rename_alias",
+    "qz09_rename_alias",
     oracle="""
     SELECT c_custkey AS customer_id, c_name AS full_name
     FROM customer
@@ -196,7 +196,7 @@ _Q10_SQL = """
     """
 
 
-@query("q10_join_chain", oracle=_Q10_SQL, tags=("join",))
+@query("qz10_join_chain", oracle=_Q10_SQL, tags=("join",))
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     """Inner equi-join chain (ref §2.2 implicit-comma joins,
     teacherCandidateAddresses.sql:17-23). Planner picks the strategy."""
@@ -212,7 +212,7 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q12_left_join",
+    "qz12_left_join",
     oracle="""
     SELECT c.c_custkey, o.o_orderkey
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -230,7 +230,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q13_semi_join",
+    "qz13_semi_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -248,7 +248,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q14_anti_join",
+    "qz14_anti_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -267,7 +267,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q15_theta_join",
+    "qz15_theta_join",
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n
     FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
@@ -288,7 +288,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q16_cross_join",
+    "qz16_cross_join",
     oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
     tags=("join",),
 )

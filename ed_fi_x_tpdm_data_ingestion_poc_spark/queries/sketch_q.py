@@ -309,7 +309,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz105_hll_intersect_ok",
+    "q105_hll_intersect_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -363,7 +363,7 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz107_cms_freq_ok",
+    "q107_cms_freq_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch", "llm", "text"),
 )

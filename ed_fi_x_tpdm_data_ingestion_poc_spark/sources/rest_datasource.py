@@ -245,9 +245,21 @@ def register_rest_datasource(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(RestDataSource)
-    except Exception as e:  # noqa: BLE001 — filtered by message below
+    except Exception as e:  # noqa: BLE001 — filtered to the one benign case
+        # Swallow ONLY the duplicate-registration collision (another code
+        # path registered first on a shared session). Spark raises it as
+        # error class DATA_SOURCE_ALREADY_EXISTS; match that, or the full
+        # "data source ... already exists" phrase naming OUR source — a
+        # generic substring test ("EXISTS") would also mask unrelated
+        # failures such as path-exists errors.
+        cls = getattr(e, "getErrorClass", lambda: None)() or ""
         msg = str(e).upper()
-        if "ALREADY" not in msg and "EXISTS" not in msg:
+        dup = "DATA_SOURCE_ALREADY_EXISTS" in (cls or "").upper() or (
+            "DATA SOURCE" in msg
+            and "ALREADY EXISTS" in msg
+            and RestDataSource.name().upper() in msg
+        )
+        if not dup:
             raise
     spark._edfi_rest_registered = True  # noqa: SLF001 (our own flag)
 

@@ -24,7 +24,7 @@ def test_scan_prunes_columns(spark, sf_dir):
 
 
 def test_filters_reach_parquet_scan(spark, sf_dir):
-    df = _build(spark, sf_dir, "q05_filter_conjunction")
+    df = _build(spark, sf_dir, "qz05_filter_conjunction")
     pushed = " ".join(audit(df).pushed_filters)
     assert "GreaterThan(l_quantity,30.0)" in pushed
     assert "EqualTo(l_returnflag,R)" in pushed
@@ -33,7 +33,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir):
 def test_dimension_joins_broadcast(spark, sf_dir):
     """customer x nation x region: both dims broadcast; the fact side never
     shuffles for the join (no SortMergeJoin, no ShuffledHashJoin)."""
-    f = audit(_build(spark, sf_dir, "q10_join_chain"))
+    f = audit(_build(spark, sf_dir, "qz10_join_chain"))
     assert f.broadcast_joins >= 2
     assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
 
@@ -96,7 +96,7 @@ def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("q13_semi_join", "q14_anti_join"):
+    for name in ("qz13_semi_join", "qz14_anti_join"):
         text = plan_string(_build(spark, sf_dir, name))
         assert "LeftSemi" in text or "LeftAnti" in text, name
 
@@ -107,11 +107,11 @@ def test_trivial_queries_have_no_exchange(spark, sf_dir):
     a range exchange + AQE read to every one of these; the digest is
     order-insensitive so the sort is gone.)"""
     for name in (
-        "q05_filter_conjunction",
-        "q06_in_between",
-        "q07_is_null",
-        "q08_case_when",
-        "q09_rename_alias",
+        "qz05_filter_conjunction",
+        "qz06_in_between",
+        "qz07_is_null",
+        "qz08_case_when",
+        "qz09_rename_alias",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.exchanges == 0, name

@@ -323,9 +323,68 @@ def test_canonical_url_edges(spark, paths):
         "http://h.example:8080/a?id=1&utm_y=2",
         "https://h.example",
     ]
-    df = spark.createDataFrame([(u,) for u in urls], "u string")
-    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
-    for p, c in zip(paths, got):
-        assert c == "https://host.example" + p.replace("///", "/").replace("//", "/")
-    assert got[-2] == "http://h.example:8080/a?id=1"  # non-default port kept
-    assert got[-1] == "https://h.example"
+    # keyed by an explicit index, NOT by collect() position — row order
+    # out of collect() is plan-dependent, not contractual
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, p in enumerate(paths):
+        assert got[i] == (
+            "https://host.example" + p.replace("///", "/").replace("//", "/")
+        )
+    assert got[len(urls) - 2] == "http://h.example:8080/a?id=1"  # port kept
+    assert got[len(urls) - 1] == "https://h.example"
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_mul_hash32_sql_twin_matches_python_oracle(ids):
+    """The DuckDB-side split-multiply twin (mul_hash32_sql) must equal
+    the mathematically exact (id * 2654435761) mod 2^32 for ANY bigint —
+    the same law the Spark-side mul_hash32 is pinned to, so engine and
+    oracle can never disagree on shard/sample assignment for ids past
+    the naive form's overflow point."""
+    import duckdb
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        mul_hash32_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    rows = con.execute(
+        f"SELECT doc_id, {mul_hash32_sql('doc_id')} AS h FROM t"
+    ).fetchall()
+    for i, h in rows:
+        assert h == (i * 2654435761) % (2**32), i
+
+
+def test_portable_uniform01_and_shard_share_one_hash(spark):
+    """ADVICE r06: the reservoir uniform and the shard hash must be the
+    SAME implementation, not twins that can drift. portable_uniform01(id)
+    must equal (mul_hash32(id) + 0.5) / 2^32 exactly, and curation_q's
+    re-export must BE operators.sampling.mul_hash32."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        mul_hash32,
+        portable_uniform01,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import curation_q
+
+    assert curation_q._mul_hash32 is mul_hash32
+    df = spark.createDataFrame(
+        [(0,), (1,), (3_470_000_000,), (2**61,)], "doc_id long"
+    )
+    got = df.select(
+        portable_uniform01("doc_id", salt=9).alias("u"),
+        ((mul_hash32(F.col("doc_id") + F.lit(9)) + F.lit(0.5))
+         / F.lit(4294967296.0)).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r.u == r.ref

@@ -273,3 +273,23 @@ def test_cms_probe_plan_is_map_only(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, f"{bad} in probe plan:\n{plan}"
+
+
+def test_cms_rejects_negative_weights(spark):
+    """cms_point's never-underestimates law assumes non-negative updates
+    (Cormode & Muthukrishnan 2005); a signed weight must be rejected at
+    build time, not silently break the law later."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", -1), ("c", 2)], "s string, wt int"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        cms_build(df, "s", weight=F.col("wt"), d=2, w=32)
+    # non-negative weights still build fine (zero allowed)
+    ok = cms_build(
+        df.where(F.col("wt") >= 0), "s", weight=F.col("wt"), d=2, w=32
+    )
+    assert ok["n"] == 5

@@ -1,0 +1,49 @@
+"""Guards on the repo tooling itself (driver-window rotation)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_SPEC = importlib.util.spec_from_file_location(
+    "rotate_names",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "rotate_names.py"),
+)
+rotate_names = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(rotate_names)
+
+
+def test_rotation_rejects_cascading_mapping():
+    """ADVICE r06: a combined mapping where one rule's output is another
+    rule's key (q50a→qz50a then qz50a→q50a) must be rejected — applied
+    sequentially it would cascade; applied in one pass it would be
+    order-ambiguous."""
+    with pytest.raises(SystemExit, match="collides"):
+        rotate_names.apply(
+            {"q50a_exact_dedup": "qz50a_exact_dedup",
+             "qz50a_exact_dedup": "q50a_exact_dedup"}
+        )
+
+
+def test_rotation_single_pass_no_cascade_no_prefix_bleed(tmp_path, monkeypatch):
+    """One regex pass with identifier boundaries: a fresh rename's output
+    must never be re-matched by a later rule, and a name that prefixes a
+    longer identifier must be left alone."""
+    f = tmp_path / "sample.py"
+    f.write_text(
+        "a = q10_join_chain\n"
+        "b = q101_nightly_rollup\n"   # q10... prefix of a different name
+        "c = qz102_pq_ann_ok\n"
+    )
+    monkeypatch.setattr(rotate_names, "REPO", str(tmp_path))
+    rotate_names.apply(
+        {"q10_join_chain": "qz10_join_chain",
+         "qz102_pq_ann_ok": "q102_pq_ann_ok"}
+    )
+    out = f.read_text()
+    assert "qz10_join_chain" in out
+    assert "q101_nightly_rollup" in out      # untouched despite q10 prefix
+    assert "q102_pq_ann_ok" in out
+    assert "qz102" not in out

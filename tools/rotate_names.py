@@ -69,17 +69,28 @@ def apply(mapping: dict[str, str]) -> None:
     for old, new in mapping.items():
         if not re.fullmatch(r"qz?[0-9][0-9a-z_]+", old):
             raise SystemExit(f"not a full query name: {old}")
+    # a sequential str.replace chain can cascade (rule A's output matching
+    # rule B's key) or partially rewrite a name that prefixes a longer
+    # identifier; do ONE regex pass with word-ish boundaries instead, and
+    # refuse mappings whose outputs collide with other inputs.
+    keys = set(mapping)
+    bad = [old for old, new in mapping.items() if new in keys]
+    if bad:
+        raise SystemExit(f"mapping output collides with another key: {bad}")
+    # longest-first alternation so a name that prefixes another full name
+    # (q50a vs qz50a_exact_dedup would both be full names) matches greedily
+    alt = "|".join(re.escape(k) for k in sorted(keys, key=len, reverse=True))
+    pat = re.compile(rf"(?<![0-9A-Za-z_])({alt})(?![0-9A-Za-z_])")
     changed = 0
     for path in _files():
         try:
             s = open(path).read()
         except Exception:
             continue
-        if not any(k in s for k in mapping):
+        out, n = pat.subn(lambda m: mapping[m.group(1)], s)
+        if not n:
             continue
-        for old, new in mapping.items():
-            s = s.replace(old, new)
-        open(path, "w").write(s)
+        open(path, "w").write(out)
         changed += 1
         print("rewrote", os.path.relpath(path, REPO))
     print(f"{changed} files rewritten")
