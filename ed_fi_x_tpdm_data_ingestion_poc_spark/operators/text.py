@@ -262,3 +262,35 @@ def canonical_url(url: Column | str) -> Column:
         path,
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+
+
+def strip_html(text: Column | str) -> Column:
+    """HTML -> text extraction for web-corpus ingest (round-6 verdict gap
+    #3): the boilerplate-removal step every web pipeline runs before
+    tokenization/dedup. Pure JVM regexp/replace chain — map-only, no UDF
+    — and every pattern is RE2-compatible (no backreferences), so the
+    DuckDB twin applies the IDENTICAL chain and declared queries
+    hash-check the extracted text, not just a flag.
+
+    Order matters and is part of the contract:
+      1. <script>/<style> blocks dropped WITH their content (dotall,
+         non-greedy; an unclosed block keeps its content and only loses
+         the tag itself in step 3 — the lenient choice),
+      2. comments <!-- --> dropped,
+      3. every remaining tag replaced by a SPACE (so '<p>a</p><p>b</p>'
+         keeps a token boundary between a and b),
+      4. the five ubiquitous entities decoded, &amp; LAST so '&amp;lt;'
+         decodes to the literal '&lt;' (one pass, no double-decode),
+      5. whitespace collapsed and trimmed.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -913,3 +913,173 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_reservoir_exact(
         d, 64, "n_chars", id_col="doc_id", salt=9
     )
+
+
+@query(
+    "q109_substring_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000,
+             repeat('pad ', CAST(doc_id % 5 + 1 AS INT)) || text
+      FROM documents WHERE doc_id % 17 = 3
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+23], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 23)) AS u(i)
+      WHERE len(t) >= 24
+    )
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset-insensitive exact-substring dedup (round-6 verdict gap #2,
+    Lee et al. ACL 2022 shape): pairs of docs sharing a VERBATIM >=24-token
+    run at ANY alignment, found via winnowing fingerprints
+    (operators/substring.py — k=8 gram hashes, window-min selection,
+    inverted-index join, exact string verification; never all-pairs).
+    The corpus is documents plus planted SHIFTED copies (doc_id%17==3,
+    prefixed by 1-5 pad tokens) — exactly the alignment q92's fixed
+    16-token segments cannot see; the law test pins that q92 misses the
+    plants while this query finds every one. The oracle recomputes the
+    exact semantics brute-force (every 24-gram, string join), so the
+    candidate-generation + verify pipeline is fully hash-checked —
+    including the natural near-dup pairs already present in testdata."""
+    from ..operators.substring import substring_dup_pairs
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    var = d.where(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("repeat('pad ', CAST(doc_id % 5 + 1 AS INT))"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    pairs = substring_dup_pairs(
+        d.unionByName(var), min_tokens=24, k=8
+    )
+    return pairs.orderBy("ida", "idb")
+
+
+# HTML wrapper variants shared by q110's Spark and DuckDB sides: tags,
+# script/style blocks, comments and whitespace entities only — NO visible
+# text — so stripping any variant must recover the original document text
+# exactly, and a mirror copy in a DIFFERENT wrapper collapses with its
+# original under exact dedup of the CLEANED text (it never would raw).
+_HTML_WRAP_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN
+        '<html><head><style>p{color:red}</style></head><body>'
+        || '<div id="main"><p>' || text || '</p></div><!-- footer '
+        || doc_id || ' --></body></html>'
+    WHEN doc_id % 3 = 1 THEN
+        '<HTML><BODY class="x"><script>track(' || doc_id
+        || ' < 99);</script><p>' || text || '</p>&nbsp;</BODY></HTML>'
+    ELSE
+        '<div><p>' || text || '</p><br/><span>&nbsp;</span></div>'
+    END
+"""
+
+_STRIP_HTML_SQL = """
+trim(regexp_replace(
+  replace(replace(replace(replace(replace(replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace({col}, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+        '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+    '<[^>]*>', ' ', 'g'),
+  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+'\\s+', ' ', 'g'))
+"""
+
+
+@query(
+    "q110_html_extract",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 4
+    ),
+    wrapped AS (SELECT doc_id, text, {_HTML_WRAP_SQL} AS html FROM corpus),
+    cleaned AS (SELECT doc_id, text,
+                       {_STRIP_HTML_SQL.format(col="html")} AS clean
+                FROM wrapped)
+    SELECT doc_id,
+           CAST(length(clean) AS BIGINT) AS n_clean,
+           CAST(clean = text AS INT) AS clean_ok,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(clean)) AS INT)
+             AS keep
+    FROM cleaned
+    """,
+    tags=("llm", "curation", "text"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML/boilerplate extraction (round-6 verdict gap #3,
+    operators/text.py::strip_html) composed into the web-ingest shape:
+    documents plus mirror copies (doc_id%11==4) are wrapped in
+    doc_id-dependent HTML boilerplate — three wrapper variants with
+    script/style blocks, comments, entities; a mirror lands in a
+    DIFFERENT variant than its original (10000000 % 3 != 0). Stripping
+    must recover the original text exactly (clean_ok, checked per row
+    against the parquet text), and exact dedup over the CLEANED text
+    collapses each mirror with its original (keep = min-id survivor) —
+    the collapse raw HTML would never find. Map-only JVM regexp chain +
+    one digest-window shuffle; the identical RE2-safe chain runs in
+    DuckDB, so the extraction itself is hash-checked."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import strip_html
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 11 == 4).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<html><head><style>p{color:red}</style></head>'
+                      '<body><div id="main"><p>'),
+                F.col("text"),
+                F.lit("</p></div><!-- footer "), did,
+                F.lit(" --></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('<HTML><BODY class="x"><script>track('), did,
+                F.lit(" < 99);</script><p>"),
+                F.col("text"),
+                F.lit("</p>&nbsp;</BODY></HTML>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<div><p>"),
+                F.col("text"),
+                F.lit("</p><br/><span>&nbsp;</span></div>"),
+            )
+        )
+    )
+    cleaned = corpus.select(
+        "doc_id", "text", strip_html(html).alias("clean")
+    )
+    w = Window.partitionBy(F.md5("clean"))
+    return cleaned.select(
+        "doc_id",
+        F.length("clean").alias("n_clean"),
+        (F.col("clean") == F.col("text")).cast("int").alias("clean_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+    )
