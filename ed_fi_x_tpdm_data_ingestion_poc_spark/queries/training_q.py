@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import memo, query
+from . import memo, ok_flag, query
 
 # Corpus row counts, memoized per (session, sf): a snapshot constant in
 # any real pipeline (computed once at ingest), not worth a job per query.
@@ -464,3 +464,79 @@ def q49h(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return memo(_PROFILES, (id(spark), sf, "typed"), build, label="profile_typed")
+
+
+# Fixture BPE merges: trained once (pure Python, deterministic — counts
+# tie-broken lexicographically) on a constant corpus covering the
+# testdata vocabulary. A real deployment would load a tokenizer's merges
+# file; the TABLE is the interface either way.
+_BPE_FIXTURE = (
+    "the quick table scan joins the slow hash batch",
+    "window order by value part key merge sort stream",
+    "spark data column filter query small big line fast row agg customer",
+)
+
+
+def _bpe_merges():
+    from functools import lru_cache
+
+    from ..operators.bpe import train_bpe
+
+    @lru_cache(maxsize=1)
+    def build():
+        return tuple(train_bpe(list(_BPE_FIXTURE), 24))
+
+    return list(build())
+
+
+@query(
+    "q111_bpe_encode_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "text", "tokenize"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Real BPE with a merges table (round-6 verdict gap #4,
+    operators/bpe.py), self-verified corpus-wide: the JVM fold-chain
+    encoder (one F.aggregate per merge over the DISTINCT word
+    vocabulary, counts joined back — the encode-once-per-word plan that
+    keeps trillion-word corpora off the expensive path) must produce
+    IDENTICAL per-doc token counts to the independent rank-greedy
+    reference encoder (Arrow-batched Python, standard Sennrich
+    semantics), and the merges must actually compress (total BPE tokens
+    strictly between word count and character count). Non-SQL-
+    expressible (iterative greedy merging), hence the ok-flag twin; the
+    pure-Python encoder itself is pinned by unit/property tests."""
+    from ..operators.bpe import bpe_token_counts, bpe_token_counts_pandas
+
+    merges = _bpe_merges()
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    jvm = bpe_token_counts(d, merges)
+    ref = bpe_token_counts_pandas(d, merges).withColumnRenamed(
+        "n_bpe", "n_ref"
+    )
+    stats = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("n_words"),
+        F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("n_chars"),
+    )
+    agg = (
+        jvm.join(ref, "id", "full")
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("n_bpe").isNull()
+                    | F.col("n_ref").isNull()
+                    | (F.col("n_bpe") != F.col("n_ref"))
+                ).cast("int")
+            ).alias("bad"),
+            F.sum("n_bpe").alias("total_bpe"),
+        )
+        .crossJoin(stats)
+        .collect()[0]
+    )
+    return ok_flag(
+        spark,
+        agg["bad"] == 0
+        and agg["n"] > 0
+        and agg["n_words"] < agg["total_bpe"] < agg["n_chars"],
+    )
