@@ -788,3 +788,94 @@ def ivfpq_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+# ------------------------------------------------------------- SemDeDup --
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    codebook: np.ndarray | None = None,
+    corpus_index: DataFrame | None = None,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shape (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are partitioned into IVF/k-means cells
+    and cosine similarity is computed only WITHIN cells — cluster-
+    bucketed blocking, never an all-pairs join. Soft assignment
+    (n_assign >= 2) is the recall dial for pairs straddling a cell wall:
+    a pair is found iff the two vectors share at least one of their
+    n_assign nearest cells. Emitted scores are true cosines, so
+    precision is exact by construction (every emitted pair really is
+    >= threshold); only recall is approximate — the declared query
+    self-verifies both against the tiled-exact baseline.
+
+    Scale: per-cell self-join cost is sum over cells of |cell|^2; keep
+    cells bounded by sizing n_centroids ~ corpus / target_cell_size (the
+    paper runs ~11k clusters for LAION-440M). Reuses the SAME codebook /
+    index artifacts as ANN search (build_ivf_index) — one clustering
+    pass serves both retrieval and dedup."""
+    if corpus_index is None:
+        if codebook is None:
+            codebook = train_ivf_codebook(
+                emb, id_col=id_col, vec_col=vec_col,
+                n_centroids=n_centroids, kmeans_iters=kmeans_iters,
+                train_sample=train_sample, seed=seed,
+            )
+        corpus_index = build_ivf_index(
+            emb, codebook, id_col=id_col, vec_col=vec_col, n_assign=n_assign
+        )
+    a = corpus_index.select(
+        F.col("cell"), F.col("id").alias("ida"), F.col("nv").alias("va")
+    )
+    b = corpus_index.select(
+        F.col("cell"), F.col("id").alias("idb"), F.col("nv").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("ida") < F.col("idb"))
+        .dropDuplicates(["ida", "idb"])  # shared cells -> one scoring each
+        .select(
+            "ida",
+            "idb",
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, keep) survivor assignment over semantic-dup pairs:
+    connected components glue transitive near-dups into one cluster
+    (operators/graph.py — min-label + star-contraction, no collects),
+    min-id per cluster survives, vectors in no pair survive as their own
+    singleton. The paper's keep-lowest-centroid-similarity variant is a
+    one-line ORDER BY swap on the same cluster map; min-id keeps the
+    result engine-checkable."""
+    from .graph import connected_components
+
+    comp = connected_components(pairs.select("ida", "idb"))
+    ids = emb.select(F.col(id_col).cast("long").alias("id"))
+    return (
+        ids.join(
+            comp.select(F.col("node").alias("id"), "cluster"), "id", "left"
+        )
+        .select(
+            "id",
+            F.coalesce("cluster", "id").alias("cluster"),
+            (F.coalesce("cluster", "id") == F.col("id")).cast("int").alias("keep"),
+        )
+    )

@@ -739,3 +739,74 @@ def q53b(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("peak_ok"),
     )
+
+
+@query(
+    "q112_semdedup_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "dedup", "embedding", "similarity"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup over the IVF cells (round-6 verdict item #6,
+    SemDeDup-shape — operators/similarity.py::semantic_dup_pairs):
+    cosine>=0.45 near-dup pairs found ONLY within shared k-means cells,
+    reusing q51c's codebook + soft-assigned index artifacts (one
+    clustering serves ANN and dedup), then min-id survivor selection over
+    the connected clusters. Self-verified against the tiled-exact
+    baseline (q50e's hash-checked pair set): (1) precision exact — every
+    semantic pair appears in the exact set; (2) recall >= 0.9 (measured
+    1.0 at sf0.001-0.1 with n_assign=3); (3) survivor map covers every
+    vector with exactly one keep per cluster. Cluster-bucketed blocking,
+    never all-pairs."""
+    from ..operators.dedup import broadcast_corpus_tiles, embedding_dup_pairs
+    from ..operators.similarity import (
+        build_ivf_index,
+        semantic_dedup_survivors,
+        semantic_dup_pairs,
+        train_ivf_codebook,
+    )
+
+    e = table(spark, sf, "embeddings")
+    cb = _artifact(
+        spark, sf, "ivf_codebook", lambda: train_ivf_codebook(e, n_centroids=8)
+    )
+    idx = _artifact(
+        spark, sf, "ivf_index",
+        lambda: built(build_ivf_index(e, cb, n_assign=3).persist()),
+    )
+    tiles = _artifact(
+        spark, sf, "corpus_tiles", lambda: broadcast_corpus_tiles(e, num_tiles=2)
+    )
+    exact = _artifact(
+        spark, sf, "sem_exact_pairs",
+        lambda: built(
+            embedding_dup_pairs(e, threshold=0.45, tiles=tiles)
+            .filter(F.col("cosine") >= 0.45)
+            .persist()
+        ),
+    )
+    sem = semantic_dup_pairs(e, threshold=0.45, corpus_index=idx)
+    # (1) precision: an emitted pair absent from the exact set would be a
+    # scoring bug (scores are true cosines) — must be empty
+    false_pos = (
+        sem.select("ida", "idb")
+        .join(exact.select("ida", "idb"), ["ida", "idb"], "left_anti")
+        .count()
+    )
+    # (2) recall over the exact pair set
+    r = _pair_recall(exact, sem)
+    # (3) survivor map: every vector assigned, one keep per cluster
+    surv = semantic_dedup_survivors(e, sem)
+    cov = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("cluster").alias("n_clusters"),
+        F.sum("keep").alias("n_keep"),
+    ).first()
+    n_vec = e.count()
+    return ok_flag(
+        spark,
+        false_pos == 0
+        and r >= 0.9
+        and cov["n"] == n_vec
+        and cov["n_keep"] == cov["n_clusters"],
+    )
