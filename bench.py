@@ -113,6 +113,10 @@ def main() -> None:
     # queries). duck_bench.py shortens identically so ratios line up.
     short = {n.split("_")[0]: round(v, 2) for n, v in per_query.items()}
     assert len(short) == len(per_query), "qNN prefixes must stay unique"
+    # second lever (130-query surface): drop sub-50 ms entries — they sit
+    # at the scheduler floor and carry no per-query regression signal;
+    # their mass still lands in seq_s and n_q counts the full surface
+    short = {k: v for k, v in short.items() if v >= 0.05}
     # Cold-build cost of every memoized artifact (sketch signatures, ANN
     # indexes, profiles, fixtures), recorded by queries.memo as the
     # sequential pass first touched each — the regression signal the
@@ -137,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "seq_s": round(sum(per_query.values()), 2),
+                "n_q": len(per_query),
                 "threads": N_THREADS,
             },
             separators=(",", ":"),

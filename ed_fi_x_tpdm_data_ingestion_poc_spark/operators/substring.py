@@ -237,3 +237,64 @@ def substring_dup_pairs(
         )
         .where(F.col("n_shared") > 0)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    n: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-passage CUT LIST — the actionable form of
+    exact-substring dedup (Lee et al. ACL 2022 remove verbatim repeats,
+    not whole documents): (id, s, e, n_dup_tokens) maximal 1-based token
+    spans such that every n-gram starting inside [s, e-n+1] occurs at
+    least twice in the corpus (counting multiplicity, so within-doc
+    repetition is flagged too — the self-dedup case).
+
+    Plan (all JVM):
+      1. posexplode the per-doc n-gram digest array (q92's exploded-
+         segment shape, stride 1 instead of aligned) — one row per token
+         position, the honest cost of exact span detection (a suffix
+         array is the same linear blow-up);
+      2. occurrence counts via a partition window over the digest — ONE
+         shuffle, no join-back (the q92-measured choice);
+      3. duplicated positions -> maximal spans via gaps-and-islands: a
+         new island when the gap to the previous duplicated position
+         exceeds n (spans that overlap or touch merge).
+    Digests are md5 of the gram STRING so DuckDB computes the identical
+    key and the whole cut list hash-checks; at corpus scale swap md5 for
+    xxhash64 (8-byte shuffle keys; ~1e-13 collision odds at 1e7 grams)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        )
+    )
+    g = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "g")
+    ).select("id", (F.col("pos0") + 1).alias("i"), "g")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    dup = g.withColumn("n_occ", cnt).where(F.col("n_occ") >= 2).select("id", "i")
+    by_pos = Window.partitionBy("id").orderBy("i")
+    brk = F.when(
+        (F.col("i") - F.lag("i").over(by_pos)) <= n, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup.withColumn(
+        "island",
+        F.sum(brk).over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + (n - 1)).alias("e"),
+            (F.max("i") + n - F.min("i")).alias("n_dup_tokens"),
+        )
+        .select("id", "s", "e", "n_dup_tokens")
+    )

@@ -1083,3 +1083,41 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("clean") == F.col("text")).cast("int").alias("clean_ok"),
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
     )
+
+
+@query(
+    "q113_dup_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+15], ' ')) AS g
+          FROM t, UNNEST(generate_series(1, len(tk) - 15)) AS u(i)
+          WHERE len(tk) >= 16),
+    c AS (SELECT g, COUNT(*) AS n FROM g GROUP BY g),
+    d AS (SELECT doc_id, i FROM g JOIN c USING (g) WHERE n >= 2),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                             <= 16 THEN 0 ELSE 1 END AS brk
+            FROM d),
+    isl2 AS (SELECT doc_id, i,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS island
+             FROM isl)
+    SELECT doc_id AS id, CAST(MIN(i) AS BIGINT) AS s,
+           CAST(MAX(i) + 15 AS BIGINT) AS e,
+           CAST(MAX(i) + 16 - MIN(i) AS BIGINT) AS n_dup_tokens
+    FROM isl2 GROUP BY doc_id, island ORDER BY id, s
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-passage cut list (operators/substring.py::
+    duplicate_spans): for every document, the maximal token spans whose
+    16-grams occur >= 2 times corpus-wide — the remove-the-passage form
+    of Lee et al. dedup (q109 answers WHO shares a run; this answers
+    WHERE to cut). Digests are md5 of the gram string, so DuckDB
+    recomputes the identical cut list and the result is fully
+    hash-checked (window gaps-and-islands on both sides)."""
+    from ..operators.substring import duplicate_spans
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    return duplicate_spans(d, n=16).orderBy("id", "s")

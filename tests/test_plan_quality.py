@@ -291,3 +291,61 @@ def test_broadcast_gate_respects_size(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         side.unpersist()
+
+
+def test_substring_dedup_no_cartesian_no_row_python(spark, sf_dir):
+    """q109: candidate generation must be an equi-join on the fingerprint
+    (never a cartesian/NLJ pair enumeration), verification scoped by
+    joins, winnow index Arrow-batched, zero row-Python."""
+    f = audit(_build(spark, sf_dir, "q109_substring_dedup"))
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+    assert f.python_evals == 0
+    assert f.arrow_evals >= 1  # the winnow fingerprint index
+    assert f.joins >= 3  # fp self-join + two verify joins
+
+
+def test_html_extract_map_only_plus_digest_window(spark, sf_dir):
+    """q110: the strip chain is pure JVM projection; the only shuffle is
+    the cleaned-digest window (plus the union's partitioning) — no joins,
+    no Python."""
+    f = audit(_build(spark, sf_dir, "q110_html_extract"))
+    assert f.joins == 0
+    assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_bpe_count_plan_vocab_joined_back(spark, sf_dir):
+    """q111's JVM side (bpe_token_counts): the fold chain must run on the
+    distinct-word vocabulary and join counts back — plan shows the join
+    and map-side combine, and the JVM path carries no Python nodes."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.training_q import (
+        _bpe_merges,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    f = audit(bpe_token_counts(d, _bpe_merges()))
+    assert f.joins >= 1
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert f.partial_aggs >= 1
+
+
+def test_semdedup_blocks_on_cell_key(spark, sf_dir):
+    """q112's pair generation: a single equi-join keyed on the cell (the
+    cluster-bucketed block), never cartesian; scoring is JVM zip_with."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    f = audit(
+        semantic_dup_pairs(
+            e, threshold=0.45, n_centroids=4, n_assign=2, train_sample=256
+        )
+    )
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+    assert f.joins >= 1
+    assert f.python_evals == 0  # assignment is Arrow-batched, scoring JVM

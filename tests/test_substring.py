@@ -240,3 +240,31 @@ def test_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="1 <= k < min_tokens"):
         winnow_fingerprint_index(df, min_tokens=4, k=4)
+
+
+def test_duplicate_spans_cut_list(spark):
+    """duplicate_spans: planted cross-doc passage marks the right token
+    ranges in BOTH docs, overlapping gram hits merge into one maximal
+    span, within-doc repetition self-flags, clean docs emit nothing."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        duplicate_spans,
+    )
+
+    n = 4
+    passage = "p1 p2 p3 p4 p5"          # 5 tokens -> two overlapping 4-grams
+    docs = [
+        (0, f"a0 a1 {passage} a2 a3"),   # passage at tokens 3..7
+        (1, f"b0 {passage} b1 b2 b3 b4"),  # passage at tokens 2..6
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7"),  # clean
+        (3, "r1 r2 r3 r4 x y r1 r2 r3 r4"),  # self-repeat: both copies flag
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in duplicate_spans(df, n=n).collect():
+        got.setdefault(r.id, []).append((r.s, r.e, r.n_dup_tokens))
+    assert got[0] == [(3, 7, 5)]   # one merged maximal span
+    assert got[1] == [(2, 6, 5)]
+    assert 2 not in got
+    # self-repeat: grams r1..r4 (pos 1) and (pos 7) both flagged; gap
+    # 7-1=6 > n -> two separate spans
+    assert got[3] == [(1, 4, 4), (7, 10, 4)]

@@ -107,6 +107,24 @@ def main() -> None:
             .count()
         )
 
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        substring_dup_pairs,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import strip_html
+
+    _BPE_MERGES = train_bpe(
+        [
+            "the quick table scan joins the slow hash batch",
+            "window order by value part key merge sort stream",
+            "spark data column filter query small big line fast row agg customer",
+        ],
+        24,
+    )
+
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
 
@@ -285,6 +303,26 @@ def main() -> None:
             docs,
             docs_zipf_big,
         ),
+        "substring_dedup": (  # winnow fp index join; disjoint cross-copy
+            lambda d: substring_dup_pairs(d, min_tokens=24, k=8).count(),
+            docs,
+            docs_big,
+        ),
+        "html_strip": (  # map-only regexp chain
+            lambda d: d.select(
+                F.sum(F.length(strip_html(F.col("text")))).alias("n")
+            ).collect()[0][0],
+            docs,
+            docs_big,
+        ),
+        "bpe_encode": (  # encode-once-per-distinct-word: vocab grows
+            # with the copy-suffixed corpus, per-doc counts join back
+            lambda d: bpe_token_counts(d, _BPE_MERGES)
+            .agg(F.sum("n_bpe"))
+            .collect()[0][0],
+            docs,
+            docs_big,
+        ),
     }
     for name, (fn, base, big) in probes.items():
         fn(base)  # warm
@@ -359,6 +397,62 @@ def main() -> None:
                 "sec_even": round(t_even, 2),
                 "sec_hot": round(t_hot, 2),
                 "skew_overhead_vs_pairs": round(wall_ratio / pair_ratio, 2),
+            }
+        )
+    )
+
+
+    # SemDeDup probe: clean scaling REQUIRES n_centroids ~ corpus size
+    # (the documented law — cell population constant, within-cell join
+    # linear overall). Cross-copy vectors are dimension-ROTATED so copies
+    # are mutually near-orthogonal (identical copies would measure the
+    # all-dup worst case, factor^2 output rows, not the plan).
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        semantic_dup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    emb_big = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at(
+                    F.col("embedding"),
+                    (F.pmod(i + F.col("__copy"), F.lit(dim)) + 1).cast("int"),
+                ),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    emb_big.count()
+
+    def _sem(e, cells):
+        return semantic_dup_pairs(
+            e, threshold=0.45, n_centroids=cells, n_assign=2,
+            train_sample=2048,
+        ).count()
+
+    _sem(emb, 8)  # warm
+    t0 = time.perf_counter()
+    n_base = _sem(emb, 8)
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_big = _sem(emb_big, 8 * factor)
+    t_big = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "semdedup_cells",
+                "factor": factor,
+                "pairs_base": n_base,
+                "pairs_big": n_big,
+                "sec_base": round(t_base, 2),
+                "sec_big": round(t_big, 2),
+                "growth_vs_linear": round(t_big / (t_base * factor), 2),
             }
         )
     )
