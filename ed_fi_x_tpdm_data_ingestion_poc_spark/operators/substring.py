@@ -298,3 +298,74 @@ def duplicate_spans(
         )
         .select("id", "s", "e", "n_dup_tokens")
     )
+
+
+def cdc_segments(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    boundary_prefix: str = "0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the FastCDC/Rabin
+    idea behind storage dedup, here for corpus segments): a segment
+    boundary falls AFTER token i whenever the digest of the k-token gram
+    ENDING at i starts with `boundary_prefix` (md5 hex; one hex char =
+    expected segment length 16 + k). Boundaries depend only on local
+    content, so a passage duplicated at a DIFFERENT offset re-synchronizes
+    after its first internal boundary and yields the same segments — the
+    shift-robustness q92's fixed 16-token alignment lacks, at q92's cost
+    (one window shuffle; no inverted index needed).
+
+    Returns (id, seg_no, seg_digest, n_tok): one row per segment, digest =
+    md5 of the segment text. md5 on both the boundary rule and the digest
+    keeps every value recomputable in DuckDB, so cut lists and dup counts
+    hash-check end to end; swap md5 for xxhash64 at scale (cheaper, same
+    structure, oracle becomes flag-based)."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    flags = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            (i >= k)
+            & F.md5(
+                F.array_join(F.slice(toks, i - (k - 1), k), " ")
+            ).startswith(boundary_prefix),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    rows = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.arrays_zip(toks.alias("tok"), flags.alias("flag"))).alias(
+            "j0", "z"
+        ),
+    ).select(
+        "id",
+        (F.col("j0") + 1).alias("j"),
+        F.col("z.tok").alias("tok"),
+        F.col("z.flag").alias("flag"),
+    )
+    by_j = Window.partitionBy("id").orderBy("j")
+    seg_no = F.coalesce(
+        F.sum("flag").over(by_j.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        rows.withColumn("seg_no", seg_no)
+        .groupBy("id", "seg_no")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("j", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("seg_digest"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )

@@ -1121,3 +1121,64 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
 
     d = table(spark, sf, "documents").select("doc_id", "text")
     return duplicate_spans(d, n=16).orderBy("id", "s")
+
+
+@query(
+    "q114_cdc_segments",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tok AS (SELECT doc_id, j, tk[j] AS tok,
+                   CASE WHEN j >= 4
+                             AND md5(array_to_string(tk[j-3:j], ' '))
+                                 LIKE '0%'
+                        THEN 1 ELSE 0 END AS flag
+            FROM t, UNNEST(generate_series(1, len(tk))) AS u(j)),
+    seg AS (SELECT doc_id, j, tok,
+                   COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY j
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS seg_no
+            FROM tok),
+    segs AS (SELECT doc_id, seg_no,
+                    md5(string_agg(tok, ' ' ORDER BY j)) AS dg
+             FROM seg GROUP BY doc_id, seg_no),
+    c AS (SELECT dg, COUNT(*) AS n FROM segs GROUP BY dg)
+    SELECT segs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_seg,
+           ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+                 6) AS dup_frac
+    FROM segs JOIN c USING (dg)
+    GROUP BY segs.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined segment dedup (operators/substring.py::
+    cdc_segments): q92's per-doc duplicated-segment report with
+    CONTENT-DEFINED boundaries (md5-prefix rule on the trailing 4-gram,
+    expected segment ~20 tokens) instead of fixed 16-token alignment —
+    a passage duplicated at a shifted offset re-synchronizes after its
+    first internal boundary, so its segments still collide (the law test
+    plants exactly that). Occurrence counts via one window shuffle on
+    the segment digest, same measured plan choice as q92; every digest
+    is md5 so the whole report hash-checks in DuckDB."""
+    from pyspark.sql.window import Window
+
+    from ..operators.substring import cdc_segments
+
+    segs = cdc_segments(
+        table(spark, sf, "documents").select("doc_id", "text"), k=4
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("seg_digest"))
+    return (
+        segs.withColumn("n", n)
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum((F.col("n") > 1).cast("int")).alias("dup_seg"),
+            F.round(
+                F.sum((F.col("n") > 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -268,3 +268,52 @@ def test_duplicate_spans_cut_list(spark):
     # self-repeat: grams r1..r4 (pos 1) and (pos 7) both flagged; gap
     # 7-1=6 > n -> two separate spans
     assert got[3] == [(1, 4, 4), (7, 10, 4)]
+
+
+def test_cdc_segments_resynchronize_after_shift(spark):
+    """The CDC law: doc B = pad + doc A must share (almost all of) A's
+    segments — boundaries depend only on local content, so after B's
+    first boundary past the pad, segmentation re-synchronizes with A's.
+    q92-style FIXED 16-token alignment shares nothing under the same
+    shift (pinned in test_shifted_plant_found_here_missed_by_fixed_
+    segments)."""
+    import random
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        cdc_segments,
+    )
+
+    rng = random.Random(7)
+    body = " ".join(rng.choice(VOCAB) for _ in range(120))
+    docs = [
+        (0, body),
+        (1, "shift1 " + body),          # 1-token shift
+        (2, "p1 p2 p3 p4 p5 " + body),  # 5-token shift
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    segs = {}
+    for r in cdc_segments(df, k=4).collect():
+        segs.setdefault(r.id, set()).add(r.seg_digest)
+    # the unshifted doc has multiple segments (boundary density 1/16)
+    assert len(segs[0]) >= 3
+    # each shifted copy shares all of A's segments except at most the
+    # first (the one the pad bleeds into)
+    for other in (1, 2):
+        shared = segs[0] & segs[other]
+        assert len(shared) >= len(segs[0]) - 1, (other, len(shared), len(segs[0]))
+
+
+def test_cdc_segments_cover_every_token_once(spark):
+    """Partition law: segment token counts sum to the doc's token count
+    (every token in exactly one segment)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        cdc_segments,
+    )
+
+    docs = _mk_docs(21, 12, lo=1, hi=60)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_segments(df, k=4).collect():
+        got[r.id] = got.get(r.id, 0) + r.n_tok
+    for i, t in docs:
+        assert got[i] == len(t.split(" ")), i
