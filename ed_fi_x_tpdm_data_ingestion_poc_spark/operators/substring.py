@@ -369,3 +369,50 @@ def cdc_segments(
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a duplicate_spans cut list: (id, n_kept, clean_text) with
+    every token inside any [s, e] span removed and the remainder
+    re-joined in order — the final step of passage-level dedup (Lee et
+    al.: cut the repeated passage, keep the document).
+
+    Plan: tokens posexplode to (id, j, tok) rows; one LEFT ANTI join
+    against the span table (equi on id + BETWEEN residual — Spark plans
+    the equi part as the join key, the range as a joined filter; span
+    lists per doc are tiny); reassembly via sort_array(collect_list)
+    groups back to one row per doc. Docs with no spans pass through
+    whole. Works at corpus scale because both sides shuffle on doc_id
+    once and spans are a vanishing fraction of tokens."""
+    toks = F.split(F.col(text_col), " ")
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("j0", "tok")
+    ).select("id", (F.col("j0") + 1).alias("j"), "tok")
+    sp = spans.select(
+        F.col("id").alias("sid"), F.col("s"), F.col("e")
+    )
+    kept = tok_rows.join(
+        sp,
+        (F.col("id") == F.col("sid"))
+        & F.col("j").between(F.col("s"), F.col("e")),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "tok"))),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -1182,3 +1182,52 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "qz115_dedup_clean",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+15], ' ')) AS g
+          FROM t, UNNEST(generate_series(1, len(tk) - 15)) AS u(i)
+          WHERE len(tk) >= 16),
+    c AS (SELECT g, COUNT(*) AS n FROM g GROUP BY g),
+    d AS (SELECT doc_id, i FROM g JOIN c USING (g) WHERE n >= 2),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                             <= 16 THEN 0 ELSE 1 END AS brk
+            FROM d),
+    isl2 AS (SELECT doc_id, i,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS island
+             FROM isl),
+    spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 15 AS e
+              FROM isl2 GROUP BY doc_id, island),
+    tok AS (SELECT doc_id, j, tk[j] AS tok
+            FROM t, UNNEST(generate_series(1, len(tk))) AS u(j)),
+    kept AS (SELECT tok.doc_id, j, tok
+             FROM tok
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                               WHERE sp.doc_id = tok.doc_id
+                                 AND j BETWEEN sp.s AND sp.e))
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY j)) AS clean_md5
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Passage-level dedup applied (operators/substring.py::remove_spans
+    over q113's cut list): duplicated >= 16-token passages are cut out
+    and each document's remainder re-joined in order — documents whose
+    entire text is duplicated disappear (every token cut), clean docs
+    pass through byte-identical. The md5 of every cleaned text is
+    hash-checked against DuckDB recomputing the same cut-and-stitch, so
+    reassembly ORDER is pinned, not just counts."""
+    from ..operators.substring import duplicate_spans, remove_spans
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    spans = duplicate_spans(d, n=16)
+    return remove_spans(d, spans).select(
+        "id", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )

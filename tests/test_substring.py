@@ -317,3 +317,28 @@ def test_cdc_segments_cover_every_token_once(spark):
         got[r.id] = got.get(r.id, 0) + r.n_tok
     for i, t in docs:
         assert got[i] == len(t.split(" ")), i
+
+
+def test_remove_spans_cut_and_stitch(spark):
+    """remove_spans: cut tokens inside spans, keep order, pass through
+    span-free docs, drop docs whose every token is cut."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        remove_spans,
+    )
+
+    docs = [
+        (0, "a b c d e f g h"),
+        (1, "x y z"),
+        (2, "q r s t"),
+    ]
+    spans = [
+        (0, 3, 5),   # cut c d e
+        (0, 8, 8),   # cut h (two spans, one doc)
+        (2, 1, 4),   # cut everything
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = spark.createDataFrame(spans, "id long, s long, e long")
+    got = {r.id: (r.n_kept, r.clean_text) for r in remove_spans(d, sp).collect()}
+    assert got[0] == (4, "a b f g")
+    assert got[1] == (3, "x y z")      # no spans -> untouched
+    assert 2 not in got                # fully duplicated doc disappears
