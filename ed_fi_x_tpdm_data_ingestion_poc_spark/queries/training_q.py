@@ -477,6 +477,9 @@ _BPE_FIXTURE = (
 )
 
 
+_BPE_VOCAB: dict = {}
+
+
 def _bpe_merges():
     from functools import lru_cache
 
@@ -506,11 +509,24 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     strictly between word count and character count). Non-SQL-
     expressible (iterative greedy merging), hence the ok-flag twin; the
     pure-Python encoder itself is pinned by unit/property tests."""
-    from ..operators.bpe import bpe_token_counts, bpe_token_counts_pandas
+    from ..operators.bpe import (
+        bpe_token_counts,
+        bpe_token_counts_pandas,
+        encode_vocab,
+    )
 
     merges = _bpe_merges()
     d = table(spark, sf, "documents").select("doc_id", "text")
-    jvm = bpe_token_counts(d, merges)
+    # the encoded vocabulary is the materialize-once artifact of the
+    # encode-once-per-word plan; memoizing it also amortizes the ~1.5 s
+    # driver-side construction of the 24-aggregate fold expression
+    voc = memo(
+        _BPE_VOCAB,
+        (id(spark), sf),
+        lambda: encode_vocab(d, merges).persist(),
+        label="bpe_vocab",
+    )
+    jvm = bpe_token_counts(d, merges, encoded_vocab=voc)
     ref = bpe_token_counts_pandas(d, merges).withColumnRenamed(
         "n_bpe", "n_ref"
     )
