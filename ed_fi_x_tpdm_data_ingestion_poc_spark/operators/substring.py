@@ -416,3 +416,75 @@ def remove_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def substring_dup_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    corpus_index: DataFrame | None = None,
+    min_tokens: int = 24,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-dup pairs TOUCHING a new batch, against a
+    continuously-growing corpus (the nightly-ingestion shape, same
+    contract as dedup.minhash_lsh_pairs_incremental): winnow only the
+    NEW batch, join its fingerprints against the STORED corpus index
+    plus a batch self-join, verify exactly. The corpus is never
+    re-fingerprinted; corpus text is touched only for verification and
+    only for candidate ids (semi join). Requires disjoint id spaces.
+
+    corpus_index: (id, fp) from winnow_fingerprint_index over the stored
+    corpus (SAME min_tokens/k). None re-derives it (tests/small runs).
+    Equivalence law (pinned in tests): result == substring_dup_pairs
+    over corpus+batch, restricted to pairs with >= 1 batch id."""
+    nb = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    cb = corpus_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    if corpus_index is None:
+        corpus_index = winnow_fingerprint_index(
+            cb, min_tokens=min_tokens, k=k, id_col="id", text_col="text"
+        )
+    new_idx = winnow_fingerprint_index(
+        nb, min_tokens=min_tokens, k=k, id_col="id", text_col="text"
+    )
+    n, i = new_idx.alias("n"), corpus_index.alias("i")
+    vs_index = n.join(i, "fp").select(
+        F.least("n.id", "i.id").alias("ida"),
+        F.greatest("n.id", "i.id").alias("idb"),
+    )
+    a, b = new_idx.alias("a"), new_idx.alias("b")
+    vs_self = (
+        a.join(b, "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+    )
+    cand = vs_index.unionAll(vs_self).distinct()
+    docs_all = nb.unionByName(cb)
+    cand_ids = cand.select(F.col("ida").alias("id")).union(
+        cand.select("idb")
+    ).distinct()
+    grams = docs_all.join(cand_ids, "id", "left_semi").select(
+        "id", token_ngrams(F.col("text"), min_tokens).alias("g")
+    )
+    return (
+        cand.join(
+            grams.select(F.col("id").alias("ida"), F.col("g").alias("ga")),
+            "ida",
+        )
+        .join(
+            grams.select(F.col("id").alias("idb"), F.col("g").alias("gb")),
+            "idb",
+        )
+        .select(
+            "ida",
+            "idb",
+            F.size(F.array_intersect("ga", "gb")).alias("n_shared"),
+        )
+        .where(F.col("n_shared") > 0)
+    )

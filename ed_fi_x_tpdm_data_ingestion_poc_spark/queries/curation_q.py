@@ -1252,3 +1252,67 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     return remove_spans(d, spans).select(
         "id", "n_kept", F.md5("clean_text").alias("clean_md5")
     )
+
+
+@query(
+    "qz116_substring_incremental",
+    oracle="""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 20000000,
+             repeat('pre ', CAST(doc_id % 4 + 1 AS INT)) || text
+      FROM documents WHERE doc_id >= 20 AND doc_id % 23 = 1
+    ),
+    al AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM al),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+23], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 23)) AS u(i)
+      WHERE len(t) >= 24
+    )
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    WHERE a.doc_id < 20 OR a.doc_id >= 20000000
+       OR b.doc_id < 20 OR b.doc_id >= 20000000
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("llm", "curation", "dedup", "incremental"),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact-substring dedup (operators/substring.py::
+    substring_dup_pairs_incremental): a nightly batch (eval-style docs
+    < 20 plus SHIFTED copies of corpus docs, the cross-alignment case)
+    is winnowed ALONE and joined against the stored corpus fingerprint
+    index — the corpus is never re-fingerprinted, completing the
+    incremental family (qz101 HLL rollup, minhash incremental, q94
+    streaming bloom). Fully hash-checked: the oracle brute-forces every
+    24-gram over corpus+batch and keeps pairs touching the batch."""
+    from ..operators.substring import (
+        substring_dup_pairs_incremental,
+        winnow_fingerprint_index,
+    )
+    from .llm import _artifact
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") >= 20)
+    batch = d.where(F.col("doc_id") < 20).unionByName(
+        d.where((F.col("doc_id") >= 20) & (F.col("doc_id") % 23 == 1)).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("repeat('pre ', CAST(doc_id % 4 + 1 AS INT))"),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+    idx = _artifact(
+        spark, sf, "substring_corpus_index",
+        lambda: winnow_fingerprint_index(
+            corpus, min_tokens=24, k=8, id_col="doc_id", text_col="text"
+        ).persist(),
+    )
+    return substring_dup_pairs_incremental(
+        batch, corpus, corpus_index=idx, min_tokens=24, k=8
+    ).orderBy("ida", "idb")

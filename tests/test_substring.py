@@ -342,3 +342,47 @@ def test_remove_spans_cut_and_stitch(spark):
     assert got[0] == (4, "a b f g")
     assert got[1] == (3, "x y z")      # no spans -> untouched
     assert 2 not in got                # fully duplicated doc disappears
+
+
+def test_incremental_equals_full_restricted_to_batch(spark):
+    """The incremental contract's equivalence law: batch-vs-stored-index
+    pairs == the FULL substring_dup_pairs over corpus+batch, restricted
+    to pairs touching a batch id — including shifted cross-alignment
+    plants and batch-internal duplicates."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.substring import (
+        substring_dup_pairs,
+        substring_dup_pairs_incremental,
+        winnow_fingerprint_index,
+    )
+
+    n, k = 6, 3
+    corpus = _mk_docs(31, 20, lo=8, hi=30)
+    passage = " ".join(random.Random(5).choice(VOCAB) for _ in range(n + 2))
+    corpus = _plant(corpus, passage, {3: 2, 8: 0})
+    batch = [
+        (100, "lead " + passage),            # batch-vs-corpus at new offset
+        (101, passage + " trail tail"),      # batch-vs-batch too
+        (102, " ".join(["noise"] * 12)),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    idx = winnow_fingerprint_index(
+        cdf, min_tokens=n, k=k, id_col="doc_id", text_col="text"
+    )
+    inc = {
+        (r.ida, r.idb): r.n_shared
+        for r in substring_dup_pairs_incremental(
+            bdf, cdf, corpus_index=idx, min_tokens=n, k=k
+        ).collect()
+    }
+    batch_ids = {i for i, _ in batch}
+    full = {
+        (r.ida, r.idb): r.n_shared
+        for r in substring_dup_pairs(
+            cdf.unionByName(bdf), min_tokens=n, k=k
+        ).collect()
+        if r.ida in batch_ids or r.idb in batch_ids
+    }
+    assert inc == full
+    assert any(a == 100 or b == 100 for a, b in inc)   # cross pair found
+    assert (100, 101) in inc                            # batch-internal
