@@ -235,3 +235,26 @@ def bpe_token_counts_pandas(
     return docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     ).mapInPandas(encode_batches, "id long, n_bpe long")
+
+
+def load_merges_txt(text: str) -> list[tuple[str, str]]:
+    """Parse a GPT-2-style merges file (the interchange format real
+    tokenizers ship: optional '#version' header, one 'a b' pair per
+    line, rank = line order). Output feeds bpe_tokens_expr /
+    bpe_token_counts directly, so swapping the fixture table for a real
+    tokenizer's merges is a file read, not a code change."""
+    merges: list[tuple[str, str]] = []
+    for line in text.splitlines():
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"malformed merges line: {line!r}")
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def dump_merges_txt(merges: list[tuple[str, str]]) -> str:
+    """Inverse of load_merges_txt (with the conventional header)."""
+    return "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n"

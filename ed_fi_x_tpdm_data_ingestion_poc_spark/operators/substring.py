@@ -450,9 +450,12 @@ def substring_dup_pairs_incremental(
         corpus_index = winnow_fingerprint_index(
             cb, min_tokens=min_tokens, k=k, id_col="id", text_col="text"
         )
+    # the batch index feeds three subplans (vs-index join + both sides of
+    # the self-join); persist so the Arrow stage runs once per batch, the
+    # same transient-persist choice as minhash_lsh_pairs_incremental
     new_idx = winnow_fingerprint_index(
         nb, min_tokens=min_tokens, k=k, id_col="id", text_col="text"
-    )
+    ).persist()
     n, i = new_idx.alias("n"), corpus_index.alias("i")
     vs_index = n.join(i, "fp").select(
         F.least("n.id", "i.id").alias("ida"),

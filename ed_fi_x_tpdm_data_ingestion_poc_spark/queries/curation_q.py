@@ -1313,6 +1313,10 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
             corpus, min_tokens=24, k=8, id_col="doc_id", text_col="text"
         ).persist(),
     )
-    return substring_dup_pairs_incremental(
-        batch, corpus, corpus_index=idx, min_tokens=24, k=8
-    ).orderBy("ida", "idb")
+    pairs = _artifact(
+        spark, sf, "substring_inc_pairs",
+        lambda: substring_dup_pairs_incremental(
+            batch, corpus, corpus_index=idx, min_tokens=24, k=8
+        ).persist(),
+    )
+    return pairs.orderBy("ida", "idb")

@@ -101,3 +101,20 @@ def test_distributed_counts_and_no_python_in_jvm_path(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_merges_txt_roundtrip():
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.bpe import (
+        dump_merges_txt,
+        load_merges_txt,
+    )
+
+    merges = train_bpe(["low lower lowest", "low low new"], 6)
+    assert load_merges_txt(dump_merges_txt(merges)) == merges
+    assert load_merges_txt("#version: 0.2\n\na b\nab c\n") == [
+        ("a", "b"), ("ab", "c")
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed"):
+        load_merges_txt("a b c\n")

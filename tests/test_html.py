@@ -50,3 +50,40 @@ def test_strip_html_idempotent_on_plain_text(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == t
+
+
+def test_strip_html_random_wrappers_recover_text(spark):
+    """Property: for arbitrary compositions of the supported wrapper
+    constructs (tags with attrs, script/style blocks, comments, entity
+    whitespace) around entity-free body text, stripping recovers exactly
+    the body."""
+    import random
+
+    rng = random.Random(13)
+    tags = ["div", "p", "span", "td", "article"]
+    rows = []
+    for i in range(40):
+        body = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"])
+            for _ in range(rng.randint(1, 12))
+        )
+        t = rng.choice(tags)
+        pieces = [f'<{t} class="c{i}">', body, f"</{t}>"]
+        if rng.random() < 0.5:
+            pieces.insert(0, f"<script>var v={i} < {i+1};</script>")
+        if rng.random() < 0.5:
+            pieces.insert(0, "<style>a{x:y}</style>")
+        if rng.random() < 0.5:
+            pieces.append(f"<!-- trailing {i} -->")
+        if rng.random() < 0.5:
+            pieces.append("&nbsp;")
+        rows.append((i, "".join(pieces), body))
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], "i long, h string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", strip_html(F.col("h")).alias("c")).collect()
+    }
+    for i, _, body in rows:
+        assert got[i] == body, i
