@@ -1,0 +1,150 @@
+"""Model-based quality scoring for corpus curation — the learned-filter
+stage of CCNet/RefinedWeb-style pipelines, distilled to engine-checkable
+form:
+
+  * hashed_linear_score — a fastText-shaped linear classifier over
+    hashing-trick token features (Weinberger et al., ICML 2009): bucket
+    = portable 32-bit hash of the token mod n_buckets, score =
+    sigmoid(bias + mean of bucket weights). The weight table is the
+    artifact a real pipeline loads from training; scoring is a pure
+    map-side JVM expression — no model server, no UDF, no shuffle.
+  * bigram_nll — corpus-bigram language-model surprisal per document
+    (the KenLM-perplexity quality gate of CCNet, reduced to an add-one
+    smoothed bigram LM the oracle can recompute exactly): documents far
+    from the corpus distribution score high.
+
+Both use ONLY cross-engine-reproducible primitives (md5-derived hashes,
+ln, round), so the declared queries hash-check values, not just flags.
+
+md5_hash32 vs sampling.mul_hash32: mul_hash32 hashes INTEGERS (ids);
+this hashes STRINGS. Spark `conv(substr(md5(s),1,8),16,10)` ==
+DuckDB `('0x' || substr(md5(s),1,8))::BIGINT` — verified identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex chars of md5 as an int.
+    Slower than xxhash64 (full md5) but recomputable in any engine with
+    md5 — the same portability trade as sampling.mul_hash32. SQL twin:
+    md5_hash32_sql."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def md5_hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def fixture_weights(n_buckets: int = 64) -> tuple[list[float], float]:
+    """Deterministic stand-in for a trained weight vector (a real
+    pipeline loads these from its classifier): w[j] in [-0.48, 0.48],
+    fixed arithmetic so Spark literal and oracle SQL embed the SAME
+    numbers."""
+    w = [((j * 2654435761) % 97 - 48) / 100.0 for j in range(n_buckets)]
+    return w, 0.05
+
+
+def hashed_linear_score(
+    text_col: Column,
+    weights: list[float],
+    bias: float,
+) -> Column:
+    """sigmoid(bias + mean over tokens of weights[bucket(token)]),
+    rounded to 6 dp. One JVM aggregate over the token array against an
+    array literal — map-only; 2^20-bucket tables stay a ~8 MB broadcast
+    literal at production scale."""
+    n = len(weights)
+    w_lit = F.expr(
+        "CAST(array(" + ",".join(repr(x) for x in weights) + ") AS array<double>)"
+    )
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(w_lit, (F.pmod(md5_hash32(t), F.lit(n)) + 1).cast("int")),
+    )
+    z = F.lit(bias) + total / F.greatest(F.size(toks), F.lit(1))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def bigram_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c12) corpus bigram occurrence counts — the LM 'training'
+    aggregate; vocabulary-squared bounded, so it broadcasts at any
+    corpus size with a bounded vocabulary."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, nll): per-document mean negative log-likelihood
+    under the corpus bigram LM with add-one smoothing —
+    p(w2|w1) = (c12 + 1) / (c1 + V), c1 = bigram occurrences starting
+    with w1, V = distinct w2 across the corpus. High nll = far from the
+    corpus distribution (the CCNet perplexity gate, exactly
+    recomputable cross-engine; ROUND(.,6) absorbs summation-order
+    noise). Plan: doc bigrams join the (broadcastable) count table on
+    (w1, w2); c1 and V fold into the count table before the join so the
+    corpus-sized side joins ONCE."""
+    from pyspark.sql.window import Window
+
+    if counts is None:
+        counts = bigram_counts(docs, text_col=text_col)
+    v = counts.select(F.count_distinct("w2").alias("v"))
+    c1w = Window.partitionBy("w1")
+    model = counts.withColumn(
+        "c1", F.sum("c12").over(c1w)
+    ).crossJoin(F.broadcast(v))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    doc_bigrams = docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", "p.w1", "p.w2")
+    scored = doc_bigrams.join(model, ["w1", "w2"])
+    # every doc bigram IS in the corpus counts (the corpus includes the
+    # doc), so an inner join loses nothing
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )

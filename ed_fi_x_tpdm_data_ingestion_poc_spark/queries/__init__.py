@@ -126,5 +126,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import training_q  # noqa: F401
     from . import quality_q  # noqa: F401
     from . import sketch_q  # noqa: F401
+    from . import scoring_q  # noqa: F401
 
     return dict(QUERIES)

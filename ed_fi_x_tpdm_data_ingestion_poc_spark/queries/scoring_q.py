@@ -1,0 +1,123 @@
+"""Model-based quality scoring and dataset-split queries (round 7,
+operators/scoring.py): the learned-filter + split stage between cleaning
+and tokenization in a training-data pipeline.
+
+qz117: fastText-shaped hashed linear classifier score per doc.
+qz118: corpus-bigram LM surprisal per doc (the perplexity quality gate).
+qz119: deterministic engine-portable train/val/test split.
+All three hash-check exact VALUES cross-engine (portable md5-derived
+hashes, ln, fixed literal weights, ROUND)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scoring import fixture_weights, md5_hash32_sql
+from ..tables import table
+from . import query
+from .curation_q import _UNIFORM_SQL, _uniform01
+
+_W, _BIAS = fixture_weights(64)
+_W_SQL = "[" + ",".join(repr(x) for x in _W) + "]"
+
+
+@query(
+    "qz117_quality_model",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    s AS (SELECT doc_id,
+                 list_sum(list_transform(tk,
+                     x -> ({_W_SQL})[CAST(({md5_hash32_sql("x")}) % 64
+                                          AS INT) + 1])) AS tot,
+                 len(tk) AS n
+          FROM t)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({_BIAS} + tot / greatest(n, 1)))), 6)
+             AS score
+    FROM s
+    """,
+    tags=("llm", "curation", "scoring"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality-filter scoring (operators/scoring.py::
+    hashed_linear_score): sigmoid of the mean hashed-bucket weight over
+    the doc's tokens — the fastText-classifier gate of RefinedWeb/CCNet
+    pipelines as ONE map-side JVM aggregate against a broadcast weight
+    literal (no model server, no UDF, no shuffle). The fixture weight
+    table stands in for trained weights; the portable md5-derived token
+    hash makes every score recomputable in DuckDB — values, not flags,
+    are hash-checked."""
+    from ..operators.scoring import hashed_linear_score
+
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id", hashed_linear_score(F.col("text"), _W, _BIAS).alias("score")
+    )
+
+
+@query(
+    "qz118_bigram_nll",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    db AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+           WHERE len(tk) >= 2),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM c)
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(LN((c.c12 + 1.0) / (c1.c1 + v.v))) / COUNT(*), 6)
+             AS nll
+    FROM db JOIN c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "scoring"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM surprisal per document (operators/scoring.py::
+    bigram_nll): mean negative log-likelihood under an add-one-smoothed
+    corpus bigram model — the CCNet KenLM-perplexity quality gate,
+    reduced to a model the oracle recomputes EXACTLY (no external LM).
+    Outlier docs (far from the corpus distribution) score high and get
+    filtered. Plan: c1 and V fold into the vocabulary-bounded count
+    table before the single corpus-side join."""
+    from ..operators.scoring import bigram_nll
+
+    d = table(spark, sf, "documents")
+    return bigram_nll(d)
+
+
+@query(
+    "qz119_train_split",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, lang, {_UNIFORM_SQL.format(salt=271)} AS u
+               FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split on the portable id
+    hash (shared mul_hash32 implementation — the same uniform that
+    drives q78's sampler and q108's reservoir): assignment is a pure
+    map-side filterable expression, reproducible across engines, runs
+    and cluster sizes — never rand(). The uniform is an exact rational
+    (k/2^32) in both engines, so threshold comparisons are exact and the
+    full assignment hash-checks."""
+    d = table(spark, sf, "documents")
+    u = _uniform01("doc_id", salt=271)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .alias("split"),
+    )
