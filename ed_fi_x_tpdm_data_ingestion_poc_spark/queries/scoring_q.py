@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.scoring import fixture_weights, md5_hash32_sql
 from ..tables import table
-from . import query
+from . import broadcast_if_small, query
 from .curation_q import _UNIFORM_SQL, _uniform01
 
 _W, _BIAS = fixture_weights(64)
@@ -118,6 +118,77 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+def _qz120_oracle() -> str:
+    from .llm import _PAIRS_WITH
+    from ..operators.sampling import mul_hash32_sql
+
+    u = "(" + mul_hash32_sql("key + 271") + ") / 4294967296.0"
+    return f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    comp AS (SELECT n AS node, MIN(lbl) AS cluster FROM reach GROUP BY n),
+    k AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS key
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    u AS (SELECT doc_id, key, {u} AS u FROM k)
+    SELECT doc_id, CAST(key AS BIGINT) AS split_key,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """
+
+
+@query(
+    "qz120_leakage_safe_split",
+    oracle=_qz120_oracle(),
+    tags=("llm", "curation", "sampling", "dedup"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe dataset split: qz119's deterministic 80/10/10, but
+    keyed on the NEAR-DUP CLUSTER representative (min-id of the q93
+    cluster map, the doc's own id for singletons) instead of the doc id
+    — so near-duplicate documents can never straddle train and test,
+    closing the eval-contamination hole a naive per-doc split leaves
+    open (a test doc's near-copy in train is leakage exact-dedup never
+    caught). Costs one broadcastable join against the
+    materialize-once cluster map; the assignment stays a deterministic,
+    engine-portable expression, hash-checked against DuckDB recomputing
+    the clusters via recursive CTE."""
+    from ..operators.sampling import mul_hash32
+    from .llm import _artifact, _exact_pairs
+
+    def build_clusters():
+        from ..operators.graph import dup_clusters
+
+        return dup_clusters(
+            _exact_pairs(spark, sf).select("ida", "idb")
+        ).select("node", "cluster").persist()
+
+    clusters = _artifact(spark, sf, "dup_cluster_map", build_clusters)
+    d = table(spark, sf, "documents").select("doc_id")
+    # same size-gated broadcast as q93: the cluster map is usually tiny
+    # but can run corpus-proportional on heavy-dup web corpora
+    keyed = d.join(
+        broadcast_if_small(clusters), d.doc_id == clusters.node, "left"
+    ).select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("split_key")
+    )
+    u = mul_hash32(F.col("split_key") + F.lit(271)) / F.lit(4294967296.0)
+    return keyed.select(
+        "doc_id",
+        "split_key",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .alias("split"),
     )

@@ -97,3 +97,28 @@ def test_score_plan_is_map_only_jvm(spark):
     f = audit(df.select("doc_id", hashed_linear_score(F.col("text"), w, bias)))
     assert f.joins == 0 and f.exchanges == 0
     assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """The law qz119 cannot give: every near-dup cluster lands entirely
+    in ONE split, and the split distribution is still roughly 80/10/10
+    over split KEYS."""
+    from collections import Counter
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    rows = all_queries()["qz120_leakage_safe_split"].build(
+        spark, sf_dir
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.split_key, set()).add(r.split)
+    # all members of a key (cluster) share one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # some clusters are real (multi-doc) at this sf
+    sizes = Counter(r.split_key for r in rows)
+    assert any(n > 1 for n in sizes.values())
+    # key-level distribution near 80/10/10
+    splits = Counter(next(iter(by_key[k])) for k in by_key)
+    total = sum(splits.values())
+    assert 0.6 < splits["train"] / total < 0.95
