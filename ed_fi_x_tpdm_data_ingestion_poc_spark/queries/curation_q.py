@@ -1008,6 +1008,40 @@ trim(regexp_replace(
 """
 
 
+def _html_wrap_expr():
+    """Spark twin of _HTML_WRAP_SQL: the doc_id-variant HTML wrapper
+    around the `text` column (shared by q110 and qz121)."""
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<html><head><style>p{color:red}</style></head>'
+                      '<body><div id="main"><p>'),
+                F.col("text"),
+                F.lit("</p></div><!-- footer "), did,
+                F.lit(" --></body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('<HTML><BODY class="x"><script>track('), did,
+                F.lit(" < 99);</script><p>"),
+                F.col("text"),
+                F.lit("</p>&nbsp;</BODY></HTML>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<div><p>"),
+                F.col("text"),
+                F.lit("</p><br/><span>&nbsp;</span></div>"),
+            )
+        )
+    )
+
+
 @query(
     "q110_html_extract",
     oracle=f"""
@@ -1052,37 +1086,8 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
         )
     )
-    did = F.col("doc_id").cast("string")
-    html = (
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit('<html><head><style>p{color:red}</style></head>'
-                      '<body><div id="main"><p>'),
-                F.col("text"),
-                F.lit("</p></div><!-- footer "), did,
-                F.lit(" --></body></html>"),
-            ),
-        )
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit('<HTML><BODY class="x"><script>track('), did,
-                F.lit(" < 99);</script><p>"),
-                F.col("text"),
-                F.lit("</p>&nbsp;</BODY></HTML>"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("<div><p>"),
-                F.col("text"),
-                F.lit("</p><br/><span>&nbsp;</span></div>"),
-            )
-        )
-    )
     cleaned = corpus.select(
-        "doc_id", "text", strip_html(html).alias("clean")
+        "doc_id", "text", strip_html(_html_wrap_expr()).alias("clean")
     )
     w = Window.partitionBy(F.md5("clean"))
     return cleaned.select(

@@ -192,3 +192,111 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
         .alias("split"),
     )
+
+
+def _qz121_oracle() -> str:
+    from .curation_q import _HTML_WRAP_SQL, _STRIP_HTML_SQL
+
+    score = (
+        f"ROUND(1.0 / (1.0 + exp(-({_BIAS} + "
+        f"list_sum(list_transform(tk, x -> ({_W_SQL})"
+        f"[CAST(({md5_hash32_sql('x')}) % 64 AS INT) + 1]))"
+        f" / greatest(len(tk), 1)))), 6)"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 4
+    ),
+    wrapped AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM corpus),
+    cleaned AS (SELECT doc_id,
+                       {_STRIP_HTML_SQL.format(col="html")} AS clean
+                FROM wrapped),
+    tok AS (SELECT doc_id, clean,
+                   list_filter(string_split(clean, ' '), x -> x != '') AS tk
+            FROM cleaned),
+    scored AS (SELECT doc_id, clean, tk, {score} AS score FROM tok),
+    db AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM tok, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+           WHERE len(tk) >= 2),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM c),
+    nll AS (SELECT doc_id,
+                   ROUND(-SUM(LN((c.c12 + 1.0) / (c1.c1 + v.v)))
+                         / COUNT(*), 6) AS nll
+            FROM db JOIN c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            GROUP BY doc_id),
+    flags AS (SELECT s.doc_id, s.score, n.nll,
+                     CAST(s.score >= 0.5 AND n.nll <= 3.6 AS INT)
+                       AS keep_quality,
+                     CAST(s.doc_id = MIN(s.doc_id)
+                          OVER (PARTITION BY md5(s.clean)) AS INT)
+                       AS keep_dedup
+              FROM scored s JOIN nll n USING (doc_id))
+    SELECT doc_id, score, nll, keep_quality, keep_dedup,
+           CAST(keep_quality = 1 AND keep_dedup = 1 AS INT) AS kept
+    FROM flags
+    """
+
+
+@query(
+    "qz121_web_ingest_e2e",
+    oracle=_qz121_oracle(),
+    tags=("llm", "curation", "scoring", "text", "pipeline"),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """The modern web-ingest pipeline end to end, one DataFrame graph:
+    HTML boilerplate stripped (strip_html over q110's wrapper corpus
+    with mirrors), learned quality score (qz117's hashed linear model)
+    AND corpus-LM surprisal (qz118's bigram NLL) gates on the CLEANED
+    text, exact-dedup survivorship over the cleaned digest (mirrors
+    collapse with originals — the raw-HTML digest never would), final
+    kept verdict per doc. Everything stays one JVM plan: map-side strip
+    + score, one vocabulary-bounded LM join, one digest window. Per-doc
+    score, nll and all three flags hash-check against DuckDB composing
+    the same five stages."""
+    from pyspark.sql.window import Window
+
+    from ..operators.scoring import bigram_nll, hashed_linear_score
+    from ..operators.text import strip_html
+    from .curation_q import _html_wrap_expr
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 11 == 4).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    cleaned = corpus.select(
+        "doc_id", strip_html(_html_wrap_expr()).alias("clean")
+    )
+    scored = cleaned.select(
+        "doc_id",
+        "clean",
+        hashed_linear_score(F.col("clean"), _W, _BIAS).alias("score"),
+    )
+    nll = bigram_nll(cleaned, id_col="doc_id", text_col="clean").select(
+        F.col("id").alias("doc_id"), "nll"
+    )
+    w = Window.partitionBy(F.md5("clean"))
+    flags = (
+        scored.join(nll, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "nll",
+            ((F.col("score") >= 0.5) & (F.col("nll") <= 3.6))
+            .cast("int")
+            .alias("keep_quality"),
+            (F.col("doc_id") == F.min("doc_id").over(w))
+            .cast("int")
+            .alias("keep_dedup"),
+        )
+    )
+    return flags.withColumn(
+        "kept",
+        ((F.col("keep_quality") == 1) & (F.col("keep_dedup") == 1))
+        .cast("int"),
+    )
