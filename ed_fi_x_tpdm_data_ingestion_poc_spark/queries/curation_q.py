@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import broadcast_if_small, ok_flag, query
+from . import broadcast_if_small, built, ok_flag, query
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -968,9 +968,9 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     # build cost lands in bench build_s
     pairs = _artifact(
         spark, sf, "substring_pairs",
-        lambda: substring_dup_pairs(
+        lambda: built(substring_dup_pairs(
             d.unionByName(var), min_tokens=24, k=8
-        ).persist(),
+        ).persist()),
     )
     return pairs.orderBy("ida", "idb")
 
@@ -1136,7 +1136,7 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select("doc_id", "text")
     spans = _artifact(
         spark, sf, "dup_spans",
-        lambda: duplicate_spans(d, n=16).persist(),
+        lambda: built(duplicate_spans(d, n=16).persist()),
     )
     return spans.orderBy("id", "s")
 
@@ -1188,9 +1188,9 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
     segs = _artifact(
         spark, sf, "cdc_segments",
-        lambda: cdc_segments(
+        lambda: built(cdc_segments(
             table(spark, sf, "documents").select("doc_id", "text"), k=4
-        ).persist(),
+        ).persist()),
     )
     n = F.count(F.lit(1)).over(Window.partitionBy("seg_digest"))
     return (
@@ -1252,7 +1252,7 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select("doc_id", "text")
     spans = _artifact(
         spark, sf, "dup_spans",
-        lambda: duplicate_spans(d, n=16).persist(),
+        lambda: built(duplicate_spans(d, n=16).persist()),
     )
     return remove_spans(d, spans).select(
         "id", "n_kept", F.md5("clean_text").alias("clean_md5")
@@ -1314,14 +1314,14 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     )
     idx = _artifact(
         spark, sf, "substring_corpus_index",
-        lambda: winnow_fingerprint_index(
+        lambda: built(winnow_fingerprint_index(
             corpus, min_tokens=24, k=8, id_col="doc_id", text_col="text"
-        ).persist(),
+        ).persist()),
     )
     pairs = _artifact(
         spark, sf, "substring_inc_pairs",
-        lambda: substring_dup_pairs_incremental(
+        lambda: built(substring_dup_pairs_incremental(
             batch, corpus, corpus_index=idx, min_tokens=24, k=8
-        ).persist(),
+        ).persist()),
     )
     return pairs.orderBy("ida", "idb")

@@ -172,9 +172,11 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     def build_clusters():
         from ..operators.graph import dup_clusters
 
-        return dup_clusters(
+        from . import built
+
+        return built(dup_clusters(
             _exact_pairs(spark, sf).select("ida", "idb")
-        ).select("node", "cluster").persist()
+        ).select("node", "cluster").persist())
 
     clusters = _artifact(spark, sf, "dup_cluster_map", build_clusters)
     d = table(spark, sf, "documents").select("doc_id")

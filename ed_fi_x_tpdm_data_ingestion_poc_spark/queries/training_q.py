@@ -520,10 +520,12 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     # the encoded vocabulary is the materialize-once artifact of the
     # encode-once-per-word plan; memoizing it also amortizes the ~1.5 s
     # driver-side construction of the 24-aggregate fold expression
+    from . import built
+
     voc = memo(
         _BPE_VOCAB,
         (id(spark), sf),
-        lambda: encode_vocab(d, merges).persist(),
+        lambda: built(encode_vocab(d, merges).persist()),
         label="bpe_vocab",
     )
     jvm = bpe_token_counts(d, merges, encoded_vocab=voc)

@@ -349,3 +349,31 @@ def test_semdedup_blocks_on_cell_key(spark, sf_dir):
     assert f.cartesian_products == 0 and f.nested_loop_joins == 0
     assert f.joins >= 1
     assert f.python_evals == 0  # assignment is Arrow-batched, scoring JVM
+
+
+def test_bigram_nll_single_corpus_join(spark, sf_dir):
+    """qz118: c1 and V fold into the vocabulary-bounded model table
+    BEFORE the corpus-side join, so the exploded doc-bigram stream joins
+    exactly once; no Python anywhere."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scoring import (
+        bigram_nll,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    f = audit(bigram_nll(d))
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    # the only NLJs are broadcast crossJoins against the ONE-ROW V scalar
+    # (the idiomatic scalar-subquery physical plan); a true cartesian
+    # over data-sized inputs would show as cartesian_products
+    assert f.cartesian_products == 0
+    assert f.sortmerge_joins + f.shuffled_hash_joins + f.broadcast_joins >= 1
+
+
+def test_web_ingest_e2e_plan(spark, sf_dir):
+    """qz121: the five-stage composition stays JVM-only (strip + score
+    are projections; LM join + digest window are the only heavy ops) —
+    no Python nodes, no cartesian."""
+    f = audit(_build(spark, sf_dir, "qz121_web_ingest_e2e"))
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert f.cartesian_products == 0  # NLJs = one-row V scalar broadcasts

@@ -115,6 +115,13 @@ def main() -> None:
         substring_dup_pairs,
     )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.text import strip_html
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scoring import (
+        bigram_nll,
+        fixture_weights,
+        hashed_linear_score,
+    )
+
+    _QM_W, _QM_B = fixture_weights(64)
 
     _BPE_MERGES = train_bpe(
         [
@@ -323,6 +330,21 @@ def main() -> None:
             docs,
             docs_big,
         ),
+        "bigram_nll": (  # vocab-bounded LM join: counts table grows with
+            # the copy-suffixed vocab, corpus side joins once
+            lambda d: bigram_nll(d)
+            .agg(F.sum("n_bigrams"))
+            .collect()[0][0],
+            docs,
+            docs_big,
+        ),
+        "quality_model": (  # map-only hashed linear scorer
+            lambda d: d.select(
+                F.sum(hashed_linear_score(F.col("text"), _QM_W, _QM_B))
+            ).collect()[0][0],
+            docs,
+            docs_big,
+        ),
     }
     for name, (fn, base, big) in probes.items():
         fn(base)  # warm
@@ -401,6 +423,42 @@ def main() -> None:
         )
     )
 
+
+    # Hot-boilerplate probe: EVERY doc shares a 30-token license-header
+    # passage (the adversarial case for substring dedup — uncapped, the
+    # shared fingerprints pair all docs quadratically). With fp_cap the
+    # hot fingerprints drop and the work tracks the natural-dup volume:
+    # wall must grow ~linearly despite the corpus-wide passage.
+    boiler = " ".join(f"bz{i}" for i in range(30)) + " "
+    docs_hot = docs.withColumn("text", F.concat(F.lit(boiler), F.col("text")))
+    docs_hot_big = docs_big.withColumn(
+        "text", F.concat(F.lit(boiler), F.col("text"))
+    ).persist()
+    docs_hot_big.count()
+
+    def _sub_capped(d):
+        return substring_dup_pairs(d, min_tokens=24, k=8, fp_cap=64).count()
+
+    _sub_capped(docs_hot)  # warm
+    t0 = time.perf_counter()
+    n_base = _sub_capped(docs_hot)
+    t_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_big = _sub_capped(docs_hot_big)
+    t_big = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "substring_hot_boilerplate",
+                "factor": factor,
+                "pairs_base": n_base,
+                "pairs_big": n_big,
+                "sec_base": round(t_base, 2),
+                "sec_big": round(t_big, 2),
+                "growth_vs_linear": round(t_big / (t_base * factor), 2),
+            }
+        )
+    )
 
     # SemDeDup probe: clean scaling REQUIRES n_centroids ~ corpus size
     # (the documented law — cell population constant, within-cell join
