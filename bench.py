@@ -105,48 +105,66 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    # The driver records only the trailing ~2000 chars of stdout, and the
-    # whole JSON line must land inside that window to stay parseable. Two
-    # levers keep it there: headline fields go AFTER the (long) per-query
-    # dict, and per-query keys are shortened to their unique qNN prefix
-    # (q01, q50a, qz05, ... — full names overflowed the window at 85
-    # queries). duck_bench.py shortens identically so ratios line up.
-    short = {n.split("_")[0]: round(v, 2) for n, v in per_query.items()}
-    assert len(short) == len(per_query), "qNN prefixes must stay unique"
-    # second lever (130-query surface): drop sub-50 ms entries — they sit
-    # at the scheduler floor and carry no per-query regression signal;
-    # their mass still lands in seq_s and n_q counts the full surface
-    short = {k: v for k, v in short.items() if v >= 0.05}
-    # Cold-build cost of every memoized artifact (sketch signatures, ANN
-    # indexes, profiles, fixtures), recorded by queries.memo as the
-    # sequential pass first touched each — the regression signal the
-    # per-query medians no longer carry once the artifact is warm.
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import BUILD_TIMES
 
-    # keep the line inside the driver tail window: sub-500ms artifact
-    # builds carry no regression signal worth their bytes (the 126-query
-    # surface hit ~1957 chars at the 200ms cut; the JSON must never
-    # cross the driver's ~2000-char stdout tail or the parse fails)
     print(
-        json.dumps(
+        render_line(
+            per_query, BUILD_TIMES, round(sorted(walls)[1], 3), sf, N_THREADS
+        )
+    )
+
+
+def render_line(
+    per_query: dict[str, float],
+    build_times: dict[str, float],
+    wall: float,
+    sf: float | None,
+    n_threads: int,
+    budget: int = 1900,
+) -> str:
+    """ONE JSON line that ALWAYS fits the driver's ~2000-char stdout tail.
+
+    Levers, applied in order until the line fits `budget`:
+      1. per-query keys shortened to their unique qNN prefix, values 2 dp
+         (full names overflowed at 85 queries);
+      2. sub-50 ms entries dropped — scheduler-floor noise, no per-query
+         regression signal (their mass still lands in seq_s; n_q counts
+         the full surface);
+      3. artifact builds under 0.5 s dropped from build_s;
+      4. hard budget enforcement: smallest remaining per-query entries
+         dropped ascending until the rendered line fits — the regression
+         signal concentrates in the expensive queries, which are exactly
+         the ones kept."""
+    short = {n.split("_")[0]: round(v, 2) for n, v in per_query.items()}
+    assert len(short) == len(per_query), "qNN prefixes must stay unique"
+    short = {k: v for k, v in short.items() if v >= 0.05}
+    builds = {
+        k: round(v, 2) for k, v in sorted(build_times.items()) if v >= 0.5
+    }
+
+    def render(q: dict[str, float]) -> str:
+        return json.dumps(
             {
-                "queries": short,
-                "build_s": {
-                    k: round(v, 2)
-                    for k, v in sorted(BUILD_TIMES.items())
-                    if v >= 0.5
-                },
+                "queries": q,
+                "build_s": builds,
                 "metric": "declared_query_suite_total_wall_clock",
-                "value": round(sorted(walls)[1], 3),
+                "value": wall,
                 "unit": "sec",
                 "sf": sf,
                 "seq_s": round(sum(per_query.values()), 2),
                 "n_q": len(per_query),
-                "threads": N_THREADS,
+                "threads": n_threads,
             },
             separators=(",", ":"),
         )
-    )
+
+    line = render(short)
+    for k in sorted(short, key=lambda k: short[k]):
+        if len(line) <= budget:
+            break
+        short.pop(k)
+        line = render(short)
+    return line
 
 
 if __name__ == "__main__":

@@ -224,29 +224,35 @@ def test_merge_scd2_ts_tiebreak(spark):
 
 def test_bench_json_line_fits_driver_tail():
     """The driver records only the trailing ~2000 chars of bench stdout;
-    the single JSON line (qNN-prefix keys + headline fields) must fit
-    entirely inside that window or the recorded result is unparseable.
-    Guard with worst-case-width values for every registered query."""
+    bench.render_line must keep its single JSON line inside that window
+    under WORST-CASE widths — every registered query slow (nothing under
+    the 50 ms drop) and a heavy build_s — by enforcing its hard budget
+    (smallest entries dropped first). The headline fields must survive
+    trimming intact."""
+    import importlib.util
     import json
+    import os
 
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
 
-    names = [n for n, s in all_queries().items() if "streaming" not in s.tags]
-    short = {n.split("_")[0]: 99.999 for n in names}
-    assert len(short) == len(names), "qNN prefixes must stay unique"
-    line = json.dumps(
-        {
-            "queries": short,
-            "metric": "declared_query_suite_total_wall_clock",
-            "value": 999.999,
-            "unit": "sec",
-            "sf": 0.1,
-            "seq_s": 9999.99,
-            "threads": 8,
-        },
-        separators=(",", ":"),
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
     )
-    assert len(line) <= 1800, len(line)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    names = [n for n, s in all_queries().items() if "streaming" not in s.tags]
+    per_query = {n: 99.99 for n in names}
+    builds = {f"artifact_{i}": 99.99 for i in range(12)}
+    line = bench.render_line(per_query, builds, 999.999, 0.1, 8)
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["n_q"] == len(names)
+    assert parsed["seq_s"] == round(sum(per_query.values()), 2)
+    assert parsed["value"] == 999.999
+    # the kept per-query entries are real keys, worst-case values intact
+    assert all(v == 99.99 for v in parsed["queries"].values())
 
 
 def test_stream_packing_matches_batch(spark, sf_dir):
