@@ -148,21 +148,48 @@ def encode_vocab(
     merges: list[tuple[str, str]],
     *,
     text_col: str = "text",
+    jvm_max_merges: int = 256,
 ) -> DataFrame:
-    """(word, n_tok) for every DISTINCT word of the corpus, encoded via
-    the JVM fold chain — the materialize-once artifact of the
-    encode-once-per-word plan (production persists this next to the
-    merges file; re-deriving it per query re-pays both the vocabulary
-    scan and the ~1.5 s driver-side construction of the 24-aggregate
-    expression tree)."""
+    """(word, n_tok) for every DISTINCT word of the corpus — the
+    materialize-once artifact of the encode-once-per-word plan
+    (production persists this next to the merges file; re-deriving it
+    per query re-pays both the vocabulary scan and the driver-side
+    construction of the fold expression tree).
+
+    Encoder selection by merges size: the JVM fold chain is one
+    F.aggregate PER MERGE, so its expression tree grows linearly with
+    the table — ideal for small tables, absurd for a real tokenizer's
+    ~32k merges (the driver would build a 32k-deep expression). Past
+    jvm_max_merges the vocab is encoded by the reference rank-greedy
+    encoder in Arrow batches instead — still once per DISTINCT word, so
+    the Python cost is vocabulary-sized, never corpus-sized; both paths
+    produce identical counts (pinned by test)."""
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
         .distinct()
     )
-    return vocab.select(
-        "word", F.size(bpe_tokens_expr(F.col("word"), merges)).alias("n_tok")
-    )
+    if len(merges) <= jvm_max_merges:
+        return vocab.select(
+            "word",
+            F.size(bpe_tokens_expr(F.col("word"), merges)).alias("n_tok"),
+        )
+    ranks = merge_ranks(merges)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tok": [
+                        len(bpe_encode_py(w, ranks)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return vocab.mapInPandas(encode_batches, "word string, n_tok int")
 
 
 def bpe_token_counts(
@@ -191,7 +218,7 @@ def bpe_token_counts(
         encoded_vocab
         if encoded_vocab is not None
         else encode_vocab(docs, merges, text_col=text_col)
-    )
+    )  # fold chain or Arrow encoder chosen by merges size — see encode_vocab
     return (
         per_doc.join(encoded, "word")
         .groupBy("id")

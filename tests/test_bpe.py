@@ -118,3 +118,37 @@ def test_merges_txt_roundtrip():
 
     with _pytest.raises(ValueError, match="malformed"):
         load_merges_txt("a b c\n")
+
+
+def test_large_merges_table_switches_to_arrow_vocab_encoder(spark):
+    """Past jvm_max_merges the vocab encodes via the Arrow reference
+    encoder (a 32k-merge tokenizer cannot be a 32k-deep fold chain);
+    both paths must produce identical counts."""
+    import random
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.bpe import (
+        encode_vocab,
+    )
+
+    rng = random.Random(17)
+    corpus = [
+        " ".join(
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 10)))
+            for _ in range(30)
+        )
+        for _ in range(8)
+    ]
+    merges = train_bpe(corpus, 40)
+    assert len(merges) > 20
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    jvm = {
+        r.word: r.n_tok
+        for r in encode_vocab(df, merges, jvm_max_merges=1000).collect()
+    }
+    arrow_df = encode_vocab(df, merges, jvm_max_merges=8)
+    arrow = {r.word: r.n_tok for r in arrow_df.collect()}
+    assert jvm == arrow
+    plan = arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the fallback actually engaged
