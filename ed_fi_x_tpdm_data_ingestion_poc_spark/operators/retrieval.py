@@ -1,0 +1,109 @@
+"""Lexical retrieval: BM25 (Robertson & Sparck Jones / Okapi) over an
+inverted index — the classic sparse scorer complementing the dense ANN
+stack (operators/similarity.py) and the Jaccard baseline (q83).
+
+Plan shape (the large-query-set answer q83's docstring promises): the
+corpus becomes a POSTINGS table (term, id, tf, dl) built once; queries
+join it ON THE TERM, so only postings for terms that actually occur in
+some query are ever touched — no query × corpus product at any scale.
+Document-frequency and corpus stats fold into the postings before the
+join (one aggregate each); scoring is a JVM arithmetic projection and a
+per-query top-k window.
+
+Every quantity derives from integer counts (tf, df, dl, N), so DuckDB
+recomputes identical doubles and declared queries hash-check VALUES
+(ROUND absorbs the final libm/summation ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, dl): term frequencies + document length — the
+    materialize-once inverted index (production writes it bucketed by
+    term so query joins are zero-exchange on the corpus side)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return exploded.groupBy("id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qid, id, score, rank): top-k corpus docs per query under BM25
+    with the standard smoothed idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Scores ROUND to 6 dp BEFORE ranking so the rank order (score desc,
+    id) is engine-exact. Queries contribute their DISTINCT terms —
+    repeated query terms score once, the common BM25 convention."""
+    from pyspark.sql.window import Window
+
+    # N and avgdl from dl (one value per doc): aggregate distinct (id, dl)
+    avg = (
+        postings.select("id", "dl")
+        .distinct()
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count_distinct("id").alias("df")
+    )
+    model = (
+        postings.join(df_t, "term")
+        .crossJoin(F.broadcast(avg))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .select("term", "id", "w")
+    )
+    qterms = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("term"),
+    )
+    scored = (
+        qterms.join(model, "term")  # inverted index: only query terms touch
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -482,3 +482,58 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, diff == 0)
+
+
+@query(
+    "qz122_bm25_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    post AS (SELECT doc_id AS id, len(tk) AS dl, u.term, COUNT(*) AS tf
+             FROM t, UNNEST(tk) AS u(term)
+             WHERE doc_id >= 5
+             GROUP BY 1, 2, 3),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+              FROM (SELECT DISTINCT id, dl FROM post)),
+    dft AS (SELECT term, COUNT(DISTINCT id) AS df FROM post GROUP BY term),
+    model AS (SELECT p.term, p.id,
+                     LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+                       AS w
+              FROM post p JOIN dft d USING (term) CROSS JOIN stats s),
+    q AS (SELECT doc_id AS qid, u.term
+          FROM (SELECT doc_id, list_distinct(tk) AS qt FROM t
+                WHERE doc_id < 5) x, UNNEST(qt) AS u(term)),
+    scored AS (SELECT q.qid, m.id, ROUND(SUM(m.w), 6) AS score
+               FROM q JOIN model m USING (term)
+               GROUP BY 1, 2),
+    ranked AS (SELECT qid, id, score,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY score DESC, id) AS INT) AS rank
+               FROM scored)
+    SELECT qid, id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "retrieval", "text"),
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-5 retrieval over the inverted index (operators/
+    retrieval.py) — the classic sparse scorer and the large-query-set
+    plan q83's Jaccard baseline points to: queries join the postings ON
+    THE TERM, so only postings of query terms are touched (never a
+    query x corpus product); df/N/avgdl fold into the model before that
+    single join. Scores derive entirely from integer counts, so every
+    (qid, id, score, rank) hash-checks against DuckDB recomputing the
+    same Okapi formula (k1=1.2, b=0.75, smoothed idf)."""
+    from ..operators.retrieval import bm25_postings, bm25_topk
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") >= 5)
+    queries = d.where(F.col("doc_id") < 5)
+    post = memo(
+        _CLIPS, (id(spark), sf, "bm25_postings"),
+        lambda: _built(bm25_postings(corpus)),
+        label="bm25_postings",
+    )
+    return bm25_topk(post, queries, k=5)
