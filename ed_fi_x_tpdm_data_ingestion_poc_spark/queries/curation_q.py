@@ -1207,7 +1207,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz115_dedup_clean",
+    "q115_dedup_clean",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+15], ' ')) AS g
@@ -1260,7 +1260,7 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz116_substring_incremental",
+    "q116_substring_incremental",
     oracle="""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
     batch AS (

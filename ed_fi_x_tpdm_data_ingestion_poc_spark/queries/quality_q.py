@@ -485,7 +485,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz122_bm25_topk",
+    "q122_bm25_topk",
     oracle="""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk

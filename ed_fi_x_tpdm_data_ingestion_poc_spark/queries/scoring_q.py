@@ -23,7 +23,7 @@ _W_SQL = "[" + ",".join(repr(x) for x in _W) + "]"
 
 
 @query(
-    "qz117_quality_model",
+    "q117_quality_model",
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk
@@ -59,7 +59,7 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz118_bigram_nll",
+    "q118_bigram_nll",
     oracle="""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk
@@ -93,7 +93,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz119_train_split",
+    "q119_train_split",
     oracle=f"""
     WITH u AS (SELECT doc_id, lang, {_UNIFORM_SQL.format(salt=271)} AS u
                FROM documents)
@@ -151,7 +151,7 @@ def _qz120_oracle() -> str:
 
 
 @query(
-    "qz120_leakage_safe_split",
+    "q120_leakage_safe_split",
     oracle=_qz120_oracle(),
     tags=("llm", "curation", "sampling", "dedup"),
 )
@@ -244,7 +244,7 @@ def _qz121_oracle() -> str:
 
 
 @query(
-    "qz121_web_ingest_e2e",
+    "q121_web_ingest_e2e",
     oracle=_qz121_oracle(),
     tags=("llm", "curation", "scoring", "text", "pipeline"),
 )
