@@ -286,6 +286,84 @@ def cms_point(cms: dict, col: Column) -> Column:
     return F.least(*ests) if len(ests) > 1 else ests[0]
 
 
+def kmv_build(values_df: DataFrame, col: str, k: int = 1024) -> dict:
+    """K-minimum-values (theta-style) distinct sketch: the k smallest
+    xxhash64 values of the column's DISTINCT set. Returns
+    {"mins": sorted signed-64 hashes, "k": k}.
+
+    Build is one distributed job that never moves more than k rows to the
+    driver: hash (map-only, JVM) -> distinct (one shuffle on the hash) ->
+    ``orderBy(h).limit(k)`` which Spark executes as TakeOrderedAndProject —
+    per-partition top-k heaps, then a k-row driver merge. The summary is
+    8k bytes regardless of corpus size.
+
+    Why next to HLL (hll_sketch_table): HLL's inclusion-exclusion
+    intersection (q105) degrades as |A∩B| shrinks relative to |A∪B|
+    because it SUBTRACTS three noisy estimates; KMV intersects the
+    retained SAMPLES, so tiny intersections stay estimable — the
+    theta/KMV boundary q105's docstring records, now closed.
+
+    Exactness law: if fewer than k distinct values exist, the sketch IS
+    the distinct hash set and every estimate derived from it is exact.
+    """
+    if k < 2:
+        raise ValueError(f"kmv needs k >= 2 (estimator divides by u_(k)), got {k}")
+    rows = (
+        values_df.select(F.xxhash64(F.col(col)).alias("h"))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return {"mins": [r.h for r in rows], "k": k}
+
+
+def _kmv_u(h: int) -> float:
+    """Map a signed-64 hash to (0, 1]: the SIGNED order is the uniform
+    order shifted by 2^63, so rank statistics carry over unchanged."""
+    return (h + (1 << 63) + 1) / float(1 << 64)
+
+
+def kmv_estimate(kmv: dict) -> float:
+    """Distinct-count estimate: exact len(mins) when the sketch saw fewer
+    than k distincts, else the Beyer et al. (2007) unbiased estimator
+    (k-1)/u_(k) with u_(k) the k-th smallest hash as a (0,1] uniform."""
+    mins, k = kmv["mins"], kmv["k"]
+    if len(mins) < k:
+        return float(len(mins))
+    return (k - 1) / _kmv_u(mins[-1])
+
+
+def kmv_merge(a: dict, b: dict) -> dict:
+    """Union sketch: k smallest of the merged min-sets. EXACTLY equals
+    kmv_build on the unioned input (a law the tests pin): the k smallest
+    of A∪B are each among the k smallest of A or of B, so retaining k
+    per side loses nothing. Mergeable-summary contract as bloom_union/
+    cms_merge: partitions/days sketch independently, reduce combines."""
+    if a["k"] != b["k"]:
+        raise ValueError(f"kmv_merge needs identical k: {a['k']} vs {b['k']}")
+    mins = sorted(set(a["mins"]) | set(b["mins"]))[: a["k"]]
+    return {"mins": mins, "k": a["k"]}
+
+
+def kmv_intersect_estimate(a: dict, b: dict) -> float:
+    """|A∩B| from two KMV summaries alone (no re-scan, no join):
+    the k smallest of A∪B are a uniform sample of the union, so the
+    fraction of them present in BOTH min-sets estimates Jaccard(A,B);
+    scale by the union estimate (Beyer et al. 2007). Exact when both
+    sketches are exact. Unlike HLL inclusion-exclusion the error is
+    relative to the UNION sample, not the sum of three set estimates —
+    tiny intersections of large sets stay estimable."""
+    u = kmv_merge(a, b)
+    sa, sb = set(a["mins"]), set(b["mins"])
+    both = sum(1 for h in u["mins"] if h in sa and h in sb)
+    if len(u["mins"]) < u["k"]:
+        return float(both)  # union exact -> intersection exact
+    jaccard = both / len(u["mins"])
+    return jaccard * kmv_estimate(u)
+
+
 def cms_merge(a: dict, b: dict) -> dict:
     """Cell-wise sum of two sketches built with identical (d, w):
     frequencies over the UNION of the inputs — partitions/days sketch

@@ -425,3 +425,86 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
     return ok_flag(
         spark, bool(probed.law) and probed.max_err <= bound and merge_ok
     )
+
+
+@query(
+    "q123_kmv_sketch_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("agg", "sketch"),
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct sketch (operators/sketches.py::kmv_*):
+    the theta-style summary that closes the boundary q105's docstring
+    records — HLL inclusion-exclusion SUBTRACTS three noisy estimates,
+    so a tiny |A∩B| drowns in the union's error; KMV intersects the
+    retained hash SAMPLES, so small overlaps of large sets stay
+    estimable from two 8·k-byte summaries with no join and no re-scan.
+
+    Sets over distinct l_orderkey hash-buckets (A: h<55, B: h>=50 — a
+    designed ~5%-of-universe overlap, the regime q105 cannot serve).
+    Four deterministic laws in one flag (xxhash64, fixed data):
+
+    * merge law — kmv_merge of the two half-sketches (split by another
+      hash bit) equals kmv_build over all of A, LIST-identically: the k
+      smallest of a union are among each side's k smallest, so per-side
+      retention is lossless (the nightly partitions-sketch-independently
+      contract, exact rather than approximate);
+    * estimate law — (k-1)/u_(k) lands within 10% of the exact distinct
+      count of both A and B (k=1024 -> ~3% expected error);
+    * intersection law — the Jaccard-scaled union estimate lands within
+      25% of the exact |A∩B| even though the overlap is ~5% of the
+      union — inclusion-exclusion at lgk=14 misses this badly when the
+      subtraction noise exceeds the 5% signal;
+    * exactness law — a set smaller than k (bucket h<1) round-trips
+      EXACTLY: fewer than k distincts means the sketch IS the set.
+    """
+    from ..operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+    )
+
+    li = table(spark, sf, "lineitem")
+    keys = li.select("l_orderkey").distinct().select(
+        F.col("l_orderkey").alias("id"),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(100)).alias("h"),
+        F.pmod(F.xxhash64("l_orderkey", F.lit("kmv-half")), F.lit(2)).alias(
+            "half"
+        ),
+    )
+    a = keys.filter(F.col("h") < 55)
+    b = keys.filter(F.col("h") >= 50)
+    k = 1024
+    sk_a = kmv_build(a, "id", k)
+    sk_b = kmv_build(b, "id", k)
+    sk_a_halves = kmv_merge(
+        kmv_build(a.filter(F.col("half") == 0), "id", k),
+        kmv_build(a.filter(F.col("half") == 1), "id", k),
+    )
+    merge_ok = sk_a_halves["mins"] == sk_a["mins"]
+    exact = keys.agg(
+        F.sum((F.col("h") < 55).cast("long")).alias("na"),
+        F.sum((F.col("h") >= 50).cast("long")).alias("nb"),
+        F.sum(((F.col("h") >= 50) & (F.col("h") < 55)).cast("long")).alias(
+            "ni"
+        ),
+        F.sum((F.col("h") < 1).cast("long")).alias("ns"),
+    ).collect()[0]
+
+    def _rel(est: float, true: int) -> float:
+        return abs(est - true) / true if true else abs(est)
+
+    est_ok = (
+        _rel(kmv_estimate(sk_a), exact.na) <= 0.10
+        and _rel(kmv_estimate(sk_b), exact.nb) <= 0.10
+    )
+    inter_ok = _rel(kmv_intersect_estimate(sk_a, sk_b), exact.ni) <= 0.25
+    # 2048 > the h<1 bucket's distinct count at every test SF (1502 at
+    # sf0.1), so this sketch retains the whole set — the exactness claim
+    # is about the operator, not the luck of the bucket size
+    sk_small = kmv_build(keys.filter(F.col("h") < 1), "id", 2048)
+    exact_ok = kmv_estimate(sk_small) == float(exact.ns)
+    from . import ok_flag
+
+    return ok_flag(spark, merge_ok and est_ok and inter_ok and exact_ok)

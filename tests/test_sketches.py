@@ -293,3 +293,94 @@ def test_cms_rejects_negative_weights(spark):
         df.where(F.col("wt") >= 0), "s", weight=F.col("wt"), d=2, w=32
     )
     assert ok["n"] == 5
+
+
+# ---------------------------------------------------------------- KMV --
+
+
+def _kmv_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v bigint")
+
+
+def test_kmv_exact_below_k(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    sk = kmv_build(_kmv_df(spark, list(range(100)) * 3), "v", k=256)
+    assert len(sk["mins"]) == 100
+    assert kmv_estimate(sk) == 100.0
+
+
+def test_kmv_estimate_within_bound(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    n, k = 20_000, 512
+    sk = kmv_build(_kmv_df(spark, range(n)), "v", k=k)
+    assert len(sk["mins"]) == k
+    # deterministic given xxhash64; expected rel err ~ 1/sqrt(k-2) ~ 4.4%
+    assert abs(kmv_estimate(sk) - n) / n < 0.15
+
+
+def test_kmv_merge_equals_build_on_union(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_merge,
+    )
+
+    a = kmv_build(_kmv_df(spark, range(0, 3000)), "v", k=128)
+    b = kmv_build(_kmv_df(spark, range(2000, 5000)), "v", k=128)
+    merged = kmv_merge(a, b)
+    direct = kmv_build(_kmv_df(spark, range(0, 5000)), "v", k=128)
+    assert merged["mins"] == direct["mins"]  # exact, not approximate
+
+
+def test_kmv_merge_rejects_mismatched_k(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_merge,
+    )
+
+    a = kmv_build(_kmv_df(spark, range(10)), "v", k=64)
+    b = kmv_build(_kmv_df(spark, range(10)), "v", k=128)
+    with pytest.raises(ValueError, match="identical k"):
+        kmv_merge(a, b)
+
+
+def test_kmv_build_rejects_tiny_k(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+    )
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_build(_kmv_df(spark, range(10)), "v", k=1)
+
+
+def test_kmv_intersect_exact_when_small(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    a = kmv_build(_kmv_df(spark, range(0, 300)), "v", k=1024)
+    b = kmv_build(_kmv_df(spark, range(250, 600)), "v", k=1024)
+    # both sketches exact (n < k) -> intersection exact
+    assert kmv_intersect_estimate(a, b) == 50.0
+
+
+def test_kmv_intersect_small_overlap_of_large_sets(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    # |A|=|B|=20k, overlap 1000 (~2.6% of union): the regime where HLL
+    # inclusion-exclusion noise swamps the signal
+    a = kmv_build(_kmv_df(spark, range(0, 20_000)), "v", k=2048)
+    b = kmv_build(_kmv_df(spark, range(19_000, 39_000)), "v", k=2048)
+    est = kmv_intersect_estimate(a, b)
+    assert abs(est - 1000) / 1000 < 0.35
