@@ -294,3 +294,118 @@ def strip_html(text: Column | str) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Published web-corpus filtering rule sets: Gopher quality rules and C4
+# line-level cleaning. Both are pure JVM expression compositions (map-only,
+# whole-stage codegen, no UDF) with DuckDB-expressible twins, so the
+# declared queries hash-check every flag — the pre-tokenization gates every
+# LLM training pipeline runs at full corpus scale.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MAX_BULLET_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_flags(text: Column | str) -> Column:
+    """Gopher (Rae et al. 2021, §A1.1) document-quality rules as a struct
+    of int flags + overall `keep`. Heuristics, not learned: each rule is
+    a cheap aggregate over the token/line arrays, composable into any
+    scan. Rules (published thresholds):
+
+      words      : 50 <= word count <= 100k
+      word_len   : 3 <= mean word length <= 10
+      symbols    : (# + ellipsis) / words <= 0.1
+      bullets    : <= 90% of lines start with a bullet
+      ellipses   : <= 30% of lines end with an ellipsis
+      alpha      : >= 80% of words contain an alphabetic char
+      stopwords  : >= 2 stopword hits (the STOPWORDS list)
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(t, " ")
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    ) / n_words
+    n_sym = F.size(
+        F.filter(toks, lambda x: x.contains("#") | x.contains("..."))
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("-")
+                | F.trim(ln).startswith("*")
+                | F.trim(ln).startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("..."))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+    )
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    flags = {
+        "words": (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        "word_len": (mean_len >= lo) & (mean_len <= hi),
+        "symbols": n_sym / n_words <= GOPHER_MAX_SYMBOL_RATIO,
+        "bullets": bullet_frac <= GOPHER_MAX_BULLET_FRAC,
+        "ellipses": ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC,
+        "alpha": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "stopwords": n_stop >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    cols = []
+    for name, c in flags.items():
+        ic = c.cast("int")
+        cols.append(ic.alias(name))
+        keep = ic if keep is None else keep * ic
+    cols.append(keep.alias("keep"))
+    return F.struct(*cols)
+
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_keep_line(line: Column) -> Column:
+    """C4 (Raffel et al. 2020, §2.2) line-retention rule: ends in terminal
+    punctuation, has >= 5 words, does not mention javascript."""
+    t = F.trim(line)
+    return (
+        t.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(t, " ")) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean_lines(text: Column | str) -> Column:
+    """Retained lines of a page under the C4 rules, in order."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(t, "\n"), c4_keep_line)
+
+
+def c4_page_keep(text: Column | str, kept_lines: Column) -> Column:
+    """C4 page gate: >= 3 retained lines ("sentences"), and no page-level
+    poison — 'lorem ipsum' placeholder text or a '{' (code)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return (
+        (F.size(kept_lines) >= C4_MIN_KEPT_LINES)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )

@@ -537,3 +537,173 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         label="bm25_postings",
     )
     return bm25_topk(post, queries, k=5)
+
+
+_STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+
+@query(
+    "q124_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS nw,
+                 CAST(list_sum(list_transform(toks,
+                      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+                   / len(toks) AS ml,
+                 len(list_filter(toks,
+                      x -> contains(x, '#') OR contains(x, '...'))) AS nsym,
+                 len(lines) AS nl,
+                 len(list_filter(lines,
+                      l -> starts_with(trim(l), '-') OR
+                           starts_with(trim(l), '*') OR
+                           starts_with(trim(l), '•'))) AS nbul,
+                 len(list_filter(lines,
+                      l -> ends_with(trim(l), '...'))) AS nell,
+                 len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-zA-Z]'))) AS nalpha,
+                 len(list_filter(toks, x -> x IN {_STOP_IN})) AS nstop
+          FROM t),
+    f AS (SELECT doc_id,
+                 CAST(nw >= 50 AND nw <= 100000 AS INT) AS words,
+                 CAST(ml >= 3.0 AND ml <= 10.0 AS INT) AS word_len,
+                 CAST(CAST(nsym AS DOUBLE) / nw <= 0.10 AS INT) AS symbols,
+                 CAST(CAST(nbul AS DOUBLE) / nl <= 0.90 AS INT) AS bullets,
+                 CAST(CAST(nell AS DOUBLE) / nl <= 0.30 AS INT) AS ellipses,
+                 CAST(CAST(nalpha AS DOUBLE) / nw >= 0.80 AS INT) AS alpha,
+                 CAST(nstop >= 2 AS INT) AS stopwords
+          FROM m)
+    SELECT doc_id, words, word_len, symbols, bullets, ellipses, alpha,
+           stopwords,
+           words * word_len * symbols * bullets * ellipses * alpha *
+             stopwords AS keep
+    FROM f
+    """,
+    tags=("llm", "quality", "text"),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1;
+    operators/text.py::gopher_flags): the published heuristic gate set —
+    word-count bounds, mean-word-length window, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, minimum
+    stopword hits — each emitted as its own flag so a curation report
+    can attribute WHY a document fell, plus the conjunctive keep.
+    One map-only pass of JVM higher-order array expressions (no UDF, no
+    shuffle, no join): at 100 TB this runs at scan speed and is exactly
+    the shape predicate-pushdown composes under. Every flag (not just
+    keep) is hash-checked against the identical DuckDB rule set."""
+    from ..operators.text import gopher_flags
+
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", gopher_flags("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+_C4_JS_LINE = "please enable javascript to continue viewing."
+_C4_LOREM_LINE = "lorem ipsum dolor sit amet."
+_C4_CODE_LINE = "function f() { return 1; }"
+
+_C4_PAGE_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    l0 AS (SELECT doc_id,
+                  list_transform(
+                    generate_series(0, CAST(ceil(len(toks) / 7.0) AS INT) - 1),
+                    i -> array_to_string(toks[i*7+1:i*7+7], ' ') ||
+                         (CASE (doc_id + i) % 4 WHEN 0 THEN ''
+                               WHEN 1 THEN '.' WHEN 2 THEN '!'
+                               ELSE '?' END)) AS lines
+           FROM t),
+    l1 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 3
+                       THEN list_append(lines, '{_C4_JS_LINE}')
+                       ELSE lines END AS lines
+           FROM l0),
+    l2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 9
+                       THEN list_append(lines, '{_C4_LOREM_LINE}')
+                       ELSE lines END AS lines
+           FROM l1),
+    l3 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 5
+                       THEN list_append(lines, '{_C4_CODE_LINE}')
+                       ELSE lines END AS lines
+           FROM l2),
+    pages AS (SELECT doc_id, array_to_string(lines, chr(10)) AS page FROM l3)
+"""
+
+
+def _c4_page_expr():
+    """Spark twin of _C4_PAGE_SQL: deterministic multi-line page synthesis
+    from the token stream — 7-token lines, terminal punctuation cycled by
+    (doc_id + line) % 4 so ~1/4 of lines lack it, and three doc_id-keyed
+    poison lines (javascript notice, lorem-ipsum placeholder, code) that
+    exercise each C4 drop rule."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(7.0)).cast("int")
+    did = F.col("doc_id")
+    suffix = F.array(F.lit(""), F.lit("."), F.lit("!"), F.lit("?"))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 7 + 1, 7), " "),
+            F.element_at(suffix, ((did + i) % 4 + 1).cast("int")),
+        ),
+    )
+    for mod, residue, line in (
+        (7, 3, _C4_JS_LINE),
+        (17, 9, _C4_LOREM_LINE),
+        (13, 5, _C4_CODE_LINE),
+    ):
+        lines = F.when(
+            did % mod == residue, F.concat(lines, F.array(F.lit(line)))
+        ).otherwise(lines)
+    return F.array_join(lines, "\n")
+
+
+@query(
+    "q125_c4_line_filter",
+    oracle=f"""
+    WITH {_C4_PAGE_SQL},
+    k AS (SELECT doc_id, page,
+                 list_filter(string_split(page, chr(10)),
+                   ln -> regexp_matches(trim(ln), '[.!?"]$') AND
+                         len(string_split(trim(ln), ' ')) >= 5 AND
+                         NOT contains(lower(ln), 'javascript')) AS kept
+          FROM pages)
+    SELECT doc_id,
+           CAST(len(string_split(page, chr(10))) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           CAST(len(kept) >= 3 AND
+                NOT contains(lower(page), 'lorem ipsum') AND
+                NOT contains(page, '{{') AS INT) AS keep,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean
+    FROM k
+    """,
+    tags=("llm", "quality", "text"),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2;
+    operators/text.py::c4_keep_line/c4_clean_lines/c4_page_keep): lines
+    kept iff they end in terminal punctuation, carry >= 5 words, and do
+    not mention javascript; the page survives iff >= 3 lines remain and
+    it contains neither 'lorem ipsum' nor '{{'. Input pages are
+    synthesized deterministically from the token stream (7-token lines,
+    punctuation cycled by (doc_id+line)%4, doc_id-keyed poison lines) so
+    every rule fires on a known subset. Map-only JVM higher-order
+    filter/transform — no UDF, no shuffle; the CLEANED TEXT itself is
+    hash-checked against DuckDB, not just the verdict."""
+    from ..operators.text import c4_clean_lines, c4_page_keep
+
+    d = table(spark, sf, "documents")
+    pages = d.select("doc_id", _c4_page_expr().alias("page"))
+    kept = c4_clean_lines("page")
+    return pages.select(
+        "doc_id",
+        F.size(F.split("page", "\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        c4_page_keep("page", kept).cast("int").alias("keep"),
+        F.array_join(kept, "\n").alias("clean"),
+    )
