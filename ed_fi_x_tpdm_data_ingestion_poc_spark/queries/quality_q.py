@@ -707,3 +707,153 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         c4_page_keep("page", kept).cast("int").alias("keep"),
         F.array_join(kept, "\n").alias("clean"),
     )
+
+
+@query(
+    "q126_kmeans_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "clustering", "embedding"),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/clustering.py::kmeans_fit):
+    every iteration is one fused assign+partial-update mapInPandas pass —
+    each Arrow batch emits at most k (cluster, count, vector-sum,
+    inertia) rows, a k-row JVM zip_with fold reduces them, and the
+    driver sees exactly k·(d+2) doubles per iteration. The corpus never
+    shuffles and is never collected: the shape that clusters 1B
+    embeddings into domains for mixture balancing. Contrast
+    train_ivf_codebook (similarity.py:201), which Lloyd-steps a bounded
+    driver sample — good ANN seeding, not a clustering product.
+
+    Laws in one flag (deterministic hash-min init, fixed data):
+    * monotonicity — per-iteration inertia is NON-INCREASING (Lloyd's
+      invariant: assignment and mean-update each only lower the
+      objective), and one extra evaluation pass at the returned
+      centroids does not rise above the last recorded value;
+    * prefix determinism — an independent fit with fewer iterations
+      reproduces the longer run's inertia prefix exactly;
+    * accounting — final member counts sum to the corpus size;
+    * recovery — on a PLANTED variant (each vector shrunk to 0.3 and
+      offset along one of 5 unit axes keyed by vec_id%5, built with
+      map-only JVM array expressions) a k=5 fit recovers the planted
+      partition at >= 0.95 purity. The raw embeddings carry no
+      label-correlated geometry (within/across-label cosine both ~0),
+      so recovery must be demonstrated on known structure."""
+    from ..operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_inertia,
+    )
+
+    e = table(spark, sf, "embeddings")
+    fit = memo(
+        _CLIPS, ("kmeans", sf), lambda: kmeans_fit(e, k=10, iters=4),
+        label="kmeans_fit",
+    )
+    n = e.count()
+    inertia = fit["inertia"]
+    mono = all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+    ) and kmeans_inertia(e, fit["centroids"]) <= inertia[-1] * (1 + 1e-9)
+    prefix = kmeans_fit(e, k=10, iters=2)["inertia"] == inertia[:2]
+    sizes_ok = sum(fit["sizes"]) == n
+    g = F.col("vec_id") % 5
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    planted = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") * 0.3 / norm
+            + F.when(i == g.cast("int"), 1.0).otherwise(0.0),
+        ).alias("embedding"),
+        g.cast("int").alias("planted"),
+    )
+    pfit = kmeans_fit(planted, k=5, iters=3)
+    purity_row = (
+        kmeans_assign(planted, pfit["centroids"])
+        .join(
+            planted.select(F.col("vec_id").alias("id"), "planted"), "id"
+        )
+        .groupBy("cluster", "planted")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("cluster")
+        .agg(F.max("c").alias("top"))
+        .agg(F.sum("top").alias("t"))
+        .collect()[0]
+    )
+    purity_ok = purity_row.t / n >= 0.95
+    from . import ok_flag
+
+    return ok_flag(spark, mono and prefix and sizes_ok and purity_ok)
+
+
+@query(
+    "q127_pca_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "embedding", "decomp"),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA (operators/decomp.py): the corpus reduces to its
+    (count, sum, gram) second-moment summary in one Arrow map pass with
+    per-batch numpy partials and a JVM zip_with fold — 33 KB at d=64
+    regardless of corpus size — the driver eigendecomposes the d×d
+    covariance, and projection/reconstruction are map-only passes with
+    the component matrix broadcast. Laws in one flag (deterministic,
+    sign-fixed components):
+
+    * moment exactness — the distributed (n, sum, gram) equals a local
+      numpy computation over the collected vectors (feasible at test
+      SFs) to 1e-9 relative;
+    * orthonormality — components row-orthonormal to 1e-9;
+    * spectral accounting — eigenvalues descending, and the DISTRIBUTED
+      per-dimension variance of the projections (a second moments pass
+      over pca_transform output) matches the top eigenvalues to 1e-6
+      relative — the transform path, not just the fit, is correct;
+    * Eckart–Young — the distributed total reconstruction SSE equals
+      n · (sum of residual eigenvalues) to 1e-6 relative."""
+    import numpy as np
+
+    from ..operators.decomp import (
+        pca_fit,
+        pca_transform,
+        reconstruction_sse,
+        second_moments,
+    )
+
+    e = table(spark, sf, "embeddings")
+    k = 8
+    model = memo(
+        _CLIPS, ("pca", sf), lambda: pca_fit(e, n_components=k),
+        label="pca_fit",
+    )
+    n, s, gram = second_moments(e)
+    local = np.asarray(
+        [np.asarray(r.v, dtype="float64") for r in
+         e.select(F.col("embedding").alias("v")).collect()]
+    )
+    mom_ok = (
+        n == len(local)
+        and np.allclose(s, local.sum(axis=0), rtol=1e-9, atol=1e-9)
+        and np.allclose(gram, local.T @ local, rtol=1e-9, atol=1e-9)
+    )
+    comps = model["components"]
+    orth_ok = np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    w = model["eigvals"]
+    desc_ok = bool(np.all(np.diff(w) <= 1e-12))
+    pn, ps, pgram = second_moments(
+        pca_transform(e, model), vec_col="proj"
+    )
+    pmean = ps / pn
+    pvar = np.diag(pgram / pn - np.outer(pmean, pmean))
+    var_ok = np.allclose(pvar, w[:k], rtol=1e-6)
+    sse = reconstruction_sse(e, model)
+    ey_ok = abs(sse - n * float(w[k:].sum())) <= 1e-6 * max(sse, 1.0)
+    from . import ok_flag
+
+    return ok_flag(spark, mom_ok and orth_ok and desc_ok and var_ok and ey_ok)
