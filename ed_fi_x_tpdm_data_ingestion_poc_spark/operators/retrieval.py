@@ -107,3 +107,46 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_hard_negatives(
+    postings: DataFrame,
+    queries: DataFrame,
+    qrels: DataFrame,
+    *,
+    k_pool: int = 10,
+    k_neg: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qid, id, score, rank): the top-k_neg HIGHEST-SCORING
+    NON-RELEVANT documents per query — hard-negative mining for
+    contrastive retriever training (the DPR/SBERT recipe: random
+    negatives are too easy; BM25 near-misses carry the gradient).
+
+    `qrels` is the (qid, id) relevance table. Plan: score a k_pool-deep
+    BM25 pool (one inverted-index join, per-query top-k window), then a
+    LEFT ANTI join against qrels — relevance tables are query-set-sized,
+    broadcastable by AQE — and re-rank the survivors. k_pool must exceed
+    k_neg by at least the positives-per-query bound so the pool never
+    underfills after exclusion."""
+    from pyspark.sql.window import Window
+
+    pool = bm25_topk(
+        postings,
+        queries,
+        k=k_pool,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    mined = pool.join(qrels, ["qid", "id"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "id")
+    return (
+        mined.select("qid", "id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_neg)
+    )

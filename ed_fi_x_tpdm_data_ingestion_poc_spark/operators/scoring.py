@@ -148,3 +148,57 @@ def bigram_nll(
             ).alias("nll"),
         )
     )
+
+
+def bigram_nll_under(
+    docs: DataFrame,
+    counts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, nll) under a FOREIGN bigram model — the `counts`
+    table need not come from `docs`, so unseen pairs and unseen
+    contexts must survive: add-one smoothing degrades gracefully to
+    p = (0+1)/(c1+V) for an unseen pair and 1/(0+V) for an unseen
+    context (LEFT joins + coalesce, where bigram_nll's inner join is
+    valid only for self-scoring). This is what importance-weighting
+    needs: every document scores under BOTH the raw and the target
+    model, whichever corpus it came from. Same plan shape as
+    bigram_nll: vocabulary-bounded model folds (c1, V) in before the
+    single corpus-side join."""
+    from pyspark.sql.window import Window
+
+    v = counts.select(F.count_distinct("w2").alias("v"))
+    c1w = Window.partitionBy("w1")
+    model = counts.withColumn("c1", F.sum("c12").over(c1w))
+    c1tab = model.select("w1", "c1").distinct()
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i.cast("int")).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        )
+    )
+    doc_bigrams = docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", "p.w1", "p.w2")
+    scored = (
+        doc_bigrams.join(model.select("w1", "w2", "c12"), ["w1", "w2"], "left")
+        .join(c1tab, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "id",
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("nll"),
+    )

@@ -1325,3 +1325,55 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         ).persist()),
     )
     return pairs.orderBy("ida", "idb")
+
+
+@query(
+    "q128_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n, pow(n, 0.5) AS wn FROM c),
+    t AS (SELECT SUM(n) AS tot, SUM(wn) AS wtot FROM w),
+    r AS (SELECT source,
+                 ROUND(LEAST(1.0, 0.4 * tot * (wn / wtot) / n), 6) AS rate
+          FROM w, t)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE {_UNIFORM_SQL.format(salt=6101)} < r.rate
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual/multi-source
+    rebalancing rule of mBERT/XLM-R and pretraining mixes): target share
+    of source s is n_s^alpha / sum n_t^alpha with alpha=0.5 — flatter
+    than the raw distribution, so small curated sources are up-weighted
+    against the bulk crawl WITHOUT hand-set rates (contrast q80, where
+    the rates are fixed inputs). Per-source keep rate = min(1,
+    T·share/n_s) for a 40% token budget; saturated sources (rate 1)
+    simply keep everything — the published rule accepts the budget
+    shortfall rather than iterating. Execution: one tiny per-source
+    count agg (broadcast back), then the same map-only deterministic
+    hash-threshold draw as q80 — no corpus shuffle, reproducible across
+    engines (rates rounded to 6 decimals on BOTH sides so the threshold
+    compare is engine-exact; hash-checked)."""
+    d = table(spark, sf, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = c.select("source", "n", F.pow("n", F.lit(0.5)).alias("wn"))
+    t = w.agg(F.sum("n").alias("tot"), F.sum("wn").alias("wtot"))
+    r = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.4) * F.col("tot") * (F.col("wn") / F.col("wtot"))
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+        .filter(_uniform01("doc_id", salt=6101) < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )

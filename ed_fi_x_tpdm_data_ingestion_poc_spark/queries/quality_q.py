@@ -857,3 +857,78 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, mom_ok and orth_ok and desc_ok and var_ok and ey_ok)
+
+
+@query(
+    "q130_hard_negatives",
+    oracle="""
+    WITH raw AS (SELECT doc_id, text FROM documents),
+    corpus AS (SELECT doc_id, text FROM raw WHERE doc_id >= 5
+               UNION ALL
+               SELECT doc_id + 10000000, text FROM raw WHERE doc_id < 5),
+    t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS tk
+          FROM corpus),
+    post AS (SELECT doc_id AS id, len(tk) AS dl, u.term, COUNT(*) AS tf
+             FROM t, UNNEST(tk) AS u(term)
+             GROUP BY 1, 2, 3),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+              FROM (SELECT DISTINCT id, dl FROM post)),
+    dft AS (SELECT term, COUNT(DISTINCT id) AS df FROM post GROUP BY term),
+    model AS (SELECT p.term, p.id,
+                     LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+                       AS w
+              FROM post p JOIN dft d USING (term) CROSS JOIN stats s),
+    q AS (SELECT doc_id AS qid, u.term
+          FROM (SELECT doc_id,
+                       list_distinct(
+                         list_filter(string_split(text, ' '), x -> x != ''))
+                         AS qt
+                FROM raw WHERE doc_id < 5) x, UNNEST(qt) AS u(term)),
+    scored AS (SELECT q.qid, m.id, ROUND(SUM(m.w), 6) AS score
+               FROM q JOIN model m USING (term)
+               GROUP BY 1, 2),
+    pool AS (SELECT qid, id, score,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY score DESC, id) AS rnk
+             FROM scored),
+    mined AS (SELECT qid, id, score FROM pool
+              WHERE rnk <= 10 AND id != qid + 10000000)
+    SELECT qid, id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, id) AS INT) AS rank
+    FROM mined
+    QUALIFY rank <= 3
+    """,
+    tags=("llm", "retrieval", "text"),
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for retriever training (operators/
+    retrieval.py::bm25_hard_negatives — the DPR/SBERT recipe): each
+    query's RELEVANT document is planted as an exact mirror in the
+    corpus (qid+10000000), BM25 scores a 10-deep pool over the inverted
+    index, a LEFT ANTI join against the qrels strips the positives
+    (which rank at/near #1, so the exclusion is load-bearing), and the
+    3 highest-scoring survivors per query are the mined negatives.
+    Same scale shape as q122 — postings built once, queries join on
+    the term, relevance table broadcast — plus one anti-join. Scores,
+    membership and ranks all hash-check in DuckDB."""
+    from ..operators.retrieval import bm25_hard_negatives, bm25_postings
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    queries = d.where(F.col("doc_id") < 5)
+    corpus = d.where(F.col("doc_id") >= 5).unionByName(
+        queries.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    qrels = queries.select(
+        F.col("doc_id").alias("qid"),
+        (F.col("doc_id") + 10_000_000).alias("id"),
+    )
+    post = memo(
+        _CLIPS, (id(spark), sf, "bm25_postings_hn"),
+        lambda: _built(bm25_postings(corpus)),
+        label="bm25_postings_hn",
+    )
+    return bm25_hard_negatives(post, queries, qrels, k_pool=10, k_neg=3)

@@ -302,3 +302,85 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         ((F.col("keep_quality") == 1) & (F.col("keep_dedup") == 1))
         .cast("int"),
     )
+
+
+_DSIR_CURATED = "('src0', 'src1', 'src2')"
+
+
+@query(
+    "q129_dsir_resample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    db AS (SELECT doc_id, source, tk[i] AS w1, tk[i + 1] AS w2
+           FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+           WHERE len(tk) >= 2),
+    cr AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2),
+    cr1 AS (SELECT w1, SUM(c12) AS c1 FROM cr GROUP BY 1),
+    vr AS (SELECT COUNT(DISTINCT w2) AS v FROM cr),
+    ct AS (SELECT w1, w2, COUNT(*) AS c12 FROM db
+           WHERE source IN {_DSIR_CURATED} GROUP BY 1, 2),
+    ct1 AS (SELECT w1, SUM(c12) AS c1 FROM ct GROUP BY 1),
+    vt AS (SELECT COUNT(DISTINCT w2) AS v FROM ct),
+    nr AS (SELECT doc_id,
+                  ROUND(-SUM(LN((COALESCE(cr.c12, 0) + 1.0)
+                                / (COALESCE(cr1.c1, 0) + vr.v)))
+                        / COUNT(*), 6) AS nll
+           FROM db LEFT JOIN cr USING (w1, w2) LEFT JOIN cr1 USING (w1)
+                CROSS JOIN vr
+           GROUP BY doc_id),
+    nt AS (SELECT doc_id,
+                  ROUND(-SUM(LN((COALESCE(ct.c12, 0) + 1.0)
+                                / (COALESCE(ct1.c1, 0) + vt.v)))
+                        / COUNT(*), 6) AS nll
+           FROM db LEFT JOIN ct USING (w1, w2) LEFT JOIN ct1 USING (w1)
+                CROSS JOIN vt
+           GROUP BY doc_id),
+    s AS (SELECT d.doc_id, d.source,
+                 ROUND(nr.nll - nt.nll, 6) AS logw
+          FROM documents d JOIN nr ON nr.doc_id = d.doc_id
+                           JOIN nt ON nt.doc_id = d.doc_id),
+    ranked AS (SELECT doc_id, source, logw,
+                      ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rnk,
+                      COUNT(*) OVER () AS tot
+               FROM s)
+    SELECT doc_id, source, logw FROM ranked
+    WHERE rnk <= CAST(ceil(0.25 * tot) AS BIGINT)
+    """,
+    tags=("llm", "curation", "scoring", "sampling"),
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, reduced to the exactly
+    recomputable bigram case): importance log-weight = nll_raw −
+    nll_target, where both surprisals come from add-one-smoothed bigram
+    models — raw trained on the whole corpus, target on the curated
+    sources — and every document is scored under BOTH via
+    operators/scoring.py::bigram_nll_under (LEFT-join smoothing, since
+    non-curated docs carry pairs the target model never saw). The top
+    25% by log-weight are the selected pretraining subset. Execution:
+    two vocabulary-bounded model aggregates (broadcastable), ONE
+    corpus-side join each, and the selection is orderBy+limit —
+    TakeOrdered's per-partition top-k, never a global sort. Values
+    (log-weights), membership and order all hash-check in DuckDB."""
+    import math
+
+    from ..operators.scoring import bigram_counts, bigram_nll_under
+
+    d = table(spark, sf, "documents")
+    raw = bigram_counts(d)
+    tgt = bigram_counts(d.filter(F.col("source").isin("src0", "src1", "src2")))
+    nr = bigram_nll_under(d, raw).select("id", F.col("nll").alias("nll_raw"))
+    nt = bigram_nll_under(d, tgt).select("id", F.col("nll").alias("nll_tgt"))
+    s = (
+        d.select(F.col("doc_id").alias("id"), "source")
+        .join(nr, "id")
+        .join(nt, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "source",
+            F.round(F.col("nll_raw") - F.col("nll_tgt"), 6).alias("logw"),
+        )
+    )
+    k = math.ceil(0.25 * s.count())
+    return s.orderBy(F.col("logw").desc(), "doc_id").limit(k)
