@@ -87,7 +87,11 @@ def _farthest_candidates(sel: DataFrame, centroids: np.ndarray):
                 }
             )
 
-    return sel.mapInPandas(gen, "id long, v array<double>, d double").collect()
+    rows = sel.mapInPandas(
+        gen, "id long, v array<double>, d double"
+    ).collect()
+    bc.destroy()  # k-1 passes per init: release each pass's centroid copy
+    return rows
 
 
 def _init_farthest(
@@ -120,7 +124,11 @@ def _init_farthest(
 
 
 def _partials(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
-    """One fused assign+partial-update pass: k rows per Arrow batch."""
+    """One fused assign+partial-update pass: k rows per Arrow batch.
+    Returns (lazy DataFrame, broadcast handle) — the caller destroys the
+    handle after its collect so iterate-many fits (one broadcast per
+    Lloyd pass) don't accumulate centroid copies in long-lived
+    sessions."""
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast(centroids)
     k, d = centroids.shape
@@ -154,23 +162,42 @@ def _partials(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str):
                 out["sums"].append(x[m].sum(axis=0).tolist())
             yield pd.DataFrame(out)
 
-    return emb.select(F.col(vec_col).alias("v")).mapInPandas(
+    df = emb.select(F.col(vec_col).alias("v")).mapInPandas(
         gen, "cluster int, cnt long, inertia double, sums array<double>"
     )
+    return df, bc
 
 
 def _reduce_partials(partials: DataFrame, d: int):
-    """k-row JVM reduce: counts/inertia sum, vector sums fold element-wise."""
+    """k-row JVM reduce: counts sum natively; inertia and vector sums fold
+    over a SORTED collect_list so double summation order is fixed
+    regardless of shuffle-fetch / task-completion order — the inertia
+    values the prefix-determinism law compares with == are bit-identical
+    across runs and cluster shapes, not merely close. Rows come back
+    sorted by cluster id so driver-side folds are order-fixed too."""
     zero = F.array_repeat(F.lit(0.0), d)
-    return partials.groupBy("cluster").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("inertia").alias("inertia"),
-        F.aggregate(
-            F.collect_list("sums"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-        ).alias("sums"),
-    ).collect()
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("inertia", "sums"))),
+        F.struct(F.lit(0.0).alias("inertia"), zero.alias("sums")),
+        lambda acc, x: F.struct(
+            (acc["inertia"] + x["inertia"]).alias("inertia"),
+            F.zip_with(
+                acc["sums"], x["sums"], lambda a, b: a + b
+            ).alias("sums"),
+        ),
+    )
+    rows = (
+        partials.groupBy("cluster")
+        .agg(F.sum("cnt").alias("cnt"), folded.alias("agg"))
+        .select(
+            "cluster",
+            "cnt",
+            F.col("agg.inertia").alias("inertia"),
+            F.col("agg.sums").alias("sums"),
+        )
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r.cluster)
 
 
 def kmeans_fit(
@@ -198,7 +225,9 @@ def kmeans_fit(
     inertia: list[float] = []
     sizes = [0] * k
     for _ in range(iters):
-        rows = _reduce_partials(_partials(emb, c, id_col, vec_col), d)
+        pdf, bc = _partials(emb, c, id_col, vec_col)
+        rows = _reduce_partials(pdf, d)
+        bc.destroy()
         inertia.append(sum(r.inertia for r in rows))
         nxt = c.copy()  # empty cluster keeps its previous centroid
         sizes = [0] * k
@@ -217,9 +246,9 @@ def kmeans_inertia(
     vec_col: str = "embedding",
 ) -> float:
     """Total squared distance to nearest centroid — one pass, k-row reduce."""
-    rows = _reduce_partials(
-        _partials(emb, centroids, id_col, vec_col), centroids.shape[1]
-    )
+    pdf, bc = _partials(emb, centroids, id_col, vec_col)
+    rows = _reduce_partials(pdf, centroids.shape[1])
+    bc.destroy()
     return sum(r.inertia for r in rows)
 
 

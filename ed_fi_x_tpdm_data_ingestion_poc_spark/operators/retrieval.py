@@ -130,9 +130,17 @@ def bm25_hard_negatives(
     BM25 pool (one inverted-index join, per-query top-k window), then a
     LEFT ANTI join against qrels — relevance tables are query-set-sized,
     broadcastable by AQE — and re-rank the survivors. k_pool must exceed
-    k_neg by at least the positives-per-query bound so the pool never
-    underfills after exclusion."""
+    k_neg by at least max positives-per-query so the pool never
+    underfills after exclusion; a query whose pool holds more positives
+    than that margin silently yields fewer than k_neg negatives — size
+    k_pool from the qrels positives bound, not from k_neg alone."""
     from pyspark.sql.window import Window
+
+    if k_pool <= k_neg:
+        raise ValueError(
+            f"k_pool={k_pool} must exceed k_neg={k_neg}: the anti-join "
+            "removes positives from the pool before re-ranking"
+        )
 
     pool = bm25_topk(
         postings,

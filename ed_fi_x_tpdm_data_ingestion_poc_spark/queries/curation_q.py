@@ -1010,7 +1010,7 @@ trim(regexp_replace(
 
 def _html_wrap_expr():
     """Spark twin of _HTML_WRAP_SQL: the doc_id-variant HTML wrapper
-    around the `text` column (shared by q110 and qz121)."""
+    around the `text` column (shared by q110 and q121)."""
     did = F.col("doc_id").cast("string")
     return (
         F.when(

@@ -758,12 +758,19 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     prefix = kmeans_fit(e, k=10, iters=2)["inertia"] == inertia[:2]
     sizes_ok = sum(fit["sizes"]) == n
     g = F.col("vec_id") % 5
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+    # greatest(norm, tiny): an all-zero vector must not divide by 0 —
+    # it plants as the bare unit-axis offset instead of null/NaN
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double") * x
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        F.lit(1e-12),
     )
     planted = e.select(
         "vec_id",

@@ -2,9 +2,9 @@
 operators/scoring.py): the learned-filter + split stage between cleaning
 and tokenization in a training-data pipeline.
 
-qz117: fastText-shaped hashed linear classifier score per doc.
-qz118: corpus-bigram LM surprisal per doc (the perplexity quality gate).
-qz119: deterministic engine-portable train/val/test split.
+q117: fastText-shaped hashed linear classifier score per doc.
+q118: corpus-bigram LM surprisal per doc (the perplexity quality gate).
+q119: deterministic engine-portable train/val/test split.
 All three hash-check exact VALUES cross-engine (portable md5-derived
 hashes, ln, fixed literal weights, ROUND)."""
 
@@ -123,7 +123,7 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _qz120_oracle() -> str:
+def _q120_oracle() -> str:
     from .llm import _PAIRS_WITH
     from ..operators.sampling import mul_hash32_sql
 
@@ -152,11 +152,11 @@ def _qz120_oracle() -> str:
 
 @query(
     "q120_leakage_safe_split",
-    oracle=_qz120_oracle(),
+    oracle=_q120_oracle(),
     tags=("llm", "curation", "sampling", "dedup"),
 )
 def q120(spark: SparkSession, sf: str) -> DataFrame:
-    """Leakage-safe dataset split: qz119's deterministic 80/10/10, but
+    """Leakage-safe dataset split: q119's deterministic 80/10/10, but
     keyed on the NEAR-DUP CLUSTER representative (min-id of the q93
     cluster map, the doc's own id for singletons) instead of the doc id
     — so near-duplicate documents can never straddle train and test,
@@ -196,7 +196,7 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _qz121_oracle() -> str:
+def _q121_oracle() -> str:
     from .curation_q import _HTML_WRAP_SQL, _STRIP_HTML_SQL
 
     score = (
@@ -245,14 +245,14 @@ def _qz121_oracle() -> str:
 
 @query(
     "q121_web_ingest_e2e",
-    oracle=_qz121_oracle(),
+    oracle=_q121_oracle(),
     tags=("llm", "curation", "scoring", "text", "pipeline"),
 )
 def q121(spark: SparkSession, sf: str) -> DataFrame:
     """The modern web-ingest pipeline end to end, one DataFrame graph:
     HTML boilerplate stripped (strip_html over q110's wrapper corpus
-    with mirrors), learned quality score (qz117's hashed linear model)
-    AND corpus-LM surprisal (qz118's bigram NLL) gates on the CLEANED
+    with mirrors), learned quality score (q117's hashed linear model)
+    AND corpus-LM surprisal (q118's bigram NLL) gates on the CLEANED
     text, exact-dedup survivorship over the cleaned digest (mirrors
     collapse with originals — the raw-HTML digest never would), final
     kept verdict per doc. Everything stays one JVM plan: map-side strip

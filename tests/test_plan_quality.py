@@ -352,7 +352,7 @@ def test_semdedup_blocks_on_cell_key(spark, sf_dir):
 
 
 def test_bigram_nll_single_corpus_join(spark, sf_dir):
-    """qz118: c1 and V fold into the vocabulary-bounded model table
+    """q118: c1 and V fold into the vocabulary-bounded model table
     BEFORE the corpus-side join, so the exploded doc-bigram stream joins
     exactly once; no Python anywhere."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scoring import (
@@ -371,7 +371,7 @@ def test_bigram_nll_single_corpus_join(spark, sf_dir):
 
 
 def test_web_ingest_e2e_plan(spark, sf_dir):
-    """qz121: the five-stage composition stays JVM-only (strip + score
+    """q121: the five-stage composition stays JVM-only (strip + score
     are projections; LM join + digest window are the only heavy ops) —
     no Python nodes, no cartesian."""
     f = audit(_build(spark, sf_dir, "q121_web_ingest_e2e"))

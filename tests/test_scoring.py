@@ -100,7 +100,7 @@ def test_score_plan_is_map_only_jvm(spark):
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
-    """The law qz119 cannot give: every near-dup cluster lands entirely
+    """The law q119 cannot give: every near-dup cluster lands entirely
     in ONE split, and the split distribution is still roughly 80/10/10
     over split KEYS."""
     from collections import Counter
