@@ -72,22 +72,26 @@ def hashed_linear_score(
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
 
 
+def _bigram_pairs(text_col: str) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs, built by zipping the
+    token array against its shift — two O(n) slices, not an indexed
+    transform: element_at(toks, i) inside a lambda re-evaluates the
+    outer split() per element under Catalyst's interpreted evaluator,
+    O(n^2) per doc (~10x slower on the sf0.1 corpus; same lesson as
+    text.py::bigrams, which keeps the string-pair form)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+    )
+
+
 def bigram_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(w1, w2, c12) corpus bigram occurrence counts — the LM 'training'
     aggregate; vocabulary-squared bounded, so it broadcasts at any
     corpus size with a bounded vocabulary."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i.cast("int")).alias("w1"),
-                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
-            ),
-        )
-    )
     return (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -119,18 +123,9 @@ def bigram_nll(
     model = counts.withColumn(
         "c1", F.sum("c12").over(c1w)
     ).crossJoin(F.broadcast(v))
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i.cast("int")).alias("w1"),
-                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
-            ),
-        )
-    )
     doc_bigrams = docs.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+        F.col(id_col).alias("id"),
+        F.explode(_bigram_pairs(text_col)).alias("p"),
     ).select("id", "p.w1", "p.w2")
     scored = doc_bigrams.join(model, ["w1", "w2"])
     # every doc bigram IS in the corpus counts (the corpus includes the
@@ -173,18 +168,9 @@ def bigram_nll_under(
     c1w = Window.partitionBy("w1")
     model = counts.withColumn("c1", F.sum("c12").over(c1w))
     c1tab = model.select("w1", "c1").distinct()
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    pairs = F.when(F.size(toks) < 2, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i.cast("int")).alias("w1"),
-                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
-            ),
-        )
-    )
     doc_bigrams = docs.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+        F.col(id_col).alias("id"),
+        F.explode(_bigram_pairs(text_col)).alias("p"),
     ).select("id", "p.w1", "p.w2")
     scored = (
         doc_bigrams.join(model.select("w1", "w2", "c12"), ["w1", "w2"], "left")
@@ -201,4 +187,65 @@ def bigram_nll_under(
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.sum(F.log("p")) / F.count(F.lit(1)), 6).alias("nll"),
+    )
+
+
+def bigram_nll_dual(
+    docs: DataFrame,
+    curated: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, nll_raw, nll_tgt): per-document surprisal under BOTH the
+    whole-corpus bigram model and the curated-subset model — the two
+    quantities DSIR importance weighting subtracts — in ONE fused plan
+    instead of two bigram_counts + two bigram_nll_under graphs (which
+    cost four corpus tokenize+explode passes and two corpus-side joins).
+
+    Here the corpus explodes twice total (once to train, once to score)
+    and the exploded stream joins ONCE: the combined model table carries
+    (c12_raw, c12_tgt, c1_raw, c1_tgt) per bigram, where the target
+    columns are conditional aggregates of the SAME groupBy — a bigram
+    outside the curated subset gets c12_tgt = 0 and c1_tgt = the curated
+    mass of its context, which is exactly bigram_nll_under's LEFT-join
+    add-one smoothing, now for free on the inner join that is valid
+    against the raw model (every corpus bigram is in it). V_raw / V_tgt
+    fold to one broadcast scalar row off the vocab-bounded model. At
+    scale: model size is vocab^2-bounded (AQE broadcasts it when small),
+    the corpus never shuffles pre-aggregation, and the per-doc reduce is
+    a map-side-combined groupBy on id."""
+    from pyspark.sql.window import Window
+
+    db = docs.select(
+        F.col(id_col).alias("id"),
+        curated.cast("int").alias("cur"),
+        F.explode(_bigram_pairs(text_col)).alias("p"),
+    ).select("id", "cur", "p.w1", "p.w2")
+    c1w = Window.partitionBy("w1")
+    model = (
+        db.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("c12r"),
+            F.sum("cur").alias("c12t"),
+        )
+        .withColumn("c1r", F.sum("c12r").over(c1w))
+        .withColumn("c1t", F.sum("c12t").over(c1w))
+    )
+    v = model.agg(
+        F.count_distinct("w2").alias("vr"),
+        F.count_distinct(F.when(F.col("c12t") > 0, F.col("w2"))).alias("vt"),
+    )
+    scored = db.drop("cur").join(model, ["w1", "w2"]).crossJoin(F.broadcast(v))
+    return scored.groupBy("id").agg(
+        F.round(
+            -F.sum(F.log((F.col("c12r") + 1) / (F.col("c1r") + F.col("vr"))))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("nll_raw"),
+        F.round(
+            -F.sum(F.log((F.col("c12t") + 1) / (F.col("c1t") + F.col("vt"))))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("nll_tgt"),
     )

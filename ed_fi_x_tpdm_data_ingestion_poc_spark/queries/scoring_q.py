@@ -356,31 +356,36 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     nll_target, where both surprisals come from add-one-smoothed bigram
     models — raw trained on the whole corpus, target on the curated
     sources — and every document is scored under BOTH via
-    operators/scoring.py::bigram_nll_under (LEFT-join smoothing, since
-    non-curated docs carry pairs the target model never saw). The top
-    25% by log-weight are the selected pretraining subset. Execution:
-    two vocabulary-bounded model aggregates (broadcastable), ONE
-    corpus-side join each, and the selection is orderBy+limit —
-    TakeOrdered's per-partition top-k, never a global sort. Values
-    (log-weights), membership and order all hash-check in DuckDB."""
+    operators/scoring.py::bigram_nll_dual: ONE combined model table
+    carries raw and curated counts as conditional aggregates of the
+    same groupBy, so the corpus explodes twice total (train, score) and
+    the exploded stream joins once — where the naive composition (two
+    bigram_counts + two bigram_nll_under) costs four tokenize+explode
+    passes and two corpus-side joins, and benched ~6x slower. The top
+    25% by log-weight are the selected pretraining subset; k comes from
+    a lightweight >= 2-token doc count (never a re-execution of the
+    scoring graph) and the selection is orderBy+limit — TakeOrdered's
+    per-partition top-k, never a global sort. Values (log-weights),
+    membership and order all hash-check in DuckDB."""
     import math
 
-    from ..operators.scoring import bigram_counts, bigram_nll_under
+    from ..operators.scoring import bigram_nll_dual
 
     d = table(spark, sf, "documents")
-    raw = bigram_counts(d)
-    tgt = bigram_counts(d.filter(F.col("source").isin("src0", "src1", "src2")))
-    nr = bigram_nll_under(d, raw).select("id", F.col("nll").alias("nll_raw"))
-    nt = bigram_nll_under(d, tgt).select("id", F.col("nll").alias("nll_tgt"))
+    dual = bigram_nll_dual(
+        d, F.col("source").isin("src0", "src1", "src2")
+    )
     s = (
         d.select(F.col("doc_id").alias("id"), "source")
-        .join(nr, "id")
-        .join(nt, "id")
+        .join(dual, "id")
         .select(
             F.col("id").alias("doc_id"),
             "source",
             F.round(F.col("nll_raw") - F.col("nll_tgt"), 6).alias("logw"),
         )
     )
-    k = math.ceil(0.25 * s.count())
-    return s.orderBy(F.col("logw").desc(), "doc_id").limit(k)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n = d.where(F.size(toks) >= 2).count()  # docs that carry bigrams
+    return s.orderBy(F.col("logw").desc(), "doc_id").limit(
+        math.ceil(0.25 * n)
+    )
