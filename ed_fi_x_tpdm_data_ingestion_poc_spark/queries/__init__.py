@@ -127,5 +127,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import quality_q  # noqa: F401
     from . import sketch_q  # noqa: F401
     from . import scoring_q  # noqa: F401
+    from . import analysis_q  # noqa: F401
 
     return dict(QUERIES)

@@ -1,0 +1,616 @@
+"""Round-9 corpus/analytics surface: benchmark decontamination, event
+sessionization, Zipf power-law fitting, RAG chunking, token-entropy
+filtering, exact stratified sampling, bloom-pruned joins, and dedup
+survivorship — each a (Spark plan, DuckDB twin) pair whose VALUES
+hash-check cross-engine.
+
+No reference analog (the reference is a row-at-a-time Java REST/JDBC
+connector, Dao.java / RestClient.java); these are the brief-mandated
+training-data-pipeline operators, built on the same artifact and
+portable-hash conventions as the earlier rounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# q131 — benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # gram length; GPT-3 appx C uses 13, short synthetic docs -> 8
+
+
+@query(
+    "q131_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    b AS (SELECT array_to_string(tk[6:37], ' ') AS btext
+          FROM t WHERE doc_id % 31 = 7),
+    bt AS (SELECT string_split(btext, ' ') AS tk FROM b),
+    bg AS (SELECT DISTINCT array_to_string(tk[i:i+{_DECON_N - 1}], ' ') AS g
+           FROM bt, UNNEST(generate_series(1, len(tk) - {_DECON_N - 1}))
+                AS u(i)),
+    ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    cg AS (SELECT DISTINCT doc_id,
+                  array_to_string(tk[i:i+{_DECON_N - 1}], ' ') AS g
+           FROM ct, UNNEST(generate_series(1, len(tk) - {_DECON_N - 1}))
+                AS u(i))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM cg JOIN bg USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "curation", "dedup", "eval"),
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 paper appx C / Dodge et al. 2021
+    C4 analysis): flag every training document sharing at least one
+    verbatim 8-token gram with the evaluation set, reporting the count
+    of distinct shared grams. The eval set is derived deterministically
+    here (docs with doc_id%31==7 contribute their token span [6, 37] as
+    a 'benchmark item', the realistic shape — benchmark questions quote
+    source passages), so each item's source doc is a guaranteed planted
+    hit and its near-duplicates surface as real contamination.
+
+    Plan shape for 100 TB: the benchmark gram set is EVAL-SUITE-sized
+    (thousands of items), never corpus-sized — distinct + broadcast, so
+    the corpus-side gram stream (substring.py::token_ngrams, O(n) slices)
+    joins map-side with no shuffle of the corpus; the per-doc count is a
+    map-side-combined groupBy. Contrast q109/q113 (corpus x corpus
+    dedup), which need the fingerprint index; corpus x small-set overlap
+    needs only this."""
+    from ..operators.substring import token_ngrams
+
+    d = table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bench = d.where(F.col("doc_id") % 31 == 7).select(
+        F.array_join(F.slice(toks, 6, 32), " ").alias("btext")
+    )
+    bg = (
+        bench.select(
+            F.explode(token_ngrams(F.col("btext"), _DECON_N)).alias("g")
+        )
+        .distinct()
+    )
+    cg = d.select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), _DECON_N)).alias("g")
+    )
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — gap-based sessionization over the event stream
+# ---------------------------------------------------------------------------
+
+_GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "q132_sessionize",
+    oracle=f"""
+    WITH x AS (SELECT user_id, event_id, value,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us,
+                      LAG(date_diff('microsecond',
+                                    TIMESTAMP '2024-01-01 00:00:00', ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev
+               FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {_GAP_US}
+                         THEN 1 ELSE 0 END AS brk
+          FROM x),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM m)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization: a session breaks after 30 minutes of
+    per-user inactivity — the classic lag + running-sum-of-breaks
+    gaps-and-islands plan. ONE shuffle on user_id serves both windows
+    AND the final per-session aggregate (same partitioning, Catalyst
+    reuses the exchange); timestamps compare as integer MICROSECONDS
+    from a fixed anchor (Spark timestampdiff == DuckDB date_diff on the
+    NTZ column — never float epochs or TZ-dependent conversions, so a
+    hostile session timezone cannot move a session boundary). Scale:
+    sessions are the
+    canonical skew case (one bot user = one hot partition); the window
+    itself is streamable per user and the heavy tail is bounded by
+    per-user event counts, which the events fixture keeps Zipf-free —
+    production skew belongs to skew.py's salting helpers."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ (parquet nanos): unix_micros() rejects NTZ and
+    # any session-TZ conversion would break under a hostile timezone —
+    # micros since a fixed anchor is NTZ-safe and TZ-independent, and
+    # DuckDB's date_diff('microsecond', anchor, ts) is the exact twin
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # two window passes (lag, then running sum of breaks) — window
+    # functions cannot nest in one expression; both reuse the SAME
+    # (user_id, ts) sort so Catalyst plans one exchange + one sort
+    x = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev"),
+    )
+    brk = F.when(
+        F.col("prev").isNull() | ((F.col("us") - F.col("prev")) > _GAP_US), 1
+    ).otherwise(0)
+    s = x.select(
+        "user_id",
+        "event_id",
+        "value",
+        "us",
+        F.sum(brk)
+        .over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("session_no"),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — Zipf power-law fit over the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 100  # fit over the top-R ranks
+
+
+@query(
+    "q134_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                           x -> x != '')) AS t
+                 FROM documents),
+    c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    r AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY c DESC, t)) AS x,
+                 ln(c) AS y
+          FROM c
+          ORDER BY c DESC, t LIMIT {_ZIPF_R}),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+          FROM r)
+    SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("llm", "text", "analytics"),
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf power-law fit: OLS of ln(frequency) on ln(rank) over the
+    top-100 token ranks — the standard corpus-health diagnostic (a
+    natural-language corpus fits slope ~ -1; scraped boilerplate or
+    generator loops bend the curve). Plan: one tokenize+explode with
+    map-side combine collapses the corpus to its VOCABULARY (bounded),
+    ranking happens on that bounded table (the single-partition
+    row_number window is vocab-sized, never corpus-sized), and the five
+    OLS moments fold in ONE deterministic pass — sort_array(collect_list)
+    then a JVM aggregate, so double summation order is fixed and the
+    rounded coefficients are bit-stable cross-run (the same trick as
+    clustering._reduce_partials)."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("t")
+    )
+    c = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "t")
+    r = (
+        c.select(
+            F.log(F.row_number().over(w).cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+        .limit(_ZIPF_R)
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxx"), F.lit(0.0).alias("sxy"),
+        F.lit(0.0).alias("syy"),
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("x", "y"))),
+        zero,
+        lambda a, p: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["sx"] + p["x"]).alias("sx"),
+            (a["sy"] + p["y"]).alias("sy"),
+            (a["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
+            (a["syy"] + p["y"] * p["y"]).alias("syy"),
+        ),
+    )
+    s = r.agg(folded.alias("m")).select("m.*")
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2.0))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — RAG chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "q136_rag_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x != '') AS tk
+               FROM documents),
+    c AS (SELECT doc_id, i AS chunk_no,
+                 tk[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}] AS ch
+          FROM t, UNNEST(generate_series(0,
+                   (len(tk) - 1) // {_STRIDE})) AS u(i)
+          WHERE len(tk) > 0)
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           CAST(len(ch) AS INT) AS n_tok,
+           md5(array_to_string(ch, ' ')) AS digest
+    FROM c
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG corpus chunking: overlapping 64-token windows at stride 48
+    (the 25%-overlap retrieval-chunk recipe), one row per chunk with its
+    md5 digest — the table an embedding stage consumes. Map-only: the
+    token array materializes once per doc and each chunk is one O(64)
+    slice (never an indexed re-tokenize), the chunk count is
+    floor((n-1)/48)+1 so every token lands in >= 1 chunk and the final
+    partial window is kept (truncating it would drop document tails —
+    the classic silent-coverage bug). Explode output is
+    corpus-proportional but each element is one cheap slice — the
+    'one-level cheap' exploded-expression shape q92/q113 established."""
+    d = table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tkd = d.select("doc_id", toks.alias("tk"))
+    n_chunks = (F.size("tk") - 1).cast("bigint") / F.lit(_STRIDE)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor(n_chunks)),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.slice(F.col("tk"), (i * _STRIDE + 1).cast("int"), _CHUNK)
+            .alias("ch"),
+        ),
+    )
+    return (
+        tkd.where(F.size("tk") > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.size("c.ch").alias("n_tok"),
+            F.md5(F.array_join("c.ch", " ")).alias("digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — token-entropy quality gate
+# ---------------------------------------------------------------------------
+
+_ENT_MIN = 2.5  # nats; uniform-ish natural text over >=13 distinct tokens
+
+
+@query(
+    "q139_entropy_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                   x -> x != '')) AS t
+                 FROM documents),
+    c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    n AS (SELECT doc_id, t, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+          FROM c)
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tok,
+           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) AS entropy,
+           CAST(ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6)
+                >= {_ENT_MIN} AS INT) AS keep
+    FROM n GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "text"),
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution entropy per document — the cheap gibberish /
+    generator-loop gate: -sum(p ln p) over the doc's own token
+    frequencies. A doc stuck repeating a phrase scores near 0; natural
+    text over a few dozen distinct tokens clears 2.5 nats. Entirely
+    JVM: tokenize+explode, per-(doc, token) count with map-side combine,
+    one doc-partition window for the total, one groupBy for the
+    entropy — the gate composes with q124 (Gopher) and q117 (learned)
+    as independent map-reduce signals over the same exploded stream.
+    The keep flag compares the ROUNDED entropy so the cross-engine
+    decision boundary is exact."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("t"),
+    )
+    c = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    n = c.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c") / F.col("n")
+    ent = F.round(-F.sum(p * F.log(p)), 6)
+    return n.groupBy("doc_id").agg(
+        F.max("n").alias("n_tok"),
+        ent.alias("entropy"),
+        (ent >= _ENT_MIN).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — exact stratified sample (per-source quotas)
+# ---------------------------------------------------------------------------
+
+_STRAT_P = 0.1  # per-stratum sampling fraction
+
+
+def _q135_oracle() -> str:
+    from ..operators.sampling import mul_hash32_sql
+
+    h = mul_hash32_sql("doc_id + 977")
+    return f"""
+    WITH r AS (SELECT doc_id, source, {h} AS h,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY {h}, doc_id) AS rnk,
+                      COUNT(*) OVER (PARTITION BY source) AS n
+               FROM documents)
+    SELECT doc_id, source,
+           CAST(rnk <= CAST(ceil({_STRAT_P} * n) AS BIGINT) AS INT)
+             AS sampled
+    FROM r
+    """
+
+
+@query(
+    "q135_stratified_sample",
+    oracle=_q135_oracle(),
+    tags=("llm", "sampling", "curation"),
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact stratified sampling: EXACTLY ceil(0.1 * N_s) documents from
+    every source stratum — the audit/eval-slice contract q119's global
+    hash-threshold split cannot give (thresholds land each stratum only
+    in expectation; a rare source can miss entirely). Selection ranks
+    the stratum by the shared portable hash (sampling.mul_hash32, ties
+    to doc_id), so membership is deterministic, engine-portable, and
+    stable under corpus append-with-new-sources. Cost is one shuffle on
+    source + a per-stratum sort — the price of exact order statistics;
+    with FEW strata the sort parallelism is stratum-bounded, so at
+    100 TB either accept it (quotas are usually per-domain audits over
+    <= thousands of strata) or fall back to q119's threshold form when
+    'approximately 10%' suffices. The decision column is computed
+    identically in both engines and hash-checked, not just counted."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import mul_hash32
+
+    d = table(spark, sf, "documents")
+    h = mul_hash32(F.col("doc_id") + F.lit(977))
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), "doc_id")
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    return d.select(
+        "doc_id",
+        "source",
+        (rnk <= F.ceil(F.lit(_STRAT_P) * n)).cast("int").alias("sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — bloom-pruned join (semi-join pushdown ahead of the shuffle)
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRICE = 450_000.0  # ~top decile of orders
+
+
+@query(
+    "q137_bloom_prune_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > {_BLOOM_PRICE}
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "sketch", "tpch"),
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned fact-dimension join: revenue of line items belonging
+    to top-decile-value orders. The selective dimension side (filtered
+    orders) builds a driver bloom (sketches.build_bloom) and the FACT
+    side applies bloom_might_contain as a map-side JVM filter BEFORE
+    its shuffle — ~90% of lineitem rows never enter the exchange, which
+    at 100 TB is the difference between shuffling the corpus and
+    shuffling the survivors (the hand-built form of Spark's runtime
+    bloom-join, but with an explicit, reusable, union-able sketch).
+    False positives cannot leak: the exact equi-join runs after the
+    prune, so the result equals the plain join and the oracle is plain
+    SQL. The bloom is keyed only by the filter's key set — at real
+    scale size it with bloom_params for the expected key count or swap
+    in the threshold form (o_totalprice pushes to the orders scan
+    either way)."""
+    from ..operators.sketches import bloom_might_contain, build_bloom
+    from . import memo
+    from .quality_q import _CLIPS
+
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").where(
+        F.col("o_totalprice") > _BLOOM_PRICE
+    )
+    bloom = memo(
+        _CLIPS,
+        ("bloom_orders", sf),
+        lambda: build_bloom(o, "o_orderkey", fpp=0.01),
+        label="bloom_orders",
+    )
+    pruned = li.where(bloom_might_contain(bloom, F.col("l_orderkey")))
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — dedup survivorship: keep the best-quality member per cluster
+# ---------------------------------------------------------------------------
+
+
+def _q140_oracle() -> str:
+    from .llm import _PAIRS_WITH
+    from ..operators.scoring import md5_hash32_sql
+    from .scoring_q import _BIAS, _W_SQL
+
+    return f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    comp AS (SELECT n AS node, MIN(lbl) AS cluster FROM reach GROUP BY n),
+    k AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS key
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    tq AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x != '') AS tk
+           FROM documents),
+    sq AS (SELECT doc_id,
+                 ROUND(1.0 / (1.0 + exp(-({_BIAS}
+                       + list_sum(list_transform(tk,
+                           x -> ({_W_SQL})[CAST(({md5_hash32_sql("x")}) % 64
+                                                AS INT) + 1]))
+                         / greatest(len(tk), 1)))), 6) AS score
+          FROM tq),
+    j AS (SELECT k.key, k.doc_id, sq.score
+          FROM k JOIN sq ON sq.doc_id = k.doc_id),
+    r AS (SELECT key, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY key
+                                    ORDER BY score DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY key) AS n
+          FROM j)
+    SELECT CAST(key AS BIGINT) AS cluster_key, doc_id AS survivor,
+           score, CAST(n AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """
+
+
+@query(
+    "q140_canonical_pick",
+    oracle=_q140_oracle(),
+    tags=("llm", "dedup", "scoring", "curation"),
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup survivorship POLICY: within every near-dup cluster keep the
+    highest-quality member (q117's learned score, ties to the lower
+    doc_id) — q93/q106 answer 'which docs are duplicates', this answers
+    'which copy do we keep', the decision an actual curation pipeline
+    ships. Reuses the materialize-once cluster map (the SAME artifact
+    q93/q120 share — zero marginal build) and scores map-side; the only
+    new work is one window over cluster keys. Singletons survive as
+    their own cluster of one, so the output is exactly one row per
+    retained document and sums(n_members) == corpus size. Hash-checked
+    against DuckDB recomputing clusters via recursive CTE and the score
+    from the same fixture weights."""
+    from pyspark.sql.window import Window
+
+    from . import broadcast_if_small
+    from ..operators.scoring import hashed_linear_score
+    from .llm import _artifact, _exact_pairs
+    from .scoring_q import _BIAS, _W
+
+    def build_clusters():
+        from ..operators.graph import dup_clusters
+        from . import built
+
+        return built(
+            dup_clusters(_exact_pairs(spark, sf).select("ida", "idb"))
+            .select("node", "cluster")
+            .persist()
+        )
+
+    clusters = _artifact(spark, sf, "dup_cluster_map", build_clusters)
+    d = table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        hashed_linear_score(F.col("text"), _W, _BIAS).alias("score"),
+    )
+    keyed = scored.join(
+        broadcast_if_small(clusters),
+        scored.doc_id == clusters.node,
+        "left",
+    ).select(
+        "doc_id", "score", F.coalesce("cluster", "doc_id").alias("key")
+    )
+    w = Window.partitionBy("key")
+    r = keyed.select(
+        "doc_id",
+        "score",
+        "key",
+        F.row_number()
+        .over(w.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        F.col("key").alias("cluster_key"),
+        F.col("doc_id").alias("survivor"),
+        "score",
+        "n_members",
+    )
