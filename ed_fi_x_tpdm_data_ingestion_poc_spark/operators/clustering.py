@@ -87,10 +87,15 @@ def _farthest_candidates(sel: DataFrame, centroids: np.ndarray):
                 }
             )
 
-    rows = sel.mapInPandas(
-        gen, "id long, v array<double>, d double"
-    ).collect()
-    bc.destroy()  # k-1 passes per init: release each pass's centroid copy
+    try:
+        rows = sel.mapInPandas(
+            gen, "id long, v array<double>, d double"
+        ).collect()
+    finally:
+        # k-1 passes per init: release each pass's centroid copy even when
+        # the pass fails — a leaked broadcast is exactly the long-session
+        # accumulation this cleanup exists to prevent
+        bc.destroy()
     return rows
 
 
@@ -209,25 +214,38 @@ def kmeans_fit(
     iters: int = 5,
     seed: int = 11,
     init: str = "farthest",
+    init_centroids: np.ndarray | None = None,
 ) -> dict:
     """Fit k centroids with `iters` full Lloyd passes. Returns
-    {"centroids": (k,d) ndarray, "inertia": per-iteration totals
-    (non-increasing — a law the tests pin), "sizes": final member
-    counts}. Deterministic: farthest-point init (default; "hash" for
-    the cheap single-pass seeding), argmin ties break low."""
-    if init == "farthest":
+    {"centroids": (k,d) ndarray, "init": the (k,d) starting centroids,
+    "inertia": per-iteration totals (non-increasing — a law the tests
+    pin), "sizes": final member counts}. Deterministic: farthest-point
+    init (default; "hash" for the cheap single-pass seeding), argmin
+    ties break low. `init_centroids` skips seeding entirely (re-running
+    Lloyd passes from a RECORDED init is how the prefix-determinism law
+    avoids paying the k-1 farthest-point passes twice)."""
+    if init_centroids is not None:
+        c = np.asarray(init_centroids, dtype="float64").copy()
+        if c.shape[0] != k:
+            raise ValueError(
+                f"init_centroids has {c.shape[0]} rows, expected k={k}"
+            )
+    elif init == "farthest":
         c = _init_farthest(emb, id_col, vec_col, k, seed)
     elif init == "hash":
         c = _init_centroids(emb, id_col, vec_col, k, seed)
     else:
         raise ValueError(f"unknown init {init!r} (farthest|hash)")
+    init_c = c.copy()
     d = c.shape[1]
     inertia: list[float] = []
     sizes = [0] * k
     for _ in range(iters):
         pdf, bc = _partials(emb, c, id_col, vec_col)
-        rows = _reduce_partials(pdf, d)
-        bc.destroy()
+        try:
+            rows = _reduce_partials(pdf, d)
+        finally:
+            bc.destroy()
         inertia.append(sum(r.inertia for r in rows))
         nxt = c.copy()  # empty cluster keeps its previous centroid
         sizes = [0] * k
@@ -235,7 +253,13 @@ def kmeans_fit(
             nxt[r.cluster] = np.asarray(r.sums) / r.cnt
             sizes[r.cluster] = r.cnt
         c = nxt
-    return {"centroids": c, "inertia": inertia, "sizes": sizes, "k": k}
+    return {
+        "centroids": c,
+        "init": init_c,
+        "inertia": inertia,
+        "sizes": sizes,
+        "k": k,
+    }
 
 
 def kmeans_inertia(
@@ -247,8 +271,10 @@ def kmeans_inertia(
 ) -> float:
     """Total squared distance to nearest centroid — one pass, k-row reduce."""
     pdf, bc = _partials(emb, centroids, id_col, vec_col)
-    rows = _reduce_partials(pdf, centroids.shape[1])
-    bc.destroy()
+    try:
+        rows = _reduce_partials(pdf, centroids.shape[1])
+    finally:
+        bc.destroy()
     return sum(r.inertia for r in rows)
 
 

@@ -47,26 +47,49 @@ def hash_sample(
     return df.filter(hash_bucket(id_col, buckets, seed) < int(fraction * buckets))
 
 
+def _stratum_order_key(id_col: str, order: str, salt: int) -> Column:
+    """The deterministic engine-portable within-stratum ordering both
+    stratified samplers share: "md5" (string hash; DuckDB twin is
+    md5(CAST(id AS VARCHAR)), pinned by qz66's oracle) or "mul" (the
+    overflow-safe mul_hash32 on id+salt — the numeric portable hash
+    every other sampling site uses, DuckDB twin mul_hash32_sql)."""
+    if order == "md5":
+        return F.md5(F.col(id_col).cast("string"))
+    if order == "mul":
+        return mul_hash32(F.col(id_col) + F.lit(salt))
+    raise ValueError(f"unknown order {order!r} (md5|mul)")
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_cols: list[str],
     fraction: float,
     *,
     id_col: str,
+    order: str = "md5",
+    salt: int = 0,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """EXACT stratified sample: ceil(fraction * n_s) rows from each stratum
-    s, chosen deterministically by md5(id) order (engine-independent).
+    s, chosen deterministically by hash(id) order (engine-independent;
+    see _stratum_order_key for the two portable orders).
 
     One shuffle on the strata key (two window functions share it). Skewed
-    strata are fine — the window is a streaming rank, not a collect."""
-    order_key = F.md5(F.col(id_col).cast("string"))
+    strata are fine — the window is a streaming rank, not a collect.
+    With `flag_col`, every row is returned carrying an int membership
+    flag instead of filtering — the audit-table shape (q135)."""
+    order_key = _stratum_order_key(id_col, order, salt)
     w = Window.partitionBy(*strata_cols).orderBy(order_key, F.col(id_col))
     wc = Window.partitionBy(*strata_cols)
+    keep = F.row_number().over(w) <= F.ceil(
+        F.count(F.lit(1)).over(wc) * F.lit(fraction)
+    )
+    if flag_col is not None:
+        return df.withColumn(flag_col, keep.cast("int"))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
-        .drop("__rn", "__n")
+        df.withColumn("__keep", keep.cast("int"))
+        .filter(F.col("__keep") == 1)
+        .drop("__keep")
     )
 
 

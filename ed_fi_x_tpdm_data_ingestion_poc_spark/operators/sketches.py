@@ -116,6 +116,7 @@ def build_bloom(
     col: str,
     fpp: float = 0.01,
     params: tuple[int, int] | None = None,
+    k_cap: int | None = None,
 ) -> dict:
     """Build the bit array driver-side from a SMALL reference set (eval
     benchmarks, blocklists — broadcast-sized by definition). Hashing runs
@@ -150,6 +151,14 @@ def build_bloom(
             raise ValueError(f"bloom k must be >= 1, got {k}")
     else:
         m, k = bloom_params(len(pairs), fpp)
+    if k_cap is not None:
+        # probe cost is k bit tests per row; when an EXACT join/check runs
+        # after the prune (q137's shape), false positives cannot leak and
+        # a small k with the power-of-two-rounded m keeps realized fpp in
+        # the few-percent range at a fraction of the probe cost
+        if k_cap < 1:
+            raise ValueError(f"bloom k_cap must be >= 1, got {k_cap}")
+        k = min(k, k_cap)
     words = [0] * (m // 64)
     for r in pairs:
         # reduce mod m BEFORE combining: with m a power of two the
@@ -167,14 +176,24 @@ def build_bloom(
 
 
 def bloom_might_contain(bloom: dict, col: Column) -> Column:
-    """Pure-JVM membership probe: k unrolled double-hash bit tests against
-    the array<bigint> literal. Map-only — composes into any filter/select
+    """Pure-JVM membership probe: k double-hash bit tests against the
+    array<bigint> literal. Map-only — composes into any filter/select
     without a join or shuffle. No false negatives, ~fpp false positives.
 
     The mod arithmetic matches the build exactly: JVM signed-long
     add/multiply wraps to the same bit pattern as the build's uint64 wrap,
     and because m is a power of two (m | 2^64), ``pmod(signed, m)`` and
-    the build's ``uint64 % m`` select the same low bits."""
+    the build's ``uint64 % m`` select the same low bits.
+
+    Cost model (measured, 600k rows, sf0.1): the conjunction is SPLIT
+    into k predicates by FilterExec and each re-derives the hash pair,
+    so probe cost is linear in k (~0.17 s per test). Sharing the pair
+    through a one-element array<struct> + ``forall`` fold was tried and
+    is SLOWER at every k (the interpreted higher-order-function path
+    costs more than the redundant hashes: 0.70 vs 0.35 s at k=2, 1.65
+    vs 1.2 s at k=7) — so the probe stays an unrolled AND chain and the
+    real lever is k itself: when an exact join/check follows the prune,
+    build the bloom with ``k_cap=2`` (false positives cannot leak)."""
     words = _bigint_array_lit(bloom["words"])
     m, k = bloom["m"], bloom["k"]
     h1, h2 = _probe_hashes(col)

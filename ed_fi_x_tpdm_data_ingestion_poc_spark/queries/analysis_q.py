@@ -211,12 +211,16 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     natural-language corpus fits slope ~ -1; scraped boilerplate or
     generator loops bend the curve). Plan: one tokenize+explode with
     map-side combine collapses the corpus to its VOCABULARY (bounded),
-    ranking happens on that bounded table (the single-partition
-    row_number window is vocab-sized, never corpus-sized), and the five
-    OLS moments fold in ONE deterministic pass — sort_array(collect_list)
-    then a JVM aggregate, so double summation order is fixed and the
-    rounded coefficients are bit-stable cross-run (the same trick as
-    clustering._reduce_partials)."""
+    the top-R selection is an orderBy+limit — Spark plans it as
+    TakeOrderedAndProject (per-partition top-R heaps, R-row driver
+    merge), so NO single task ever sees the whole vocabulary (web-corpus
+    vocabularies are corpus-scale once URL-ish tokens creep in; the
+    round-9 form ran a global unpartitioned row_number window over all
+    of it before the limit) — the rank window then runs over exactly R
+    rows; and the five OLS moments fold in ONE deterministic pass —
+    sort_array(collect_list) then a JVM aggregate, so double summation
+    order is fixed and the rounded coefficients are bit-stable cross-run
+    (the same trick as clustering._reduce_partials)."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf, "documents")
@@ -226,13 +230,11 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("t")
     )
     c = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = c.orderBy(F.col("c").desc(), "t").limit(_ZIPF_R)
     w = Window.orderBy(F.col("c").desc(), "t")
-    r = (
-        c.select(
-            F.log(F.row_number().over(w).cast("double")).alias("x"),
-            F.log(F.col("c").cast("double")).alias("y"),
-        )
-        .limit(_ZIPF_R)
+    r = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
     )
     zero = F.struct(
         F.lit(0.0).alias("n"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
@@ -425,22 +427,24 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     100 TB either accept it (quotas are usually per-domain audits over
     <= thousands of strata) or fall back to q119's threshold form when
     'approximately 10%' suffices. The decision column is computed
-    identically in both engines and hash-checked, not just counted."""
-    from pyspark.sql.window import Window
+    identically in both engines and hash-checked, not just counted.
 
-    from ..operators.sampling import mul_hash32
+    Implementation: operators/sampling.py::stratified_sample_exact in
+    flag mode with the portable mul_hash32 order (salt 977) — ONE
+    sampler implementation serves both the filter (qz66, md5 order) and
+    audit-flag (here) shapes; round-9's inline duplicate is gone."""
+    from ..operators.sampling import stratified_sample_exact
 
     d = table(spark, sf, "documents")
-    h = mul_hash32(F.col("doc_id") + F.lit(977))
-    rnk = F.row_number().over(
-        Window.partitionBy("source").orderBy(h.asc(), "doc_id")
-    )
-    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
-    return d.select(
-        "doc_id",
-        "source",
-        (rnk <= F.ceil(F.lit(_STRAT_P) * n)).cast("int").alias("sampled"),
-    )
+    return stratified_sample_exact(
+        d,
+        ["source"],
+        _STRAT_P,
+        id_col="doc_id",
+        order="mul",
+        salt=977,
+        flag_col="sampled",
+    ).select("doc_id", "source", "sampled")
 
 
 # ---------------------------------------------------------------------------
@@ -473,10 +477,14 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     bloom-join, but with an explicit, reusable, union-able sketch).
     False positives cannot leak: the exact equi-join runs after the
     prune, so the result equals the plain join and the oracle is plain
-    SQL. The bloom is keyed only by the filter's key set — at real
-    scale size it with bloom_params for the expected key count or swap
-    in the threshold form (o_totalprice pushes to the orders scan
-    either way)."""
+    SQL. That exactness contract also sets the bloom's SIZE: false
+    positives only cost shuffle rows, so k is capped at 2 (realized fpp
+    ~4% with the power-of-two-rounded m) — the round-9 k=7 probe paid
+    7 bit tests per row for precision the downstream join makes free
+    (probe cost is linear in k; see bloom_might_contain's measured cost
+    model). At real scale size the bloom with
+    bloom_params for the expected key count or swap in the threshold
+    form (o_totalprice pushes to the orders scan either way)."""
     from ..operators.sketches import bloom_might_contain, build_bloom
     from . import memo
     from .quality_q import _CLIPS
@@ -488,7 +496,7 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     bloom = memo(
         _CLIPS,
         ("bloom_orders", sf),
-        lambda: build_bloom(o, "o_orderkey", fpp=0.01),
+        lambda: build_bloom(o, "o_orderkey", fpp=0.05, k_cap=2),
         label="bloom_orders",
     )
     pruned = li.where(bloom_might_contain(bloom, F.col("l_orderkey")))

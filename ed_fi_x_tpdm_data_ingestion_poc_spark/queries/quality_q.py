@@ -757,7 +757,19 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
         mono = all(
             b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
         ) and kmeans_inertia(e, fit["centroids"]) <= inertia[-1] * (1 + 1e-9)
-        prefix = kmeans_fit(e, k=10, iters=2)["inertia"] == inertia[:2]
+        # prefix determinism: an independent 2-iteration re-run from the
+        # RECORDED init must reproduce the longer run's inertia prefix
+        # bit-for-bit (== not approx — the sorted-collect reduce makes
+        # double summation order-fixed). Re-running from fit["init"]
+        # pins the Lloyd passes' determinism without re-paying the k-1
+        # farthest-point seeding passes; init determinism itself is
+        # TakeOrdered + deterministic argmax, pinned by unit tests.
+        prefix = (
+            kmeans_fit(e, k=10, iters=2, init_centroids=fit["init"])[
+                "inertia"
+            ]
+            == inertia[:2]
+        )
         sizes_ok = sum(fit["sizes"]) == n
         g = F.col("vec_id") % 5
         # greatest(norm, tiny): an all-zero vector must not divide by 0 —
