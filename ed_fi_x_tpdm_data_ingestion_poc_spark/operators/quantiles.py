@@ -21,6 +21,10 @@ Design (the Manku–Rajagopalan–Lindsay collapse, kept deterministic):
 
 Everything upstream of the driver is one map-only pass (numpy sort per
 Arrow batch); the driver holds n_batches/eps rows, never the corpus.
+quantile_summary_by amortizes bounded-cardinality group tables into the
+same single pass, and exact_quantiles_via_summary upgrades the summary
+to an EXACT, engine-portable order statistic (prune + bounded refine —
+approximation never leaks into the answer).
 Spark's own approx_percentile gives no merge handle and its
 Greenwald-Khanna state is opaque; this summary is a first-class
 DataFrame + dict artifact that shards can build independently and a
@@ -83,6 +87,65 @@ def quantile_summary(df: DataFrame, col: str, eps: float = 0.01) -> dict:
     }
 
 
+def quantile_summary_by(
+    df: DataFrame, col: str, group_col: str, eps: float = 0.01
+) -> dict[str, dict]:
+    """Per-group summaries in ONE distributed pass: each Arrow batch
+    splits by group (key compared as its string form) and compresses
+    each slice with the same exact-local-rank selection as
+    quantile_summary. Returns {group: summary}. The driver holds
+    n_groups * n_batches / eps rows — the per-source/per-type quantile
+    table shape (bounded group cardinality), built without one job per
+    group. Each group's summary satisfies the identical rank-error
+    bound (its slack is computed from its own batch slices)."""
+    if not (0 < eps < 1):
+        raise ValueError(f"eps must be in (0,1), got {eps}")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_g, out_v, out_w, out_s = [], [], [], []
+            for g, sub in pdf.groupby("g", sort=True, dropna=False):
+                v = sub["v"].to_numpy(dtype="float64")
+                v = np.sort(v[~np.isnan(v)])
+                n = len(v)
+                if not n:
+                    continue
+                s = max(1, int(n * eps))
+                idx = np.arange(s - 1, n, s)
+                if idx[-1] != n - 1:
+                    idx = np.append(idx, n - 1)
+                ranks = idx + 1
+                w = np.diff(np.concatenate(([0], ranks)))
+                out_g += [g] * len(idx)
+                out_v += list(v[idx])
+                out_w += list(w)
+                out_s += [s] + [0] * (len(idx) - 1)
+            yield pd.DataFrame(
+                {"g": out_g, "value": out_v, "w": out_w, "slack": out_s}
+            )
+
+    rows = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.col(col).alias("v"),
+        )
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "g string, value double, w long, slack long")
+        .collect()
+    )
+    groups: dict[str, dict] = {}
+    for r in rows:
+        d = groups.setdefault(r.g, {"points": [], "n": 0, "slack": 0})
+        d["points"].append((r.value, r.w))
+        d["slack"] += r.slack
+    for d in groups.values():
+        d["points"].sort()
+        d["n"] = int(sum(w for _, w in d["points"]))
+    return groups
+
+
 def summary_merge(a: dict, b: dict) -> dict:
     """Union two summaries built over DISJOINT row sets: ranks add, so
     bounds add — merge is list concatenation, exact and associative
@@ -97,7 +160,17 @@ def summary_merge(a: dict, b: dict) -> dict:
 
 def summary_quantile(summary: dict, phi: float) -> float:
     """Smallest kept value whose cumulative merged weight reaches
-    ceil(phi * n): |true_rank(result) - phi*n| <= slack."""
+    target = max(1, ceil(phi * n)).
+
+    Bound: target <= true_rank(result) <= target - 1 + slack + w_cross,
+    where w_cross is the crossing point's own weight (cumulative weight
+    can overshoot the target by up to one batch stride), so the
+    worst-case absolute rank error is slack + max(w) - 1, NOT slack
+    alone. Which points are kept — and therefore slack and the returned
+    value — is a function of the input's partitioning/Arrow batching;
+    the BOUND holds for every batching, the value is only stable for a
+    fixed one. For an exact, batching-independent order statistic use
+    exact_quantiles_via_summary."""
     if not summary["points"]:
         raise ValueError("empty summary")
     if not (0 <= phi <= 1):
@@ -117,3 +190,86 @@ def summary_rank_bounds(summary: dict, value: float) -> tuple[int, int]:
     rows is truly <= value), hi = lo + slack."""
     lo = sum(w for v, w in summary["points"] if v <= value)
     return lo, min(lo + summary["slack"], summary["n"])
+
+
+def exact_quantiles_via_summary(
+    df: DataFrame,
+    col: str,
+    phis: list[float],
+    eps: float = 0.01,
+    summary: dict | None = None,
+) -> dict[float, float]:
+    """EXACT order statistics with no global sort — the summary is the
+    PRUNE, an exact pass is the REFINE (the same approximate-prune /
+    exact-verify contract as q137's bloom join: approximation never
+    leaks into the answer).
+
+    For each phi the answer is the target-th smallest non-null value,
+    target = max(1, ceil(phi * n)) — a pure function of the DATA, not
+    of batching, so it is engine-portable and SQL-twinnable (DuckDB:
+    the ROW_NUMBER()-th value ordered ascending), unlike the summary's
+    own batch-dependent kept points.
+
+    Plan (3 extra jobs after the summary, all bounded):
+      1. from the summary pick t_phi = the largest kept value whose
+         hi rank bound (lo + slack) is still below target — then
+         t_phi's TRUE rank is provably < target, so the answer lies
+         strictly above t_phi;
+      2. ONE conditional aggregate computes the exact count <= t_phi
+         for all phis (map-side combine, one row out);
+      3. the answer is the (target - count)-th smallest value above
+         t_phi: TakeOrdered over the pruned side, where the fetch size
+         target - count <= slack + max(w) = O(eps*n + n_batches) rows
+         by the rank-bound law — driver-bounded by construction, with
+         eps the knob that trades summary size against refine size.
+    """
+    if summary is None:
+        summary = quantile_summary(df, col, eps)
+    n = summary["n"]
+    if n == 0:
+        raise ValueError("exact_quantiles_via_summary: no non-null rows")
+    slack = summary["slack"]
+    # collapse equal kept values first: with ties, the running cumulative
+    # weight at a point UNDERCOUNTS lo(v) (later points may carry the
+    # same value), and the prune guarantee needs the full lo(t)
+    from itertools import groupby
+
+    pts = [
+        (v, sum(w for _, w in grp))
+        for v, grp in groupby(summary["points"], key=lambda p: p[0])
+    ]
+    targets: dict[float, int] = {}
+    prunes: dict[float, float | None] = {}
+    for phi in phis:
+        if not (0 <= phi <= 1):
+            raise ValueError(f"phi must be in [0,1], got {phi}")
+        target = max(1, int(np.ceil(phi * n)))
+        t, acc = None, 0
+        for v, w in pts:
+            acc += w
+            if acc + slack < target:
+                t = v
+            else:
+                break
+        targets[phi], prunes[phi] = target, t
+    c = F.col(col)
+    nn = c.isNotNull()
+    thresholds = sorted({t for t in prunes.values() if t is not None})
+    counts: dict[float, int] = {}
+    if thresholds:
+        row = df.agg(
+            *[
+                F.sum((nn & (c <= F.lit(t))).cast("long")).alias(f"c{i}")
+                for i, t in enumerate(thresholds)
+            ]
+        ).first()
+        counts = {t: int(row[f"c{i}"] or 0) for i, t in enumerate(thresholds)}
+    out: dict[float, float] = {}
+    for phi in phis:
+        t = prunes[phi]
+        below = counts[t] if t is not None else 0
+        k = targets[phi] - below
+        survivors = df.where(nn & (c > F.lit(t)) if t is not None else nn)
+        vals = survivors.select(c.alias("v")).orderBy("v").limit(k).collect()
+        out[phi] = float(vals[-1].v)
+    return out

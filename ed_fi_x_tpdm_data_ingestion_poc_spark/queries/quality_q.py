@@ -794,20 +794,28 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
                 + F.when(i == g.cast("int"), 1.0).otherwise(0.0),
             ).alias("embedding"),
             g.cast("int").alias("planted"),
-        )
-        pfit = kmeans_fit(planted, k=5, iters=3)
-        purity_row = (
-            kmeans_assign(planted, pfit["centroids"])
-            .join(
-                planted.select(F.col("vec_id").alias("id"), "planted"), "id"
+        ).persist()
+        try:
+            # persisted: the fit's ~8 passes (farthest seeding + Lloyd +
+            # assign) would otherwise each re-evaluate the per-element
+            # norm/offset transform — the single largest chunk of this
+            # law artifact's build time
+            pfit = kmeans_fit(planted, k=5, iters=3)
+            purity_row = (
+                kmeans_assign(planted, pfit["centroids"])
+                .join(
+                    planted.select(F.col("vec_id").alias("id"), "planted"),
+                    "id",
+                )
+                .groupBy("cluster", "planted")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("cluster")
+                .agg(F.max("c").alias("top"))
+                .agg(F.sum("top").alias("t"))
+                .collect()[0]
             )
-            .groupBy("cluster", "planted")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("cluster")
-            .agg(F.max("c").alias("top"))
-            .agg(F.sum("top").alias("t"))
-            .collect()[0]
-        )
+        finally:
+            planted.unpersist()
         purity_ok = purity_row.t / n >= 0.95
         return mono and prefix and sizes_ok and purity_ok
 
