@@ -709,6 +709,371 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q141 — ordered conversion funnel (one-shuffle state-machine fold)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_INF = 4_000_000_000_000_000_000  # bigint "not reached" sentinel
+
+
+@query(
+    "q141_event_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    v AS (SELECT user_id, MIN(us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.us) AS t2
+          FROM e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.us) AS t3
+          FROM e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached,
+           t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after it -> purchase
+    after that): per user, the first time each step completes IN ORDER —
+    the product-analytics primitive behind conversion dashboards. Plan:
+    ONE shuffle — each user's events collect into a sorted array and a
+    JVM ``aggregate`` fold runs the 3-state machine over it (processing
+    events in ascending time, each step's earliest qualifying time only
+    ever decreases, so the fold's running state is exactly the
+    first-qualifying-event semantics the oracle recomputes with 3
+    correlated MIN-joins). Contrast the join form (3 shuffled
+    aggregations + 3 joins): at 100 TB the fold touches each event once
+    and per-user state is 3 longs; per-user event lists are bounded by
+    the same skew argument as q132's sessions. Timestamps compare as
+    NTZ-safe integer micros (q132's anchor trick)."""
+    e = table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    inf = F.lit(_FUNNEL_INF)
+    zero = F.struct(inf.alias("t1"), inf.alias("t2"), inf.alias("t3"))
+    folded = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(us.alias("us"), F.col("event_type")))
+        ),
+        zero,
+        lambda a, x: F.struct(
+            F.when(
+                (x["event_type"] == F.lit("view")) & (x["us"] < a["t1"]),
+                x["us"],
+            )
+            .otherwise(a["t1"])
+            .alias("t1"),
+            F.when(
+                (x["event_type"] == F.lit("click"))
+                & (a["t1"] < x["us"])
+                & (x["us"] < a["t2"]),
+                x["us"],
+            )
+            .otherwise(a["t2"])
+            .alias("t2"),
+            F.when(
+                (x["event_type"] == F.lit("purchase"))
+                & (a["t2"] < x["us"])
+                & (x["us"] < a["t3"]),
+                x["us"],
+            )
+            .otherwise(a["t3"])
+            .alias("t3"),
+        ),
+    )
+    g = e.groupBy("user_id").agg(folded.alias("f"))
+    t1, t2, t3 = F.col("f.t1"), F.col("f.t2"), F.col("f.t3")
+    reached = (
+        F.when(t3 < inf, 3)
+        .when(t2 < inf, 2)
+        .when(t1 < inf, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return g.select(
+        "user_id",
+        reached.alias("reached"),
+        F.when(t1 < inf, t1).alias("t1_us"),
+        F.when(t2 < inf, t2).alias("t2_us"),
+        F.when(t3 < inf, t3).alias("t3_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — PageRank, two unrolled power iterations as join-aggregate matvec
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+
+
+@query(
+    "q142_pagerank",
+    oracle=f"""
+    WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+                                l.l_suppkey * 2 + 1 AS dst
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    e AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    p0 AS (SELECT src AS node, 1.0 / n.n AS pr FROM d, n),
+    p1 AS (SELECT e.dst AS node,
+                  ROUND({1 - _PR_DAMP} / MAX(n.n)
+                        + {_PR_DAMP} * SUM(p0.pr / d.deg), 12) AS pr
+           FROM e JOIN p0 ON p0.node = e.src JOIN d ON d.src = e.src, n
+           GROUP BY e.dst),
+    p2 AS (SELECT e.dst AS node,
+                  ROUND({1 - _PR_DAMP} / MAX(n.n)
+                        + {_PR_DAMP} * SUM(p1.pr / d.deg), 12) AS pr
+           FROM e JOIN p1 ON p1.node = e.src JOIN d ON d.src = e.src, n
+           GROUP BY e.dst)
+    SELECT node, ROUND(pr, 9) AS pr FROM p2
+    """,
+    tags=("graph", "join", "analytics"),
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the customer–supplier trade graph (undirected
+    bipartite: an edge per distinct (custkey, suppkey) trading pair,
+    node ids disambiguated by parity), two power iterations with
+    damping 0.85. Each iteration is the canonical DataFrame sparse
+    matvec: rank/degree tables (node-sized) JOIN the edge list on src,
+    contributions groupBy dst — exactly how Pregel-style engines lower
+    to joins, and the shape AQE handles at 100 TB (edges shuffle on the
+    same key both rounds, so the exchange is reused; rank tables stay
+    node-sized and broadcastable when the graph is wide). Undirected
+    doubling means no dangling nodes, so the (1-d)/N teleport needs no
+    separate dangling-mass pass. Intermediate ranks ROUND to 12 dp in
+    BOTH engines (each iteration re-bases on bit-identical inputs, so
+    cross-engine float drift cannot compound); finals to 9. A fixed
+    iteration count keeps the whole thing one declarative plan — the
+    convergence-loop form is kmeans_fit's driver-loop pattern."""
+    from .llm import _artifact
+
+    def build_edges():
+        from . import built
+
+        li = table(spark, sf, "lineitem")
+        o = table(spark, sf, "orders")
+        e0 = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        e = e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # the union inherits 2x the join's shuffle partitions — dozens of
+        # near-empty tasks per matvec at test SF; coalesce (narrow, no
+        # shuffle) sizes the cached edge list so each pass pays a few
+        # real tasks, not a hundred empty ones
+        return built(e.coalesce(8).persist())
+
+    e = _artifact(spark, sf, "pr_edges", build_edges)
+
+    def build_deg():
+        from . import built
+
+        return built(
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .coalesce(8)
+            .persist()
+        )
+
+    deg = _artifact(spark, sf, "pr_deg", build_deg)
+    from . import memo
+    from .quality_q import _CLIPS
+
+    n = memo(_CLIPS, ("pr_n", sf), deg.count, label="pr_n")
+    # rank/degree tables are NODE-sized (n rows, known exactly): while
+    # they fit, broadcast them so the edge list never shuffles for the
+    # join — only the map-side-combined contribution partials move. At
+    # web-graph scale (n beyond broadcast) drop the hint and AQE plans
+    # the co-partitioned shuffle join instead.
+    hint = F.broadcast if n <= 2_000_000 else (lambda df: df)
+    degj = hint(deg)
+    p = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(2):
+        p = (
+            e.join(hint(p), e.src == p.node)
+            .join(degj, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit((1 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP)
+                    * F.sum(F.col("pr") / F.col("deg")),
+                    12,
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return p.select("node", F.round("pr", 9).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# q143 — daily cohort retention matrix
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q143_retention_cohorts",
+    oracle=f"""
+    WITH e AS (SELECT user_id,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                        // {_DAY_US} AS day
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS off
+          FROM e JOIN f ON f.user_id = e.user_id)
+    SELECT CAST(cohort AS BIGINT) AS cohort_day,
+           CAST(off AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily cohort retention: users grouped by their first-activity day
+    (cohort), counted as retained at each later day-offset they were
+    active — the triangle matrix behind every retention dashboard. Day
+    index is integer-division of NTZ-safe micros (never calendar
+    date_diff, whose boundary-crossing semantics differ between
+    engines). Plan: min-day per user and the activity join share ONE
+    user_id shuffle (exchange reuse), the distinct is per (user,
+    cohort, offset) — bounded by user-days, not events — and the final
+    aggregate is cohort×offset sized (days², tiny). At 100 TB the only
+    corpus-sized structure is the event scan itself."""
+    e = table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    ed = e.select("user_id", F.floor(us / _DAY_US).alias("day"))
+    f = ed.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    a = (
+        ed.join(f, "user_id")
+        .select("user_id", "cohort", (F.col("day") - F.col("cohort")).alias("off"))
+        .distinct()
+    )
+    return a.groupBy("cohort", "off").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("cohort").cast("bigint").alias("cohort_day"),
+        F.col("off").cast("bigint").alias("day_offset"),
+        F.col("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — PMI collocations (top associated bigrams)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_C12 = 5
+_PMI_TOP = 20
+
+
+@query(
+    "q144_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '')
+                 AS tk FROM documents),
+    u AS (SELECT unnest(tk) AS w FROM t),
+    uc AS (SELECT w, COUNT(*) AS cu FROM u GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS nu FROM u),
+    db AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+           WHERE len(tk) >= 2),
+    c AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2),
+    nb AS (SELECT SUM(c12) AS nb FROM c),
+    s AS (SELECT c.w1, c.w2, c.c12,
+                 ROUND(LN((c.c12 * 1.0 / nb.nb)
+                          / ((u1.cu * 1.0 / nu.nu)
+                             * (u2.cu * 1.0 / nu.nu))), 6) AS pmi
+          FROM c JOIN uc u1 ON u1.w = c.w1
+                 JOIN uc u2 ON u2.w = c.w2, nb, nu
+          WHERE c.c12 >= {_PMI_MIN_C12})
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi
+    FROM s ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+    tags=("llm", "text", "analytics"),
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Top PMI collocations: adjacent token pairs scored by pointwise
+    mutual information ln(p(ab) / (p(a)p(b))) with a min-count floor —
+    the classic multi-word-expression miner (Church & Hanks 1990), used
+    in curation to spot boilerplate phrases and in tokenizer audits to
+    find merge candidates BPE missed. Plan: the corpus collapses to its
+    bigram and unigram count tables (both vocabulary-bounded) via
+    map-side-combined aggregates over scoring.py's O(n) pair arrays;
+    the PMI join runs count-table x count-table (never corpus-sized),
+    and top-k is TakeOrdered on the ROUNDED score with a total (pmi,
+    w1, w2) order so the cut is deterministic cross-engine. Division
+    order mirrors the oracle exactly — IEEE doubles agree bit-for-bit,
+    ROUND(6) absorbs nothing but summation noise."""
+    from ..operators.scoring import bigram_counts
+    from . import memo
+    from .quality_q import _CLIPS
+
+    d = table(spark, sf, "documents")
+    c = bigram_counts(d).where(F.col("c12") >= _PMI_MIN_C12)
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("w")
+    )
+    uc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # the two corpus totals are scalars: ONE fused job, memoized so warm
+    # re-asks never re-scan the corpus for two numbers
+    def _totals() -> tuple[int, int]:
+        sz = F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        )
+        row = d.agg(
+            F.sum(sz.cast("bigint")).alias("nu"),
+            F.sum(F.greatest(sz - 1, F.lit(0)).cast("bigint")).alias("nb"),
+        ).first()
+        return int(row.nu), int(row.nb)
+
+    nu, nb = memo(_CLIPS, ("pmi_totals", sf), _totals, label="pmi_totals")
+    u1 = uc.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * F.lit(1.0) / F.lit(nb))
+            / (
+                (F.col("cu1") * F.lit(1.0) / F.lit(nu))
+                * (F.col("cu2") * F.lit(1.0) / F.lit(nu))
+            )
+        ),
+        6,
+    )
+    return (
+        c.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q140 — dedup survivorship: keep the best-quality member per cluster
 # ---------------------------------------------------------------------------
 

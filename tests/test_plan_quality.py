@@ -377,3 +377,64 @@ def test_web_ingest_e2e_plan(spark, sf_dir):
     f = audit(_build(spark, sf_dir, "q121_web_ingest_e2e"))
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert f.cartesian_products == 0  # NLJs = one-row V scalar broadcasts
+
+
+def test_funnel_single_shuffle_fold(spark, sf_dir):
+    """q141: the ordered-funnel state machine is ONE user_id shuffle and
+    a JVM aggregate fold — no joins, no Python, no extra exchanges."""
+    f = audit(_build(spark, sf_dir, "q141_event_funnel"))
+    assert f.joins == 0
+    # ONE physical Exchange (audit counts its tree + detail lines)
+    assert f.exchanges <= 2
+    assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_pagerank_matvec_joins(spark, sf_dir):
+    """q142: two join-aggregate matvec rounds — equi-joins only (never
+    cartesian), map-side partial aggregation on the contribution sums,
+    all JVM."""
+    f = audit(_build(spark, sf_dir, "q142_pagerank"))
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+    assert f.joins >= 2
+    assert f.partial_aggs >= 1
+    assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_retention_bounded_shapes(spark, sf_dir):
+    """q143: equi-join on user_id only; aggregates are map-side combined;
+    no Python. The only corpus-sized structure is the event scan."""
+    f = audit(_build(spark, sf_dir, "q143_retention_cohorts"))
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+    assert f.partial_aggs >= 1
+    assert f.python_evals == 0 and f.arrow_evals == 0
+
+
+def test_pmi_joins_count_tables_only(spark, sf_dir):
+    """q144: the PMI join runs count-table x count-table (vocab-bounded)
+    and top-k is TakeOrdered, not a global sort of the corpus."""
+    f = audit(_build(spark, sf_dir, "q144_pmi_collocations"))
+    assert f.cartesian_products == 0
+    assert f.python_evals == 0 and f.arrow_evals == 0
+    assert "TakeOrderedAndProject" in __import__(
+        "ed_fi_x_tpdm_data_ingestion_poc_spark.plans", fromlist=["plan_string"]
+    ).plan_string(_build(spark, sf_dir, "q144_pmi_collocations"))
+
+
+def test_top_decile_threshold_is_pushed(spark, sf_dir):
+    """q138: after the exact threshold is resolved, the hot path is a
+    plain pushed-down filter + map-side-combined aggregate — the
+    summary/refine passes never appear in the per-ask plan."""
+    f = audit(_build(spark, sf_dir, "q138_top_decile_events"))
+    assert f.joins == 0
+    assert f.arrow_evals == 0 and f.python_evals == 0
+    assert any("GreaterThanOrEqual(value" in p for p in f.pushed_filters)
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """q134: the top-R rank selection plans as TakeOrderedAndProject
+    (per-partition heaps), NOT a single-partition global window over
+    the whole vocabulary."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    text = plan_string(_build(spark, sf_dir, "q134_zipf_fit"))
+    assert "TakeOrderedAndProject" in text
