@@ -1074,6 +1074,160 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q145 — daily event-rate anomalies (z-score per type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_rate_anomalies",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                        // {_DAY_US} AS day
+               FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    s AS (SELECT event_type, AVG(c * 1.0) AS mu,
+                 STDDEV_SAMP(c * 1.0) AS sd
+          FROM c GROUP BY 1)
+    SELECT c.event_type, CAST(c.day AS BIGINT) AS day,
+           CAST(c.c AS BIGINT) AS n_events,
+           ROUND((c.c - s.mu) / s.sd, 4) AS z,
+           CAST(ABS(ROUND((c.c - s.mu) / s.sd, 4)) > 2.0 AS INT)
+             AS anomaly
+    FROM c JOIN s ON s.event_type = c.event_type
+    """,
+    tags=("events", "analytics", "quality"),
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily event-rate anomaly flags: each (type, day) count scored as
+    a z-score against that type's own daily distribution, |z| > 2
+    flagged — the ingest-monitoring primitive that catches a collapsed
+    source or a bot flood before it poisons a training snapshot. The
+    corpus collapses to type x day counts (map-side combine) and the
+    per-type moments table is TYPES-sized, so the join broadcasts; the
+    anomaly decision compares the ROUNDED z so the cross-engine boundary
+    is exact. Day indexing shares q143's integer-micros convention."""
+    e = table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    c = (
+        e.select("event_type", F.floor(us / _DAY_US).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.avg(F.col("c") * 1.0).alias("mu"),
+        F.stddev_samp(F.col("c") * 1.0).alias("sd"),
+    )
+    z = F.round((F.col("c") - F.col("mu")) / F.col("sd"), 4)
+    return c.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        z.alias("z"),
+        (F.abs(z) > 2.0).cast("int").alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146 — quality mixture buckets via EXACT score deciles
+# ---------------------------------------------------------------------------
+
+
+def _q146_oracle() -> str:
+    from ..operators.scoring import md5_hash32_sql
+    from .scoring_q import _BIAS, _W_SQL
+
+    return f"""
+    WITH tq AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x != '')
+                         AS tk
+                FROM documents),
+    sq AS (SELECT doc_id, len(tk) AS n_tok,
+                  ROUND(1.0 / (1.0 + exp(-({_BIAS}
+                        + list_sum(list_transform(tk,
+                            x -> ({_W_SQL})[CAST(({md5_hash32_sql("x")}) % 64
+                                                 AS INT) + 1]))
+                          / greatest(len(tk), 1)))), 6) AS score
+           FROM tq),
+    n AS (SELECT COUNT(*) AS n FROM sq),
+    r AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM sq),
+    t AS (SELECT r.score AS t
+          FROM r, n, UNNEST(generate_series(1, 9)) AS g(i)
+          WHERE r.rn = GREATEST(1, CAST(ceil(g.i * 0.1 * n.n) AS BIGINT))),
+    b AS (SELECT sq.doc_id, sq.n_tok,
+                 (SELECT COUNT(*) FROM t WHERE t.t <= sq.score) AS bucket
+          FROM sq)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok
+    FROM b GROUP BY 1
+    """
+
+
+@query(
+    "q146_mixture_buckets",
+    oracle=_q146_oracle(),
+    tags=("llm", "curation", "quantile", "scoring"),
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-score decile buckets with per-bucket token budgets — the
+    table a mixture-balancing stage consumes (sample bucket 9 at weight
+    w9, downweight bucket 0, à la quality-bucketed data mixtures). The
+    decile thresholds are EXACT order statistics of the learned score
+    (q117's map-only hashed-linear model), computed by
+    exact_quantiles_via_summary — no global sort, batching-independent,
+    so the bucket edges are engine-portable values and the oracle can
+    recompute them with ROW_NUMBER. Bucket assignment is 9 JVM
+    comparisons against score literals (counting multiplicity when
+    thresholds collide, mirrored by the oracle's COUNT over the
+    threshold table); the final aggregate is 10 rows. Alongside q138
+    this is the second consumer of the quantile operator: one pays the
+    summary on events, this one on a DERIVED score column — the prune +
+    refine contract is column-agnostic."""
+    from ..operators.quantiles import exact_quantiles_via_summary
+    from ..operators.scoring import hashed_linear_score
+    from . import memo
+    from .quality_q import _CLIPS
+    from .scoring_q import _BIAS, _W
+
+    d = table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        hashed_linear_score(F.col("text"), _W, _BIAS).alias("score"),
+    )
+    phis = [i / 10 for i in range(1, 10)]
+
+    def _thresholds() -> dict[float, float]:
+        # the refine runs 1 summary + 1 count-agg + one TakeOrdered per
+        # phi; persist the scored projection so the per-token md5 score
+        # is computed once, not once per pass
+        sc = scored.persist()
+        try:
+            return exact_quantiles_via_summary(sc, "score", phis, eps=0.01)
+        finally:
+            sc.unpersist()
+
+    thr = memo(_CLIPS, ("score_deciles", sf), _thresholds, label="score_deciles")
+    bucket = sum(
+        (F.col("score") >= F.lit(thr[phi])).cast("int") for phi in phis
+    )
+    return (
+        scored.select("n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("n_tok"),
+        )
+        .select("bucket", "n_docs", "n_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q140 — dedup survivorship: keep the best-quality member per cluster
 # ---------------------------------------------------------------------------
 
