@@ -57,3 +57,60 @@ def reconcile_snapshot(
     keys = [key] if isinstance(key, str) else list(key)
     deletes = remote.join(source.select(*keys).distinct(), on=keys, how="left_anti")
     return source, deletes
+
+
+FUNNEL_INF = 4_000_000_000_000_000_000  # bigint "step not reached" sentinel
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: Column,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user ordered funnel: the first time each of `steps` completes
+    IN ORDER (step i only counts after step i-1's earliest qualifying
+    time). Returns one row per user with a struct column ``f`` of
+    ``t1..tn`` (bigint times from `ts_col`; FUNNEL_INF = not reached).
+
+    ONE shuffle: each user's (ts, type) events collect into a sorted
+    array and a JVM ``aggregate`` fold runs the n-state machine over it.
+    Processing events in ascending time, each state's earliest
+    qualifying time only ever decreases, so when event u is examined the
+    running t_{i-1} is the FINAL t_{i-1} whenever it is < u — which
+    makes the fold's result equal the first-qualifying-event semantics
+    (the 3-join form an oracle recomputes). Per-user state is n longs;
+    per-user event lists are bounded by the q132 session skew argument.
+    The join alternative costs n shuffled aggregations + n joins."""
+    inf = F.lit(FUNNEL_INF)
+    zero = F.struct(
+        *[inf.alias(f"t{i + 1}") for i in range(len(steps))]
+    )
+
+    def step(a, x):
+        fields = []
+        for i, s in enumerate(steps):
+            prev_ok = F.lit(True) if i == 0 else a[f"t{i}"] < x["us"]
+            fields.append(
+                F.when(
+                    (x["tp"] == F.lit(s))
+                    & prev_ok
+                    & (x["us"] < a[f"t{i + 1}"]),
+                    x["us"],
+                )
+                .otherwise(a[f"t{i + 1}"])
+                .alias(f"t{i + 1}")
+            )
+        return F.struct(*fields)
+
+    folded = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(ts_col.alias("us"), F.col(type_col).alias("tp"))
+            )
+        ),
+        zero,
+        step,
+    )
+    return df.groupBy(user_col).agg(folded.alias("f"))

@@ -712,7 +712,7 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
 # q141 — ordered conversion funnel (one-shuffle state-machine fold)
 # ---------------------------------------------------------------------------
 
-_FUNNEL_INF = 4_000_000_000_000_000_000  # bigint "not reached" sentinel
+from ..operators.relational import FUNNEL_INF as _FUNNEL_INF
 
 
 @query(
@@ -754,44 +754,19 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     aggregations + 3 joins): at 100 TB the fold touches each event once
     and per-user state is 3 longs; per-user event lists are bounded by
     the same skew argument as q132's sessions. Timestamps compare as
-    NTZ-safe integer micros (q132's anchor trick)."""
+    NTZ-safe integer micros (q132's anchor trick). Implementation:
+    operators/relational.py::funnel_times (shared with the scale
+    probe)."""
+    from ..operators.relational import funnel_times
+
     e = table(spark, sf, "events")
     us = F.expr(
         "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
     )
     inf = F.lit(_FUNNEL_INF)
-    zero = F.struct(inf.alias("t1"), inf.alias("t2"), inf.alias("t3"))
-    folded = F.aggregate(
-        F.sort_array(
-            F.collect_list(F.struct(us.alias("us"), F.col("event_type")))
-        ),
-        zero,
-        lambda a, x: F.struct(
-            F.when(
-                (x["event_type"] == F.lit("view")) & (x["us"] < a["t1"]),
-                x["us"],
-            )
-            .otherwise(a["t1"])
-            .alias("t1"),
-            F.when(
-                (x["event_type"] == F.lit("click"))
-                & (a["t1"] < x["us"])
-                & (x["us"] < a["t2"]),
-                x["us"],
-            )
-            .otherwise(a["t2"])
-            .alias("t2"),
-            F.when(
-                (x["event_type"] == F.lit("purchase"))
-                & (a["t2"] < x["us"])
-                & (x["us"] < a["t3"]),
-                x["us"],
-            )
-            .otherwise(a["t3"])
-            .alias("t3"),
-        ),
+    g = funnel_times(
+        e, "user_id", us, "event_type", ["view", "click", "purchase"]
     )
-    g = e.groupBy("user_id").agg(folded.alias("f"))
     t1, t2, t3 = F.col("f.t1"), F.col("f.t2"), F.col("f.t3")
     reached = (
         F.when(t3 < inf, 3)
@@ -1225,6 +1200,103 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("bucket", "n_docs", "n_tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_event_transitions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    x AS (SELECT event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS nxt
+          FROM e),
+    c AS (SELECT cur, nxt, COUNT(*) AS c FROM x
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT cur, SUM(c) AS tot FROM c GROUP BY 1)
+    SELECT c.cur, c.nxt, CAST(c.c AS BIGINT) AS n,
+           ROUND(c.c * 1.0 / t.tot, 6) AS p
+    FROM c JOIN t ON t.cur = c.cur
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next type | current type) — the session-model / anomalous-flow
+    baseline (a spike in error->error or signup->purchase shifts the
+    row distribution before any single count alarms). Plan: ONE
+    user_id shuffle for the lead window (same sort as q132's sessions),
+    map-side-combined pair counts, and the row-normalization join runs
+    types x types (25 rows). Probabilities ROUND(6) from exact integer
+    ratios, so cross-engine equality is exact."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    x = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = x.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("cur").agg(F.sum("c").alias("tot"))
+    return c.join(F.broadcast(t), "cur").select(
+        "cur",
+        "nxt",
+        F.col("c").alias("n"),
+        F.round(F.col("c") * 1.0 / F.col("tot"), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — per-source embedding centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_source_centroids",
+    oracle="""
+    SELECT d.source, CAST(g.i - 1 AS INT) AS dim,
+           ROUND(AVG(e.embedding[g.i]), 6) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id,
+         UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "embedding", "analytics"),
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source embedding centroids (mean vector by provenance) — the
+    drift monitor a multi-source ingest runs per snapshot: a source
+    whose centroid moves is changing content distribution even when its
+    volume is flat (cheap input to q126's k-means domain view). Plan:
+    the id join picks up source (equi-join, AQE broadcasts the smaller
+    side), then posexplode to (source, dim, value) with MAP-SIDE
+    combine — partial averages reduce each partition to sources x 64
+    rows before the exchange, so the shuffle moves group-sized
+    partials, never the corpus; output is sources x dims. The fold
+    alternative (collect_list + zip_with) holds whole per-source vector
+    lists per task; the explode+partial-agg form is the one that scales
+    to billions of vectors."""
+    e = table(spark, sf, "embeddings")
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    j = e.join(d, e.vec_id == d.doc_id).select(
+        "source", F.posexplode("embedding").alias("dim", "x")
+    )
+    return j.groupBy("source", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("source", F.col("dim").cast("int").alias("dim"), "mu", "n")
 
 
 # ---------------------------------------------------------------------------

@@ -92,3 +92,36 @@ def test_reconcile_idempotent_second_run(spark):
     remote_after = source
     _, deletes = reconcile_snapshot(source, remote_after, "nk")
     assert deletes.count() == 0
+
+
+def test_funnel_times_ordered_semantics(spark):
+    """funnel_times: step i counts only after step i-1's earliest
+    qualifying time; out-of-order completions never count."""
+    from pyspark.sql import functions as F
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.relational import (
+        FUNNEL_INF,
+        funnel_times,
+    )
+
+    rows = [
+        # user 1: clean order  v@10 c@20 p@30
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: purchase BEFORE the click -> step 3 never completes
+        (2, 10, "view"), (2, 30, "click"), (2, 20, "purchase"),
+        # user 3: click before any view -> only the later click counts
+        (3, 5, "click"), (3, 10, "view"), (3, 40, "click"),
+        # user 4: nothing qualifying
+        (4, 10, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, tp string")
+    out = {
+        r.user_id: (r.f.t1, r.f.t2, r.f.t3)
+        for r in funnel_times(
+            df, "user_id", F.col("us"), "tp", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1] == (10, 20, 30)
+    assert out[2] == (10, 30, FUNNEL_INF)
+    assert out[3] == (10, 40, FUNNEL_INF)
+    assert out[4] == (FUNNEL_INF, FUNNEL_INF, FUNNEL_INF)

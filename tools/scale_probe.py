@@ -228,6 +228,43 @@ def main() -> None:
     spark.range(0, par * 4, 1, par).mapInPandas(lambda it: it, "id long").count()
     nb_docs, nb_events = docs_big.count(), events_big.count()
 
+    def _funnel_count(e):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.relational import (
+            funnel_times,
+        )
+
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        return funnel_times(
+            e, "user_id", us, "event_type", ["view", "click", "purchase"]
+        ).count()
+
+    def _matvec_count(e):
+        # synthetic user->item bipartite edges; ONE damped power-iteration
+        # round (deg + rank join + groupBy dst) — the q142 shape
+        edges = e.select(
+            (F.col("user_id") * 2).alias("src"),
+            (F.pmod(F.col("event_id"), F.lit(5000)) * 2 + 1).alias("dst"),
+        ).distinct()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        p = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+        return (
+            edges.join(F.broadcast(p), edges.src == p.node)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("pr"))
+            .count()
+        )
+
+    def _exact_p90(e):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.quantiles import (
+            exact_quantiles_via_summary,
+        )
+
+        return exact_quantiles_via_summary(e, "value", [0.9], eps=0.01)[0.9]
+
     probes = {
         "ngram_jaccard": (
             lambda d: ngram_jaccard_pairs(d, k=5, threshold=0.8).count(),
@@ -344,6 +381,21 @@ def main() -> None:
             ).collect()[0][0],
             docs,
             docs_big,
+        ),
+        "funnel_fold": (  # one user_id shuffle + JVM state-machine fold
+            lambda e: _funnel_count(e),
+            events,
+            events_big,
+        ),
+        "pagerank_matvec": (  # join-agg sparse matvec, one iteration
+            lambda e: _matvec_count(e),
+            events,
+            events_big,
+        ),
+        "exact_quantile": (  # summary prune + bounded TakeOrdered refine
+            lambda e: _exact_p90(e),
+            events,
+            events_big,
         ),
     }
     for name, (fn, base, big) in probes.items():
