@@ -222,3 +222,70 @@ def dup_clusters(
     return cc.withColumn(
         "keep", (F.col("node") == F.col("cluster")).cast("int")
     )
+
+
+def orient_edges(und: DataFrame) -> DataFrame:
+    """Orient an undirected, deduplicated edge list (u, v) from the
+    lower-(degree, id) endpoint to the higher: output (s, t).
+
+    This is THE skew guard for wedge-generating algorithms
+    (Suri-Vassilvitskii, WWW'11): after orientation every node's
+    out-degree is O(sqrt(m)) no matter how skewed the raw degrees are,
+    so wedge work is bounded by O(m^1.5) total and a celebrity node of
+    degree 10^6 generates no wedges unless both neighbors have even
+    higher degree. The degree table is node-sized and broadcast under
+    the broadcast_if_small guard (falls back to a shuffle join if the
+    node set is corpus-scale)."""
+    from ..queries import broadcast_if_small
+
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = broadcast_if_small(deg.persist())
+    low_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        und.join(da.alias("da"), F.col("u") == F.col("da.node"))
+        .join(da.alias("db"), F.col("v") == F.col("db.node"))
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+
+
+def triangle_count(und: DataFrame) -> DataFrame:
+    """Global triangle count of an undirected graph given as a
+    deduplicated (u, v) edge DataFrame (one row per edge, u != v;
+    orientation of the input rows is irrelevant — edges are
+    canonicalized here). Returns one row (n_edges, n_tri).
+
+    Plan: canonicalize + distinct, orient by (degree, id) via
+    orient_edges, self-join oriented edges on their source to form each
+    wedge exactly once at its lowest-(degree, id) apex, then close
+    wedges against the oriented edge set with an (s, t)-keyed hash
+    join. Every triangle is counted exactly once (its apex is unique).
+    The caller should persist `und` if it is expensive to recompute —
+    the edge set feeds the degree pass, the wedge join, and the closing
+    join."""
+    canon = und.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    # the oriented set feeds three plan branches (both wedge sides and
+    # the closing join); persist so orientation runs once
+    ori = orient_edges(canon).persist()
+    e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.s") == F.col("e1.s")) & (F.col("e1.t") < F.col("e2.t")),
+    ).select(F.col("e1.t").alias("w1"), F.col("e2.t").alias("w2"))
+    tri = wedges.join(
+        e3, (F.col("e3.s") == F.col("w1")) & (F.col("e3.t") == F.col("w2"))
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    return n_edges.crossJoin(n_tri)

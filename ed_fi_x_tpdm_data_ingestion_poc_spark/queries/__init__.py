@@ -128,5 +128,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import sketch_q  # noqa: F401
     from . import scoring_q  # noqa: F401
     from . import analysis_q  # noqa: F401
+    from . import er_q  # noqa: F401
 
     return dict(QUERIES)
