@@ -398,3 +398,105 @@ def cms_merge(a: dict, b: dict) -> dict:
         for ta, tb in zip(a["tables"], b["tables"])
     ]
     return {"tables": tables, "d": a["d"], "w": a["w"], "n": a["n"] + b["n"]}
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving heavy-hitter summary
+
+
+def _mg_compress(counts: dict, k: int) -> tuple[dict, int]:
+    """Reduce a {item: count} map to at most k counters by subtracting
+    the (k+1)-th largest count from every counter and dropping the
+    non-positives (the Misra-Gries decrement, applied in bulk). Returns
+    (compressed, subtracted). Every surviving estimate drops by at most
+    `subtracted`, and because k+1 items each held >= subtracted
+    occurrences, subtracted <= n/(k+1)."""
+    if len(counts) <= k:
+        return dict(counts), 0
+    cut = sorted(counts.values(), reverse=True)[k]
+    return {i: c - cut for i, c in counts.items() if c > cut}, cut
+
+
+def mg_build(df: DataFrame, col: str, k: int = 256) -> dict:
+    """One distributed pass -> {"counters": {item: est}, "n": total
+    non-null rows, "err": worst-case undercount}. The Misra-Gries
+    guarantee (Misra & Gries 1982; merge rule per Agarwal et al. 2013,
+    "Mergeable Summaries"): for EVERY item, est <= true and
+    true - est <= err — so every item with true > err is guaranteed
+    present (no false negatives among the real heavy hitters), and err
+    <= 2n/(k+1) by construction (<= n/(k+1) from the per-batch cuts
+    plus <= n/(k+1) from the final driver compress).
+
+    Each Arrow batch counts ITS OWN rows exactly (a batch is bounded)
+    and compresses to k counters; the driver sums the per-batch
+    summaries pointwise — absent items are exact zeros within that
+    batch's cut — and compresses once more. Driver holds
+    n_batches * k counter rows, never the corpus. Same artifact
+    contract as the CMS/KMV/HLL sketches: shards build independently,
+    mg_merge combines."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            s = pdf[col].dropna().astype(str)
+            n = len(s)
+            if not n:
+                continue
+            vc = s.value_counts()
+            comp, cut = _mg_compress(
+                {i: int(c) for i, c in vc.items()}, k
+            )
+            # one NULL-item bookkeeping row per batch carries (cut, nb)
+            # even when the compress empties the counter set (possible
+            # when the k+1 largest batch counts are all equal)
+            items = list(comp) + [None]
+            out = pd.DataFrame(
+                {
+                    "item": items,
+                    "c": [comp[i] for i in comp] + [0],
+                    "cut": [0] * len(comp) + [cut],
+                    "nb": [0] * len(comp) + [n],
+                }
+            )
+            yield out
+
+    rows = (
+        df.select(F.col(col).cast("string").alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "item string, c long, cut long, nb long")
+        .collect()
+    )
+    merged: dict[str, int] = {}
+    err = 0
+    n = 0
+    for r in rows:
+        if r.item is not None:
+            merged[r.item] = merged.get(r.item, 0) + r.c
+        err += r.cut
+        n += r.nb
+    counters, cut = _mg_compress(merged, k)
+    return {"counters": counters, "n": n, "err": err + cut, "k": k}
+
+
+def mg_merge(a: dict, b: dict) -> dict:
+    """Combine two summaries built over DISJOINT row sets: pointwise
+    counter add (an item absent from one side is an exact zero within
+    that side's err), then one compress back to k. Errors add, plus the
+    compress cut — the mergeable-summary contract (Agarwal et al.
+    2013), which CMS/KMV/HLL here share and Spark's own approx
+    count-min/GK state does not expose."""
+    if a["k"] != b["k"]:
+        raise ValueError(f"mg_merge needs identical k: {a['k']} vs {b['k']}")
+    merged = dict(a["counters"])
+    for i, c in b["counters"].items():
+        merged[i] = merged.get(i, 0) + c
+    counters, cut = _mg_compress(merged, a["k"])
+    return {
+        "counters": counters,
+        "n": a["n"] + b["n"],
+        "err": a["err"] + b["err"] + cut,
+        "k": a["k"],
+    }

@@ -225,3 +225,64 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     return triangle_count(_copurchase_und(spark, sf))
+
+
+# ---------------------------------------------------------------------------
+# q152 — cross-source near-duplicate contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def _q152_oracle() -> str:
+    from .llm import _PAIRS_WITH
+
+    return f"""
+    WITH {_PAIRS_WITH}
+    SELECT LEAST(da.source, db.source) AS src_a,
+           GREATEST(da.source, db.source) AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.ida
+    JOIN documents db ON db.doc_id = p.idb
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "q152_dup_source_matrix",
+    oracle=_q152_oracle(),
+    tags=("llm", "dedup", "analytics"),
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: for every
+    unordered source pair, how many exact 5-gram-Jaccard >= 0.8
+    near-dup pairs straddle it (diagonal = within-source redundancy,
+    off-diagonal = mirror/scrape overlap BETWEEN feeds — the number
+    that tells a curation team which acquisition is paying for content
+    it already has).
+
+    Scale shape: reuses the memoized exact-pair artifact (inverted
+    shingle-index join, operators/dedup.py — never all-pairs); the
+    doc_id -> source attribution is two equi-joins against a projected
+    two-column side (AQE broadcasts it at dimension scale); the final
+    aggregate is sources^2-sized with map-side combine. No new corpus
+    scan: pairs are built once per session and every dedup-family
+    query shares them."""
+    from .llm import _exact_pairs
+
+    src = table(spark, sf, "documents").select("doc_id", "source")
+    p = _exact_pairs(spark, sf).select("ida", "idb")
+    a = src.select(
+        F.col("doc_id").alias("ida"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("idb"), F.col("source").alias("sb")
+    )
+    return (
+        p.join(a, "ida")
+        .join(b, "idb")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

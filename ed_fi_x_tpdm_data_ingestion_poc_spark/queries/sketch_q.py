@@ -508,3 +508,105 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, merge_ok and est_ok and inter_ok and exact_ok)
+
+
+# ---------------------------------------------------------------------------
+# q151 — Misra-Gries heavy hitters: the no-false-negative law
+# ---------------------------------------------------------------------------
+
+_MG: dict[tuple, bool] = {}
+_MG_K = 128
+
+
+@query(
+    "q151_mg_heavy_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("sketch", "heavy-hitters", "law"),
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Laws of the Misra-Gries heavy-hitter summary
+    (operators/sketches.py::mg_build/mg_merge) over the document token
+    stream, verified distributed (the exact count table stays a
+    persisted DataFrame; the driver only ever holds k counters):
+
+    * accounting — summary n == exact non-null token count;
+    * error budget — err <= 2n/(k+1) (per-batch cuts + final compress);
+    * COVERAGE (the law that makes MG useful) — every token whose true
+      count exceeds err appears in the counters: the candidate set is a
+      guaranteed superset of the real heavy hitters;
+    * estimate bounds — for every reported item, est <= true and
+      true - est <= err (MG only ever undercounts);
+    * merge — summaries built over a disjoint 2-way hash split of the
+      same rows, combined with mg_merge, satisfy the SAME coverage and
+      bound laws with the (larger) merged err, and n adds exactly.
+
+    The check joins the k-row counter table (broadcast) against the
+    exact counts — the corpus is scanned once per summary build
+    (map-only mapInPandas) and once for the exact side; production
+    keeps only the first."""
+    from ..operators.sketches import mg_build, mg_merge
+
+    # laws verify the CONSTRUCTION, so they hold on any row set; a
+    # deterministic eighth-sample of documents keeps the artifact's
+    # build (3 summary passes + the exact side) at ~1/8 the corpus cost
+    # without weakening any check (the q133 quantile-laws precedent)
+    d = table(spark, sf, "documents").where(
+        F.pmod(F.col("doc_id"), F.lit(8)) == 0
+    )
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def _laws() -> bool:
+        k = _MG_K
+        s = mg_build(toks, "tok", k=k)
+        exact = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        n = exact.agg(F.sum("cnt")).first()[0]
+
+        def check(summary: dict) -> bool:
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    list(summary["counters"].items()), "item string, est long"
+                )
+            )
+            j = exact.join(
+                cdf, exact["tok"] == cdf["item"], "left"
+            ).persist()
+            err = summary["err"]
+            missed_heavy = j.where(
+                (F.col("cnt") > err) & F.col("item").isNull()
+            ).count()
+            bound_viol = j.where(
+                F.col("item").isNotNull()
+                & (
+                    (F.col("est") > F.col("cnt"))
+                    | (F.col("cnt") - F.col("est") > err)
+                )
+            ).count()
+            j.unpersist()
+            return (
+                summary["n"] == n
+                and 0 <= err <= 2 * n / (k + 1)
+                and missed_heavy == 0
+                and bound_viol == 0
+            )
+
+        ok = check(s)
+        # disjoint row split on the token hash: shards build
+        # independently, mg_merge combines — the nightly-shard contract
+        half = F.pmod(F.xxhash64("tok"), F.lit(2))
+        s0 = mg_build(toks.where(half == 0), "tok", k=k)
+        s1 = mg_build(toks.where(half == 1), "tok", k=k)
+        m = mg_merge(s0, s1)
+        ok = ok and m["n"] == n and check(m)
+        exact.unpersist()
+        return bool(ok)
+
+    ok = memo(_MG, ("mg_laws", id(spark), sf), _laws, label="mg_laws")
+    from . import ok_flag
+
+    return ok_flag(spark, ok)

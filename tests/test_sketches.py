@@ -384,3 +384,103 @@ def test_kmv_intersect_small_overlap_of_large_sets(spark):
     b = kmv_build(_kmv_df(spark, range(19_000, 39_000)), "v", k=2048)
     est = kmv_intersect_estimate(a, b)
     assert abs(est - 1000) / 1000 < 0.35
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+
+def _mg_df(spark, items):
+    return spark.createDataFrame([(str(i),) for i in items], "v string")
+
+
+def test_mg_compress_subtracts_k_plus_first():
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        _mg_compress,
+    )
+
+    comp, cut = _mg_compress({"a": 10, "b": 7, "c": 3, "d": 3}, 2)
+    assert cut == 3
+    assert comp == {"a": 7, "b": 4}
+    # already within budget: untouched
+    comp, cut = _mg_compress({"a": 5, "b": 1}, 2)
+    assert (comp, cut) == ({"a": 5, "b": 1}, 0)
+
+
+def test_mg_build_exact_when_vocab_fits(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        mg_build,
+    )
+
+    s = mg_build(_mg_df(spark, ["x"] * 6 + ["y"] * 3 + ["z"]), "v", k=8)
+    assert s["n"] == 10
+    assert s["err"] == 0
+    assert s["counters"] == {"x": 6, "y": 3, "z": 1}
+
+
+def test_mg_laws_on_skewed_stream(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        mg_build,
+    )
+
+    # 500 'hot' + 100 each of 20 others + 300 singletons, k=4
+    items = (["hot"] * 500
+             + [f"w{i}" for i in range(20) for _ in range(100)]
+             + [f"s{i}" for i in range(300)])
+    true = {"hot": 500, **{f"w{i}": 100 for i in range(20)},
+            **{f"s{i}": 1 for i in range(300)}}
+    s = mg_build(_mg_df(spark, items), "v", k=4)
+    n = len(items)
+    assert s["n"] == n
+    assert 0 <= s["err"] <= 2 * n / 5
+    for item, est in s["counters"].items():
+        assert est <= true[item]
+        assert true[item] - est <= s["err"]
+    for item, cnt in true.items():
+        if cnt > s["err"]:
+            assert item in s["counters"]
+
+
+def test_mg_merge_disjoint_shards(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        mg_build,
+        mg_merge,
+    )
+
+    a_items = ["a"] * 50 + [f"x{i}" for i in range(40)]
+    b_items = ["a"] * 30 + ["b"] * 45 + [f"y{i}" for i in range(40)]
+    a = mg_build(_mg_df(spark, a_items), "v", k=4)
+    b = mg_build(_mg_df(spark, b_items), "v", k=4)
+    m = mg_merge(a, b)
+    n = len(a_items) + len(b_items)
+    assert m["n"] == n
+    true = {"a": 80, "b": 45}
+    for item, est in m["counters"].items():
+        t = true.get(item, 1)
+        assert est <= t and t - est <= m["err"]
+    for item, cnt in true.items():
+        if cnt > m["err"]:
+            assert item in m["counters"]
+
+
+def test_mg_validation():
+    import pytest
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        mg_merge,
+    )
+
+    with pytest.raises(ValueError, match="identical k"):
+        mg_merge({"counters": {}, "n": 0, "err": 0, "k": 4},
+                 {"counters": {}, "n": 0, "err": 0, "k": 8})
+
+
+def test_mg_build_rejects_bad_k(spark):
+    import pytest
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        mg_build,
+    )
+
+    with pytest.raises(ValueError, match="k must be"):
+        mg_build(_mg_df(spark, ["a"]), "v", k=0)
