@@ -481,7 +481,7 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q101_nightly_rollup",
+    "qz101_nightly_rollup",
     oracle=f"""
     WITH s AS (SELECT *, {_SHARD16_SQL} AS shard
                FROM documents)
@@ -700,7 +700,7 @@ def _q100_oracle() -> str:
 
 
 @query(
-    "q100_curation_e2e",
+    "qz100_curation_e2e",
     oracle=_q100_oracle(),
     tags=("llm", "curation", "dedup", "pipeline"),
 )
@@ -798,7 +798,7 @@ _URL_SQL = """
 
 
 @query(
-    "q106_url_canonical",
+    "qz106_url_canonical",
     oracle=f"""
     WITH raw AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
@@ -887,7 +887,7 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q108_weighted_reservoir",
+    "qz108_weighted_reservoir",
     oracle=f"""
     WITH t AS (SELECT doc_id, n_chars,
                       ROUND(LN((({_mul_hash32_sql("doc_id + 9")})
@@ -916,7 +916,7 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q109_substring_dedup",
+    "qz109_substring_dedup",
     oracle="""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
@@ -1043,7 +1043,7 @@ def _html_wrap_expr():
 
 
 @query(
-    "q110_html_extract",
+    "qz110_html_extract",
     oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents

@@ -336,7 +336,7 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q102_pq_ann_ok",
+    "qz102_pq_ann_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -385,7 +385,7 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q103_ivfpq_ann_ok",
+    "qz103_ivfpq_ann_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )

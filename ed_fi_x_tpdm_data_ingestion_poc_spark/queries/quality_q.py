@@ -389,7 +389,7 @@ _DHASH_IMGS: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "q104_image_dhash_ok",
+    "qz104_image_dhash_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "multimodal", "dedup", "sketch"),
 )

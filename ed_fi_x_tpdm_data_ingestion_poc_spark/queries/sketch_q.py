@@ -309,7 +309,7 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q105_hll_intersect_ok",
+    "qz105_hll_intersect_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -363,7 +363,7 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q107_cms_freq_ok",
+    "qz107_cms_freq_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch", "llm", "text"),
 )

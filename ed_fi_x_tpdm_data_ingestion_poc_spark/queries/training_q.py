@@ -493,7 +493,7 @@ def _bpe_merges():
 
 
 @query(
-    "q111_bpe_encode_ok",
+    "qz111_bpe_encode_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "text", "tokenize"),
 )

@@ -297,7 +297,7 @@ def test_substring_dedup_no_cartesian_no_row_python(spark, sf_dir):
     """q109: candidate generation must be an equi-join on the fingerprint
     (never a cartesian/NLJ pair enumeration), verification scoped by
     joins, winnow index Arrow-batched, zero row-Python."""
-    f = audit(_build(spark, sf_dir, "q109_substring_dedup"))
+    f = audit(_build(spark, sf_dir, "qz109_substring_dedup"))
     assert f.cartesian_products == 0 and f.nested_loop_joins == 0
     assert f.python_evals == 0
     assert f.arrow_evals >= 1  # the winnow fingerprint index
@@ -308,7 +308,7 @@ def test_html_extract_map_only_plus_digest_window(spark, sf_dir):
     """q110: the strip chain is pure JVM projection; the only shuffle is
     the cleaned-digest window (plus the union's partitioning) — no joins,
     no Python."""
-    f = audit(_build(spark, sf_dir, "q110_html_extract"))
+    f = audit(_build(spark, sf_dir, "qz110_html_extract"))
     assert f.joins == 0
     assert f.python_evals == 0 and f.arrow_evals == 0
 

@@ -34,16 +34,16 @@ def test_rotation_single_pass_no_cascade_no_prefix_bleed(tmp_path, monkeypatch):
     f = tmp_path / "sample.py"
     f.write_text(
         "a = q10_join_chain\n"
-        "b = q101_nightly_rollup\n"   # q10... prefix of a different name
+        "b = qz101_nightly_rollup\n"   # q10... prefix of a different name
         "c = qz102_pq_ann_ok\n"
     )
     monkeypatch.setattr(rotate_names, "REPO", str(tmp_path))
     rotate_names.apply(
         {"q10_join_chain": "qz10_join_chain",
-         "qz102_pq_ann_ok": "q102_pq_ann_ok"}
+         "qz102_pq_ann_ok": "qz102_pq_ann_ok"}
     )
     out = f.read_text()
     assert "qz10_join_chain" in out
-    assert "q101_nightly_rollup" in out      # untouched despite q10 prefix
-    assert "q102_pq_ann_ok" in out
+    assert "qz101_nightly_rollup" in out      # untouched despite q10 prefix
+    assert "qz102_pq_ann_ok" in out
     assert "qz102" not in out
