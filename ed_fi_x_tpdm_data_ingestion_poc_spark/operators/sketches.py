@@ -400,6 +400,35 @@ def cms_merge(a: dict, b: dict) -> dict:
     return {"tables": tables, "d": a["d"], "w": a["w"], "n": a["n"] + b["n"]}
 
 
+def cms_inner_product(a: dict, b: dict) -> int:
+    """Join-size / inner-product estimate from two count-min sketches
+    built with identical (d, w) over the two join columns:
+    min over depths of sum_j a[i][j] * b[i][j] (the AMS-style
+    estimator specialised to CMS, Cormode & Muthukrishnan 2005 §4.2).
+
+    Estimates sum_v f_a(v) * f_b(v) — the row count of the equi-join
+    A.key = B.key — without touching either table again. Never
+    underestimates (every colliding pair only ADDS to a cell product);
+    overestimates by at most e * n_a * n_b / w with probability
+    1 - (1/e)^d. With a == b this is the self-join size / second
+    frequency moment F2, the skew statistic that decides whether a key
+    needs salting BEFORE the shuffle runs.
+
+    This is the planning use of the sketches: both sides' summaries are
+    d*w longs built in one map-side-combined pass each (cms_build), so
+    a 100 TB optimizer can estimate every candidate join's output
+    cardinality from 64 KiB per table."""
+    if (a["d"], a["w"]) != (b["d"], b["w"]):
+        raise ValueError(
+            f"cms_inner_product needs identical (d,w): "
+            f"{(a['d'], a['w'])} vs {(b['d'], b['w'])}"
+        )
+    return min(
+        sum(x * y for x, y in zip(ta, tb))
+        for ta, tb in zip(a["tables"], b["tables"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries / SpaceSaving heavy-hitter summary
 

@@ -610,3 +610,77 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, ok)
+
+
+# ---------------------------------------------------------------------------
+# q153 — CMS inner product: sketch-estimated join cardinality
+# ---------------------------------------------------------------------------
+
+_CMS_JS: dict[tuple, bool] = {}
+
+
+@query(
+    "q153_cms_join_size_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("sketch", "join", "law"),
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Laws of CMS join-cardinality estimation
+    (operators/sketches.py::cms_inner_product) — estimating equi-join
+    output sizes from 64 KiB summaries instead of running the join:
+
+    * never-underestimates — est >= true for both the orders x customer
+      cross inner product and the events.user_id self-join size (F2):
+      colliding keys only ever ADD to a cell product;
+    * additive bound — est - true <= e * n_a * n_b / w, the Cormode-
+      Muthukrishnan guarantee, checked deterministically (xxhash64
+      seeds are fixed, so the estimate is a pure function of the data);
+    * merge-transparency — sketches built over a disjoint 2-way split
+      of orders and cms_merge'd give the IDENTICAL estimate to the
+      single-pass build (cells are sums; hashing is deterministic);
+    * self-join symmetry — cms_inner_product(a, a) with a == the
+      events sketch bounds the skew statistic F2 the same way, the
+      input a shuffle planner needs BEFORE choosing salting.
+
+    True values are computed distributed (one groupBy each); the driver
+    compares five longs."""
+    import math
+
+    from ..operators.sketches import cms_build, cms_inner_product, cms_merge
+
+    def _laws() -> bool:
+        orders = table(spark, sf, "orders")
+        cust = table(spark, sf, "customer")
+        ev = table(spark, sf, "events")
+
+        a = cms_build(orders, "o_custkey")
+        b = cms_build(cust, "c_custkey")
+        est = cms_inner_product(a, b)
+        true = orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        ).count()
+        bound = math.e * a["n"] * b["n"] / a["w"]
+        ok = true <= est <= true + bound
+
+        # merge-transparency: disjoint halves of orders, cell-sum merge
+        half = F.pmod(F.col("o_orderkey"), F.lit(2))
+        a0 = cms_build(orders.where(half == 0), "o_custkey")
+        a1 = cms_build(orders.where(half == 1), "o_custkey")
+        ok = ok and cms_inner_product(cms_merge(a0, a1), b) == est
+
+        # self-join size (F2) on the event stream's user key
+        e_sk = cms_build(ev, "user_id")
+        f2_est = cms_inner_product(e_sk, e_sk)
+        f2 = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+            .first()["f2"]
+        )
+        f2_bound = math.e * e_sk["n"] * e_sk["n"] / e_sk["w"]
+        return ok and f2 <= f2_est <= f2 + f2_bound
+
+    ok = memo(_CMS_JS, ("cms_js", id(spark), sf), _laws, label="cms_join_size")
+    from . import ok_flag
+
+    return ok_flag(spark, ok)

@@ -558,3 +558,59 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         and agg["n"] > 0
         and agg["n_words"] < agg["total_bpe"] < agg["n_chars"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — size-balanced serpentine shard export plan
+# ---------------------------------------------------------------------------
+
+_SHARDS = 8
+
+
+@query(
+    "q154_balanced_shards",
+    oracle=f"""
+    WITH r AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS i
+        FROM documents
+    )
+    SELECT CAST(CASE WHEN (i // {_SHARDS}) % 2 = 0 THEN i % {_SHARDS}
+                     ELSE {_SHARDS - 1} - (i % {_SHARDS}) END AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM r
+    GROUP BY 1
+    """,
+    tags=("training", "sharding", "scale"),
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """Size-balanced training-shard assignment: rank documents by size
+    descending and deal them to shards serpentine (LPT-flavoured
+    round-robin), so every shard's byte total lands within one document
+    of every other's — the export planner that keeps 1000 writers
+    finishing together instead of one straggling on the fat tail.
+
+    Scale shape: the rank comes from operators/ranking.py::global_ranks
+    — range exchange + per-partition Arrow numbering + a P-row driver
+    prefix sum — NOT a single-partition row_number window (the oracle's
+    form, fine for DuckDB, is the exact plan a 100 TB Spark job must
+    avoid). The shard map is then pure JVM arithmetic on the rank and
+    the final aggregate is S rows with map-side combine. The corpus
+    rides one range shuffle, projected to (doc_id, n_chars) first."""
+    from ..operators.ranking import global_ranks, serpentine_shards
+
+    d = table(spark, sf, "documents").select("doc_id", "n_chars")
+    r = global_ranks(
+        d,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        num_partitions=32,
+    )
+    return (
+        r.select(serpentine_shards(F.col("rank"), _SHARDS), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -484,3 +484,48 @@ def test_mg_build_rejects_bad_k(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         mg_build(_mg_df(spark, ["a"]), "v", k=0)
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product (join-size estimation)
+
+
+def test_cms_inner_product_laws(spark):
+    import math
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+        cms_merge,
+    )
+
+    a_df = spark.createDataFrame(
+        [(i % 10,) for i in range(300)], "k int"
+    )
+    b_df = spark.createDataFrame(
+        [(i % 25,) for i in range(200)], "k int"
+    )
+    a = cms_build(a_df, "k", d=4, w=512)
+    b = cms_build(b_df, "k", d=4, w=512)
+    # true inner product: keys 0..9 appear 30x in a, 8x in b
+    true = 10 * 30 * 8
+    est = cms_inner_product(a, b)
+    assert true <= est <= true + math.e * a["n"] * b["n"] / a["w"]
+    # merge-transparency: cell sums commute with the product
+    h0 = spark.createDataFrame([(i % 10,) for i in range(0, 300, 2)], "k int")
+    h1 = spark.createDataFrame([(i % 10,) for i in range(1, 300, 2)], "k int")
+    m = cms_merge(cms_build(h0, "k", d=4, w=512), cms_build(h1, "k", d=4, w=512))
+    assert cms_inner_product(m, b) == est
+
+
+def test_cms_inner_product_rejects_shape_mismatch():
+    import pytest
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
+        cms_inner_product,
+    )
+
+    a = {"tables": [[0] * 4], "d": 1, "w": 4, "n": 0}
+    b = {"tables": [[0] * 8], "d": 1, "w": 8, "n": 0}
+    with pytest.raises(ValueError, match="identical"):
+        cms_inner_product(a, b)
