@@ -1377,3 +1377,65 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         .filter(_uniform01("doc_id", salt=6101) < F.col("rate"))
         .select("doc_id", "source", "rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — per-source n-gram diversity (type-token ratios)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_ngram_diversity",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (SELECT source,
+                      unnest(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]
+                                  || ' ' || toks[i + 2])) AS tri
+               FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(COUNT(DISTINCT tri) AS BIGINT) AS d_tri,
+           ROUND(CAST(COUNT(DISTINCT tri) AS DOUBLE) / COUNT(*), 6)
+             AS ttr
+    FROM g
+    GROUP BY source
+    """,
+    tags=("llm", "text", "analytics"),
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source trigram type-token ratio — the corpus-diversity gauge
+    (low TTR = templated/boilerplate-heavy or self-repeating source;
+    the aggregate-level cousin of q56's within-doc repetition gates and
+    the signal synthetic-data pipelines watch for mode collapse).
+
+    Scale shape: trigrams come from zipping three shifted slices (pure
+    JVM, O(n) per doc — the q82/_bigram_pairs lesson); the explode
+    feeds a (source, trigram) aggregate with map-side combine, so the
+    shuffle carries one row per distinct trigram per partition, never
+    per occurrence, and the final per-source reduce is |sources| rows.
+    count_distinct over the pre-grouped table is exact — no global
+    all-occurrence shuffle."""
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, m),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    g = (
+        d.select("source", F.explode(tri).alias("tri"))
+        .groupBy("source", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").alias("n_tri"),
+        F.count(F.lit(1)).alias("d_tri"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+    )

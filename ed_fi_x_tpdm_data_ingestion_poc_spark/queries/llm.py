@@ -822,3 +822,107 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         and cov["n"] == n_vec
         and cov["n_keep"] == cov["n_clusters"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — semantic decontamination (embedding cosine vs held-out eval set)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.40
+
+
+@query(
+    "q157_semantic_decontam",
+    oracle=_NORM_SQL
+    + f"""
+       , e AS (SELECT vec_id AS eid, nv AS ev FROM n WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, nv FROM n WHERE vec_id % 50 <> 0),
+         s AS (SELECT c.vec_id, e.eid,
+                      ROUND(list_dot_product(c.nv, e.ev), 6) AS cos
+               FROM c, e),
+         r AS (SELECT vec_id, eid, cos,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, eid) AS rk
+               FROM s)
+    SELECT vec_id, CAST(eid AS BIGINT) AS eval_id, cos AS cosine
+    FROM r WHERE rk = 1 AND cos >= {_SEM_TAU}
+    """,
+    tags=("llm", "similarity", "embedding", "decontamination"),
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    cosine against ANY held-out eval vector (vec_id % 50 == 0, the
+    benchmark split) reaches tau — the embedding-space complement of
+    q131's exact 8-gram decontamination, catching paraphrased or
+    reformatted leakage that shares no surface n-grams (Yang 2023
+    "rephrased samples" contamination).
+
+    Scale shape: the eval side is benchmark-sized, so it is collected
+    once (memoized artifact) and broadcast as a dense normalized
+    float64 matrix; the CORPUS side is one map-only Arrow pass — each
+    batch GEMMs against the eval matrix and emits only candidates
+    within 2e-6 of its row max (the band that provably contains the
+    rounded argmax), a few rows per contaminated vector, never
+    corpus x eval. Exact HALF_UP rounding and the (cosine desc, eid)
+    tie-break are re-applied JVM-side, the q50e lesson. No corpus
+    shuffle; the final per-vec_id window runs over band survivors
+    only."""
+    import numpy as np
+
+    e = table(spark, sf, "embeddings")
+    is_eval = F.pmod(F.col("vec_id"), F.lit(50)) == 0
+
+    def build_eval():
+        pdf = e.where(is_eval).select("vec_id", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        m = np.asarray(
+            [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
+        )
+        m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return spark.sparkContext.broadcast((ids, m))
+
+    bc = _artifact(spark, sf, "eval_emb", build_eval)
+    corpus = e.where(~is_eval).select("vec_id", "embedding")
+
+    def band_candidates(it):
+        import pandas as pd
+
+        eids, em = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["embedding"]]
+            )
+            x = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            s = x @ em.T
+            mx = s.max(axis=1)
+            # loose prefilter: only rows that can clear tau after
+            # rounding, and only candidates that can win the argmax
+            keep = mx >= _SEM_TAU - 1e-6
+            if not keep.any():
+                continue
+            s, mx = s[keep], mx[keep]
+            vids = pdf["vec_id"].to_numpy()[keep]
+            bi, bj = np.nonzero(s >= (mx[:, None] - 2e-6))
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids[bi],
+                    "eval_id": eids[bj],
+                    "cosine": s[bi, bj],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    cand = corpus.mapInPandas(
+        band_candidates, "vec_id long, eval_id long, cosine double"
+    ).select("vec_id", "eval_id", F.round("cosine", 6).alias("cosine"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "eval_id"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("cosine") >= _SEM_TAU))
+        .drop("rk")
+    )

@@ -968,3 +968,107 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         label="bm25_postings_hn",
     )
     return bm25_hard_negatives(post, queries, qrels, k_pool=10, k_neg=3)
+
+
+# ---------------------------------------------------------------------------
+# q155 — per-source quality calibration (rank-normalized keep threshold)
+# ---------------------------------------------------------------------------
+
+_CAL_KEEP = 0.7  # keep percent_rank >= 0.7 -> top 30% of each source
+
+
+def _q155_oracle() -> str:
+    from .llm import _STOP_SQL
+
+    return f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks, text
+               FROM documents),
+         m AS (SELECT source,
+                      len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                        / len(toks) AS sw,
+                      list_sum(list_transform(toks,
+                               x -> CAST(length(x) AS BIGINT)))
+                        / len(toks) AS ml
+               FROM t),
+         q AS (SELECT source,
+                      CAST(ROUND(ROUND((least(sw * 5, 1.0) +
+                              CASE WHEN ml >= 3 AND ml <= 10
+                                   THEN 1.0 ELSE 0.5 END) / 2, 6)
+                            * 1000000, 0) AS BIGINT) AS qi
+               FROM m),
+         p AS (SELECT source, qi,
+                      PERCENT_RANK() OVER (PARTITION BY source
+                                           ORDER BY qi) AS pr
+               FROM q)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(qi) AS BIGINT) AS cut_qi,
+           ROUND(SUM(qi) / COUNT(*) / 1000000.0, 6) AS mean_kept_q
+    FROM p
+    WHERE pr >= {_CAL_KEEP}
+    GROUP BY source
+    """
+
+
+@query(
+    "q155_quality_calibrate",
+    oracle=_q155_oracle(),
+    tags=("quality", "sampling", "scale"),
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source rank-normalized quality filtering: keep each source's
+    top 30% BY ITS OWN quality distribution (percent_rank within
+    source), not by a global threshold — the calibration that stops a
+    single high-scoring source from monopolising the kept corpus while
+    a stylistically different one is wiped out (per-source quality
+    scores are not comparable across scrapers/registers).
+
+    Scale shape: the corpus collapses FIRST to (source, quality-value)
+    counts — a map-side-combined aggregate, corpus -> at most
+    |sources| x |distinct 6-dp scores| rows — and percent_rank is
+    reconstructed exactly from the grouped cumulative counts
+    (rank(v) = 1 + #rows below v, so pr = (rank-1)/(n-1); ties share a
+    value row by construction). The window runs over the TINY grouped
+    table, never the corpus — the same per-source sort that a naive
+    row-level percent_rank window would do over every document at
+    100 TB. Quality is held as an exact integer (score * 1e6) so sums
+    are order-independent longs, not drift-prone double folds."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+
+    d = table(spark, sf, "documents")
+    q = d.select(
+        "source",
+        F.round(quality_score("text") * 1e6, 0).cast("long").alias("qi"),
+    )
+    g = q.groupBy("source", "qi").agg(F.count(F.lit(1)).alias("c"))
+    per_src = Window.partitionBy("source")
+    cum = (
+        Window.partitionBy("source")
+        .orderBy("qi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = g.select(
+        "source",
+        "qi",
+        "c",
+        (F.sum("c").over(cum) - F.col("c") + F.lit(1)).alias("rk"),
+        F.sum("c").over(per_src).alias("n"),
+    ).withColumn(
+        "pr",
+        F.when(F.col("n") > 1, (F.col("rk") - 1) / (F.col("n") - 1)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return (
+        ranked.where(F.col("pr") >= _CAL_KEEP)
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_kept"),
+            F.min("qi").alias("cut_qi"),
+            F.round(
+                F.sum(F.col("qi") * F.col("c")) / F.sum("c") / 1e6, 6
+            ).alias("mean_kept_q"),
+        )
+    )
