@@ -35,41 +35,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def global_ranks(
+def global_running_sums(
     df: DataFrame,
     order: list[Column],
+    value: Column,
     *,
     num_partitions: int = 64,
-    rank_col: str = "rank",
+    sum_col: str = "run_total",
 ) -> DataFrame:
-    """Add ``rank_col`` (1-based bigint, dense input order = the given
-    column list) to ``df`` without a single-partition window. Project
-    ``df`` down to the columns you need FIRST — every retained column
-    rides the range exchange and the Arrow pass.
+    """Add ``sum_col`` = inclusive running sum of ``value`` (a bigint
+    expression over ``df``'s columns) in the given total order, without
+    a single-partition window — the distributed prefix sum under
+    budget-capped selection, exact quantile cuts on sorted exports, and
+    ``global_ranks`` itself (value = 1). Project ``df`` down to the
+    columns you need FIRST — every retained column rides the range
+    exchange and the Arrow pass.
 
     ``order`` must define a TOTAL order (append a unique id as the last
-    key) or equal-key rows get an arbitrary-but-valid rank order.
+    key) or equal-key rows get an arbitrary-but-valid prefix order.
+
+    Plan: range exchange + local sort; one Arrow pass cumsums each
+    partition (a running carry across that partition's batches); the
+    per-partition totals (P rows, from a count-side aggregation that
+    REUSES the same shuffle files) prefix-sum on the driver into
+    offsets a broadcast P-row join adds back.
     """
     if not order:
-        raise ValueError("global_ranks needs at least one order column")
+        raise ValueError("global_running_sums needs at least one order column")
 
-    ranged = df.repartitionByRange(num_partitions, *order).sortWithinPartitions(
-        *order
-    )
-    cols = ranged.columns
+    with_v = df.withColumn("__v", value.cast("long"))
+    ranged = with_v.repartitionByRange(
+        num_partitions, *order
+    ).sortWithinPartitions(*order)
+    cols = [c for c in ranged.columns if c != "__v"]
 
-    def number(it):
-        import pandas as pd
+    def cumsum(it):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        seen = 0
+        carry = 0
         for pdf in it:
-            n = len(pdf)
             pdf = pdf.copy()
             pdf["__pid"] = pid
-            pdf["__lrank"] = pd.RangeIndex(seen + 1, seen + n + 1)
-            seen += n
+            pdf["__lsum"] = pdf["__v"].cumsum() + carry
+            carry = int(pdf["__lsum"].iloc[-1]) if len(pdf) else carry
             yield pdf
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -80,35 +89,51 @@ def global_ranks(
         list(ranged.schema.fields)
         + [
             StructField("__pid", IntegerType()),
-            StructField("__lrank", LongType()),
+            StructField("__lsum", LongType()),
         ]
     )
-    numbered = ranged.mapInPandas(number, schema)
-    # the P-row count side reads the SAME range exchange (identical
+    summed = ranged.mapInPandas(cumsum, schema)
+    # the P-row total side reads the SAME range exchange (identical
     # lineage -> Spark reuses the shuffle files, no second sort of df)
     # and skips the Arrow pass entirely; spark_partition_id() in this
-    # post-shuffle stage equals TaskContext.partitionId() in `number`
-    counts = sorted(
-        ranged.select(F.spark_partition_id().alias("__pid"))
+    # post-shuffle stage equals TaskContext.partitionId() in `cumsum`
+    totals = sorted(
+        ranged.select(F.spark_partition_id().alias("__pid"), "__v")
         .groupBy("__pid")
-        .count()
+        .agg(F.sum("__v").alias("__t"))
         .collect(),
         key=lambda r: r["__pid"],
     )
     offsets, acc = [], 0
-    for r in counts:
+    for r in totals:
         offsets.append((r["__pid"], acc))
-        acc += r["count"]
+        acc += r["__t"]
     spark = df.sparkSession
     off = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     )
-    out = (
-        numbered.join(off, "__pid")
-        .withColumn(rank_col, (F.col("__off") + F.col("__lrank")).cast("long"))
-        .select(*cols, rank_col)
+    return (
+        summed.join(off, "__pid")
+        .withColumn(sum_col, (F.col("__off") + F.col("__lsum")).cast("long"))
+        .select(*cols, sum_col)
     )
-    return out
+
+
+def global_ranks(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    num_partitions: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Add ``rank_col`` (1-based bigint, in the given column-list
+    order) to ``df`` without a single-partition window: the rank IS the
+    running count, so this is ``global_running_sums`` with value = 1.
+    Same total-order and project-first contracts.
+    """
+    return global_running_sums(
+        df, order, F.lit(1), num_partitions=num_partitions, sum_col=rank_col
+    )
 
 
 def serpentine_shards(

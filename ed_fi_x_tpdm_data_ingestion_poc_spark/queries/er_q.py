@@ -286,3 +286,75 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — source vocabulary overlap matrix (exact pairwise Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_vocab_overlap",
+    oracle="""
+    WITH v AS (SELECT DISTINCT source, tok
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                     FROM documents)
+               WHERE tok <> ''),
+         sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM v GROUP BY source),
+         p AS (SELECT a.source AS src_a, b.source AS src_b,
+                      CAST(COUNT(*) AS BIGINT) AS inter
+               FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+               GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.inter,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6)
+             AS jaccard
+    FROM p
+    JOIN sz sa ON sa.source = p.src_a
+    JOIN sz sb ON sb.source = p.src_b
+    """,
+    tags=("llm", "analytics", "dedup"),
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the lexical
+    complement of q152's near-dup contamination matrix: two feeds with
+    near-identical vocabularies but few shared documents are register
+    twins (one may be redundant for diversity), while a low-overlap
+    source genuinely widens the corpus distribution.
+
+    Scale shape: the corpus collapses to DISTINCT (source, token) in
+    one map-side-combined aggregate (vocab x sources bounded, corpus-
+    size independent); the self-join runs on that reduced table keyed
+    by token — a hot token shared by every source contributes at most
+    sources^2 pairs, so the join output is |vocab| * sources^2 worst
+    case, never corpus-sized. Per-source vocabulary sizes broadcast
+    back onto the sources^2-row pair table."""
+    toks = table(spark, sf, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    v = toks.where(F.col("tok") != "").distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    p = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        p.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1072,3 +1072,92 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_kept_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — winsorized per-source length statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_winsorized_stats",
+    oracle="""
+    WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+         w AS (SELECT source, v, c,
+                      SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+                      SUM(c) OVER (PARTITION BY source) AS n
+               FROM c),
+         cuts AS (SELECT source,
+                         MIN(v) FILTER (cum >= ceil(0.05 * n)) AS lo,
+                         MIN(v) FILTER (cum >= ceil(0.95 * n)) AS hi,
+                         MIN(n) AS n
+                  FROM w GROUP BY source)
+    SELECT c.source,
+           CAST(cuts.lo AS BIGINT) AS lo,
+           CAST(cuts.hi AS BIGINT) AS hi,
+           CAST(cuts.n AS BIGINT) AS n_docs,
+           ROUND(SUM(least(greatest(c.v, cuts.lo), cuts.hi) * c.c)
+                 / CAST(cuts.n AS DOUBLE), 6) AS wmean
+    FROM c JOIN cuts ON c.source = cuts.source
+    GROUP BY c.source, cuts.lo, cuts.hi, cuts.n
+    """,
+    tags=("quality", "analytics", "scale"),
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized per-source document-length statistics: clip each
+    source's length distribution at its own exact 5th/95th percentile
+    and report the robust mean — the outlier-resistant corpus-health
+    number (a handful of concatenation-bug megadocs or empty stubs
+    otherwise dominate a plain mean and mask drift between ingests).
+
+    Scale shape: the same grouped-counts rank reconstruction as q155 —
+    the corpus collapses to (source, length, count) rows in one
+    map-side-combined aggregate; cumulative ranks, the exact percentile
+    cut values (smallest value whose cumulative count reaches
+    ceil(p * n)), and the clipped integer sum are all computed on that
+    tiny table. Windows are per-source over grouped rows; the clipped
+    sum is exact bigint arithmetic, so the only double op is the final
+    division — order-independent cross-engine."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    c = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_src = Window.partitionBy("source")
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = c.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(cum_w).alias("cum"),
+        F.sum("c").over(per_src).alias("n"),
+    )
+    cuts = w.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.05) * F.col("n")), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.95) * F.col("n")), F.col("v"))
+        ).alias("hi"),
+        F.min("n").alias("n"),
+    )
+    return (
+        c.join(cuts, "source")
+        .groupBy("source", "lo", "hi", F.col("n").alias("n_docs"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+                    * F.col("c")
+                )
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("wmean")
+        )
+    )

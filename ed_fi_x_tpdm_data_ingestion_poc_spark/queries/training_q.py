@@ -614,3 +614,99 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — token-budget greedy selection (top quality under a budget)
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.4
+
+
+def _q160_oracle() -> str:
+    from .llm import _STOP_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         m AS (SELECT doc_id, source,
+                      CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT)
+                        AS n_toks,
+                      len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                        / len(toks) AS sw,
+                      list_sum(list_transform(toks,
+                               x -> CAST(length(x) AS BIGINT)))
+                        / len(toks) AS ml
+               FROM t),
+         q AS (SELECT doc_id, source, n_toks,
+                      CAST(ROUND(ROUND((least(sw * 5, 1.0) +
+                              CASE WHEN ml >= 3 AND ml <= 10
+                                   THEN 1.0 ELSE 0.5 END) / 2, 6)
+                            * 1000000, 0) AS BIGINT) AS qi
+               FROM m),
+         tot AS (SELECT CAST(FLOOR({_BUDGET_FRAC} * SUM(n_toks)) AS BIGINT)
+                          AS b
+                 FROM q),
+         r AS (SELECT source, n_toks,
+                      SUM(n_toks) OVER (ORDER BY qi DESC, doc_id) AS run
+               FROM q)
+    SELECT r.source,
+           CAST(COUNT(*) AS BIGINT) AS n_sel,
+           CAST(SUM(r.n_toks) AS BIGINT) AS tok_sel
+    FROM r, tot
+    WHERE r.run <= tot.b
+    GROUP BY r.source
+    """
+
+
+@query(
+    "q160_token_budget_select",
+    oracle=_q160_oracle(),
+    tags=("training", "sampling", "scale"),
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget data selection: take documents best-quality-first
+    until the running token total reaches 40% of the corpus — the
+    "select the top-quality T tokens" step that sits between scoring
+    and training in every budgeted pretraining run. Reported per
+    source, so the output doubles as the mixture the greedy policy
+    implies (a diversity sanity check before committing the budget).
+
+    Scale shape: the cut needs an exact GLOBAL prefix sum in quality
+    order — the textbook case for operators/ranking.py::
+    global_running_sums (range exchange + per-partition Arrow cumsum +
+    P-row driver prefix; the oracle's single-ordering window form is
+    exactly what a 100 TB job cannot run). The scalar budget rides a
+    one-row broadcast (BroadcastNestedLoopJoin by construction); the
+    final aggregate is |sources| rows with map-side combine. Quality
+    is the q155 integer micro-score, so ordering has no float ties."""
+    from ..operators.ranking import global_running_sums
+    from ..operators.text import quality_score
+
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_toks"),
+        F.round(quality_score("text") * 1e6, 0).cast("long").alias("qi"),
+    )
+    b = q.agg(
+        F.floor(F.lit(_BUDGET_FRAC) * F.sum("n_toks")).cast("long").alias("b")
+    )
+    r = global_running_sums(
+        q,
+        [F.col("qi").desc(), F.col("doc_id")],
+        F.col("n_toks"),
+        num_partitions=32,
+        sum_col="run",
+    )
+    return (
+        r.crossJoin(F.broadcast(b))
+        .where(F.col("run") <= F.col("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("n_toks").alias("tok_sel"),
+        )
+    )

@@ -85,3 +85,38 @@ def test_serpentine_formula_first_two_blocks(spark):
 def test_serpentine_validation(spark):
     with pytest.raises(ValueError, match="num_shards"):
         serpentine_shards(F.lit(1), 0)
+
+
+def test_global_running_sums_matches_sequential(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.ranking import (
+        global_running_sums,
+    )
+
+    rows = global_running_sums(
+        _sized(spark, 400),
+        [F.col("size").desc(), F.col("id")],
+        F.col("size"),
+        num_partitions=9,
+        sum_col="run",
+    ).collect()
+    seq = sorted(((r["size"], r["id"]) for r in rows), key=lambda t: (-t[0], t[1]))
+    acc, expect = 0, {}
+    for size, i in seq:
+        acc += size
+        expect[i] = acc
+    assert {r["id"]: r["run"] for r in rows} == expect
+
+
+def test_global_running_sums_budget_prefix_is_contiguous(spark):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.ranking import (
+        global_running_sums,
+    )
+
+    df = _sized(spark, 200)
+    total = df.agg(F.sum("size")).first()[0]
+    r = global_running_sums(
+        df, [F.col("id")], F.col("size"), num_partitions=5, sum_col="run"
+    )
+    kept = r.where(F.col("run") <= total // 2).collect()
+    ids = sorted(x["id"] for x in kept)
+    assert ids == list(range(len(ids)))  # a prefix in the order given
