@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import query
+from . import built, memo, query
 
 # ---------------------------------------------------------------------------
 # q149 — record linkage: corrupt, block, score, resolve, audit
@@ -292,6 +292,8 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 # q159 — source vocabulary overlap matrix (exact pairwise Jaccard)
 # ---------------------------------------------------------------------------
 
+_VOCAB: dict[tuple, DataFrame] = {}
+
 
 @query(
     "q159_vocab_overlap",
@@ -329,10 +331,16 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     sources^2 pairs, so the join output is |vocab| * sources^2 worst
     case, never corpus-sized. Per-source vocabulary sizes broadcast
     back onto the sources^2-row pair table."""
-    toks = table(spark, sf, "documents").select(
-        "source", F.explode(F.split("text", " ")).alias("tok")
-    )
-    v = toks.where(F.col("tok") != "").distinct()
+    def _vocab() -> DataFrame:
+        toks = table(spark, sf, "documents").select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        return built(toks.where(F.col("tok") != "").distinct().persist())
+
+    # materialize-once: three consumers (both join sides + sizes) would
+    # otherwise each re-scan the corpus; the persisted table is
+    # vocab x sources rows, corpus-size independent
+    v = memo(_VOCAB, (id(spark), sf), _vocab, label="source_vocab")
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = v.select(F.col("source").alias("src_a"), "tok")
     b = v.select(F.col("source").alias("src_b"), "tok")
