@@ -30,20 +30,24 @@ def test_rotation_rejects_cascading_mapping():
 def test_rotation_single_pass_no_cascade_no_prefix_bleed(tmp_path, monkeypatch):
     """One regex pass with identifier boundaries: a fresh rename's output
     must never be re-matched by a later rule, and a name that prefixes a
-    longer identifier must be left alone."""
+    longer identifier must be left alone. Fixture names use a q9xx range
+    that is NOT in the live registry, so real window rotations sweeping
+    this repo's files can never rewrite the fixtures themselves (a round-
+    10 rotation corrupted the previous q10x-based fixture into a
+    self-contradiction)."""
     f = tmp_path / "sample.py"
     f.write_text(
-        "a = q10_join_chain\n"
-        "b = qz101_nightly_rollup\n"   # q10... prefix of a different name
-        "c = qz102_pq_ann_ok\n"
+        "a = q90_join_chain\n"
+        "b = q901_nightly_rollup\n"    # q90... prefix of a different name
+        "c = q902_pq_ann_ok\n"
     )
     monkeypatch.setattr(rotate_names, "REPO", str(tmp_path))
     rotate_names.apply(
-        {"q10_join_chain": "qz10_join_chain",
-         "qz102_pq_ann_ok": "qz102_pq_ann_ok"}
+        {"q90_join_chain": "qz90_join_chain",
+         "q902_pq_ann_ok": "qz902_pq_ann_ok"}
     )
     out = f.read_text()
-    assert "qz10_join_chain" in out
-    assert "qz101_nightly_rollup" in out      # untouched despite q10 prefix
-    assert "qz102_pq_ann_ok" in out
-    assert "qz102" not in out
+    assert "qz90_join_chain" in out
+    assert "q901_nightly_rollup" in out       # untouched despite q90 prefix
+    assert "qz902_pq_ann_ok" in out
+    assert "q902_pq_ann_ok" not in out

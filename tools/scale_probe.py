@@ -66,10 +66,14 @@ def main() -> None:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.rangejoin import (
         interval_join,
     )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.ranking import (
+        global_running_sums,
+    )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sketches import (
         bloom_might_contain,
         build_bloom,
         hll_sketch_table,
+        mg_build,
     )
 
     def _bloom_count(d):
@@ -396,6 +400,33 @@ def main() -> None:
             lambda e: _exact_p90(e),
             events,
             events_big,
+        ),
+        "global_prefix_sum": (  # one range exchange + Arrow cumsum +
+            # P-row driver offsets (ranking.py); project-first contract
+            lambda d: global_running_sums(
+                d.select("doc_id", F.length("text").alias("sz")),
+                [F.col("sz").desc(), F.col("doc_id")],
+                F.col("sz"),
+            )
+            .where(F.col("run_total") % 977 == 0)
+            .count(),
+            docs,
+            docs_big,
+        ),
+        "mg_heavy_hitters": (  # map-only Arrow counting pass; driver
+            # holds n_batches * k counters (copy-suffixed vocab grows
+            # with the corpus — the hostile case for any counter map)
+            lambda d: len(
+                mg_build(
+                    d.select(
+                        F.explode(F.split("text", " ")).alias("tok")
+                    ).where(F.col("tok") != ""),
+                    "tok",
+                    k=256,
+                )["counters"]
+            ),
+            docs,
+            docs_big,
         ),
     }
     for name, (fn, base, big) in probes.items():
