@@ -684,3 +684,186 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     from . import ok_flag
 
     return ok_flag(spark, ok)
+
+
+# ---------------------------------------------------------------------------
+# q161 — streaming Misra-Gries: stateful sketch maintenance on an ingest
+# ---------------------------------------------------------------------------
+
+_SMG: dict[tuple, bool] = {}
+_SMG_K = 2  # small enough that the 31-token fixture vocabulary forces
+#             real decrements in every shard (k >= vocab would be exact)
+_SMG_SHARDS = 8
+
+
+@query(
+    "q161_stream_mg_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("streaming", "sketch", "heavy-hitters", "stateful"),
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries heavy hitters maintained ON THE STREAM: tokens of a
+    documents replay are hash-sharded and each shard's k counters live
+    in applyInPandasWithState state, compressed (the bulk MG decrement)
+    once per micro-batch — the shape that watches a 100 TB/day ingest
+    for vocabulary drift without ever storing the stream. Because the
+    carry never resets, the classic mass argument tightens: every
+    decrement of `cut` removes >= (k+1)*cut of counter mass, so a
+    shard's total undercount obeys err <= n_shard/(k+1) over the WHOLE
+    stream — no per-batch 2x term (contrast mg_build's independent
+    batch summaries).
+
+    Laws checked against the exact batch counts (distributed; the
+    driver holds shards * k counters):
+    * accounting — shard n's sum to the exact non-null token count;
+    * error budget — err_shard <= n_shard/(k+1);
+    * coverage — every token whose true count exceeds ITS shard's err
+      is present (no false negatives among real heavy hitters);
+    * bounds — est <= true and true - est <= err_shard for every
+      reported token;
+    * the stream ran in > 1 micro-batch (state actually carried)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import _mg_compress
+    from ..streaming.replay import read_replay_stream, run_to_memory
+
+    k, shards = _SMG_K, _SMG_SHARDS
+    shard_of = lambda c: F.pmod(F.xxhash64(c), F.lit(shards)).cast("int")  # noqa: E731
+
+    def _laws() -> bool:
+        replay = memo(
+            _REPLAYS, (sf,), lambda: _docs_replay_dir(spark, sf),
+            label="docs_replay",
+        )
+        docs = read_replay_stream(spark, replay, _DOC_DDL)
+        toks = (
+            docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "")
+            .withColumn("shard", shard_of(F.col("tok")))
+        )
+
+        def upd(key, pdf_iter, state: GroupState):
+            if state.exists:
+                items, counts, err, n, b = state.get
+                d = dict(zip(items, counts))
+            else:
+                d, err, n, b = {}, 0, 0, 0
+            for pdf in pdf_iter:
+                vc = pdf["tok"].value_counts()
+                for t, c in vc.items():
+                    d[t] = d.get(t, 0) + int(c)
+                n += int(vc.sum())
+            d, cut = _mg_compress(d, k)
+            err += cut
+            b += 1
+            state.update(
+                (list(d), [int(v) for v in d.values()], err, n, b)
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]],
+                    "items": [list(d)],
+                    "counts": [[int(v) for v in d.values()]],
+                    "err": [err],
+                    "n": [n],
+                    "b": [b],
+                }
+            )
+
+        updates = toks.groupBy("shard").applyInPandasWithState(
+            upd,
+            outputStructType=(
+                "shard int, items array<string>, counts array<long>, "
+                "err long, n long, b long"
+            ),
+            stateStructType=(
+                "items array<string>, counts array<long>, "
+                "err long, n long, b long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        # one state store per shuffle partition per micro-batch; 8 shard
+        # groups don't need 32 stores (the qz65 scoping)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            res = run_to_memory(updates, output_mode="update").collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        # final summary per shard = the row with the largest batch count
+        final: dict[int, object] = {}
+        for r in res:
+            if r.shard not in final or r.b > final[r.shard].b:
+                final[r.shard] = r
+        multi_batch = max(r.b for r in final.values()) > 1
+
+        # exact side, distributed, with the same shard assignment
+        exact = (
+            table(spark, sf, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok") != "")
+            .withColumn("shard", shard_of(F.col("tok")))
+            .groupBy("shard", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        totals = {
+            r.shard: r.n
+            for r in exact.groupBy("shard").agg(F.sum("cnt").alias("n")).collect()
+        }
+        acct = totals == {s: r.n for s, r in final.items()} and set(
+            totals
+        ) == set(final)
+        budget = all(r.err <= totals[s] / (k + 1) for s, r in final.items())
+
+        counter_rows = [
+            (s, t, int(c))
+            for s, r in final.items()
+            for t, c in zip(r.items, r.counts)
+        ]
+        err_rows = [(s, r.err) for s, r in final.items()]
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                counter_rows or [(0, "", 0)], "shard int, item string, est long"
+            )
+        )
+        edf = F.broadcast(
+            spark.createDataFrame(err_rows, "shard int, err long")
+        )
+        j = (
+            exact.join(edf, "shard")
+            .join(
+                cdf,
+                (exact["shard"] == cdf["shard"]) & (exact["tok"] == cdf["item"]),
+                "left",
+            )
+            .agg(
+                F.sum(
+                    (
+                        (F.col("cnt") > F.col("err")) & F.col("item").isNull()
+                    ).cast("long")
+                ).alias("missed"),
+                F.sum(
+                    (
+                        F.col("item").isNotNull()
+                        & (
+                            (F.col("est") > F.col("cnt"))
+                            | (F.col("cnt") - F.col("est") > F.col("err"))
+                        )
+                    ).cast("long")
+                ).alias("viol"),
+            )
+            .first()
+        )
+        exact.unpersist()
+        return bool(
+            multi_batch and acct and budget and j["missed"] == 0 and j["viol"] == 0
+        )
+
+    ok = memo(_SMG, ("smg", id(spark), sf), _laws, label="stream_mg_laws")
+    from . import ok_flag
+
+    return ok_flag(spark, ok)
