@@ -43,6 +43,27 @@ from pyspark.sql import functions as F
 _SCHEMA = "value double, w long, slack long"
 
 
+def batch_points(v: "np.ndarray", eps: float):
+    """Collapse one batch of raw values to the kept (values, weights)
+    order statistics plus that batch's slack contribution — the shared
+    kernel of quantile_summary / quantile_summary_by and of streaming
+    state updates (a micro-batch is just another batch): sort, keep
+    every s-th order statistic (s = max(1, floor(n*eps))) plus the max,
+    weight each kept point by the count of rows it absorbs. NaNs are
+    dropped (the SQL null convention)."""
+    v = np.sort(v[~np.isnan(v)])
+    n = len(v)
+    if not n:
+        return v[:0], np.zeros(0, dtype="int64"), 0
+    s = max(1, int(n * eps))
+    idx = np.arange(s - 1, n, s)
+    if idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)
+    ranks = idx + 1
+    w = np.diff(np.concatenate(([0], ranks)))
+    return v[idx], w, s
+
+
 def quantile_summary(df: DataFrame, col: str, eps: float = 0.01) -> dict:
     """One distributed pass -> {"points": [(value, weight)...] sorted,
     "n": total rows, "slack": worst-case absolute rank error}. Nulls are
@@ -57,21 +78,12 @@ def quantile_summary(df: DataFrame, col: str, eps: float = 0.01) -> dict:
 
         for pdf in it:
             v = pdf[col].to_numpy(dtype="float64")
-            v = np.sort(v[~np.isnan(v)])
-            n = len(v)
-            if not n:
+            vals, w, slack = batch_points(v, eps)
+            if not len(vals):
                 continue
-            s = max(1, int(n * eps))
-            idx = np.arange(s - 1, n, s)
-            if idx[-1] != n - 1:
-                idx = np.append(idx, n - 1)
-            ranks = idx + 1
-            w = np.diff(np.concatenate(([0], ranks)))
-            slack = np.zeros(len(idx), dtype="int64")
-            slack[0] = s
-            yield pd.DataFrame(
-                {"value": v[idx], "w": w, "slack": slack}
-            )
+            sl = np.zeros(len(vals), dtype="int64")
+            sl[0] = slack
+            yield pd.DataFrame({"value": vals, "w": w, "slack": sl})
 
     rows = (
         df.select(F.col(col).alias(col))
@@ -107,21 +119,15 @@ def quantile_summary_by(
         for pdf in it:
             out_g, out_v, out_w, out_s = [], [], [], []
             for g, sub in pdf.groupby("g", sort=True, dropna=False):
-                v = sub["v"].to_numpy(dtype="float64")
-                v = np.sort(v[~np.isnan(v)])
-                n = len(v)
-                if not n:
+                vals, w, s = batch_points(
+                    sub["v"].to_numpy(dtype="float64"), eps
+                )
+                if not len(vals):
                     continue
-                s = max(1, int(n * eps))
-                idx = np.arange(s - 1, n, s)
-                if idx[-1] != n - 1:
-                    idx = np.append(idx, n - 1)
-                ranks = idx + 1
-                w = np.diff(np.concatenate(([0], ranks)))
-                out_g += [g] * len(idx)
-                out_v += list(v[idx])
+                out_g += [g] * len(vals)
+                out_v += list(vals)
                 out_w += list(w)
-                out_s += [s] + [0] * (len(idx) - 1)
+                out_s += [s] + [0] * (len(vals) - 1)
             yield pd.DataFrame(
                 {"g": out_g, "value": out_v, "w": out_w, "slack": out_s}
             )

@@ -669,3 +669,153 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
         return run_to_memory(assigned, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# q162 — streaming per-group quantile summaries (mergeable MRL on a stream)
+# ---------------------------------------------------------------------------
+
+_SQ: dict[tuple, bool] = {}
+_SQ_EPS = 0.05
+
+
+@query(
+    "q162_stream_quantiles_ok",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("streaming", "quantile", "stateful"),
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type quantile summaries maintained ON THE STREAM: each
+    micro-batch's values collapse through the same batch_points kernel
+    as the batch builder (operators/quantiles.py), and the kept points
+    concatenate into applyInPandasWithState state — summary_merge IS
+    list append, so streaming maintenance needs no new math: slacks
+    add, n adds, and the rank-error contract survives verbatim. This is
+    the p50/p99-per-key dashboard over a live ingest, state bounded by
+    batches/eps points per key (re-collapse through batch_points once
+    state exceeds a cap if the stream is unbounded; the bounded replay
+    never hits it).
+
+    Laws, checked distributed against the exact events table:
+    * accounting — each type's summary n == its exact row count, and
+      slack == the sum of its per-batch strides;
+    * rank bounds — for each type and each quartile answer v:
+      lo <= true_rank(v) <= lo + slack (summary_rank_bounds), true
+      ranks from ONE conditional-aggregate pass over events;
+    * the stream ran in > 1 micro-batch (state actually carried)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.quantiles import batch_points, summary_rank_bounds
+    from ..streaming.replay import run_to_memory
+    from ..tables import table
+    from . import memo
+
+    eps = _SQ_EPS
+
+    def _laws() -> bool:
+        ev = _events_stream(spark, sf, layout="thirds").select(
+            "event_type", "value"
+        )
+
+        def upd(key, pdf_iter, state: GroupState):
+            if state.exists:
+                pv, pw, n, slack, b = state.get
+                pv, pw = list(pv), list(pw)
+            else:
+                pv, pw, n, slack, b = [], [], 0, 0, 0
+            for pdf in pdf_iter:
+                vals, w, s = batch_points(
+                    pdf["value"].to_numpy(dtype="float64"), eps
+                )
+                if len(vals):
+                    pv += [float(x) for x in vals]
+                    pw += [int(x) for x in w]
+                    n += int(w.sum())
+                    slack += s
+            b += 1
+            state.update((pv, pw, n, slack, b))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "pv": [pv],
+                    "pw": [pw],
+                    "n": [n],
+                    "slack": [slack],
+                    "b": [b],
+                }
+            )
+
+        updates = ev.groupBy("event_type").applyInPandasWithState(
+            upd,
+            outputStructType=(
+                "event_type string, pv array<double>, pw array<long>, "
+                "n long, slack long, b long"
+            ),
+            stateStructType=(
+                "pv array<double>, pw array<long>, n long, slack long, b long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            res = run_to_memory(updates, output_mode="update").collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        final: dict[str, object] = {}
+        for r in res:
+            if r.event_type not in final or r.b > final[r.event_type].b:
+                final[r.event_type] = r
+        multi_batch = max(r.b for r in final.values()) > 1
+
+        summaries = {
+            t: {
+                "points": sorted(zip(r.pv, r.pw)),
+                "n": r.n,
+                "slack": r.slack,
+            }
+            for t, r in final.items()
+        }
+        # quartile answers per type -> one conditional-aggregate pass
+        # computes every true rank; driver holds types x quartiles rows
+        from ..operators.quantiles import summary_quantile
+
+        probes = {
+            t: sorted({summary_quantile(s, p) for p in (0.25, 0.5, 0.75)})
+            for t, s in summaries.items()
+        }
+        e = table(spark, sf, "events")
+        counts = {
+            r["event_type"]: r["n"]
+            for r in e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # exact ranks: broadcast the (type, probe) table — types x
+        # quartiles rows — onto events and count value <= probe per
+        # pair; the corpus is scanned once, never collected
+        probe_rows = [(t, float(v)) for t, vs in probes.items() for v in vs]
+        pdf_probes = F.broadcast(
+            spark.createDataFrame(probe_rows, "event_type string, probe double")
+        )
+        ranks = {
+            (r["event_type"], r["probe"]): r["rk"]
+            for r in e.join(pdf_probes, "event_type")
+            .groupBy("event_type", "probe")
+            .agg(F.sum((F.col("value") <= F.col("probe")).cast("long")).alias("rk"))
+            .collect()
+        }
+        ok = set(counts) == set(summaries) and multi_batch
+        for t, s in summaries.items():
+            ok &= s["n"] == int(counts[t]) and s["slack"] > 0
+            for v in probes[t]:
+                true_rank = int(ranks[(t, v)])
+                lo, hi = summary_rank_bounds(s, v)
+                ok &= lo <= true_rank <= hi
+        return bool(ok)
+
+    ok = memo(_SQ, ("sq", id(spark), sf), _laws, label="stream_quantile_laws")
+    return ok_flag(spark, ok)
