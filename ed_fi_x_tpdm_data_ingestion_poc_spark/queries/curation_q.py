@@ -1099,7 +1099,7 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q113_dup_spans",
+    "qz113_dup_spans",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+15], ' ')) AS g
