@@ -1408,3 +1408,130 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         "score",
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — MAD-robust event-rate anomalies (median / MAD, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_mad_anomalies",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                        // {_DAY_US} AS day
+               FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    g1 AS (SELECT event_type, c AS val, COUNT(*) AS k FROM c GROUP BY 1, 2),
+    w1 AS (SELECT event_type, val, k,
+                  SUM(k) OVER (PARTITION BY event_type ORDER BY val) AS cum,
+                  SUM(k) OVER (PARTITION BY event_type) AS n
+           FROM g1),
+    med AS (SELECT event_type,
+                   MIN(val) FILTER (cum >= (n + 1) // 2) AS med
+            FROM w1 GROUP BY event_type),
+    d AS (SELECT c.event_type, c.day, c.c, med.med,
+                 ABS(c.c - med.med) AS dev
+          FROM c JOIN med ON med.event_type = c.event_type),
+    g2 AS (SELECT event_type, dev AS val, COUNT(*) AS k FROM d GROUP BY 1, 2),
+    w2 AS (SELECT event_type, val, k,
+                  SUM(k) OVER (PARTITION BY event_type ORDER BY val) AS cum,
+                  SUM(k) OVER (PARTITION BY event_type) AS n
+           FROM g2),
+    mad AS (SELECT event_type,
+                   MIN(val) FILTER (cum >= (n + 1) // 2) AS mad
+            FROM w2 GROUP BY event_type)
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+           CAST(d.c AS BIGINT) AS n_events,
+           CAST(d.med AS BIGINT) AS med,
+           CAST(mad.mad AS BIGINT) AS mad,
+           CASE WHEN mad.mad > 0
+                THEN ROUND(0.6745 * (d.c - d.med) / mad.mad, 4)
+                ELSE 0.0 END AS mz,
+           CAST(CASE WHEN mad.mad > 0
+                     THEN ABS(ROUND(0.6745 * (d.c - d.med) / mad.mad, 4))
+                          > 3.5
+                     ELSE d.dev > 0 END AS INT) AS anomaly
+    FROM d JOIN mad ON mad.event_type = d.event_type
+    """,
+    tags=("events", "analytics", "quality"),
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """MAD-robust daily event-rate anomalies — the median/MAD modified
+    z-score (Iglewicz & Hoaglin 1993, |Mz| > 3.5) that q145's
+    mean/stddev version cannot give: one bot-flood day inflates the
+    mean AND the stddev, masking itself; the median and MAD ignore it.
+    Medians are EXACT lower medians (rank (n+1)//2) reconstructed from
+    grouped cumulative counts — the q155/q158 machinery — so every
+    quantity stays integer until the final division and the flag
+    boundary compares the ROUNDED score cross-engine. Degenerate
+    MAD == 0 (over half the days identical) falls back to flagging any
+    deviation.
+
+    Scale shape: the corpus collapses once to type x day counts
+    (map-side combine); everything after — both median extractions,
+    the deviation join, the final score — runs on that types x days
+    table with types-sized broadcast joins."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    c = (
+        e.select("event_type", F.floor(us / _DAY_US).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def lower_median(df: DataFrame, val: str) -> DataFrame:
+        """(event_type, med): exact rank-(n+1)//2 value from grouped
+        cumulative counts — no per-group sort of raw rows."""
+        g = df.groupBy("event_type", F.col(val).alias("val")).agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        cum_w = (
+            Window.partitionBy("event_type")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        n_w = Window.partitionBy("event_type")
+        w = g.select(
+            "event_type",
+            "val",
+            F.sum("k").over(cum_w).alias("cum"),
+            F.sum("k").over(n_w).alias("n"),
+        )
+        return w.groupBy("event_type").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") + 1) / 2), F.col("val")
+                )
+            ).alias("med")
+        )
+
+    med = lower_median(c, "c")
+    d = c.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = lower_median(d.select("event_type", "dev"), "dev").withColumnRenamed(
+        "med", "mad"
+    )
+    mz = F.round(
+        F.lit(0.6745) * (F.col("c") - F.col("med")) / F.col("mad"), 4
+    )
+    out = d.join(F.broadcast(mad), "event_type")
+    return out.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        F.col("med").cast("bigint").alias("med"),
+        F.col("mad").cast("bigint").alias("mad"),
+        F.when(F.col("mad") > 0, mz).otherwise(F.lit(0.0)).alias("mz"),
+        F.when(F.col("mad") > 0, F.abs(mz) > 3.5)
+        .otherwise(F.col("dev") > 0)
+        .cast("int")
+        .alias("anomaly"),
+    )

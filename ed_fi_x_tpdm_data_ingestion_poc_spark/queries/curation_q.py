@@ -1142,7 +1142,7 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q114_cdc_segments",
+    "qz114_cdc_segments",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     tok AS (SELECT doc_id, j, tk[j] AS tok,
