@@ -438,3 +438,42 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
 
     text = plan_string(_build(spark, sf_dir, "q134_zipf_fit"))
     assert "TakeOrderedAndProject" in text
+
+
+def test_balanced_shards_no_global_window(spark, sf_dir):
+    """q154: the exact global rank comes from the range-exchange prefix
+    -sum operator — the plan must contain NO Window node at all (the
+    naive form is a single-partition row_number window over the corpus)
+    and exactly the two P-row broadcast joins (offsets + nothing else
+    corpus-sized)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    df = _build(spark, sf_dir, "q154_balanced_shards")
+    text = plan_string(df)
+    assert "Window" not in text
+    f = audit(df)
+    assert f.cartesian_products == 0 and f.python_evals == 0
+    assert f.arrow_evals >= 1  # the per-partition numbering pass
+    assert f.broadcast_joins == f.joins  # offset join broadcasts
+
+
+def test_token_budget_prefix_sum_plan(spark, sf_dir):
+    """q160: budget selection = prefix sum + scalar broadcast; no
+    corpus-sized window, no row-python, broadcast-only joins."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    df = _build(spark, sf_dir, "q160_token_budget_select")
+    text = plan_string(df)
+    assert "Window" not in text
+    f = audit(df)
+    assert f.cartesian_products == 0 and f.python_evals == 0
+    assert f.arrow_evals >= 1
+
+
+def test_semantic_decontam_corpus_map_only(spark, sf_dir):
+    """q157: the corpus side must reach the GEMM pass with no join and
+    no shuffle before it — the eval matrix rides a broadcast variable,
+    not a plan-side join; the only window runs over band survivors."""
+    f = audit(_build(spark, sf_dir, "q157_semantic_decontam"))
+    assert f.joins == 0
+    assert f.arrow_evals >= 1 and f.python_evals == 0
