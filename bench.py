@@ -49,10 +49,16 @@ def main() -> None:
     # one logger to ERROR (log4j2 API; best-effort across versions).
     try:
         jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
             "org.apache.spark.sql.execution.CacheManager",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+            # q134's 100-row driver-side rank and paginate()'s page-sized
+            # windows are deliberately unpartitioned; their per-run WARN
+            # repeats dozens of times and crowds the same tail
+            "org.apache.spark.sql.execution.window.WindowExec",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:
         pass
     specs = {
