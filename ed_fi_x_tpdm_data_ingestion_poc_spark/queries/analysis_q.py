@@ -1476,15 +1476,26 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     table with types-sized broadcast joins."""
     from pyspark.sql import Window
 
-    e = table(spark, sf, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
-    )
-    c = (
-        e.select("event_type", F.floor(us / _DAY_US).alias("day"))
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    from .llm import _artifact
+
+    def _daily() -> DataFrame:
+        from . import built
+
+        e = table(spark, sf, "events")
+        us = F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        return built(
+            e.select("event_type", F.floor(us / _DAY_US).alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+
+    # four consumers (both median extractions, the deviation join, the
+    # final select) would each re-scan events; the persisted artifact is
+    # types x days rows, corpus-size independent
+    c = _artifact(spark, sf, "daily_type_counts", _daily)
 
     def lower_median(df: DataFrame, val: str) -> DataFrame:
         """(event_type, med): exact rank-(n+1)//2 value from grouped
