@@ -1207,7 +1207,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q115_dedup_clean",
+    "qz115_dedup_clean",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+15], ' ')) AS g
@@ -1438,4 +1438,164 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c").alias("n_tri"),
         F.count(F.lit(1)).alias("d_tri"),
         F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — eval-safe corpus release gate (decontaminate + dedup, one graph)
+# ---------------------------------------------------------------------------
+
+_REL_N = 8  # verbatim-gram width, q131's convention
+
+
+def _q164_oracle() -> str:
+    from .llm import _NORM_SQL, _PAIRS_WITH
+
+    norm_body = _NORM_SQL.replace("WITH n AS", "n AS")
+    return f"""
+    WITH RECURSIVE {_PAIRS_WITH},
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.n
+    ),
+    losers AS (SELECT n AS doc_id FROM reach GROUP BY n
+               HAVING n <> MIN(lbl)),
+    et AS (SELECT string_split(text, ' ') AS tk FROM documents
+           WHERE doc_id % 50 = 0),
+    bg AS (SELECT DISTINCT array_to_string(tk[i:i+{_REL_N - 1}], ' ') AS g
+           FROM et, UNNEST(generate_series(1, len(tk) - {_REL_N - 1}))
+                AS u(i)),
+    ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE doc_id % 50 <> 0),
+    cg AS (SELECT DISTINCT doc_id,
+                  array_to_string(tk[i:i+{_REL_N - 1}], ' ') AS g
+           FROM ct, UNNEST(generate_series(1, len(tk) - {_REL_N - 1}))
+                AS u(i)),
+    ng AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+    {norm_body},
+    ev AS (SELECT vec_id AS eid, nv AS evec FROM n WHERE vec_id % 50 = 0),
+    cv AS (SELECT vec_id, nv FROM n WHERE vec_id % 50 <> 0),
+    sem AS (SELECT DISTINCT cv.vec_id AS doc_id FROM cv, ev
+            WHERE ROUND(list_dot_product(cv.nv, ev.evec), 6) >= 0.40)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN ng.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ngram,
+           CAST(SUM(CASE WHEN se.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sem,
+           CAST(SUM(CASE WHEN lo.doc_id IS NOT NULL
+                          AND d.doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_lost,
+           CAST(SUM(CASE WHEN d.doc_id % 50 <> 0 AND ng.doc_id IS NULL
+                          AND se.doc_id IS NULL AND lo.doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_released
+    FROM documents d
+    LEFT JOIN ng ON ng.doc_id = d.doc_id
+    LEFT JOIN sem se ON se.doc_id = d.doc_id
+    LEFT JOIN losers lo ON lo.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "q164_release_gate",
+    oracle=_q164_oracle(),
+    tags=("llm", "curation", "dedup", "eval", "e2e"),
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-safe corpus release gate — the sign-off report a curation
+    team ships before a training snapshot: one holdout definition
+    (doc_id % 50 == 0, the q157 split; doc_id == vec_id by fixture
+    convention) drives BOTH decontamination modalities, and the dedup
+    survivorship map removes redundant copies, composed as one
+    DataFrame graph:
+
+    * n-gram gate — non-eval docs sharing any verbatim 8-gram with the
+      holdout texts (q131's plan: holdout gram set distinct+broadcast,
+      corpus gram stream joins map-side, corpus never shuffles);
+    * semantic gate — q157's flags verbatim (holdout embeddings as a
+      broadcast matrix, corpus GEMM'd map-only): paraphrased leakage
+      the verbatim grams miss;
+    * dedup gate — non-survivors of the materialize-once near-dup
+      cluster map (the SAME artifact q70/q93/q120/q140 share, min-id
+      survivorship);
+    * released = none of the above and not holdout, reported per source
+      so mixture shift from the gate is visible before committing.
+
+    Every flag side is eval-suite- or cluster-map-sized; the corpus
+    rides one gram stream and one GEMM pass, and the final aggregate is
+    sources-sized with three broadcast left joins."""
+    from ..operators.substring import token_ngrams
+    from .llm import _artifact, _exact_pairs
+    from .llm import q157 as _sem_flags
+
+    d = table(spark, sf, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(50)) == 0
+
+    bg = (
+        d.where(is_eval)
+        .select(F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g"))
+        .distinct()
+    )
+    cg = d.where(~is_eval).select(
+        "doc_id", F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g")
+    )
+    ng = (
+        cg.join(F.broadcast(bg), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ng", F.lit(1))
+    )
+
+    sem = (
+        _sem_flags(spark, sf)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("__sem", F.lit(1))
+    )
+
+    def build_clusters():
+        from ..operators.graph import dup_clusters
+
+        return built(
+            dup_clusters(_exact_pairs(spark, sf).select("ida", "idb"))
+            .select("node", "cluster")
+            .persist()
+        )
+
+    clusters = _artifact(spark, sf, "dup_cluster_map", build_clusters)
+    losers = (
+        clusters.where(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("__lost", F.lit(1))
+    )
+
+    flags = (
+        d.select("doc_id", "source", is_eval.cast("int").alias("ev"))
+        .join(broadcast_if_small(ng), "doc_id", "left")
+        .join(broadcast_if_small(sem), "doc_id", "left")
+        .join(broadcast_if_small(losers), "doc_id", "left")
+    )
+    non_eval = F.col("ev") == 0
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ev").cast("bigint").alias("n_eval"),
+        F.sum(F.col("__ng").isNotNull().cast("long")).alias("n_ngram"),
+        F.sum(F.col("__sem").isNotNull().cast("long")).alias("n_sem"),
+        F.sum(
+            (F.col("__lost").isNotNull() & non_eval).cast("long")
+        ).alias("n_dup_lost"),
+        F.sum(
+            (
+                non_eval
+                & F.col("__ng").isNull()
+                & F.col("__sem").isNull()
+                & F.col("__lost").isNull()
+            ).cast("long")
+        ).alias("n_released"),
     )
