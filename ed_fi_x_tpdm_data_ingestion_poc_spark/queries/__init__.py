@@ -129,5 +129,6 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import scoring_q  # noqa: F401
     from . import analysis_q  # noqa: F401
     from . import er_q  # noqa: F401
+    from . import stats_q  # noqa: F401
 
     return dict(QUERIES)

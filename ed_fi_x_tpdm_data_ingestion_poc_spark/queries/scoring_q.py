@@ -23,7 +23,7 @@ _W_SQL = "[" + ",".join(repr(x) for x in _W) + "]"
 
 
 @query(
-    "q117_quality_model",
+    "qz117_quality_model",
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk
@@ -59,7 +59,7 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q118_bigram_nll",
+    "qz118_bigram_nll",
     oracle="""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk
@@ -93,7 +93,7 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q119_train_split",
+    "qz119_train_split",
     oracle=f"""
     WITH u AS (SELECT doc_id, lang, {_UNIFORM_SQL.format(salt=271)} AS u
                FROM documents)
@@ -151,7 +151,7 @@ def _q120_oracle() -> str:
 
 
 @query(
-    "q120_leakage_safe_split",
+    "qz120_leakage_safe_split",
     oracle=_q120_oracle(),
     tags=("llm", "curation", "sampling", "dedup"),
 )
@@ -308,7 +308,7 @@ _DSIR_CURATED = "('src0', 'src1', 'src2')"
 
 
 @query(
-    "q129_dsir_resample",
+    "qz129_dsir_resample",
     oracle=f"""
     WITH t AS (SELECT doc_id, source,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk

@@ -1,0 +1,536 @@
+"""Round-11 distributional-statistics surface: exact Mann-Whitney AUC,
+two-sample Kolmogorov-Smirnov drift tests, token-frequency Gini
+concentration, pairwise embedding-centroid MMD drift, and a per-source
+corpus datasheet — the statistical monitoring layer a training-data
+pipeline runs per snapshot, each a (Spark plan, DuckDB twin) pair whose
+VALUES hash-check cross-engine.
+
+No reference analog (the reference is a row-at-a-time Java REST/JDBC
+connector); these are brief-mandated corpus-analytics operators. The
+shared design rule of the family: every statistic is reduced to INTEGER
+arithmetic over grouped counts (midrank sums, cross-multiplied CDF gaps,
+rank-weighted sums, micro-unit centroids) with exactly ONE float
+division at the end, so cross-engine float-summation order can never
+move a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from . import query
+
+# ---------------------------------------------------------------------------
+# q165 — exact Mann-Whitney AUC from grouped counts (no global row sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_exact_auc",
+    oracle="""
+    WITH e AS (SELECT value AS v,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS y
+               FROM events),
+    g AS (SELECT v, SUM(y) AS p, COUNT(*) - SUM(y) AS q
+          FROM e GROUP BY v),
+    w AS (SELECT p, q, p + q AS t,
+                 SUM(p + q) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g),
+    s AS (SELECT SUM(p * (2 * (cum - t) + t + 1)) AS s2,
+                 SUM(p) AS np, SUM(q) AS nq
+          FROM w)
+    SELECT ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / (2.0 * np * nq), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos,
+           CAST(nq AS BIGINT) AS n_neg
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U with midrank tie handling) of the
+    event `value` as a ranker for purchase events — the label-separation
+    audit a pipeline runs on any learned score (quality model, spam
+    classifier, reward model) without sampling or binning error.
+
+    AUC = (sum of positive midranks - n_pos(n_pos+1)/2) / (n_pos*n_neg).
+    With values grouped to (v, p, q) counts, a value's midrank is
+    cum_before + (t+1)/2, so DOUBLED midrank mass stays integer:
+    2*S = sum p*(2*cum_before + t + 1); AUC = (2S - np(np+1))/(2*np*nq)
+    — one float division at the very end, everything before it bigint.
+
+    Scale shape: the corpus collapses once to distinct-value counts
+    (map-side combine); the one order-dependent step — the running total
+    of t over values ascending — is `global_running_sums`' distributed
+    prefix sum (range exchange + per-partition Arrow cumsum + P-row
+    driver offsets), NEVER a single-partition window: score columns are
+    continuous, so distinct-value cardinality is corpus-sized in the
+    worst case. The final reduce is one row."""
+    from ..operators.ranking import global_running_sums
+
+    e = table(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    g = (
+        e.groupBy("v")
+        .agg(
+            F.sum("y").alias("p"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+        )
+        .withColumn("t", F.col("p") + F.col("q"))
+    )
+    r = global_running_sums(
+        g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+    )
+    s = r.agg(
+        F.sum(
+            F.col("p")
+            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
+        ).alias("s2"),
+        F.sum("p").alias("np"),
+        F.sum("q").alias("nq"),
+    )
+    return s.select(
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+            / (2.0 * F.col("np") * F.col("nq")),
+            6,
+        ).alias("auc"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nq").cast("bigint").alias("n_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — two-sample Kolmogorov-Smirnov drift test between sources
+# ---------------------------------------------------------------------------
+
+_KS_A = "src0"
+_KS_B = "src1"
+_KS_C95 = 1.3581  # c(alpha) for alpha = 0.05 (two-sided asymptotic)
+
+
+@query(
+    "q166_ks_drift",
+    oracle=f"""
+    WITH d AS (SELECT n_chars,
+                      CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
+               FROM documents
+               WHERE source IN ('{_KS_A}', '{_KS_B}')),
+    g AS (SELECT n_chars, SUM(a) AS c1, COUNT(*) - SUM(a) AS c2
+          FROM d GROUP BY n_chars),
+    w AS (SELECT SUM(c1) OVER (ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(c2) OVER (ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM g),
+    t AS (SELECT (SELECT SUM(c1) FROM g) AS n1,
+                 (SELECT SUM(c2) FROM g) AS n2,
+                 MAX(ABS(cum1 * (SELECT SUM(c2) FROM g)
+                         - cum2 * (SELECT SUM(c1) FROM g))) AS dnum
+          FROM w)
+    SELECT ROUND(CAST(dnum AS DOUBLE) / (1.0 * n1 * n2), 6) AS d,
+           ROUND({_KS_C95} * SQRT((n1 + n2) / (1.0 * n1 * n2)), 6)
+             AS crit_95,
+           CAST(ROUND(CAST(dnum AS DOUBLE) / (1.0 * n1 * n2), 6)
+                > ROUND({_KS_C95} * SQRT((n1 + n2) / (1.0 * n1 * n2)), 6)
+                AS INT) AS reject,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM t
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two sources' document
+    length distributions — the distribution-drift gate a multi-source
+    ingest runs per snapshot (a feed whose length CDF shifts is changing
+    content even when its volume and mean are flat; KS catches shape
+    changes a mean/stddev monitor misses).
+
+    D = max_x |F1(x) - F2(x)| stays EXACT integer arithmetic: with
+    grouped per-length counts, |cum1*n2 - cum2*n1| is the CDF gap
+    cross-multiplied by n1*n2, so the max is found on bigints and the
+    single float division happens once, on the final row. The 5%
+    decision compares ROUNDED D against the ROUNDED asymptotic critical
+    value c(.05)*sqrt((n1+n2)/(n1*n2)) so the flag boundary is identical
+    cross-engine.
+
+    Scale shape: the corpus collapses once to per-length counts
+    (map-side combine; distinct n_chars is bounded by the max document
+    length, NOT the corpus — a genuinely bounded domain, unlike q165's
+    continuous scores, so one ordered window over the grouped table is
+    the right plan and `global_running_sums` would only add a shuffle);
+    the final reduce is one row."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "documents")
+        .where(F.col("source").isin(_KS_A, _KS_B))
+        .select(
+            "n_chars", (F.col("source") == _KS_A).cast("long").alias("a")
+        )
+    )
+    g = d.groupBy("n_chars").agg(
+        F.sum("a").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
+    )
+    cum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = g.select(
+        F.sum("c1").over(cum).alias("cum1"),
+        F.sum("c2").over(cum).alias("cum2"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    t = w.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("dnum")
+    )
+    d_stat = F.round(
+        F.col("dnum").cast("double") / (1.0 * F.col("n1") * F.col("n2")), 6
+    )
+    crit = F.round(
+        _KS_C95
+        * F.sqrt(
+            (F.col("n1") + F.col("n2")) / (1.0 * F.col("n1") * F.col("n2"))
+        ),
+        6,
+    )
+    return t.select(
+        d_stat.alias("d"),
+        crit.alias("crit_95"),
+        (d_stat > crit).cast("int").alias("reject"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — per-source token-frequency Gini concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_token_gini",
+    oracle="""
+    WITH t AS (SELECT source,
+                      UNNEST(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS tok
+               FROM documents),
+    g AS (SELECT source, tok, COUNT(*) AS w FROM t GROUP BY 1, 2),
+    r AS (SELECT source, w,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY w, tok) AS rn
+          FROM g),
+    a AS (SELECT source, COUNT(*) AS n, SUM(w) AS ww,
+                 SUM(rn * w) AS s
+          FROM r GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_types,
+           CAST(ww AS BIGINT) AS n_tokens,
+           ROUND(CAST(2 * s - (n + 1) * ww AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * ww), 6) AS gini
+    FROM a
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-frequency Gini coefficient — the vocabulary
+    concentration gauge: boilerplate-heavy or template-generated feeds
+    put most token mass on few types (Gini -> 1), organic text spreads
+    it (complements q156's trigram type-token ratio, which sees
+    SEQUENCE diversity; Gini sees the mass SKEW of the unigram
+    distribution itself).
+
+    For counts w sorted ascending with ranks r = 1..n:
+    G = (2*sum(r*w) - (n+1)*sum(w)) / (n*sum(w)) — numerator and
+    denominator stay bigint (rank-weighted sums over grouped counts),
+    one float division per source at the end.
+
+    Scale shape: the corpus collapses once to (source, token) counts
+    (map-side combine); the rank window runs per-source over the
+    VOCAB-bounded grouped table (the q155/q158 rank-machinery
+    precedent), never the corpus; output is sources-sized."""
+    from pyspark.sql import Window
+
+    t = table(spark, sf, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    g = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("w"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("w", "tok")
+    )
+    r = g.select("source", "w", rn.alias("rn"))
+    a = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("ww"),
+        F.sum(F.col("rn") * F.col("w")).alias("s"),
+    )
+    return a.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_types"),
+        F.col("ww").cast("bigint").alias("n_tokens"),
+        F.round(
+            (2 * F.col("s") - (F.col("n") + 1) * F.col("ww")).cast("double")
+            / (F.col("n").cast("double") * F.col("ww")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — pairwise embedding-centroid drift (linear-kernel MMD^2)
+# ---------------------------------------------------------------------------
+
+_MMD_MICRO = 1_000_000  # centroid fixed-point unit (1e-6)
+
+
+@query(
+    "q168_label_mmd",
+    oracle=f"""
+    WITH c AS (SELECT label, g.i - 1 AS dim,
+                      CAST(ROUND(AVG(embedding[g.i]) * {_MMD_MICRO})
+                           AS BIGINT) AS mu
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS g(i)
+               GROUP BY 1, 2)
+    SELECT CAST(a.label AS INT) AS label_a,
+           CAST(b.label AS INT) AS label_b,
+           ROUND(CAST(SUM((a.mu - b.mu) * (a.mu - b.mu)) AS DOUBLE)
+                 / ({_MMD_MICRO}.0 * {_MMD_MICRO}), 6) AS mmd2
+    FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+    tags=("llm", "embedding", "stats"),
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise distribution drift between embedding labels as
+    linear-kernel MMD^2 = ||mu_a - mu_b||^2 (Gretton et al. 2012, the
+    biased linear-kernel estimator) — the cheap which-cohorts-moved
+    matrix computed per snapshot; a pair whose centroid gap grows is
+    diverging content (feeds q126's k-means domain view and q157's
+    semantic decontamination threshold choice).
+
+    Float discipline: centroids are rounded to 1e-6 FIXED-POINT BIGINTS
+    immediately after the average (the only float-order-sensitive step,
+    where summation error ~1e-17 sits 11 orders below the rounding
+    grain), so the pairwise squared-difference sums are exact integer
+    arithmetic — cross-engine summation order cannot move the hash —
+    with one division back to double at the end.
+
+    Scale shape: corpus -> (label, dim) partial averages via
+    posexplode + map-side combine (the q148 centroid shape; the shuffle
+    moves group partials, never vectors); the pairwise join runs on the
+    labels x dims centroid table (hundreds of rows), broadcast both
+    sides."""
+    e = table(spark, sf, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    c = e.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")) * _MMD_MICRO)
+        .cast("bigint")
+        .alias("mu")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(
+        F.broadcast(b),
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.label") < F.col("b.label")),
+    )
+    gap = F.col("a.mu") - F.col("b.mu")
+    return (
+        j.groupBy(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
+        .agg(F.sum(gap * gap).alias("ss"))
+        .select(
+            F.col("la").cast("int").alias("label_a"),
+            F.col("lb").cast("int").alias("label_b"),
+            F.round(
+                F.col("ss").cast("double")
+                / (float(_MMD_MICRO) * _MMD_MICRO),
+                6,
+            ).alias("mmd2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — per-source corpus datasheet (one-call release report)
+# ---------------------------------------------------------------------------
+
+_DS_N = 8  # decontamination gram length (q131's constant)
+
+
+@query(
+    "q169_corpus_datasheet",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source, n_chars,
+                         len(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS n_toks,
+                         md5(text) AS h
+                  FROM documents),
+    stats AS (SELECT source, COUNT(*) AS n_docs,
+                     SUM(n_toks) AS n_tokens
+              FROM base GROUP BY source),
+    lg AS (SELECT source, n_chars, COUNT(*) AS k
+           FROM base GROUP BY 1, 2),
+    lw AS (SELECT source, n_chars,
+                  SUM(k) OVER (PARTITION BY source ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                  SUM(k) OVER (PARTITION BY source) AS n
+           FROM lg),
+    med AS (SELECT source,
+                   MIN(n_chars) FILTER (cum >= (n + 1) // 2) AS med_chars
+            FROM lw GROUP BY source),
+    dup AS (SELECT source, COUNT(*) AS dup_docs
+            FROM base
+            WHERE h IN (SELECT h FROM base GROUP BY h HAVING COUNT(*) > 1)
+            GROUP BY source),
+    t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS tk
+          FROM documents),
+    b AS (SELECT string_split(array_to_string(tk[6:37], ' '), ' ') AS tk
+          FROM t WHERE doc_id % 31 = 7),
+    bg AS (SELECT DISTINCT array_to_string(tk[i:i+{_DS_N - 1}], ' ') AS g
+           FROM b, UNNEST(generate_series(1, len(tk) - {_DS_N - 1}))
+                AS u(i)),
+    cont AS (SELECT source, COUNT(DISTINCT doc_id) AS contam_docs
+             FROM (SELECT t.doc_id,
+                          array_to_string(t.tk[i:i+{_DS_N - 1}], ' ') AS g
+                   FROM t, UNNEST(generate_series(1, len(tk) - {_DS_N - 1}))
+                        AS u(i)) cg
+             JOIN bg USING (g)
+             JOIN base USING (doc_id)
+             GROUP BY source)
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(m.med_chars AS BIGINT) AS med_chars,
+           CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+           CAST(COALESCE(c.contam_docs, 0) AS BIGINT) AS contam_docs
+    FROM stats s
+    JOIN med m ON m.source = s.source
+    LEFT JOIN dup d ON d.source = s.source
+    LEFT JOIN cont c ON c.source = s.source
+    """,
+    tags=("llm", "curation", "analytics", "e2e"),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus datasheet (Gebru et al. 2021 'Datasheets for
+    Datasets', the release-report slice a pipeline regenerates per
+    snapshot): document and token volumes, exact median document
+    length, verbatim-duplicate counts, and benchmark-contaminated
+    counts — one call answering 'what is in this corpus and is it safe
+    to train on', assembled from the same definitions the dedicated
+    queries use (q131's 8-gram eval overlap, md5 exact-dup identity,
+    the q155/q158 grouped-cumulative-count median).
+
+    Scale shape: ONE corpus pass computes tokens + md5 + length
+    (map-only); medians come from per-source grouped length counts
+    (windows over the bounded lengths-table, never the corpus); the
+    exact-dup side groups md5 hashes (map-side combine) and joins back
+    the >1 groups; decontamination reuses q131's broadcast eval-gram
+    set so the corpus gram stream never shuffles. Final assembly joins
+    sources-sized aggregates."""
+    from pyspark.sql import Window
+
+    from ..operators.substring import token_ngrams
+
+    d = table(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_toks"),
+        F.md5("text").alias("h"),
+    ).persist()
+
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+
+    lg = base.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_w = Window.partitionBy("source")
+    lw = lg.select(
+        "source",
+        "n_chars",
+        F.sum("k").over(cum_w).alias("cum"),
+        F.sum("k").over(n_w).alias("n"),
+    )
+    med = lw.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+                F.col("n_chars"),
+            )
+        ).alias("med_chars")
+    )
+
+    dup_h = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    dup = (
+        base.join(F.broadcast(dup_h), "h")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("dup_docs"))
+    )
+
+    bench = d.where(F.col("doc_id") % 31 == 7).select(
+        F.array_join(F.slice(toks, 6, 32), " ").alias("btext")
+    )
+    bg = (
+        bench.select(
+            F.explode(token_ngrams(F.col("btext"), _DS_N)).alias("g")
+        )
+        .distinct()
+    )
+    cont = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(token_ngrams(F.col("text"), _DS_N)).alias("g"),
+        )
+        .join(F.broadcast(bg), "g")
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("contam_docs"))
+    )
+
+    return (
+        stats.join(med, "source")
+        .join(dup, "source", "left")
+        .join(cont, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("med_chars").cast("bigint").alias("med_chars"),
+            F.coalesce(F.col("dup_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.coalesce(F.col("contam_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("contam_docs"),
+        )
+    )

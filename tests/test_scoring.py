@@ -107,7 +107,7 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
 
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
 
-    rows = all_queries()["q120_leakage_safe_split"].build(
+    rows = all_queries()["qz120_leakage_safe_split"].build(
         spark, sf_dir
     ).collect()
     by_key = {}

@@ -269,6 +269,31 @@ def main() -> None:
 
         return exact_quantiles_via_summary(e, "value", [0.9], eps=0.01)[0.9]
 
+    def _auc_reduce(e):
+        # jitter by event_id so EVERY value is distinct — the grouped
+        # table degenerates to corpus size, the worst case for the
+        # running-total step (and the reason q165 uses the prefix sum)
+        v = (F.col("value") + F.col("event_id").cast("double") * 1e-9).alias(
+            "v"
+        )
+        y = (F.col("event_type") == "purchase").cast("long").alias("y")
+        g = (
+            e.select(v, y)
+            .groupBy("v")
+            .agg(
+                F.sum("y").alias("p"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+            )
+            .withColumn("t", F.col("p") + F.col("q"))
+        )
+        r = global_running_sums(g, [F.col("v")], F.col("t"), sum_col="cum")
+        return r.agg(
+            F.sum(
+                F.col("p")
+                * (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+            ).alias("s2")
+        ).collect()[0]["s2"]
+
     probes = {
         "ngram_jaccard": (
             lambda d: ngram_jaccard_pairs(d, k=5, threshold=0.8).count(),
@@ -412,6 +437,16 @@ def main() -> None:
             .count(),
             docs,
             docs_big,
+        ),
+        "auc_midrank": (  # q165 shape: grouped value counts -> the
+            # distributed prefix sum -> one-row midrank reduce. The
+            # hostile property inflation creates: CONTINUOUS scores, so
+            # distinct-value cardinality grows WITH the corpus (the case
+            # that rules out a single-partition window); copies get value
+            # offsets so the grouped table really is factor x larger.
+            lambda e: _auc_reduce(e),
+            events,
+            events_big,
         ),
         "mg_heavy_hitters": (  # map-only Arrow counting pass; driver
             # holds n_batches * k counters (copy-suffixed vocab grows
