@@ -6,9 +6,12 @@ and prints ONE JSON line:
 
 Protocol (BASELINE.md row 9, round-2 revision):
 
-* Pass 1 — SEQUENTIAL: each query runs alone, median of 3, wall-clock
-  including Arrow materialization (toPandas). These per-query medians are
-  the regression signal ("queries" and "seq_s").
+* Pass 1 — SEQUENTIAL: each query runs alone, one warm-up run then one
+  measured steady-state run, wall-clock including Arrow materialization
+  (toPandas). These per-query times are the regression signal ("queries"
+  and "seq_s"). (Rounds 2-10 used median-of-3; run 2 and that median
+  agree within scheduler noise and the extra run bought nothing at 170+
+  queries.)
 * Pass 2 — CONCURRENT: the whole suite is submitted to the engine at once
   ($SPARK_GRAFT_BENCH_THREADS client threads, default 8; longest-first),
   3 sweeps, median suite wall-clock. This is the headline "value": an
@@ -78,14 +81,19 @@ def main() -> None:
     # Materialization is Arrow-batched toPandas: the fair analog of an
     # in-process engine's fetchall (row-at-a-time py4j collect() would
     # charge Spark ~1s per 100k rows of pure Python object construction).
+    # Round-11 protocol revision (mirrored in tools/duck_bench.py): two
+    # runs per query — run 1 warms that query's codegen/artifacts, run 2
+    # is the reported steady-state number. Measured against the old
+    # median-of-3: run 2 and the median agree within scheduler noise
+    # (runs 2 and 3 are both warm), and the third run was ~35% of a
+    # sequential pass that now spans 170+ queries — pure wall-clock with
+    # no added signal.
     per_query: dict[str, float] = {}
     for name, spec in specs.items():
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.build(spark, SF_DIR).toPandas()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(sorted(times)[1], 3)
+        spec.build(spark, SF_DIR).toPandas()
+        t0 = time.perf_counter()
+        spec.build(spark, SF_DIR).toPandas()
+        per_query[name] = round(time.perf_counter() - t0, 3)
 
     # Concurrent pass: longest-first for schedule packing; any query error
     # propagates (rc != 0) rather than being silently absorbed.

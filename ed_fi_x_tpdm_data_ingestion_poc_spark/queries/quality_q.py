@@ -485,7 +485,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q122_bm25_topk",
+    "qz122_bm25_topk",
     oracle="""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk
@@ -543,7 +543,7 @@ _STOP_IN = "('the','a','of','and','to','in','is','it')"
 
 
 @query(
-    "q124_gopher_rules",
+    "qz124_gopher_rules",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
                       string_split(text, chr(10)) AS lines

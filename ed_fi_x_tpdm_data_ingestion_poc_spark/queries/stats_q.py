@@ -534,3 +534,261 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
             .alias("contam_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — sketch-estimated KS distance with a provable error bound (law)
+# ---------------------------------------------------------------------------
+
+_SKS_A = "view"
+_SKS_B = "purchase"
+
+
+@query(
+    "q170_sketch_ks_ok",
+    oracle=f"""
+    WITH e AS (SELECT value AS v,
+                      CASE WHEN event_type = '{_SKS_A}' THEN 1 ELSE 0 END
+                        AS a
+               FROM events
+               WHERE event_type IN ('{_SKS_A}', '{_SKS_B}')),
+    g AS (SELECT v, SUM(a) AS c1, COUNT(*) - SUM(a) AS c2
+          FROM e GROUP BY v),
+    w AS (SELECT SUM(c1) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(c2) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM g),
+    t AS (SELECT (SELECT SUM(c1) FROM g) AS n1,
+                 (SELECT SUM(c2) FROM g) AS n2,
+                 MAX(ABS(cum1 * (SELECT SUM(c2) FROM g)
+                         - cum2 * (SELECT SUM(c1) FROM g))) AS dnum
+          FROM w)
+    SELECT ROUND(CAST(dnum AS DOUBLE) / (1.0 * n1 * n2), 6) AS d_exact,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(1 AS INT) AS ok
+    FROM t
+    """,
+    tags=("events", "stats", "sketch"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """KS drift estimated from two mergeable quantile summaries, with
+    the estimate's error LAW verified against the exact distributed
+    answer — the shape that matters at 100 TB: per-shard summaries are
+    built independently (one map-only Arrow pass each, mergeable by
+    list append), shipped to a coordinator, and the drift check runs on
+    kilobytes instead of re-scanning two corpora.
+
+    Law: each summary brackets its true CDF within slack/n at every
+    kept point, and between consecutive kept points the CDF moves at
+    most one batch stride, so
+      |D_sketch - D_exact| <= (slack_a + maxw_a)/n_a
+                              + (slack_b + maxw_b)/n_b.
+    The flag asserts that bound plus summary accounting (sum of weights
+    == n per side). D_exact itself is the q166 integer machinery (the
+    cross-multiplied CDF gap on grouped value counts) and is the
+    hash-checked output; the sketch estimate and its bound are
+    batching-dependent by construction, so they feed ONLY the flag,
+    never the hash.
+
+    Scale shape: two map-only summary passes + the grouped exact pass;
+    the driver-side estimate walks n_batches/eps kept points."""
+    from ..operators.quantiles import quantile_summary
+    from .llm import _artifact
+
+    ev = table(spark, sf, "events")
+
+    def _summaries() -> tuple[dict, dict]:
+        sa = quantile_summary(
+            ev.where(F.col("event_type") == _SKS_A).select("value"),
+            "value",
+            eps=0.02,
+        )
+        sb = quantile_summary(
+            ev.where(F.col("event_type") == _SKS_B).select("value"),
+            "value",
+            eps=0.02,
+        )
+        return sa, sb
+
+    sa, sb = _artifact(spark, sf, "ks_summaries", _summaries)
+
+    # exact D on the same integer machinery as q166 (distributed)
+    e = ev.where(F.col("event_type").isin(_SKS_A, _SKS_B)).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == _SKS_A).cast("long").alias("a"),
+    )
+    from pyspark.sql import Window
+
+    g = e.groupBy("v").agg(
+        F.sum("a").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = g.select(
+        F.sum("c1").over(cum).alias("cum1"),
+        F.sum("c2").over(cum).alias("cum2"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    row = (
+        w.groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                )
+            ).alias("dnum")
+        )
+        .first()
+    )
+    n1, n2 = int(row["n1"]), int(row["n2"])
+    d_exact = float(row["dnum"] / (1.0 * n1 * n2))
+    # HALF_UP like F.round / DuckDB ROUND (Python round is half-even —
+    # a .5 tie at the 7th decimal is reachable for rationals over n1*n2)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d_exact_r = float(
+        Decimal(repr(d_exact)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+    # sketch estimate: evaluate both summaries' LOWER rank bounds at the
+    # union of kept values (driver-side, kilobytes)
+    def _lo_cdf(summary: dict):
+        vals = [v for v, _ in summary["points"]]
+        cums, acc = [], 0
+        for _, wgt in summary["points"]:
+            acc += wgt
+            cums.append(acc)
+        return vals, cums
+
+    import bisect
+
+    va, ca = _lo_cdf(sa)
+    vb, cb = _lo_cdf(sb)
+
+    def lo(vals, cums, x):
+        i = bisect.bisect_right(vals, x)
+        return cums[i - 1] if i else 0
+
+    union = sorted(set(va) | set(vb))
+    d_sketch = max(
+        abs(lo(va, ca, x) / sa["n"] - lo(vb, cb, x) / sb["n"])
+        for x in union
+    )
+    maxw_a = max(wgt for _, wgt in sa["points"])
+    maxw_b = max(wgt for _, wgt in sb["points"])
+    bound = (sa["slack"] + maxw_a) / sa["n"] + (sb["slack"] + maxw_b) / sb[
+        "n"
+    ]
+    ok = (
+        abs(d_sketch - d_exact) <= bound
+        and sum(wgt for _, wgt in sa["points"]) == sa["n"] == n1
+        and sum(wgt for _, wgt in sb["points"]) == sb["n"] == n2
+    )
+    return spark.range(1).select(
+        F.lit(d_exact_r).alias("d_exact"),
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.lit(1 if ok else 0).cast("int").alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — exact Wasserstein-1 (earth mover) drift between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_wasserstein_drift",
+    oracle=f"""
+    WITH d AS (SELECT n_chars,
+                      CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
+               FROM documents
+               WHERE source IN ('{_KS_A}', '{_KS_B}')),
+    g AS (SELECT n_chars, SUM(a) AS c1, COUNT(*) - SUM(a) AS c2
+          FROM d GROUP BY n_chars),
+    w AS (SELECT n_chars,
+                 SUM(c1) OVER (ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(c2) OVER (ORDER BY n_chars
+                               ROWS UNBOUNDED PRECEDING) AS cum2,
+                 LEAD(n_chars) OVER (ORDER BY n_chars) AS nxt
+          FROM g),
+    t AS (SELECT (SELECT SUM(c1) FROM g) AS n1,
+                 (SELECT SUM(c2) FROM g) AS n2,
+                 SUM(ABS(cum1 * (SELECT SUM(c2) FROM g)
+                         - cum2 * (SELECT SUM(c1) FROM g))
+                     * (nxt - n_chars)) AS wnum
+          FROM w WHERE nxt IS NOT NULL)
+    SELECT ROUND(CAST(wnum AS DOUBLE) / (1.0 * n1 * n2), 6) AS w1,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM t
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Wasserstein-1 (earth mover) distance between two sources'
+    document-length distributions — the magnitude-aware companion to
+    q166's KS: KS reports the LARGEST CDF gap (shape change at one
+    point), W1 integrates |F1 - F2| over the value axis, so it sees a
+    small-but-everywhere shift KS underweights and it degrades smoothly
+    for threshold alerts. For 1-D empirical distributions
+    W1 = sum over consecutive distinct values of |F1 - F2| * gap_width
+    (Vallender 1974); cross-multiplying by n1*n2 keeps every term
+    bigint — the weighted sum is exact integer arithmetic with ONE
+    float division on the final row.
+
+    Scale shape: identical to q166 — corpus collapses to per-length
+    counts (map-side combine, bounded by max doc length), one ordered
+    window over the grouped table computes both cumulative counts plus
+    the LEAD gap, one-row reduce."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "documents")
+        .where(F.col("source").isin(_KS_A, _KS_B))
+        .select(
+            "n_chars", (F.col("source") == _KS_A).cast("long").alias("a")
+        )
+    )
+    g = d.groupBy("n_chars").agg(
+        F.sum("a").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("c2"),
+    )
+    ow = Window.orderBy("n_chars")
+    cum = ow.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = g.select(
+        "n_chars",
+        F.sum("c1").over(cum).alias("cum1"),
+        F.sum("c2").over(cum).alias("cum2"),
+        F.lead("n_chars").over(ow).alias("nxt"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    t = (
+        w.where(F.col("nxt").isNotNull())
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                )
+                * (F.col("nxt") - F.col("n_chars"))
+            ).alias("wnum")
+        )
+    )
+    return t.select(
+        F.round(
+            F.col("wnum").cast("double") / (1.0 * F.col("n1") * F.col("n2")),
+            6,
+        ).alias("w1"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )

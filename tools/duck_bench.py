@@ -4,8 +4,9 @@ DuckDB on the declared query set).
 Runs every declared query's oracle SQL on DuckDB over the same parquet
 tables with the IDENTICAL dual protocol as bench.py:
 
-* Pass 1 — SEQUENTIAL: warm connection, median of 3 per query, Arrow
-  materialization. Reported per-query and as "seq_s".
+* Pass 1 — SEQUENTIAL: warm connection, warm run + one measured run
+  per query (the bench.py round-11 protocol), Arrow materialization.
+  Reported per-query and as "seq_s".
 * Pass 2 — CONCURRENT: the whole suite submitted at once on
   $SPARK_GRAFT_BENCH_THREADS client threads (default 8, longest-first),
   one cursor per thread (DuckDB's documented multi-thread client
@@ -62,14 +63,14 @@ def main() -> None:
     first = next(iter(specs.values()))
     con.execute(first).arrow()
 
+    # Round-11 protocol revision, identical to bench.py: warm run + one
+    # measured steady-state run per query.
     per_query: dict[str, float] = {}
     for name, sql in specs.items():
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).arrow()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(sorted(times)[1], 3)
+        con.execute(sql).arrow()
+        t0 = time.perf_counter()
+        con.execute(sql).arrow()
+        per_query[name] = round(time.perf_counter() - t0, 3)
 
     # Concurrent pass: one cursor per client thread, longest-first packing.
     ordered = sorted(specs, key=lambda n: -per_query[n])
