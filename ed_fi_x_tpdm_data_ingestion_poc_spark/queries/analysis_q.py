@@ -907,6 +907,30 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
 _DAY_US = 86_400_000_000
 
 
+def daily_type_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize-once (event_type, day, c) daily count table — shared
+    by q163's MAD anomalies and the round-11 trend/autocorrelation
+    queries (q172/q173): every robust time-series monitor starts from
+    the same types x days collapse, so it is ONE corpus scan per
+    session, corpus-size independent after that."""
+    from . import built
+    from .llm import _artifact
+
+    def _daily() -> DataFrame:
+        e = table(spark, sf, "events")
+        us = F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        return built(
+            e.select("event_type", F.floor(us / _DAY_US).alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+
+    return _artifact(spark, sf, "daily_type_counts", _daily)
+
+
 @query(
     "q143_retention_cohorts",
     oracle=f"""
@@ -1476,26 +1500,10 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     table with types-sized broadcast joins."""
     from pyspark.sql import Window
 
-    from .llm import _artifact
-
-    def _daily() -> DataFrame:
-        from . import built
-
-        e = table(spark, sf, "events")
-        us = F.expr(
-            "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
-        )
-        return built(
-            e.select("event_type", F.floor(us / _DAY_US).alias("day"))
-            .groupBy("event_type", "day")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .persist()
-        )
-
     # four consumers (both median extractions, the deviation join, the
     # final select) would each re-scan events; the persisted artifact is
     # types x days rows, corpus-size independent
-    c = _artifact(spark, sf, "daily_type_counts", _daily)
+    c = daily_type_counts(spark, sf)
 
     def lower_median(df: DataFrame, val: str) -> DataFrame:
         """(event_type, med): exact rank-(n+1)//2 value from grouped

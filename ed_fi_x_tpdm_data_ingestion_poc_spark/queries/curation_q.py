@@ -1260,7 +1260,7 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q116_substring_incremental",
+    "qz116_substring_incremental",
     oracle="""
     WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
     batch AS (

@@ -664,7 +664,7 @@ def _c4_page_expr():
 
 
 @query(
-    "q125_c4_line_filter",
+    "qz125_c4_line_filter",
     oracle=f"""
     WITH {_C4_PAGE_SQL},
     k AS (SELECT doc_id, page,

@@ -792,3 +792,188 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 / q173 — robust trend + lag-1 autocorrelation over daily counts
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+    e AS (SELECT event_type,
+                 date_diff('microsecond',
+                           TIMESTAMP '2024-01-01 00:00:00', ts)
+                   // 86400000000 AS day
+          FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2)
+"""
+
+
+@query(
+    "q172_theil_sen_trend",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    p AS (SELECT a.event_type,
+                 CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope
+          FROM c a JOIN c b ON b.event_type = a.event_type
+                           AND b.day > a.day),
+    g AS (SELECT event_type, slope, COUNT(*) AS k FROM p GROUP BY 1, 2),
+    w AS (SELECT event_type, slope, k,
+                 SUM(k) OVER (PARTITION BY event_type ORDER BY slope
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(k) OVER (PARTITION BY event_type) AS n
+          FROM g)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(MIN(slope) FILTER (cum >= (n + 1) // 2), 6) AS slope
+    FROM w GROUP BY event_type
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust daily-volume trend per event type — the exact
+    lower median of all pairwise slopes (c_j - c_i)/(day_j - day_i),
+    the trend estimator with a 29% breakdown point (Sen 1968): a burst
+    day that drags an OLS slope leaves the median slope untouched. The
+    level-shift complement of q163's MAD anomalies.
+
+    Exactness: each slope is one integer division evaluated identically
+    cross-engine (identical bigint inputs -> identical IEEE double),
+    and the median is the exact rank-(n+1)//2 slope from grouped
+    cumulative counts — never a per-group sort of raw pairs.
+
+    Scale shape: the corpus collapses ONCE to the memoized types x days
+    table (q163's artifact); pairs are days^2/2 per type, date-range-
+    bounded, never corpus-sized; the rank window runs over grouped
+    slopes per type."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope"),
+    )
+    g = p.groupBy("event_type", "slope").agg(F.count(F.lit(1)).alias("k"))
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nw = Window.partitionBy("event_type")
+    w = g.select(
+        "event_type",
+        "slope",
+        F.sum("k").over(cum).alias("cum"),
+        F.sum("k").over(nw).alias("n"),
+    )
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("slope"),
+    )
+
+
+@query(
+    "q173_daily_autocorr",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    l AS (SELECT event_type, c,
+                 LEAD(day) OVER (PARTITION BY event_type ORDER BY day)
+                   AS nxt_day,
+                 LEAD(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS nxt_c,
+                 day
+          FROM c),
+    p AS (SELECT event_type, c AS x, nxt_c AS y FROM l
+          WHERE nxt_day = day + 1),
+    s AS (SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                ELSE 0.0 END AS r1
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type over
+    consecutive-day pairs — the periodicity/burstiness gauge that says
+    whether yesterday's volume predicts today's (r1 near 0 = arrival
+    noise, near 1 = strong daily persistence, negative = alternation).
+    Gap days (no events) are excluded by the nxt_day = day + 1 guard,
+    so the pair set is well-defined on sparse types.
+
+    Exactness: counts are integers, so every Pearson moment (sx, sxx,
+    sxy, ...) is a bigint and r1's numerator/denominator terms are
+    EXACT before the one double division + sqrt at the end (identical
+    bigints -> identical doubles -> identical IEEE sqrt cross-engine).
+    Degenerate variance (constant series) reports 0.
+
+    Scale shape: one lead window + one aggregate over the memoized
+    types x days artifact — nothing here ever touches the corpus
+    again."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    ow = Window.partitionBy("event_type").orderBy("day")
+    x = F.col("c")
+    p = (
+        c.select(
+            "event_type",
+            "day",
+            "c",
+            F.lead("day").over(ow).alias("nxt_day"),
+            F.lead("c").over(ow).alias("nxt_c"),
+        )
+        .where(F.col("nxt_day") == F.col("day") + 1)
+        .select("event_type", x.alias("x"), F.col("nxt_c").alias("y"))
+    )
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r1"),
+    )
