@@ -1328,7 +1328,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q128_temperature_mixture",
+    "qz128_temperature_mixture",
     oracle=f"""
     WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
                FROM documents GROUP BY source),

@@ -244,7 +244,7 @@ def _q121_oracle() -> str:
 
 
 @query(
-    "q121_web_ingest_e2e",
+    "qz121_web_ingest_e2e",
     oracle=_q121_oracle(),
     tags=("llm", "curation", "scoring", "text", "pipeline"),
 )

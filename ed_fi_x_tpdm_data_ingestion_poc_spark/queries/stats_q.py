@@ -977,3 +977,157 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("r1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 / q175 — changepoint + weekly seasonality over the daily artifact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_cusum_changepoint",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    r AS (SELECT event_type, day, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS k,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS tot,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    d AS (SELECT event_type, day,
+                 ABS(n * cum - k * tot) AS dnum, n, tot
+          FROM r),
+    m AS (SELECT event_type, MAX(dnum) AS mx FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(MIN(d.day) AS BIGINT) AS cp_day,
+           ROUND(CAST(MAX(d.dnum) AS DOUBLE)
+                 / (1.0 * MAX(d.n) * MAX(d.tot)), 6) AS stat,
+           CAST(MAX(d.n) AS BIGINT) AS n_days
+    FROM d JOIN m ON m.event_type = d.event_type AND d.dnum = m.mx
+    GROUP BY d.event_type
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint over daily event volume per type — WHERE the
+    rate shifted, not just that some day is anomalous: the day k
+    maximizing |cum_k - (k/n)*total|, the classic cumulative-sum
+    deviation from the constant-rate null (Page 1954; ties resolve to
+    the earliest day). Completes the time-series monitor family: level
+    outliers (q145/q163), trend (q172), persistence (q173),
+    changepoint (q174), seasonality (q175).
+
+    Exactness: cross-multiplying by n removes the only fraction —
+    Dnum_k = |n*cum_k - k*total| is bigint, the argmax is found on
+    integers, and the reported statistic max|Dnum|/(n*total) does its
+    one float division on the final types-sized rows.
+
+    Scale shape: everything after the memoized types x days collapse is
+    windows + aggregates over that date-bounded table."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    ow = Window.partitionBy("event_type").orderBy("day")
+    cum = ow.rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "day",
+        F.row_number().over(ow).alias("k"),
+        F.sum("c").over(cum).alias("cum"),
+        F.sum("c").over(tw).alias("tot"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    d = r.select(
+        "event_type",
+        "day",
+        F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("tot")).alias(
+            "dnum"
+        ),
+        "n",
+        "tot",
+    )
+    m = d.groupBy("event_type").agg(F.max("dnum").alias("mx"))
+    j = (
+        d.alias("d")
+        .join(
+            F.broadcast(m.alias("m")),
+            (F.col("d.event_type") == F.col("m.event_type"))
+            & (F.col("d.dnum") == F.col("m.mx")),
+        )
+        .select(
+            F.col("d.event_type").alias("event_type"),
+            F.col("d.day").alias("day"),
+            F.col("d.dnum").alias("dnum"),
+            F.col("d.n").alias("n"),
+            F.col("d.tot").alias("tot"),
+        )
+    )
+    return j.groupBy("event_type").agg(
+        F.min("day").cast("bigint").alias("cp_day"),
+        F.round(
+            F.max("dnum").cast("double")
+            / (1.0 * F.max("n") * F.max("tot")),
+            6,
+        ).alias("stat"),
+        F.max("n").cast("bigint").alias("n_days"),
+    )
+
+
+_CHI2_DF6_95 = 12.592  # chi-square 5% critical value, 6 degrees of freedom
+
+
+@query(
+    "q175_weekday_uniformity",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    wd AS (SELECT event_type, day % 7 AS weekday, SUM(c) AS obs
+           FROM c GROUP BY 1, 2),
+    s AS (SELECT event_type, SUM(obs * obs) AS ss, SUM(obs) AS tot
+          FROM wd GROUP BY event_type)
+    SELECT event_type,
+           CAST(tot AS BIGINT) AS n_events,
+           ROUND(CAST(7 * ss - tot * tot AS DOUBLE) / tot, 6) AS chi2,
+           CAST(ROUND(CAST(7 * ss - tot * tot AS DOUBLE) / tot, 6)
+                > {_CHI2_DF6_95} AS INT) AS weekly_pattern
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekday-uniformity chi-square per event type — the weekly
+    seasonality detector: under the no-weekly-pattern null each of the
+    7 weekday bins (day index mod 7; the epoch 2024-01-01 fixes the
+    phase) expects total/7 events, and
+    chi2 = sum (obs - tot/7)^2 / (tot/7) = (7*sum(obs^2) - tot^2)/tot
+    EXACTLY — the algebra clears every fraction, so both engines
+    compare the same rounded double against the df=6 critical value
+    {_CHI2_DF6_95}.
+
+    Scale shape: a 7-bin aggregate over the memoized types x days
+    table; output is types-sized."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    wd = c.groupBy(
+        "event_type", (F.col("day") % 7).alias("weekday")
+    ).agg(F.sum("c").alias("obs"))
+    s = wd.groupBy("event_type").agg(
+        F.sum(F.col("obs") * F.col("obs")).alias("ss"),
+        F.sum("obs").alias("tot"),
+    )
+    chi2 = F.round(
+        (7 * F.col("ss") - F.col("tot") * F.col("tot")).cast("double")
+        / F.col("tot"),
+        6,
+    )
+    return s.select(
+        "event_type",
+        F.col("tot").cast("bigint").alias("n_events"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_CHI2_DF6_95)).cast("int").alias("weekly_pattern"),
+    )

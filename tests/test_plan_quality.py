@@ -374,7 +374,7 @@ def test_web_ingest_e2e_plan(spark, sf_dir):
     """q121: the five-stage composition stays JVM-only (strip + score
     are projections; LM join + digest window are the only heavy ops) —
     no Python nodes, no cartesian."""
-    f = audit(_build(spark, sf_dir, "q121_web_ingest_e2e"))
+    f = audit(_build(spark, sf_dir, "qz121_web_ingest_e2e"))
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert f.cartesian_products == 0  # NLJs = one-row V scalar broadcasts
 
