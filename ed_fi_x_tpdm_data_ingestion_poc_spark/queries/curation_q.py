@@ -1538,26 +1538,43 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     is_eval = F.pmod(F.col("doc_id"), F.lit(50)) == 0
 
-    bg = (
-        d.where(is_eval)
-        .select(F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g"))
-        .distinct()
-    )
-    cg = d.where(~is_eval).select(
-        "doc_id", F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g")
-    )
-    ng = (
-        cg.join(F.broadcast(bg), "g")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ng", F.lit(1))
-    )
+    # Both gate flag sets are materialize-once artifacts (the q115/q163
+    # contract — production writes them with the snapshot): without the
+    # persist, broadcast_if_small's size probe COUNTS the flag plan and
+    # the final aggregate then recomputes it, so every warm call paid
+    # the corpus gram stream and the GEMM twice (measured 4.1 s warm at
+    # sf0.1; ~0.5 s with the artifacts).
+    def _ng_flags() -> DataFrame:
+        bg = (
+            d.where(is_eval)
+            .select(
+                F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g")
+            )
+            .distinct()
+        )
+        cg = d.where(~is_eval).select(
+            "doc_id",
+            F.explode(token_ngrams(F.col("text"), _REL_N)).alias("g"),
+        )
+        return built(
+            cg.join(F.broadcast(bg), "g")
+            .select("doc_id")
+            .distinct()
+            .withColumn("__ng", F.lit(1))
+            .persist()
+        )
 
-    sem = (
-        _sem_flags(spark, sf)
-        .select(F.col("vec_id").alias("doc_id"))
-        .withColumn("__sem", F.lit(1))
-    )
+    ng = _artifact(spark, sf, "release_ng_flags", _ng_flags)
+
+    def _sem() -> DataFrame:
+        return built(
+            _sem_flags(spark, sf)
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("__sem", F.lit(1))
+            .persist()
+        )
+
+    sem = _artifact(spark, sf, "release_sem_flags", _sem)
 
     def build_clusters():
         from ..operators.graph import dup_clusters
