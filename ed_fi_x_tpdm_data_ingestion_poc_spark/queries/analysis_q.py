@@ -26,7 +26,7 @@ _DECON_N = 8  # gram length; GPT-3 appx C uses 13, short synthetic docs -> 8
 
 
 @query(
-    "q131_decontaminate",
+    "qz131_decontaminate",
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk

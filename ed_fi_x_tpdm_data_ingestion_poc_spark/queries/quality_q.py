@@ -896,7 +896,7 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q130_hard_negatives",
+    "qz130_hard_negatives",
     oracle="""
     WITH raw AS (SELECT doc_id, text FROM documents),
     corpus AS (SELECT doc_id, text FROM raw WHERE doc_id >= 5

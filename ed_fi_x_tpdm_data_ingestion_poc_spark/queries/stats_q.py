@@ -1149,3 +1149,241 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(_CHI2_DF6_95)).cast("int").alias("weekly_pattern"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 / q177 — all-pairs drift matrix + PSI against a reference feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_ks_matrix",
+    oracle="""
+    WITH g AS (SELECT source, n_chars, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT n_chars FROM g),
+    srcs AS (SELECT source, SUM(k) AS n FROM g GROUP BY source),
+    m AS (SELECT COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM srcs),
+    grid AS (SELECT s.source, s.n, l.n_chars FROM srcs s CROSS JOIN lens l),
+    c AS (SELECT grid.source, grid.n, grid.n_chars,
+                 SUM(COALESCE(g.k, 0)) OVER (PARTITION BY grid.source
+                                             ORDER BY grid.n_chars
+                                             ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM grid LEFT JOIN g ON g.source = grid.source
+                                AND g.n_chars = grid.n_chars),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb,
+                 MAX(ABS(a.cum * b.n - b.cum * a.n)) AS dnum
+          FROM c a JOIN c b ON a.n_chars = b.n_chars
+                            AND a.source < b.source
+          GROUP BY 1, 2, 3, 4)
+    SELECT source_a, source_b,
+           ROUND(CAST(dnum AS DOUBLE) / (1.0 * na * nb), 6) AS d,
+           CAST(ROUND(CAST(dnum AS DOUBLE) / (1.0 * na * nb), 6)
+                > ROUND(SQRT(LN(2.0 / (0.05 / (SELECT pairs FROM m))) / 2.0)
+                        * SQRT((na + nb) / (1.0 * na * nb)), 6)
+                AS INT) AS reject_bonf
+    FROM p
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs KS drift matrix across every source — the production
+    form of q166: which feed moved relative to which, in one pass, with
+    the 5% decision Bonferroni-adjusted for the s*(s-1)/2 simultaneous
+    tests (alpha/m in the asymptotic critical value
+    c(a) = sqrt(ln(2/a)/2); unadjusted, 190 tests at 5% expect ~10
+    false drift alarms per snapshot).
+
+    Plan: ONE corpus collapse to (source, length) counts; the per-source
+    CDFs are evaluated on the UNION of observed lengths by zero-filling
+    a (sources x lengths) grid (both tables bounded: lengths by max doc
+    length, sources by the feed count) so step functions align without
+    as-of logic; cumulative sums run per-source on the grid; the
+    pairwise max gap is a self-join on the length key over the grid,
+    integer cross-multiplied like q166. Nothing after the first
+    aggregate touches the corpus."""
+    from pyspark.sql import Window
+
+    g = (
+        table(spark, sf, "documents")
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    lens = g.select("n_chars").distinct()
+    srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
+    n_src = srcs.count()
+    n_pairs = n_src * (n_src - 1) // 2
+    import math
+
+    c_bonf = math.sqrt(math.log(2.0 / (0.05 / n_pairs)) / 2.0)
+
+    grid = srcs.crossJoin(F.broadcast(lens))
+    c = grid.join(g, ["source", "n_chars"], "left").select(
+        "source",
+        "n",
+        "n_chars",
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = c.select(
+        "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("a.cum") * F.col("b.n")
+                    - F.col("b.cum") * F.col("a.n")
+                )
+            ).alias("dnum")
+        )
+    )
+    d_stat = F.round(
+        F.col("dnum").cast("double") / (1.0 * F.col("na") * F.col("nb")), 6
+    )
+    crit = F.round(
+        F.lit(c_bonf)
+        * F.sqrt(
+            (F.col("na") + F.col("nb")) / (1.0 * F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return p.select(
+        "source_a",
+        "source_b",
+        d_stat.alias("d"),
+        (d_stat > crit).cast("int").alias("reject_bonf"),
+    )
+
+
+_PSI_REF = "src0"
+_PSI_PHIS = [i / 10 for i in range(1, 10)]
+
+
+def _q177_oracle() -> str:
+    return f"""
+    WITH ref AS (SELECT n_chars FROM documents WHERE source = '{_PSI_REF}'),
+    rr AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM ref),
+    t AS (SELECT rr.n_chars AS t
+          FROM rr, UNNEST(generate_series(1, 9)) AS g(i)
+          WHERE rr.rn = GREATEST(1, CAST(ceil(g.i * 0.1 * rr.n) AS BIGINT))),
+    b AS (SELECT source,
+                 (SELECT COUNT(*) FROM t WHERE t.t <= d.n_chars) AS bucket
+          FROM documents d),
+    srcs AS (SELECT source, COUNT(*) AS n FROM b GROUP BY source),
+    grid AS (SELECT s.source, s.n, g.i AS bucket
+             FROM srcs s, UNNEST(generate_series(0, 9)) AS g(i)),
+    cnt AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    f AS (SELECT grid.source, grid.n, grid.bucket,
+                 COALESCE(cnt.c, 0) AS c
+          FROM grid LEFT JOIN cnt ON cnt.source = grid.source
+                                  AND cnt.bucket = grid.bucket),
+    refp AS (SELECT bucket, (c + 0.5) / (n + 5.0) AS pa
+             FROM f WHERE source = '{_PSI_REF}'),
+    q AS (SELECT f.source,
+                 SUM(((f.c + 0.5) / (f.n + 5.0) - refp.pa)
+                     * LN(((f.c + 0.5) / (f.n + 5.0)) / refp.pa)) AS psi
+          FROM f JOIN refp ON refp.bucket = f.bucket
+          WHERE f.source <> '{_PSI_REF}'
+          GROUP BY f.source)
+    SELECT source, ROUND(psi, 6) AS psi,
+           CAST(ROUND(psi, 6) > 0.2 AS INT) AS drift
+    FROM q
+    """
+
+
+@query(
+    "q177_psi_drift",
+    oracle=_q177_oracle(),
+    tags=("llm", "stats", "quality", "quantile"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of every source against the reference
+    feed — the bin-based drift score model-risk teams alert on
+    (PSI > 0.2 = action): deciles of the REFERENCE length distribution
+    become the bins (exact order statistics via
+    exact_quantiles_via_summary, the third consumer of the quantile
+    operator after q138/q146 — batching-independent edges the oracle
+    recomputes with ROW_NUMBER), every source's mass in those bins is
+    Jeffreys-smoothed ((c+0.5)/(n+5): PSI's log blows up on empty
+    bins), and psi = sum (pb - pa) ln(pb/pa). KS/W1 see the two CDFs
+    whole; PSI weights by log-odds, which is why risk teams use it for
+    scored populations.
+
+    Scale shape: the corpus collapses to 9 literal comparisons
+    (bucket = edges <= value, multiplicity-preserving) + one
+    (source, bucket) aggregate; the PSI itself runs on the
+    sources x 10 table with the reference row broadcast."""
+    from ..operators.quantiles import exact_quantiles_via_summary
+    from . import memo
+    from .quality_q import _CLIPS
+
+    d = table(spark, sf, "documents")
+
+    def _edges() -> dict[float, float]:
+        return exact_quantiles_via_summary(
+            d.where(F.col("source") == _PSI_REF).select("n_chars"),
+            "n_chars",
+            _PSI_PHIS,
+            eps=0.01,
+        )
+
+    thr = memo(_CLIPS, ("psi_edges", sf), _edges, label="psi_edges")
+    bucket = sum(
+        (F.col("n_chars") >= F.lit(thr[phi])).cast("int")
+        for phi in _PSI_PHIS
+    )
+    b = d.select("source", bucket.alias("bucket"))
+    srcs = b.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    buckets = (
+        d.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
+    )
+    grid = srcs.crossJoin(F.broadcast(buckets))
+    cnt = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    f = grid.join(cnt, ["source", "bucket"], "left").select(
+        "source",
+        "n",
+        "bucket",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    pb = (F.col("c") + 0.5) / (F.col("n") + 5.0)
+    refp = (
+        f.where(F.col("source") == _PSI_REF)
+        .select("bucket", pb.alias("pa"))
+    )
+    q = (
+        f.where(F.col("source") != _PSI_REF)
+        .join(F.broadcast(refp), "bucket")
+        .groupBy("source")
+        .agg(
+            F.sum((pb - F.col("pa")) * F.log(pb / F.col("pa"))).alias(
+                "psi_raw"
+            )
+        )
+    )
+    psi = F.round(F.col("psi_raw"), 6)
+    return q.select(
+        "source",
+        psi.alias("psi"),
+        (psi > 0.2).cast("int").alias("drift"),
+    )
