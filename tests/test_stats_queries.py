@@ -240,3 +240,55 @@ def test_sketch_ks_law_flag_is_green(spark, sf_dir):
         )
     )
     assert abs(out["d_exact"] - d_ref) < 1e-6
+
+
+def test_ks_matrix_matches_pairwise_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q176_ks_matrix", spark, sf_dir).set_index(
+        ["source_a", "source_b"]
+    )
+    sources = sorted(d["source"].unique())
+    assert len(out) == len(sources) * (len(sources) - 1) // 2
+    import itertools
+
+    # spot-check 10 pairs (full 190 would re-derive the same code path)
+    for sa, sb in itertools.islice(
+        itertools.combinations(sources, 2), 0, 50, 5
+    ):
+        a = np.sort(d.loc[d["source"] == sa, "n_chars"].to_numpy())
+        b = np.sort(d.loc[d["source"] == sb, "n_chars"].to_numpy())
+        xs = np.unique(np.concatenate([a, b]))
+        d_ref = float(
+            np.max(
+                np.abs(
+                    np.searchsorted(a, xs, side="right") / len(a)
+                    - np.searchsorted(b, xs, side="right") / len(b)
+                )
+            )
+        )
+        assert abs(out.loc[(sa, sb)]["d"] - d_ref) < 1e-6
+
+
+def test_psi_matches_binned_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q177_psi_drift", spark, sf_dir).set_index("source")
+    ref = np.sort(d.loc[d["source"] == "src0", "n_chars"].to_numpy())
+    n = len(ref)
+    edges = [
+        ref[max(1, int(np.ceil(i / 10 * n))) - 1] for i in range(1, 10)
+    ]
+    for source, grp in d.groupby("source"):
+        if source == "src0":
+            assert source not in out.index
+            continue
+        lens = grp["n_chars"].to_numpy()
+        b = np.sum(np.asarray(edges)[None, :] <= lens[:, None], axis=1)
+        cnt = np.bincount(b, minlength=10)[:10]
+        rb = np.sum(
+            np.asarray(edges)[None, :] <= ref[:, None], axis=1
+        )
+        rcnt = np.bincount(rb, minlength=10)[:10]
+        pb = (cnt + 0.5) / (len(lens) + 5.0)
+        pa = (rcnt + 0.5) / (n + 5.0)
+        psi_ref = float(np.sum((pb - pa) * np.log(pb / pa)))
+        assert abs(out.loc[source]["psi"] - psi_ref) < 1e-6
