@@ -289,3 +289,72 @@ def triangle_count(und: DataFrame) -> DataFrame:
     n_edges = canon.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     return n_edges.crossJoin(n_tri)
+
+
+def core_numbers(
+    und: DataFrame, *, max_iter: int = 40
+) -> DataFrame:
+    """(node, coreness) for every node of an undirected (u, v) edge
+    DataFrame — coreness(v) = the largest k such that v belongs to the
+    k-core (the maximal subgraph with minimum degree >= k), the
+    degeneracy ordering behind bot/spam subgraph detection and graph
+    sampling.
+
+    Algorithm: the distributed h-index fixpoint (Lü et al. 2016, "The
+    H-index of a network node and its relation to degree and
+    coreness"): c_0(v) = deg(v); each round replaces c(v) with the
+    H-index of its neighbors' current values (the largest h such that
+    >= h neighbors have c >= h). The sequence is pointwise
+    non-increasing and converges exactly to the core numbers — no
+    sequential peel, no global priority queue, so it parallelizes as
+    rounds of join + per-node window + aggregate (H per node =
+    max over its neighbor rows of min(rank_desc, value), ranks within
+    a degree-bounded group). The classic O(m) peel is inherently
+    sequential; this trades it for O(rounds) shuffles, rounds =
+    empirically ~log-ish in practice (5/9/18 at sf0.001/0.01/0.1 on
+    the co-purchase graph).
+
+    Same engineering as connected_components: lineage truncated per
+    round (localCheckpoint) so analysis cost stays flat, and the
+    convergence probe is one decimal(38) sum — values are pointwise
+    non-increasing, so an unchanged total means a fixpoint."""
+    e = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    c = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("val"))
+        .localCheckpoint()
+    )
+
+    def _total(df: DataFrame):
+        return df.agg(F.sum(F.col("val").cast("decimal(38,0)"))).first()[0]
+
+    from pyspark.sql import Window
+
+    prev = _total(c)
+    for _ in range(max_iter):
+        nb = sym.join(c, sym.dst == c.node).select(
+            sym.src.alias("node"), "val"
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("node").orderBy(F.col("val").desc())
+        )
+        c = (
+            nb.select("node", F.least(rn, F.col("val")).alias("mv"))
+            .groupBy("node")
+            .agg(F.max("mv").alias("val"))
+            .localCheckpoint()
+        )
+        cur = _total(c)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"core_numbers did not converge in {max_iter} rounds")
+    sym.unpersist()
+    return c.select("node", F.col("val").alias("coreness"))

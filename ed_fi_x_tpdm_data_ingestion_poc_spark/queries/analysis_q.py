@@ -96,7 +96,7 @@ _GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap
 
 
 @query(
-    "q132_sessionize",
+    "qz132_sessionize",
     oracle=f"""
     WITH x AS (SELECT user_id, event_id, value,
                       date_diff('microsecond',
