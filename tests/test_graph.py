@@ -105,3 +105,79 @@ def test_star_unknown_algorithm_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "ida long, idb long")
     with pytest.raises(ValueError, match="algorithm"):
         connected_components(df, algorithm="bogus")
+
+
+# ---------------------------------------------------------------------------
+# core_numbers (k-core decomposition, h-index fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _coreness(spark, edges):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.graph import (
+        core_numbers,
+    )
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {
+        r["node"]: r["coreness"] for r in core_numbers(df).collect()
+    }
+
+
+def test_coreness_triangle_with_tail(spark):
+    # triangle 1-2-3 (coreness 2 each), tail 3-4-5 (coreness 1)
+    got = _coreness(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_coreness_k4_with_pendant(spark):
+    # K4 on 1-4 (coreness 3), pendant 5 off node 1 (coreness 1)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _coreness(spark, k4 + [(1, 5)])
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1}
+
+
+def test_coreness_two_cliques_bridged(spark):
+    # two K3s joined by one bridge edge: bridge does not raise coreness
+    e = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    got = _coreness(spark, e)
+    assert got == {n: 2 for n in range(1, 7)}
+
+
+def test_coreness_path_all_one(spark):
+    got = _coreness(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_coreness_matches_peel_reference(spark):
+    # random graph vs a brute-force sequential peel
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = {
+        tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+        for _ in range(120)
+    }
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # reference: classic min-degree peel
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    live = {n: set(v) for n, v in adj.items()}
+    k = 0
+    while live:
+        k = max(k, min(len(v) for v in live.values()))
+        doomed = [n for n, v in live.items() if len(v) < k or not v]
+        if not doomed:
+            doomed = [n for n, v in live.items() if len(v) <= k]
+        for n in doomed:
+            core[n] = k if len(live[n]) <= k else k
+            for m in live[n]:
+                live[m].discard(n)
+            del live[n]
+    # (peel assigns coreness = k at removal time under min-degree order)
+    got = _coreness(spark, edges)
+    assert got == core
