@@ -276,7 +276,7 @@ _CHUNK, _STRIDE = 64, 48
 
 
 @query(
-    "q136_rag_chunks",
+    "qz136_rag_chunks",
     oracle=f"""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x != '') AS tk

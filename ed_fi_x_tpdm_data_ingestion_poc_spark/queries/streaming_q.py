@@ -819,3 +819,145 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
 
     ok = memo(_SQ, ("sq", id(spark), sf), _laws, label="stream_quantile_laws")
     return ok_flag(spark, ok)
+
+
+# ---------------------------------------------------------------------------
+# q179 — streaming Page-Hinkley changepoint detector (order-sensitive state)
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.5
+_PH_LAMBDA = 1000.0
+
+
+@query(
+    "q179_stream_page_hinkley",
+    oracle=f"""
+    WITH o AS (SELECT event_type, value, event_id,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    w AS (SELECT event_type, value, us, event_id,
+                 AVG(value) OVER (PARTITION BY event_type
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS xb
+          FROM o),
+    m AS (SELECT event_type, us, event_id,
+                 SUM(value - xb - {_PH_DELTA})
+                   OVER (PARTITION BY event_type ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS m
+          FROM w),
+    f AS (SELECT event_type, COUNT(*) AS n,
+                 MAX(m) AS mmax, MIN(m) AS mmin,
+                 LIST(m ORDER BY us, event_id)[-1] AS mend
+          FROM m GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(mend, 4) AS m_end,
+           ROUND(mmax, 4) AS m_max,
+           ROUND(mmin, 4) AS m_min,
+           CAST(ROUND(mmax - mend, 4) > {_PH_LAMBDA} AS INT) AS alarm
+    FROM f
+    """,
+    tags=("streaming", "stats"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley changepoint detector per event type, maintained ON
+    THE STREAM — the online twin of q174's retrospective CUSUM: after
+    each sample, m += x - mean_so_far - delta; a downward shift in the
+    value level drags m below its running maximum, and
+    m_max - m_end > lambda alarms (Page 1954; the standard online
+    drift detector in stream-mining toolkits).
+
+    Unlike every other streaming law here, PH is ORDER-SENSITIVE state:
+    the replay must deliver rows in (ts, event_id) order across
+    micro-batch boundaries, which is exactly the thirds_total layout's
+    contract (the same per-key monotonic-feed contract the incremental
+    SCD2 apply uses). Within a batch the chunks of one group are
+    concatenated and sorted before folding; across batches the state
+    (n, sum, m, m_max, m_min) carries. The DuckDB oracle replays the
+    identical fold as two nested running windows in the identical
+    total order — float accumulation order is therefore pinned on both
+    sides, and the 1e-4 rounding sits ~5 orders above the worst-case
+    ulp drift of a 2k-sample fold.
+
+    Scale shape: state is 5 scalars per key; each micro-batch does one
+    numpy pass over its rows — no per-event Python, no shuffle beyond
+    the groupBy key exchange."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.replay import run_to_memory
+
+    def _fold() -> DataFrame:
+        ev = _events_stream(spark, sf, layout="thirds_total").select(
+            "event_type", "event_id", "ts", "value"
+        )
+
+        def upd(key, pdf_iter, state: GroupState):
+            import numpy as np
+
+            if state.exists:
+                k, s, m, mmax, mmin = state.get
+            else:
+                k, s, m, mmax, mmin = 0, 0.0, 0.0, float("-inf"), float(
+                    "inf"
+                )
+            chunks = [pdf for pdf in pdf_iter]
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+                x = pdf["value"].to_numpy(dtype="float64")
+                t = np.arange(1, len(x) + 1, dtype="float64")
+                mean = (s + np.cumsum(x)) / (k + t)
+                mm = m + np.cumsum(x - mean - _PH_DELTA)
+                k += len(x)
+                s += float(x.sum())
+                m = float(mm[-1])
+                mmax = max(mmax, float(mm.max()))
+                mmin = min(mmin, float(mm.min()))
+            state.update((k, s, m, mmax, mmin))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n": [k],
+                    "m_end": [m],
+                    "m_max": [mmax],
+                    "m_min": [mmin],
+                }
+            )
+
+        updates = ev.groupBy("event_type").applyInPandasWithState(
+            upd,
+            outputStructType=(
+                "event_type string, n long, m_end double, "
+                "m_max double, m_min double"
+            ),
+            stateStructType=(
+                "k long, s double, m double, mmax double, mmin double"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            res = run_to_memory(updates, output_mode="update").collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        final: dict[str, object] = {}
+        for r in res:
+            if r.event_type not in final or r.n > final[r.event_type].n:
+                final[r.event_type] = r
+        return spark.createDataFrame(list(final.values()))
+
+    from .llm import _artifact
+
+    out = _artifact(spark, sf, "ph_stream", _fold)
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("m_end", 4).alias("m_end"),
+        F.round("m_max", 4).alias("m_max"),
+        F.round("m_min", 4).alias("m_min"),
+        (F.round(F.col("m_max") - F.col("m_end"), 4) > _PH_LAMBDA)
+        .cast("int")
+        .alias("alarm"),
+    )
