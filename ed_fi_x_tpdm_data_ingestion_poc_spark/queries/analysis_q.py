@@ -336,7 +336,7 @@ _ENT_MIN = 2.5  # nats; uniform-ish natural text over >=13 distinct tokens
 
 
 @query(
-    "q139_entropy_filter",
+    "qz139_entropy_filter",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                                    x -> x != '')) AS t
@@ -1370,7 +1370,7 @@ def _q140_oracle() -> str:
 
 
 @query(
-    "q140_canonical_pick",
+    "qz140_canonical_pick",
     oracle=_q140_oracle(),
     tags=("llm", "dedup", "scoring", "curation"),
 )

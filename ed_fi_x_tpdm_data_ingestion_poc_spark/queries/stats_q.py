@@ -1387,3 +1387,252 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         psi.alias("psi"),
         (psi > 0.2).cast("int").alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 / q181 — rank-based significance tests (Mann-Whitney z, Spearman)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_mannwhitney_test",
+    oracle="""
+    WITH e AS (SELECT value AS v,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS y
+               FROM events),
+    g AS (SELECT v, SUM(y) AS p, COUNT(*) - SUM(y) AS q
+          FROM e GROUP BY v),
+    w AS (SELECT p, q, p + q AS t,
+                 SUM(p + q) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g),
+    s AS (SELECT SUM(p * (2 * (cum - t) + t + 1)) AS s2,
+                 SUM(p) AS np, SUM(q) AS nq,
+                 SUM(t * t * t - t) AS ties
+          FROM w),
+    z AS (SELECT np, nq, np + nq AS n,
+                 (0.5 * (s2 - np * (np + 1)) - 0.5 * np * nq)
+                 / SQRT(np * nq / 12.0
+                        * ((np + nq + 1)
+                           - ties / ((np + nq) * (np + nq - 1.0)))) AS zv
+          FROM s)
+    SELECT ROUND(zv, 6) AS z,
+           CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+           CAST(ABS(ROUND(zv, 6)) > 1.959964 AS INT) AS reject
+    FROM z
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U significance TEST — q165 gives the effect size
+    (AUC); this gives the decision: the tie-corrected normal
+    approximation z = (U - np*nq/2) / sqrt(Var_ties), with
+    Var = np*nq/12 * ((n+1) - sum(t^3 - t)/(n(n-1))) (Lehmann 1975),
+    rejecting at |z| > 1.96. The two-sample location test for 'did
+    purchases move the value distribution' that does not assume
+    normality.
+
+    Exactness: every moment is a bigint over the SAME grouped-count
+    table q165 uses — the doubled midrank mass s2, and the tie
+    correction sum(t^3 - t) which needs exactly the per-value tie
+    sizes the grouping already has; both engines evaluate the identical
+    float expression over identical integers, and the decision
+    boundary compares the ROUNDED z.
+
+    Scale shape: identical to q165 — grouped counts + the distributed
+    prefix sum, one-row reduce."""
+    from ..operators.ranking import global_running_sums
+
+    e = table(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    g = (
+        e.groupBy("v")
+        .agg(
+            F.sum("y").alias("p"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+        )
+        .withColumn("t", F.col("p") + F.col("q"))
+    )
+    r = global_running_sums(
+        g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+    )
+    s = r.agg(
+        F.sum(
+            F.col("p")
+            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
+        ).alias("s2"),
+        F.sum("p").alias("np"),
+        F.sum("q").alias("nq"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    n = F.col("np") + F.col("nq")
+    zv = (
+        0.5 * (F.col("s2") - F.col("np") * (F.col("np") + 1))
+        - 0.5 * F.col("np") * F.col("nq")
+    ) / F.sqrt(
+        F.col("np")
+        * F.col("nq")
+        / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1.0)))
+    )
+    z = F.round(zv, 6)
+    return s.select(
+        z.alias("z"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nq").cast("bigint").alias("n_neg"),
+        (F.abs(z) > 1.959964).cast("int").alias("reject"),
+    )
+
+
+@query(
+    "q181_spearman_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+                 a.c AS ca, b.c AS cb
+          FROM c a JOIN c b ON b.day = a.day
+                            AND a.event_type < b.event_type),
+    ga AS (SELECT ta, tb, ca AS val, COUNT(*) AS t FROM j GROUP BY 1, 2, 3),
+    ra AS (SELECT ta, tb, val,
+                  2 * (SUM(t) OVER (PARTITION BY ta, tb ORDER BY val
+                                    ROWS UNBOUNDED PRECEDING) - t)
+                  + t + 1 AS mr2
+           FROM ga),
+    gb AS (SELECT ta, tb, cb AS val, COUNT(*) AS t FROM j GROUP BY 1, 2, 3),
+    rb AS (SELECT ta, tb, val,
+                  2 * (SUM(t) OVER (PARTITION BY ta, tb ORDER BY val
+                                    ROWS UNBOUNDED PRECEDING) - t)
+                  + t + 1 AS mr2
+           FROM gb),
+    x AS (SELECT j.ta, j.tb, ra.mr2 AS x2, rb.mr2 AS y2
+          FROM j JOIN ra ON ra.ta = j.ta AND ra.tb = j.tb
+                        AND ra.val = j.ca
+                 JOIN rb ON rb.ta = j.ta AND rb.tb = j.tb
+                        AND rb.val = j.cb),
+    s AS (SELECT ta, tb, COUNT(*) AS n, SUM(x2) AS sx, SUM(y2) AS sy,
+                 SUM(x2 * x2) AS sxx, SUM(y2 * y2) AS syy,
+                 SUM(x2 * y2) AS sxy
+          FROM x GROUP BY ta, tb)
+    SELECT ta AS type_a, tb AS type_b, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                ELSE 0.0 END AS rho
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily-volume series (common days) — do clicks and purchases move
+    together day over day? Rank-based, so one viral day cannot
+    dominate the way it would in Pearson; the cross-series complement
+    of q173's within-series autocorrelation.
+
+    Exactness: midranks over each pair's joined series come from
+    grouped tie counts (DOUBLED midrank 2r = 2*cum_before + t + 1
+    stays bigint — the q165 trick), Spearman = Pearson on those
+    integer doubled midranks (scaling cancels), so every moment is a
+    bigint and the one float division + sqrt happens on the
+    pairs-sized result.
+
+    Scale shape: all work runs on the memoized types x days artifact
+    (self-join on day, rank windows over per-pair grouped value
+    tables); output is type-pairs-sized."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+    )
+
+    def midranks2(src: DataFrame, col: str) -> DataFrame:
+        g = src.groupBy("ta", "tb", F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        cum = (
+            Window.partitionBy("ta", "tb")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return g.select(
+            "ta",
+            "tb",
+            "val",
+            (
+                2 * (F.sum("t").over(cum) - F.col("t"))
+                + F.col("t")
+                + F.lit(1)
+            ).alias("mr2"),
+        )
+    # ra/rb derive FROM j (self-referencing lineage): rename their join
+    # keys so resolution is unambiguous after both joins
+    ra = midranks2(j, "ca").select(
+        F.col("ta").alias("a_ta"),
+        F.col("tb").alias("a_tb"),
+        F.col("val").alias("a_val"),
+        F.col("mr2").alias("x2"),
+    )
+    rb = midranks2(j, "cb").select(
+        F.col("ta").alias("b_ta"),
+        F.col("tb").alias("b_tb"),
+        F.col("val").alias("b_val"),
+        F.col("mr2").alias("y2"),
+    )
+    x = (
+        j.join(
+            ra,
+            (F.col("a_ta") == F.col("ta"))
+            & (F.col("a_tb") == F.col("tb"))
+            & (F.col("a_val") == F.col("ca")),
+        )
+        .join(
+            rb,
+            (F.col("b_ta") == F.col("ta"))
+            & (F.col("b_tb") == F.col("tb"))
+            & (F.col("b_val") == F.col("cb")),
+        )
+        .select("ta", "tb", "x2", "y2")
+    )
+    s = x.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x2").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rho"),
+    )
