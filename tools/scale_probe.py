@@ -269,6 +269,30 @@ def main() -> None:
 
         return exact_quantiles_via_summary(e, "value", [0.9], eps=0.01)[0.9]
 
+    def _kcore_sum(d):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.graph import (
+            core_numbers,
+        )
+
+        # deterministic hub graph INSIDE each copy's id block (hubs at
+        # block + id%97, a second layer at block + id*31%9973): degree
+        # varies hub-vs-leaf so coreness is non-degenerate, and copies
+        # stay disjoint under the probe's +10M id offsets
+        ids = d.select(F.col("doc_id").alias("i"))
+        block = F.col("i") - F.pmod(F.col("i"), F.lit(10_000_000))
+        e1 = ids.select(
+            F.col("i").alias("u"),
+            (block + F.pmod(F.col("i"), F.lit(97))).alias("v"),
+        )
+        e2 = ids.select(
+            F.col("i").alias("u"),
+            (block + F.pmod(F.col("i") * 31, F.lit(9973))).alias("v"),
+        )
+        edges = e1.unionAll(e2).where(F.col("u") != F.col("v"))
+        return core_numbers(edges).agg(
+            F.sum("coreness")
+        ).first()[0]
+
     def _auc_reduce(e):
         # jitter by event_id so EVERY value is distinct — the grouped
         # table degenerates to corpus size, the worst case for the
@@ -435,6 +459,15 @@ def main() -> None:
             )
             .where(F.col("run_total") % 977 == 0)
             .count(),
+            docs,
+            docs_big,
+        ),
+        "kcore_hindex": (  # q178 shape: h-index fixpoint rounds (join +
+            # degree-bounded window + agg per round). Inflation keeps
+            # per-copy subgraphs disjoint (id offsets), so the fixpoint
+            # round count stays flat while edges grow 10x — wall should
+            # track edge volume, not rounds x volume.
+            lambda d: _kcore_sum(d),
             docs,
             docs_big,
         ),
