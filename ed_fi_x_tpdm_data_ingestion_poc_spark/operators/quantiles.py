@@ -204,6 +204,7 @@ def exact_quantiles_via_summary(
     phis: list[float],
     eps: float = 0.01,
     summary: dict | None = None,
+    rank_den: int | None = None,
 ) -> dict[float, float]:
     """EXACT order statistics with no global sort — the summary is the
     PRUNE, an exact pass is the REFINE (the same approximate-prune /
@@ -249,7 +250,17 @@ def exact_quantiles_via_summary(
     for phi in phis:
         if not (0 <= phi <= 1):
             raise ValueError(f"phi must be in [0,1], got {phi}")
-        target = max(1, int(np.ceil(phi * n)))
+        if rank_den is not None:
+            # integer ceiling of (phi*rank_den)/rank_den * n: when phi is
+            # an exact rational i/den (deciles, percentiles) the float
+            # expression ceil(phi*n) differs between engines for some
+            # (i, n) — e.g. DuckDB's ceil(3*0.1*10)=4 vs ceil(0.3*10)=3 —
+            # so SQL-twinned callers pass the denominator and both sides
+            # compute GREATEST(1, (i*n + den-1) // den) in exact integers.
+            num = round(phi * rank_den)
+            target = max(1, (num * n + rank_den - 1) // rank_den)
+        else:
+            target = max(1, int(np.ceil(phi * n)))
         t, acc = None, 0
         for v, w in pts:
             acc += w

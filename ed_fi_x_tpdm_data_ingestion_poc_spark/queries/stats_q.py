@@ -27,6 +27,57 @@ from . import query
 # ---------------------------------------------------------------------------
 
 
+def _mw_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    """The grouped-and-ranked (v, p, q, t, cum) value-count table shared
+    by q165 (AUC effect size) and q180 (tie-corrected z test): events
+    collapsed once to distinct-value positive/negative counts, then the
+    one order-dependent step — the running total of t over values
+    ascending — done by `global_running_sums`' distributed prefix sum
+    (range exchange + per-partition Arrow cumsum + P-row driver offsets),
+    never a single-partition window. Built ONCE per (session, sf) under
+    the materialize-once artifact contract and persisted: both consumers
+    are then one-row reduces over ~distinct-value rows (the round-11
+    verdict found the identical pipeline built twice — the suite's two
+    largest per-query gaps)."""
+    from ..operators.ranking import global_running_sums
+    from . import built
+    from .llm import _artifact
+
+    def build() -> DataFrame:
+        e = table(spark, sf, "events").select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+        g = (
+            e.groupBy("v")
+            .agg(
+                F.sum("y").alias("p"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("q"),
+            )
+            .withColumn("t", F.col("p") + F.col("q"))
+        )
+        r = global_running_sums(
+            g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+        )
+        return built(r.persist())
+
+    return _artifact(spark, sf, "mw_ranked", build)
+
+
+def _mw_s2() -> "F.Column":
+    """Doubled positive-midrank mass p*(2*cum_before + t + 1), accumulated
+    as decimal(38,0): the term is O(n^2)-ish in event count, so an int64
+    sum silently wraps past ~1.5e9 events while the DuckDB twin sums in
+    HUGEINT — decimal keeps the two engines exact at the 100 TB design
+    point (round-11 ADVICE)."""
+    return F.sum(
+        (
+            F.col("p")
+            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
+        ).cast("decimal(38,0)")
+    )
+
+
 @query(
     "q165_exact_auc",
     oracle="""
@@ -69,29 +120,10 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     prefix sum (range exchange + per-partition Arrow cumsum + P-row
     driver offsets), NEVER a single-partition window: score columns are
     continuous, so distinct-value cardinality is corpus-sized in the
-    worst case. The final reduce is one row."""
-    from ..operators.ranking import global_running_sums
-
-    e = table(spark, sf, "events").select(
-        F.col("value").alias("v"),
-        (F.col("event_type") == "purchase").cast("long").alias("y"),
-    )
-    g = (
-        e.groupBy("v")
-        .agg(
-            F.sum("y").alias("p"),
-            (F.count(F.lit(1)) - F.sum("y")).alias("q"),
-        )
-        .withColumn("t", F.col("p") + F.col("q"))
-    )
-    r = global_running_sums(
-        g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
-    )
-    s = r.agg(
-        F.sum(
-            F.col("p")
-            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
-        ).alias("s2"),
+    worst case. The final reduce is one row, over the `_mw_ranked`
+    artifact shared with q180."""
+    s = _mw_ranked(spark, sf).agg(
+        _mw_s2().alias("s2"),
         F.sum("p").alias("np"),
         F.sum("q").alias("nq"),
     )
@@ -1286,7 +1318,7 @@ def _q177_oracle() -> str:
            FROM ref),
     t AS (SELECT rr.n_chars AS t
           FROM rr, UNNEST(generate_series(1, 9)) AS g(i)
-          WHERE rr.rn = GREATEST(1, CAST(ceil(g.i * 0.1 * rr.n) AS BIGINT))),
+          WHERE rr.rn = GREATEST(1, (g.i * rr.n + 9) // 10)),
     b AS (SELECT source,
                  (SELECT COUNT(*) FROM t WHERE t.t <= d.n_chars) AS bucket
           FROM documents d),
@@ -1346,6 +1378,7 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
             "n_chars",
             _PSI_PHIS,
             eps=0.01,
+            rank_den=10,
         )
 
     thr = memo(_CLIPS, ("psi_edges", sf), _edges, label="psi_edges")
@@ -1440,34 +1473,19 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     float expression over identical integers, and the decision
     boundary compares the ROUNDED z.
 
-    Scale shape: identical to q165 — grouped counts + the distributed
-    prefix sum, one-row reduce."""
-    from ..operators.ranking import global_running_sums
-
-    e = table(spark, sf, "events").select(
-        F.col("value").alias("v"),
-        (F.col("event_type") == "purchase").cast("long").alias("y"),
-    )
-    g = (
-        e.groupBy("v")
-        .agg(
-            F.sum("y").alias("p"),
-            (F.count(F.lit(1)) - F.sum("y")).alias("q"),
-        )
-        .withColumn("t", F.col("p") + F.col("q"))
-    )
-    r = global_running_sums(
-        g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
-    )
-    s = r.agg(
-        F.sum(
-            F.col("p")
-            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
-        ).alias("s2"),
+    Scale shape: identical to q165 — it aggregates the SAME persisted
+    `_mw_ranked` artifact (grouped counts + the distributed prefix sum,
+    built once per session/sf), one-row reduce. s2 and the t^3 tie term
+    accumulate as decimal(38,0) like the oracle's HUGEINT (a tie group
+    past ~2.1e6 rows already overflows t^3 in int64)."""
+    s = _mw_ranked(spark, sf).agg(
+        _mw_s2().alias("s2"),
         F.sum("p").alias("np"),
         F.sum("q").alias("nq"),
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                "decimal(38,0)"
+            )
         ).alias("ties"),
     )
     n = F.col("np") + F.col("nq")

@@ -20,10 +20,22 @@ from pyspark.sql import functions as F
 from . import ok_flag, query
 
 
-def _events_stream(spark: SparkSession, sf: str, layout: str = "single"):
-    from ..streaming.replay import events_replay_dir, read_replay_stream
+def _events_stream(
+    spark: SparkSession,
+    sf: str,
+    layout: str = "single",
+    shuffle_n: int | None = None,
+):
+    from ..streaming.replay import (
+        events_replay_dir,
+        low_shuffle_clone,
+        read_replay_stream,
+    )
 
-    return read_replay_stream(spark, events_replay_dir(spark, sf, layout=layout))
+    d = events_replay_dir(spark, sf, layout=layout)
+    if shuffle_n is not None:
+        spark = low_shuffle_clone(spark, shuffle_n)
+    return read_replay_stream(spark, d)
 
 
 @query(
@@ -251,10 +263,19 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.window import Window
 
-    from ..streaming.replay import events_replay_dir, read_replay_stream, run_to_memory
+    from ..streaming.replay import (
+        events_replay_dir,
+        low_shuffle_clone,
+        read_replay_stream,
+        run_to_memory,
+    )
 
     replay = events_replay_dir(spark, sf, layout="thirds")
-    ev = read_replay_stream(spark, replay)
+    # State-store cost scales with shuffle partitions x micro-batches (one
+    # checkpointed store per partition per batch); 15 user groups don't
+    # need 32 stores. The low-shuffle setting is scoped to a cloned
+    # session so concurrent bench queries never see it.
+    ev = read_replay_stream(low_shuffle_clone(spark), replay)
 
     def running_totals(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -273,15 +294,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # State-store cost scales with shuffle partitions x micro-batches (one
-    # checkpointed store per partition per batch); 15 user groups don't
-    # need 32 stores. Scope the smaller setting to this bounded stream.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        res = run_to_memory(updates, output_mode="update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = run_to_memory(updates, output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
     return (
         res.withColumn("__rn", F.row_number().over(w))
@@ -440,7 +453,12 @@ def q49f(spark: SparkSession, sf: str) -> DataFrame:
     state on an infinite stream. Pairs spanning micro-batch boundaries
     come from buffered state. Must equal the batch oracle (same digest as
     q55)."""
-    from ..streaming.replay import events_replay_dir, read_replay_stream, run_to_memory
+    from ..streaming.replay import (
+        events_replay_dir,
+        low_shuffle_clone,
+        read_replay_stream,
+        run_to_memory,
+    )
 
     d = events_replay_dir(spark, sf, layout="thirds")
     bucket = 300
@@ -618,12 +636,15 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.replay import (
         DOCS_SIZED_DDL,
         documents_sized_replay_dir,
+        low_shuffle_clone,
         read_replay_stream,
         run_to_memory,
     )
 
     replay = documents_sized_replay_dir(spark, sf)
-    docs = read_replay_stream(spark, replay, DOCS_SIZED_DDL)
+    # 8 shard groups don't need 32 state stores per micro-batch (see q65);
+    # the low-shuffle conf lives in a cloned session, never the parent's.
+    docs = read_replay_stream(low_shuffle_clone(spark), replay, DOCS_SIZED_DDL)
     shards = _SPACK_SHARDS
     cap = _SPACK_CAP
 
@@ -662,13 +683,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    # 8 shard groups don't need 32 state stores per micro-batch (see q65)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        return run_to_memory(assigned, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return run_to_memory(assigned, output_mode="append")
 
 
 # ---------------------------------------------------------------------------
@@ -714,7 +729,7 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
     eps = _SQ_EPS
 
     def _laws() -> bool:
-        ev = _events_stream(spark, sf, layout="thirds").select(
+        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
             "event_type", "value"
         )
 
@@ -758,12 +773,7 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            res = run_to_memory(updates, output_mode="update").collect()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        res = run_to_memory(updates, output_mode="update").collect()
 
         final: dict[str, object] = {}
         for r in res:
@@ -888,9 +898,9 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.replay import run_to_memory
 
     def _fold() -> DataFrame:
-        ev = _events_stream(spark, sf, layout="thirds_total").select(
-            "event_type", "event_id", "ts", "value"
-        )
+        ev = _events_stream(
+            spark, sf, layout="thirds_total", shuffle_n=4
+        ).select("event_type", "event_id", "ts", "value")
 
         def upd(key, pdf_iter, state: GroupState):
             import numpy as np
@@ -936,12 +946,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
-            res = run_to_memory(updates, output_mode="update").collect()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        res = run_to_memory(updates, output_mode="update").collect()
         final: dict[str, object] = {}
         for r in res:
             if r.event_type not in final or r.n > final[r.event_type].n:

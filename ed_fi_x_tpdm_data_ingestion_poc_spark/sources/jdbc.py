@@ -13,9 +13,12 @@ Engine design:
     (broadcast when small) — SURVEY.md R2;
   * real types end-to-end (no stringification, no sentinel).
 
-No JDBC driver jar ships in this environment, so this module is exercised
-by construction-level tests only; the semantics (filter/id-join pushdown)
-are covered by the parquet-backed declared queries.
+Exercised end-to-end against an embedded Apache Derby database (the JVM
+on this box ships derby.jar): q02 runs a real JDBC round-trip with
+pushdown asserted (tests/test_jdbc_dialects.py, bench derby_fixture);
+per-dialect identifier quoting for Oracle/MySQL/Postgres — the drivers
+the reference ships at banner-connector/pom.xml:76-93 — is covered by
+construction-level assertions since those servers don't run here.
 """
 
 from __future__ import annotations

@@ -167,6 +167,20 @@ def read_replay_stream(
     )
 
 
+def low_shuffle_clone(spark: SparkSession, n: int = 4) -> SparkSession:
+    """Cloned session (shared SparkContext, shared cache, ISOLATED SQL
+    conf) with spark.sql.shuffle.partitions=n. Stateful streams create
+    one checkpointed state store per shuffle partition per micro-batch,
+    so a 15-group stream doesn't need 32 stores — but mutating the
+    parent session's conf (the old pattern here) races the concurrent
+    bench harness: other in-flight queries plan with 4 shuffle
+    partitions until the finally restores it (round-11 ADVICE). The
+    clone scopes the override to the one stream."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(n))
+    return s
+
+
 def run_to_memory(stream_df: DataFrame, *, output_mode: str, with_progress: bool = False):
     """Run a bounded (AvailableNow) stream into an in-memory sink; return
     the final result table (and, with_progress=True, the recentProgress
