@@ -833,22 +833,37 @@ def semantic_dup_pairs(
         corpus_index = build_ivf_index(
             emb, codebook, id_col=id_col, vec_col=vec_col, n_assign=n_assign
         )
+    # The probe side is re-spread by (cell, id): a persisted index often
+    # sits in a handful of partitions (one, at test SFs), and with the
+    # build side broadcast the per-cell self-join would then score EVERY
+    # pair in a single task — the round-11 bench's 12.8 s sem_pairs build
+    # was exactly that. One narrow shuffle of index-sized rows buys
+    # full-cluster parallelism for the O(sum |cell|^2) scoring pass.
+    # explicit partition count: AQE would coalesce this byte-tiny exchange
+    # to 1-2 partitions, but each row here fans out to |cell| scored pairs
+    # — partition by expected COMPUTE, not bytes
+    n_par = corpus_index.sparkSession.sparkContext.defaultParallelism
     a = corpus_index.select(
         F.col("cell"), F.col("id").alias("ida"), F.col("nv").alias("va")
-    )
+    ).repartition(n_par, F.col("cell"), F.col("ida"))
     b = corpus_index.select(
         F.col("cell"), F.col("id").alias("idb"), F.col("nv").alias("vb")
     )
+    # Score and threshold BEFORE the pair dedup: a pair sharing k of its
+    # n_assign cells is scored k times (cheap, map-side, identical
+    # result), but the dedup shuffle then carries (ida, idb, cosine) for
+    # threshold survivors only — not two 64-float arrays for every
+    # candidate pair in every shared cell.
     return (
         a.join(b, "cell")
         .where(F.col("ida") < F.col("idb"))
-        .dropDuplicates(["ida", "idb"])  # shared cells -> one scoring each
         .select(
             "ida",
             "idb",
             F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["ida", "idb"])
     )
 
 
