@@ -1188,6 +1188,70 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ks_pair_table(spark: SparkSession, sf: str):
+    """(pairs, n_src): the all-pairs KS numerator table (source_a,
+    source_b, na, nb, dnum) over document lengths plus the source count —
+    ONE corpus collapse to (source, length) counts, per-source CDFs on a
+    zero-filled (sources x lengths) grid, pairwise max cross-multiplied
+    CDF gap. Memoized artifact shared by q176 (Bonferroni decision) and
+    q185 (Benjamini-Hochberg FDR) so the grid is built once per
+    (session, sf)."""
+    from pyspark.sql import Window
+
+    from . import built
+    from .llm import _artifact
+
+    def build():
+        g = (
+            table(spark, sf, "documents")
+            .groupBy("source", "n_chars")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        lens = g.select("n_chars").distinct()
+        srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
+        n_src = srcs.count()
+        grid = srcs.crossJoin(F.broadcast(lens))
+        c = grid.join(g, ["source", "n_chars"], "left").select(
+            "source",
+            "n",
+            "n_chars",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        )
+        cum_w = (
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cdf = c.select(
+            "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
+        )
+        a, b = cdf.alias("a"), cdf.alias("b")
+        p = (
+            a.join(
+                b,
+                (F.col("a.n_chars") == F.col("b.n_chars"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+                F.col("a.n").alias("na"),
+                F.col("b.n").alias("nb"),
+            )
+            .agg(
+                F.max(
+                    F.abs(
+                        F.col("a.cum") * F.col("b.n")
+                        - F.col("b.cum") * F.col("a.n")
+                    )
+                ).alias("dnum")
+            )
+        )
+        return (built(p.persist()), n_src)
+
+    return _artifact(spark, sf, "ks_pairs", build)
+
+
 @query(
     "q176_ks_matrix",
     oracle="""
@@ -1235,59 +1299,24 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     as-of logic; cumulative sums run per-source on the grid; the
     pairwise max gap is a self-join on the length key over the grid,
     integer cross-multiplied like q166. Nothing after the first
-    aggregate touches the corpus."""
-    from pyspark.sql import Window
+    aggregate touches the corpus. The pair table is the shared
+    `ks_pairs` artifact (q185 reuses it for the BH-FDR decision).
 
-    g = (
-        table(spark, sf, "documents")
-        .groupBy("source", "n_chars")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    lens = g.select("n_chars").distinct()
-    srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
-    n_src = srcs.count()
-    n_pairs = n_src * (n_src - 1) // 2
+    Measured sources^2 law (tools/scale_probe.py ks_matrix_sources2,
+    sf0.1, 20 -> 200 sources = 190 -> 19,900 pairs): wall-clock grew
+    0.25 -> 2.29 s — 0.91x LINEAR in the 10x source factor, 0.09x the
+    quadratic law, i.e. at 200 sources the corpus collapse and grid
+    still dominate and the s^2 pair join is not yet the bottleneck.
+    Extrapolating the measured per-pair cost, all-pairs stays
+    single-digit-minutes to ~1,000 sources; beyond that, switch to
+    sketch-KS pair screening (q170's mergeable MRL summaries compare
+    kilobytes per pair) and reserve the exact grid for the screened
+    survivors."""
     import math
 
+    p, n_src = _ks_pair_table(spark, sf)
+    n_pairs = n_src * (n_src - 1) // 2
     c_bonf = math.sqrt(math.log(2.0 / (0.05 / n_pairs)) / 2.0)
-
-    grid = srcs.crossJoin(F.broadcast(lens))
-    c = grid.join(g, ["source", "n_chars"], "left").select(
-        "source",
-        "n",
-        "n_chars",
-        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-    )
-    cum_w = (
-        Window.partitionBy("source")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cdf = c.select(
-        "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
-    )
-    a, b = cdf.alias("a"), cdf.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.n_chars") == F.col("b.n_chars"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("a.cum") * F.col("b.n")
-                    - F.col("b.cum") * F.col("a.n")
-                )
-            ).alias("dnum")
-        )
-    )
     d_stat = F.round(
         F.col("dnum").cast("double") / (1.0 * F.col("na") * F.col("nb")), 6
     )
@@ -1653,4 +1682,597 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — Kruskal-Wallis k-sample rank test across event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_kruskal_wallis",
+    oracle="""
+    WITH e AS (SELECT value AS v, event_type AS g FROM events),
+    gv AS (SELECT v, g, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    tv AS (SELECT v, SUM(c) AS t FROM gv GROUP BY v),
+    w AS (SELECT v, t, SUM(t) OVER (ORDER BY v
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tv),
+    r AS (SELECT v, t, 2 * (cum - t) + t + 1 AS mr2 FROM w),
+    s AS (SELECT gv.g, SUM(gv.c) AS ni, SUM(gv.c * r.mr2) AS s2
+          FROM gv JOIN r ON r.v = gv.v GROUP BY gv.g),
+    tot AS (SELECT SUM(ni) AS n, COUNT(*) AS k,
+                   SUM(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / ni) AS q
+            FROM s),
+    tie AS (SELECT SUM(t * t * t - t) AS tt FROM r),
+    hh AS (SELECT (3.0 * q / (n * (n + 1.0)) - 3.0 * (n + 1.0))
+                  / (1.0 - CAST(tt AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n - n)) AS h,
+                  k
+           FROM tot, tie)
+    SELECT ROUND(h, 6) AS h, CAST(k - 1 AS BIGINT) AS df,
+           CAST(ROUND(h, 6)
+                > ROUND((k - 1.0)
+                        * POWER(1.0 - 2.0 / (9.0 * (k - 1.0))
+                                + 1.6448536269514722
+                                  * SQRT(2.0 / (9.0 * (k - 1.0))), 3.0), 6)
+                AS INT) AS reject
+    FROM hh
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis H test: did ANY event type's value distribution
+    shift relative to the others? — the k-sample generalization of
+    q180's two-sample Mann-Whitney (Kruskal & Wallis 1952), the first
+    question a drift triage asks before running k*(k-1)/2 pairwise
+    tests. H = 12/(n(n+1)) * sum_i R_i^2/n_i - 3(n+1) over midrank sums
+    R_i, divided by the tie correction 1 - sum(t^3-t)/(n^3-n);
+    rejection at the chi-square(k-1) 95% point via the Wilson-Hilferty
+    cube approximation (1931) — a closed form BOTH engines evaluate
+    identically, instead of a quantile-table lookup only one engine has.
+
+    Exactness: doubled midrank sums S2_i = sum_v c_iv * (2*cum_before +
+    t + 1) stay integer (decimal(38,0) against the q165 overflow
+    advice; R_i = S2_i/2 and the /4 folds into 12/4 = 3); the per-group
+    S2^2/n_i terms are the one float reduction (k-sized, ROUNDed at
+    1e-6, ~1e-13 worst-case ulp noise).
+
+    Scale shape: one corpus collapse to (v, type) counts, per-value
+    totals, ONE distributed prefix sum over distinct values
+    (global_running_sums — value is continuous so distinct cardinality
+    is corpus-sized), a counts-sized join back, k-row reduce."""
+    from ..operators.ranking import global_running_sums
+
+    e = table(spark, sf, "events").select(
+        F.col("value").alias("v"), F.col("event_type").alias("g")
+    )
+    gv = e.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    tv = gv.groupBy("v").agg(F.sum("c").alias("t"))
+    r = global_running_sums(
+        tv, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+    ).select(
+        "v",
+        "t",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1)).alias(
+            "mr2"
+        ),
+    )
+    s = (
+        gv.join(r.select("v", "mr2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ni"),
+            F.sum(
+                (F.col("c") * F.col("mr2")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    tot = s.agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("s2").cast("double")
+            * F.col("s2").cast("double")
+            / F.col("ni")
+        ).alias("q"),
+    )
+    tie = r.agg(
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("tt")
+    )
+    n, k = F.col("n"), F.col("k")
+    h = (
+        3.0 * F.col("q") / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    ) / (
+        1.0
+        - F.col("tt").cast("double") / (n.cast("double") * n * n - n)
+    )
+    crit = F.round(
+        (k - 1.0)
+        * F.pow(
+            1.0
+            - 2.0 / (9.0 * (k - 1.0))
+            + 1.6448536269514722 * F.sqrt(2.0 / (9.0 * (k - 1.0))),
+            3.0,
+        ),
+        6,
+    )
+    h6 = F.round(h, 6)
+    return tot.crossJoin(tie).select(
+        h6.alias("h"),
+        (k - 1).cast("bigint").alias("df"),
+        (h6 > crit).cast("int").alias("reject"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — Kendall tau-b between daily volume series of event-type pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_kendall_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+                 a.c AS ca, b.c AS cb
+          FROM c a JOIN c b ON b.day = a.day
+                            AND a.event_type < b.event_type),
+    p AS (SELECT x.ta, x.tb,
+                 SUM(CASE WHEN (x.ca - y.ca) * (x.cb - y.cb) > 0
+                          THEN 1 ELSE 0 END) AS conc,
+                 SUM(CASE WHEN (x.ca - y.ca) * (x.cb - y.cb) < 0
+                          THEN 1 ELSE 0 END) AS disc,
+                 SUM(CASE WHEN x.ca = y.ca THEN 1 ELSE 0 END) AS tx,
+                 SUM(CASE WHEN x.cb = y.cb THEN 1 ELSE 0 END) AS ty,
+                 COUNT(*) AS n0
+          FROM j x JOIN j y ON y.ta = x.ta AND y.tb = x.tb
+                            AND x.day < y.day
+          GROUP BY 1, 2)
+    SELECT ta AS type_a, tb AS type_b, CAST(n0 AS BIGINT) AS n_pairs,
+           CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0
+                THEN ROUND((conc - disc)
+                           / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6)
+                ELSE 0.0 END AS tau_b
+    FROM p
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b between every pair of event types' daily-volume
+    series — the concordance twin of q181's Spearman rho: tau counts
+    day-pairs that move the SAME way vs opposite ways, so it reads as a
+    probability (P(concordant) - P(discordant)) and is the standard
+    robustness cross-check when rho and tau disagree about a pair of
+    feeds. tau-b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with the tie
+    terms n1/n2 = day-pairs tied in either series (Kendall 1945).
+
+    Exactness: C, D, tie counts, n0 are integer aggregates of sign
+    comparisons over the day-pair self-join; ONE float division+sqrt at
+    the end — engine-exact by the family rule.
+
+    Scale shape: all work runs on the memoized types x days artifact;
+    the day-pair self-join is days^2 x type-pairs — bounded by the
+    CALENDAR (90 days -> 4k day-pairs), never by the corpus."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a, b = c.alias("a"), c.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.day") == F.col("a.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("b.event_type").alias("tb"),
+        F.col("a.day").alias("day"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+    )
+    x = j.select(
+        F.col("ta").alias("x_ta"), F.col("tb").alias("x_tb"),
+        F.col("day").alias("x_day"),
+        F.col("ca").alias("x_ca"), F.col("cb").alias("x_cb"),
+    )
+    y = j.select(
+        F.col("ta").alias("y_ta"), F.col("tb").alias("y_tb"),
+        F.col("day").alias("y_day"),
+        F.col("ca").alias("y_ca"), F.col("cb").alias("y_cb"),
+    )
+    dx = F.col("x_ca") - F.col("y_ca")
+    dy = F.col("x_cb") - F.col("y_cb")
+    p = (
+        x.join(
+            y,
+            (F.col("y_ta") == F.col("x_ta"))
+            & (F.col("y_tb") == F.col("x_tb"))
+            & (F.col("x_day") < F.col("y_day")),
+        )
+        .groupBy(
+            F.col("x_ta").alias("ta"), F.col("x_tb").alias("tb")
+        )
+        .agg(
+            F.sum((dx * dy > 0).cast("long")).alias("conc"),
+            F.sum((dx * dy < 0).cast("long")).alias("disc"),
+            F.sum((dx == 0).cast("long")).alias("tx"),
+            F.sum((dy == 0).cast("long")).alias("ty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    n0, tx, ty = F.col("n0"), F.col("tx"), F.col("ty")
+    tau = F.round(
+        (F.col("conc") - F.col("disc"))
+        / F.sqrt((n0 - tx).cast("double") * (n0 - ty)),
+        6,
+    )
+    return p.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        n0.cast("bigint").alias("n_pairs"),
+        F.when(((n0 - tx) > 0) & ((n0 - ty) > 0), tau)
+        .otherwise(F.lit(0.0))
+        .alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — Benjamini-Hochberg FDR decision over the all-pairs KS matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_ks_matrix_fdr",
+    oracle="""
+    WITH g AS (SELECT source, n_chars, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT n_chars FROM g),
+    srcs AS (SELECT source, SUM(k) AS n FROM g GROUP BY source),
+    grid AS (SELECT s.source, s.n, l.n_chars FROM srcs s CROSS JOIN lens l),
+    c AS (SELECT grid.source, grid.n, grid.n_chars,
+                 SUM(COALESCE(g.k, 0)) OVER (PARTITION BY grid.source
+                                             ORDER BY grid.n_chars
+                                             ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM grid LEFT JOIN g ON g.source = grid.source
+                                AND g.n_chars = grid.n_chars),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb,
+                 MAX(ABS(a.cum * b.n - b.cum * a.n)) AS dnum
+          FROM c a JOIN c b ON a.n_chars = b.n_chars
+                            AND a.source < b.source
+          GROUP BY 1, 2, 3, 4),
+    pv AS (SELECT source_a, source_b,
+                  ROUND(LEAST(1.0,
+                        2.0 * EXP(-2.0 * CAST(dnum AS DOUBLE) * dnum
+                                  / (1.0 * na * nb * (na + nb)))), 6)
+                    AS p6
+           FROM p),
+    rk AS (SELECT source_a, source_b, p6,
+                  ROW_NUMBER() OVER (ORDER BY p6, source_a, source_b)
+                    AS i,
+                  COUNT(*) OVER () AS m
+           FROM pv),
+    kk AS (SELECT MAX(CASE WHEN p6 <= i * 0.05 / m THEN i ELSE 0 END)
+                    AS kstar
+           FROM rk)
+    SELECT source_a, source_b, p6 AS p,
+           CAST(i <= (SELECT kstar FROM kk) AS INT) AS reject_bh
+    FROM rk
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR decision over the q176 KS drift matrix —
+    the multiplicity correction a production monitor actually wants:
+    Bonferroni (q176) controls ANY false alarm and goes numb as the
+    source count grows; BH (Benjamini & Hochberg 1995) controls the
+    false-discovery RATE, keeping per-pair power roughly constant at
+    19,900 pairs. Rank the asymptotic two-sample KS p-values
+    p = min(1, 2 exp(-2 d^2 n_a n_b / (n_a + n_b))) ascending, find the
+    largest k with p_(k) <= k*alpha/m, reject ranks 1..k.
+
+    Exactness: p comes from one closed-form expression over the integer
+    (dnum, na, nb) columns of the shared `ks_pairs` artifact and is
+    ROUNDed to 1e-6 BEFORE ranking, so the BH order — tiebroken on the
+    pair key — cannot be flipped by a last-ulp libm difference between
+    the JVM and DuckDB exp().
+
+    Scale shape: reuses the memoized ks_pairs artifact (built once for
+    q176); the ranking window is GLOBAL but runs on the pair table,
+    which is sources^2-bounded (19,900 rows at 200 sources — measured
+    in tools/scale_probe.py ks_matrix_sources2), never corpus-bounded —
+    the one place a single-partition window is the right plan."""
+    from pyspark.sql import Window
+
+    p, n_src = _ks_pair_table(spark, sf)
+    m = n_src * (n_src - 1) // 2
+    p6 = F.round(
+        F.least(
+            F.lit(1.0),
+            2.0
+            * F.exp(
+                -2.0
+                * F.col("dnum").cast("double")
+                * F.col("dnum")
+                / (1.0 * F.col("na") * F.col("nb") * (F.col("na") + F.col("nb")))
+            ),
+        ),
+        6,
+    )
+    pv = p.select("source_a", "source_b", p6.alias("p6"))
+    w = Window.orderBy("p6", "source_a", "source_b")
+    rk = pv.select(
+        "source_a", "source_b", "p6", F.row_number().over(w).alias("i")
+    )
+    kstar = rk.agg(
+        F.max(
+            F.when(F.col("p6") <= F.col("i") * 0.05 / m, F.col("i")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kstar")
+    )
+    return rk.crossJoin(F.broadcast(kstar)).select(
+        "source_a",
+        "source_b",
+        F.col("p6").alias("p"),
+        (F.col("i") <= F.col("kstar")).cast("int").alias("reject_bh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — Jensen-Shannon divergence of each source against the rest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q186_js_divergence",
+    oracle="""
+    WITH g AS (SELECT source, n_chars, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    lens AS (SELECT n_chars, SUM(k) AS tot FROM g GROUP BY n_chars),
+    srcs AS (SELECT source, SUM(k) AS ns FROM g GROUP BY source),
+    n AS (SELECT SUM(k) AS n FROM g),
+    cell AS (SELECT s.source, s.ns, l.n_chars, l.tot,
+                    COALESCE(g.k, 0) AS k
+             FROM srcs s CROSS JOIN lens l
+             LEFT JOIN g ON g.source = s.source
+                         AND g.n_chars = l.n_chars),
+    t AS (SELECT source,
+                 SUM(CASE WHEN k > 0 THEN
+                       0.5 * (CAST(k AS DOUBLE) / ns)
+                       * LN((CAST(k AS DOUBLE) / ns)
+                            / (0.5 * (CAST(k AS DOUBLE) / ns
+                               + CAST(tot - k AS DOUBLE)
+                                 / ((SELECT n FROM n) - ns))))
+                     ELSE 0.0 END
+                     + CASE WHEN tot - k > 0 THEN
+                       0.5 * (CAST(tot - k AS DOUBLE)
+                              / ((SELECT n FROM n) - ns))
+                       * LN((CAST(tot - k AS DOUBLE)
+                             / ((SELECT n FROM n) - ns))
+                            / (0.5 * (CAST(k AS DOUBLE) / ns
+                               + CAST(tot - k AS DOUBLE)
+                                 / ((SELECT n FROM n) - ns))))
+                     ELSE 0.0 END) AS jsd
+          FROM cell GROUP BY source)
+    SELECT source, ROUND(jsd, 6) AS jsd,
+           CAST(ROUND(jsd, 6) > 0.1 * LN(2.0) AS INT) AS outlier
+    FROM t
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's document-length
+    distribution against the REST of the corpus (leave-one-out) — the
+    bounded, symmetric which-feed-is-the-odd-one-out score (Lin 1991):
+    unlike KS (max CDF gap) it weighs the WHOLE distribution, unlike
+    KL it is finite on disjoint support (a cell one side lacks
+    contributes 1/2 ln 2, not infinity), and sources rank comparably
+    because JSD <= ln 2. Flag at 10% of the ceiling.
+
+    Plan: the same one-corpus-collapse + zero-filled (sources x
+    lengths) grid as the KS matrix, but linear in sources (each source
+    compares against the rest-of-corpus counts tot - k, no pairwise
+    join). Per-cell terms are closed-form floats over integer counts;
+    the per-source sum over ~|lengths| cells is ROUNDed at 1e-6,
+    ~3 orders above the worst-case float-order noise."""
+    g = (
+        table(spark, sf, "documents")
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    lens = g.groupBy("n_chars").agg(F.sum("k").alias("tot"))
+    srcs = g.groupBy("source").agg(F.sum("k").alias("ns"))
+    n_tot = g.agg(F.sum("k")).first()[0]
+    cell = (
+        srcs.crossJoin(F.broadcast(lens))
+        .join(g, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "ns",
+            "tot",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        )
+    )
+    pk = F.col("k").cast("double") / F.col("ns")
+    qk = (F.col("tot") - F.col("k")).cast("double") / (
+        F.lit(float(n_tot)) - F.col("ns")
+    )
+    mk = 0.5 * (pk + qk)
+    term = F.when(F.col("k") > 0, 0.5 * pk * F.log(pk / mk)).otherwise(
+        F.lit(0.0)
+    ) + F.when(
+        (F.col("tot") - F.col("k")) > 0, 0.5 * qk * F.log(qk / mk)
+    ).otherwise(F.lit(0.0))
+    t = cell.groupBy("source").agg(F.sum(term).alias("jsd"))
+    jsd6 = F.round(F.col("jsd"), 6)
+    import math
+
+    return t.select(
+        "source",
+        jsd6.alias("jsd"),
+        (jsd6 > 0.1 * math.log(2.0)).cast("int").alias("outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — empirical-Bernstein confidence bounds on per-source mean length
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_bernstein_bounds",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n,
+                      SUM(n_chars) AS s1,
+                      SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                      MIN(n_chars) AS mn, MAX(n_chars) AS mx
+               FROM documents GROUP BY source),
+    b AS (SELECT source, n,
+                 CAST(s1 AS DOUBLE) / n AS mean,
+                 SQRT(2.0 * (CAST(n * s2 - CAST(s1 AS HUGEINT) * s1
+                                  AS DOUBLE) / (n * (n - 1.0)))
+                      * LN(2.0 / 0.05) / n)
+                 + 7.0 * (mx - mn) * LN(2.0 / 0.05) / (3.0 * (n - 1.0))
+                   AS eps
+          FROM s WHERE n > 1)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           ROUND(mean, 6) AS mean,
+           ROUND(mean - eps, 6) AS lo,
+           ROUND(mean + eps, 6) AS hi
+    FROM b
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bernstein confidence interval on every source's mean
+    document length (Maurer & Pontil 2009, thm 4) — the finite-sample
+    bound a curation gate uses to decide whether a small feed's mean is
+    REALLY off or just under-sampled: eps = sqrt(2 V ln(2/d) / n) +
+    7 R ln(2/d) / (3(n-1)), variance-adaptive where Hoeffding's
+    range-only bound is hopeless for long-tailed lengths.
+
+    Exactness: n, sum, sum-of-squares, min, max are integers (the
+    square sum in decimal(38,0)/HUGEINT — n_chars^2 times corpus rows
+    overflows int64 at the design point); the sample variance uses the
+    exact rational (n*s2 - s1^2)/(n(n-1)) before ONE closed-form float
+    expression identical on both engines.
+
+    Scale shape: one map-side-combinable aggregate over the corpus,
+    sources-sized output, nothing else."""
+    s = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(
+                F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+            ).alias("s2"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .where(F.col("n") > 1)
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        n * F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double") / (n * (n - 1.0))
+    import math
+
+    ln_d = math.log(2.0 / 0.05)
+    eps = F.sqrt(2.0 * var * ln_d / n) + 7.0 * (
+        F.col("mx") - F.col("mn")
+    ) * ln_d / (3.0 * (n - 1.0))
+    return s.select(
+        "source",
+        n.cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(mean - eps, 6).alias("lo"),
+        F.round(mean + eps, 6).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — mutual information between event type and weekday
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_type_weekday_mi",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    wd AS (SELECT event_type, ((day % 7) + 7) % 7 AS weekday,
+                  SUM(c) AS cnt
+           FROM c GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(cnt) AS r FROM wd GROUP BY event_type),
+    ct AS (SELECT weekday, SUM(cnt) AS cl FROM wd GROUP BY weekday),
+    n AS (SELECT SUM(cnt) AS n FROM wd),
+    mi AS (SELECT SUM((CAST(cnt AS DOUBLE) / (SELECT n FROM n))
+                      * LN(CAST(cnt AS DOUBLE) * (SELECT n FROM n)
+                           / (CAST(rt.r AS DOUBLE) * ct.cl))) AS mi
+           FROM wd JOIN rt USING (event_type) JOIN ct USING (weekday))
+    SELECT ROUND(mi, 6) AS mi,
+           CAST(ROUND(mi, 6) > 0.001 AS INT) AS dependent
+    FROM mi
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event type and weekday (nats) — the
+    effect-SIZE companion to q175's chi-square uniformity test: chi2
+    says whether weekday and event mix are dependent at all; MI says by
+    how much, in information units a mixture-planning pipeline can
+    budget against (MI = 0 iff independent; here ~1e-3 nats = weekday
+    barely matters to the mix). Weekday comes from integer day
+    arithmetic on the epoch-anchored day number ((day % 7), day 0 =
+    2024-01-01, a Monday) — never from calendar functions, whose
+    session-timezone dependence would break the cross-engine hash.
+
+    Exactness: the 5 x 7 contingency table, its margins, and n are
+    integers off the memoized types x days artifact; the MI sum is 35
+    closed-form float terms ROUNDed at 1e-6.
+
+    Scale shape: reuses daily_type_counts (one corpus scan per
+    session); everything after is constant-sized."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    wd = (
+        c.select(
+            "event_type",
+            F.pmod(F.pmod(F.col("day"), F.lit(7)) + 7, F.lit(7)).alias(
+                "weekday"
+            ),
+            "c",
+        )
+        .groupBy("event_type", "weekday")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    rt = wd.groupBy("event_type").agg(F.sum("cnt").alias("r"))
+    ct = wd.groupBy("weekday").agg(F.sum("cnt").alias("cl"))
+    n_tot = wd.agg(F.sum("cnt")).first()[0]
+    mi = (
+        wd.join(rt, "event_type")
+        .join(ct, "weekday")
+        .agg(
+            F.sum(
+                (F.col("cnt").cast("double") / F.lit(float(n_tot)))
+                * F.log(
+                    F.col("cnt").cast("double")
+                    * F.lit(float(n_tot))
+                    / (F.col("r").cast("double") * F.col("cl"))
+                )
+            ).alias("mi")
+        )
+    )
+    mi6 = F.round(F.col("mi"), 6)
+    return mi.select(
+        mi6.alias("mi"), (mi6 > 0.001).cast("int").alias("dependent")
     )

@@ -667,5 +667,91 @@ def main() -> None:
     )
 
 
+    # q176 KS-matrix probe: the pairwise CDF grid is the one stats-family
+    # output that grows QUADRATICALLY in a dimension the corpus owner
+    # controls — the source count s (pairs = s(s-1)/2). Inflate SOURCES
+    # (each copy keeps the same 25 docs under a renamed source), measure
+    # the all-pairs plan, and report growth against both the linear and
+    # the quadratic law; the docstring cutover (sketch-KS q170 above
+    # ~200 sources) is pinned from this measurement.
+    docs_src = table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def _src_big(d, s_factor):
+        cps = spark.range(s_factor).select(F.col("id").alias("__copy"))
+        return d.crossJoin(F.broadcast(cps)).select(
+            F.concat_ws(
+                "_", "source", F.col("__copy").cast("string")
+            ).alias("source"),
+            "n_chars",
+        )
+
+    def _ks_matrix_pairs(d):
+        # the q176 plan shape: one corpus collapse, zero-filled
+        # (sources x lengths) grid, per-source running CDFs, pairwise
+        # max-gap self-join on the length key
+        from pyspark.sql import Window
+
+        g = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("k"))
+        lens = g.select("n_chars").distinct()
+        srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
+        grid = srcs.crossJoin(F.broadcast(lens))
+        c = grid.join(g, ["source", "n_chars"], "left").select(
+            "source", "n", "n_chars",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        )
+        cum_w = (
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cdf = c.select(
+            "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
+        )
+        a, b = cdf.alias("a"), cdf.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.n_chars") == F.col("b.n_chars"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(F.col("a.source"), F.col("b.source"))
+            .agg(
+                F.max(
+                    F.abs(
+                        F.col("a.cum") * F.col("b.n")
+                        - F.col("b.cum") * F.col("a.n")
+                    )
+                ).alias("dnum")
+            )
+            .count()
+        )
+
+    _ks_matrix_pairs(docs_src)  # warm
+    t0 = time.perf_counter()
+    p_base = _ks_matrix_pairs(docs_src)
+    t_base = time.perf_counter() - t0
+    big_src = _src_big(docs_src, factor).persist()
+    big_src.count()
+    t0 = time.perf_counter()
+    p_big = _ks_matrix_pairs(big_src)
+    t_big = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "ks_matrix_sources2",
+                "factor": factor,
+                "pairs_base": p_base,
+                "pairs_big": p_big,
+                "sec_base": round(t_base, 2),
+                "sec_big": round(t_big, 2),
+                "growth_vs_linear": round(t_big / (t_base * factor), 2),
+                "growth_vs_quadratic": round(
+                    t_big / (t_base * factor * factor), 2
+                ),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
