@@ -966,3 +966,160 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — streaming PSI drift monitor (q162's stream state x q177's PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_MON: dict[tuple, DataFrame] = {}
+
+
+@query(
+    "q182_stream_psi_monitor",
+    oracle="""
+    WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
+    rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM ref),
+    t AS (SELECT rr.value AS t
+          FROM rr, UNNEST(generate_series(1, 9)) AS g(i)
+          WHERE rr.rn = GREATEST(1, (g.i * rr.n + 9) // 10)),
+    b AS (SELECT event_type,
+                 (SELECT COUNT(*) FROM t WHERE t.t <= e.value) AS bucket
+          FROM events e),
+    srcs AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type),
+    grid AS (SELECT s.event_type, s.n, g.i AS bucket
+             FROM srcs s, UNNEST(generate_series(0, 9)) AS g(i)),
+    cnt AS (SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    f AS (SELECT grid.event_type, grid.n, grid.bucket,
+                 COALESCE(cnt.c, 0) AS c
+          FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type
+                                  AND cnt.bucket = grid.bucket),
+    refp AS (SELECT bucket, (c + 0.5) / (n + 5.0) AS pa
+             FROM f WHERE event_type = 'view'),
+    q AS (SELECT f.event_type,
+                 SUM(((f.c + 0.5) / (f.n + 5.0) - refp.pa)
+                     * LN(((f.c + 0.5) / (f.n + 5.0)) / refp.pa)) AS psi
+          FROM f JOIN refp ON refp.bucket = f.bucket
+          WHERE f.event_type <> 'view'
+          GROUP BY f.event_type)
+    SELECT event_type, ROUND(psi, 6) AS psi,
+           CAST(ROUND(psi, 6) > 0.2 AS INT) AS drift,
+           CAST(3 AS INT) AS batches
+    FROM q
+    """,
+    tags=("streaming", "stats", "quantile"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Live PSI drift monitor ON THE STREAM — the round-11 verdict's
+    composition ask: q177 computes PSI from batch snapshots, q162
+    maintains per-type summaries on the stream; this closes the loop
+    with a foreachBatch monitor that, per micro-batch, folds the
+    batch's (event_type, decile-bucket) counts into a running
+    contingency state and re-scores every type's PSI against the
+    'view' reference distribution, emitting a drift flag stream.
+
+    The replayed thirds layout drives exactly 3 micro-batches
+    (asserted via the hash-checked `batches` column); after the final
+    batch the cumulative counts equal the batch table's, so the LAST
+    monitor emission must hash-equal the oracle's batch PSI — the
+    stream-equals-batch law every incremental monitor here certifies.
+
+    Bucket edges are exact reference deciles (exact_quantiles_via_
+    summary with integer rank arithmetic, rank_den=10 — the q177 fix);
+    bucketing is a map-side comparison against 9 broadcast literals.
+
+    Scale shape: each micro-batch reduces IN SPARK to <= types x 10
+    cells before the driver sees it (50 rows/batch at any corpus
+    size); the running state and the PSI rescore are types x buckets —
+    bounded by the schema, not the stream. Jeffreys smoothing
+    (c+0.5)/(n+5) keeps early micro-batches' empty bins finite, so the
+    monitor is well-defined from the first batch."""
+    import math
+
+    from ..operators.quantiles import exact_quantiles_via_summary
+    from ..streaming.replay import run_foreach_batch
+    from ..tables import table
+    from . import memo
+    from .quality_q import _CLIPS
+    from .stats_q import _PSI_PHIS
+
+    e_batch = table(spark, sf, "events")
+
+    def _edges() -> dict[float, float]:
+        return exact_quantiles_via_summary(
+            e_batch.where(F.col("event_type") == "view").select("value"),
+            "value",
+            _PSI_PHIS,
+            eps=0.01,
+            rank_den=10,
+        )
+
+    thr = memo(_CLIPS, ("psi_ev_edges", sf), _edges, label="psi_ev_edges")
+
+    def _monitor() -> DataFrame:
+        bucket = sum(
+            (F.col("value") >= F.lit(thr[phi])).cast("int")
+            for phi in _PSI_PHIS
+        )
+        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
+            "event_type", bucket.alias("bucket")
+        )
+        cum: dict[tuple, int] = {}
+        emissions: list[dict] = []
+
+        def _psi_now() -> dict:
+            types = sorted({k[0] for k in cum})
+            n = {
+                t: sum(cum.get((t, b), 0) for b in range(10)) for t in types
+            }
+            if n.get("view", 0) == 0:
+                return {}
+            pa = {
+                b: (cum.get(("view", b), 0) + 0.5) / (n["view"] + 5.0)
+                for b in range(10)
+            }
+            out = {}
+            for t in types:
+                if t == "view":
+                    continue
+                s = 0.0
+                for b in range(10):
+                    pb = (cum.get((t, b), 0) + 0.5) / (n[t] + 5.0)
+                    s += (pb - pa[b]) * math.log(pb / pa[b])
+                out[t] = s
+            return out
+
+        def on_batch(bdf, _bid):
+            rows = (
+                bdf.groupBy("event_type", "bucket")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            for r in rows:
+                key = (r.event_type, r.bucket)
+                cum[key] = cum.get(key, 0) + r.c
+            emissions.append(_psi_now())
+
+        run_foreach_batch(ev, on_batch)
+        if len(emissions) < 2:
+            raise RuntimeError(
+                "q182 replay mis-batched: PSI monitor saw "
+                f"{len(emissions)} micro-batches, expected 3"
+            )
+        final = emissions[-1]
+        rows = [
+            (
+                t,
+                round(p, 6),
+                1 if round(p, 6) > 0.2 else 0,
+                len(emissions),
+            )
+            for t, p in sorted(final.items())
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, psi double, drift int, batches int"
+        )
+
+    return memo(_PSI_MON, (id(spark), sf), _monitor, label="psi_stream")
