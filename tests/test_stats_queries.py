@@ -292,3 +292,197 @@ def test_psi_matches_binned_reference(spark, sf_dir):
         pa = (rcnt + 0.5) / (n + 5.0)
         psi_ref = float(np.sum((pb - pa) * np.log(pb / pa)))
         assert abs(out.loc[source]["psi"] - psi_ref) < 1e-6
+
+
+def _midranks(v: np.ndarray) -> np.ndarray:
+    """1-based midranks with ties averaged (scipy-style, via argsort)."""
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(len(v), dtype=float)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    return ranks
+
+
+def test_kruskal_wallis_matches_rank_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = ev["value"].to_numpy()
+    g = ev["event_type"].to_numpy()
+    ranks = _midranks(v)
+    n = len(v)
+    groups = sorted(set(g))
+    q = sum(ranks[g == t].sum() ** 2 / (g == t).sum() for t in groups)
+    h = 12.0 / (n * (n + 1)) * q - 3.0 * (n + 1)
+    _, t_counts = np.unique(v, return_counts=True)
+    tie = (t_counts.astype(float) ** 3 - t_counts).sum()
+    h /= 1.0 - tie / (float(n) ** 3 - n)
+
+    out = _run("q183_kruskal_wallis", spark, sf_dir).iloc[0]
+    assert out["df"] == len(groups) - 1
+    assert abs(out["h"] - h) < 1e-5
+
+
+def _daily(sf_dir: str) -> pd.DataFrame:
+    ev = _events(sf_dir)
+    day = (
+        (ev["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() // 86400
+    ).astype(int)
+    return (
+        ev.assign(day=day)
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("c")
+        .reset_index()
+    )
+
+
+def test_kendall_matches_bruteforce_reference(spark, sf_dir):
+    d = _daily(sf_dir)
+    wide = d.pivot(index="day", columns="event_type", values="c").dropna()
+    types = sorted(wide.columns)
+    out = _run("q184_kendall_daily", spark, sf_dir)
+    got = {
+        (r.type_a, r.type_b): (r.tau_b, r.n_pairs)
+        for r in out.itertuples()
+    }
+    for ia, ta in enumerate(types):
+        for tb in types[ia + 1 :]:
+            # per-pair common days: q184 joins on day per pair, so use
+            # days where BOTH series have counts
+            sub = d[d.event_type.isin([ta, tb])]
+            w = sub.pivot(index="day", columns="event_type", values="c")
+            w = w.dropna()
+            x, y = w[ta].to_numpy(), w[tb].to_numpy()
+            m = len(x)
+            conc = disc = tx = ty = 0
+            for i in range(m):
+                for j in range(i + 1, m):
+                    dx, dy = x[i] - x[j], y[i] - y[j]
+                    if dx * dy > 0:
+                        conc += 1
+                    elif dx * dy < 0:
+                        disc += 1
+                    if dx == 0:
+                        tx += 1
+                    if dy == 0:
+                        ty += 1
+            n0 = m * (m - 1) // 2
+            denom = (n0 - tx) * (n0 - ty)
+            tau = (conc - disc) / np.sqrt(denom) if denom > 0 else 0.0
+            assert got[(ta, tb)][1] == n0
+            assert abs(got[(ta, tb)][0] - tau) < 1e-5
+
+
+def test_bh_fdr_matches_local_procedure(spark, sf_dir):
+    d = _docs(sf_dir)
+    srcs = sorted(d["source"].unique())
+    pvals = {}
+    for ia, sa in enumerate(srcs):
+        for sb in srcs[ia + 1 :]:
+            a = np.sort(d.loc[d.source == sa, "n_chars"].to_numpy())
+            b = np.sort(d.loc[d.source == sb, "n_chars"].to_numpy())
+            grid = np.union1d(a, b)
+            ca = np.searchsorted(a, grid, side="right")
+            cb = np.searchsorted(b, grid, side="right")
+            na, nb = len(a), len(b)
+            dstat = np.max(np.abs(ca / na - cb / nb))
+            p = min(1.0, 2.0 * np.exp(-2.0 * dstat**2 * na * nb / (na + nb)))
+            pvals[(sa, sb)] = round(p, 6)
+    items = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    m = len(items)
+    kstar = max(
+        (i + 1 for i, (_, p) in enumerate(items) if p <= (i + 1) * 0.05 / m),
+        default=0,
+    )
+    expect = {k: int(i + 1 <= kstar) for i, (k, _) in enumerate(items)}
+
+    out = _run("q185_ks_matrix_fdr", spark, sf_dir)
+    got = {(r.source_a, r.source_b): int(r.reject_bh) for r in out.itertuples()}
+    assert got == expect
+
+
+def test_jsd_matches_local_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q186_js_divergence", spark, sf_dir)
+    lens = np.sort(d["n_chars"].unique())
+    tot = d.groupby("n_chars").size().reindex(lens, fill_value=0).to_numpy()
+    n = len(d)
+    for r in out.itertuples():
+        k = (
+            d[d.source == r.source]
+            .groupby("n_chars")
+            .size()
+            .reindex(lens, fill_value=0)
+            .to_numpy()
+        )
+        ns = k.sum()
+        p = k / ns
+        q = (tot - k) / (n - ns)
+        mmix = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jsd = 0.5 * np.where(p > 0, p * np.log(p / mmix), 0.0).sum() + (
+                0.5 * np.where(q > 0, q * np.log(q / mmix), 0.0).sum()
+            )
+        assert abs(r.jsd - jsd) < 1e-5
+
+
+def test_bernstein_matches_local_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q187_bernstein_bounds", spark, sf_dir)
+    ln_d = np.log(2.0 / 0.05)
+    for r in out.itertuples():
+        x = d.loc[d.source == r.source, "n_chars"].to_numpy(dtype=float)
+        n = len(x)
+        mean = x.mean()
+        var = x.var(ddof=1)
+        eps = np.sqrt(2.0 * var * ln_d / n) + 7.0 * (
+            x.max() - x.min()
+        ) * ln_d / (3.0 * (n - 1))
+        assert r.n == n
+        assert abs(r.mean - mean) < 1e-5
+        assert abs(r.lo - (mean - eps)) < 1e-5
+        assert abs(r.hi - (mean + eps)) < 1e-5
+
+
+def test_mi_matches_contingency_reference(spark, sf_dir):
+    d = _daily(sf_dir)
+    d["weekday"] = d["day"] % 7
+    ct = d.groupby(["event_type", "weekday"])["c"].sum().reset_index()
+    n = ct["c"].sum()
+    rt = ct.groupby("event_type")["c"].sum()
+    cl = ct.groupby("weekday")["c"].sum()
+    mi = sum(
+        (row.c / n) * np.log(row.c * n / (rt[row.event_type] * cl[row.weekday]))
+        for row in ct.itertuples()
+    )
+    out = _run("q188_type_weekday_mi", spark, sf_dir).iloc[0]
+    assert abs(out["mi"] - mi) < 1e-5
+
+
+def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    ref = np.sort(ev.loc[ev.event_type == "view", "value"].to_numpy())
+    n_ref = len(ref)
+    edges = [
+        ref[max(1, (i * n_ref + 9) // 10) - 1] for i in range(1, 10)
+    ]
+    types = sorted(ev["event_type"].unique())
+    counts = {}
+    for t in types:
+        vals = ev.loc[ev.event_type == t, "value"].to_numpy()
+        b = np.zeros(10, dtype=int)
+        for v in vals:
+            b[sum(v >= e for e in edges)] += 1
+        counts[t] = b
+    pa = (counts["view"] + 0.5) / (counts["view"].sum() + 5.0)
+    out = _run("q182_stream_psi_monitor", spark, sf_dir)
+    assert set(out["batches"]) == {3}
+    for r in out.itertuples():
+        pb = (counts[r.event_type] + 0.5) / (counts[r.event_type].sum() + 5.0)
+        psi = ((pb - pa) * np.log(pb / pa)).sum()
+        assert abs(r.psi - psi) < 1e-5
