@@ -183,7 +183,7 @@ _ZIPF_R = 100  # fit over the top-R ranks
 
 
 @query(
-    "q134_zipf_fit",
+    "qz134_zipf_fit",
     oracle=f"""
     WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
                                            x -> x != '')) AS t
@@ -410,7 +410,7 @@ def _q135_oracle() -> str:
 
 
 @query(
-    "q135_stratified_sample",
+    "qz135_stratified_sample",
     oracle=_q135_oracle(),
     tags=("llm", "sampling", "curation"),
 )
@@ -650,7 +650,7 @@ _BLOOM_PRICE = 450_000.0  # ~top decile of orders
 
 
 @query(
-    "q137_bloom_prune_join",
+    "qz137_bloom_prune_join",
     oracle=f"""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -716,7 +716,7 @@ from ..operators.relational import FUNNEL_INF as _FUNNEL_INF
 
 
 @query(
-    "q141_event_funnel",
+    "qz141_event_funnel",
     oracle="""
     WITH e AS (SELECT user_id, event_type,
                       date_diff('microsecond',
@@ -792,7 +792,7 @@ _PR_DAMP = 0.85
 
 
 @query(
-    "q142_pagerank",
+    "qz142_pagerank",
     oracle=f"""
     WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
                                 l.l_suppkey * 2 + 1 AS dst
@@ -932,7 +932,7 @@ def daily_type_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q143_retention_cohorts",
+    "qz143_retention_cohorts",
     oracle=f"""
     WITH e AS (SELECT user_id,
                       date_diff('microsecond',
@@ -989,7 +989,7 @@ _PMI_TOP = 20
 
 
 @query(
-    "q144_pmi_collocations",
+    "qz144_pmi_collocations",
     oracle=f"""
     WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x != '')
                  AS tk FROM documents),
@@ -1078,7 +1078,7 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q145_rate_anomalies",
+    "qz145_rate_anomalies",
     oracle=f"""
     WITH e AS (SELECT event_type,
                       date_diff('microsecond',
@@ -1232,7 +1232,7 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q147_event_transitions",
+    "qz147_event_transitions",
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -1287,7 +1287,7 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q148_source_centroids",
+    "qz148_source_centroids",
     oracle="""
     SELECT d.source, CAST(g.i - 1 AS INT) AS dim,
            ROUND(AVG(e.embedding[g.i]), 6) AS mu,
@@ -1440,7 +1440,7 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q163_mad_anomalies",
+    "qz163_mad_anomalies",
     oracle=f"""
     WITH e AS (SELECT event_type,
                       date_diff('microsecond',

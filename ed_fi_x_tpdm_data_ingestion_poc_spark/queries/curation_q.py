@@ -1385,7 +1385,7 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q156_ngram_diversity",
+    "qz156_ngram_diversity",
     oracle="""
     WITH t AS (SELECT source, string_split(text, ' ') AS toks
                FROM documents),
@@ -1504,7 +1504,7 @@ def _q164_oracle() -> str:
 
 
 @query(
-    "q164_release_gate",
+    "qz164_release_gate",
     oracle=_q164_oracle(),
     tags=("llm", "curation", "dedup", "eval", "e2e"),
 )

@@ -36,7 +36,7 @@ _ENC = 1_000_000_000_000
 
 
 @query(
-    "q149_record_linkage",
+    "qz149_record_linkage",
     oracle=f"""
     WITH dirty0 AS (
       SELECT c_custkey AS did, c_mktsegment AS segment, {_T1} AS t1
@@ -169,7 +169,7 @@ def _copurchase_und(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q150_triangle_count",
+    "qz150_triangle_count",
     oracle=f"""
     WITH pair AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS supp
@@ -248,7 +248,7 @@ def _q152_oracle() -> str:
 
 
 @query(
-    "q152_dup_source_matrix",
+    "qz152_dup_source_matrix",
     oracle=_q152_oracle(),
     tags=("llm", "dedup", "analytics"),
 )
@@ -296,7 +296,7 @@ _VOCAB: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "q159_vocab_overlap",
+    "qz159_vocab_overlap",
     oracle="""
     WITH v AS (SELECT DISTINCT source, tok
                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -755,7 +755,7 @@ def q53b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz112_semdedup_ok",
+    "q112_semdedup_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "embedding", "similarity"),
 )
@@ -845,7 +845,7 @@ _SEM_TAU = 0.40
 
 
 @query(
-    "q157_semantic_decontam",
+    "qz157_semantic_decontam",
     oracle=_NORM_SQL
     + f"""
        , e AS (SELECT vec_id AS eid, nv AS ev FROM n WHERE vec_id % 50 = 0),

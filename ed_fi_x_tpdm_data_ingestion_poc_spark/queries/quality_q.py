@@ -715,7 +715,7 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q126_kmeans_ok",
+    "qz126_kmeans_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "clustering", "embedding"),
 )
@@ -1037,7 +1037,7 @@ def _q155_oracle() -> str:
 
 
 @query(
-    "q155_quality_calibrate",
+    "qz155_quality_calibrate",
     oracle=_q155_oracle(),
     tags=("quality", "sampling", "scale"),
 )
@@ -1106,7 +1106,7 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q158_winsorized_stats",
+    "qz158_winsorized_stats",
     oracle="""
     WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
                FROM documents GROUP BY 1, 2),

@@ -428,7 +428,7 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q123_kmv_sketch_ok",
+    "qz123_kmv_sketch_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -534,7 +534,7 @@ _MG_K = 128
 
 
 @query(
-    "q151_mg_heavy_ok",
+    "qz151_mg_heavy_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("sketch", "heavy-hitters", "law"),
 )
@@ -635,7 +635,7 @@ _CMS_JS: dict[tuple, bool] = {}
 
 
 @query(
-    "q153_cms_join_size_ok",
+    "qz153_cms_join_size_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("sketch", "join", "law"),
 )
@@ -712,7 +712,7 @@ _SMG_SHARDS = 8
 
 
 @query(
-    "q161_stream_mg_ok",
+    "qz161_stream_mg_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming", "sketch", "heavy-hitters", "stateful"),
 )

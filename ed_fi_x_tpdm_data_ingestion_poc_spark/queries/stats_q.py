@@ -148,7 +148,7 @@ _KS_C95 = 1.3581  # c(alpha) for alpha = 0.05 (two-sided asymptotic)
 
 
 @query(
-    "q166_ks_drift",
+    "qz166_ks_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -253,7 +253,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q167_token_gini",
+    "qz167_token_gini",
     oracle="""
     WITH t AS (SELECT source,
                       UNNEST(list_filter(string_split(text, ' '),
@@ -330,7 +330,7 @@ _MMD_MICRO = 1_000_000  # centroid fixed-point unit (1e-6)
 
 
 @query(
-    "q168_label_mmd",
+    "qz168_label_mmd",
     oracle=f"""
     WITH c AS (SELECT label, g.i - 1 AS dim,
                       CAST(ROUND(AVG(embedding[g.i]) * {_MMD_MICRO})
@@ -405,7 +405,7 @@ _DS_N = 8  # decontamination gram length (q131's constant)
 
 
 @query(
-    "q169_corpus_datasheet",
+    "qz169_corpus_datasheet",
     oracle=f"""
     WITH base AS (SELECT doc_id, source, n_chars,
                          len(list_filter(string_split(text, ' '),
@@ -595,7 +595,7 @@ _SKS_B = "purchase"
 
 
 @query(
-    "q170_sketch_ks_ok",
+    "qz170_sketch_ks_ok",
     oracle=f"""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = '{_SKS_A}' THEN 1 ELSE 0 END
@@ -753,7 +753,7 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q171_wasserstein_drift",
+    "qz171_wasserstein_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -859,7 +859,7 @@ _DAILY_SQL = """
 
 
 @query(
-    "q172_theil_sen_trend",
+    "qz172_theil_sen_trend",
     oracle=f"""
     WITH {_DAILY_SQL},
     p AS (SELECT a.event_type,
@@ -940,7 +940,7 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q173_daily_autocorr",
+    "qz173_daily_autocorr",
     oracle=f"""
     WITH {_DAILY_SQL},
     l AS (SELECT event_type, c,
@@ -1035,7 +1035,7 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q174_cusum_changepoint",
+    "qz174_cusum_changepoint",
     oracle=f"""
     WITH {_DAILY_SQL},
     r AS (SELECT event_type, day, c,
@@ -1132,7 +1132,7 @@ _CHI2_DF6_95 = 12.592  # chi-square 5% critical value, 6 degrees of freedom
 
 
 @query(
-    "q175_weekday_uniformity",
+    "qz175_weekday_uniformity",
     oracle=f"""
     WITH {_DAILY_SQL},
     wd AS (SELECT event_type, day % 7 AS weekday, SUM(c) AS obs
@@ -1537,7 +1537,7 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q181_spearman_daily",
+    "qz181_spearman_daily",
     oracle=f"""
     WITH {_DAILY_SQL},
     j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,

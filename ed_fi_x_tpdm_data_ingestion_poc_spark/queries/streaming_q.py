@@ -247,7 +247,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz65_stream_stateful_custom",
+    "q65_stream_stateful_custom",
     oracle="""
     SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
     FROM events GROUP BY user_id ORDER BY user_id

@@ -568,7 +568,7 @@ _SHARDS = 8
 
 
 @query(
-    "q154_balanced_shards",
+    "qz154_balanced_shards",
     oracle=f"""
     WITH r AS (
         SELECT n_chars,
@@ -660,7 +660,7 @@ def _q160_oracle() -> str:
 
 
 @query(
-    "q160_token_budget_select",
+    "qz160_token_budget_select",
     oracle=_q160_oracle(),
     tags=("training", "sampling", "scale"),
 )

@@ -382,7 +382,7 @@ def test_web_ingest_e2e_plan(spark, sf_dir):
 def test_funnel_single_shuffle_fold(spark, sf_dir):
     """q141: the ordered-funnel state machine is ONE user_id shuffle and
     a JVM aggregate fold — no joins, no Python, no extra exchanges."""
-    f = audit(_build(spark, sf_dir, "q141_event_funnel"))
+    f = audit(_build(spark, sf_dir, "qz141_event_funnel"))
     assert f.joins == 0
     # ONE physical Exchange (audit counts its tree + detail lines)
     assert f.exchanges <= 2
@@ -393,7 +393,7 @@ def test_pagerank_matvec_joins(spark, sf_dir):
     """q142: two join-aggregate matvec rounds — equi-joins only (never
     cartesian), map-side partial aggregation on the contribution sums,
     all JVM."""
-    f = audit(_build(spark, sf_dir, "q142_pagerank"))
+    f = audit(_build(spark, sf_dir, "qz142_pagerank"))
     assert f.cartesian_products == 0 and f.nested_loop_joins == 0
     assert f.joins >= 2
     assert f.partial_aggs >= 1
@@ -403,7 +403,7 @@ def test_pagerank_matvec_joins(spark, sf_dir):
 def test_retention_bounded_shapes(spark, sf_dir):
     """q143: equi-join on user_id only; aggregates are map-side combined;
     no Python. The only corpus-sized structure is the event scan."""
-    f = audit(_build(spark, sf_dir, "q143_retention_cohorts"))
+    f = audit(_build(spark, sf_dir, "qz143_retention_cohorts"))
     assert f.cartesian_products == 0 and f.nested_loop_joins == 0
     assert f.partial_aggs >= 1
     assert f.python_evals == 0 and f.arrow_evals == 0
@@ -412,12 +412,12 @@ def test_retention_bounded_shapes(spark, sf_dir):
 def test_pmi_joins_count_tables_only(spark, sf_dir):
     """q144: the PMI join runs count-table x count-table (vocab-bounded)
     and top-k is TakeOrdered, not a global sort of the corpus."""
-    f = audit(_build(spark, sf_dir, "q144_pmi_collocations"))
+    f = audit(_build(spark, sf_dir, "qz144_pmi_collocations"))
     assert f.cartesian_products == 0
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert "TakeOrderedAndProject" in __import__(
         "ed_fi_x_tpdm_data_ingestion_poc_spark.plans", fromlist=["plan_string"]
-    ).plan_string(_build(spark, sf_dir, "q144_pmi_collocations"))
+    ).plan_string(_build(spark, sf_dir, "qz144_pmi_collocations"))
 
 
 def test_top_decile_threshold_is_pushed(spark, sf_dir):
@@ -436,7 +436,7 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
     the whole vocabulary."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    text = plan_string(_build(spark, sf_dir, "q134_zipf_fit"))
+    text = plan_string(_build(spark, sf_dir, "qz134_zipf_fit"))
     assert "TakeOrderedAndProject" in text
 
 
@@ -448,7 +448,7 @@ def test_balanced_shards_no_global_window(spark, sf_dir):
     corpus-sized)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    df = _build(spark, sf_dir, "q154_balanced_shards")
+    df = _build(spark, sf_dir, "qz154_balanced_shards")
     text = plan_string(df)
     assert "Window" not in text
     f = audit(df)
@@ -462,7 +462,7 @@ def test_token_budget_prefix_sum_plan(spark, sf_dir):
     corpus-sized window, no row-python, broadcast-only joins."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    df = _build(spark, sf_dir, "q160_token_budget_select")
+    df = _build(spark, sf_dir, "qz160_token_budget_select")
     text = plan_string(df)
     assert "Window" not in text
     f = audit(df)
@@ -474,6 +474,6 @@ def test_semantic_decontam_corpus_map_only(spark, sf_dir):
     """q157: the corpus side must reach the GEMM pass with no join and
     no shuffle before it — the eval matrix rides a broadcast variable,
     not a plan-side join; the only window runs over band survivors."""
-    f = audit(_build(spark, sf_dir, "q157_semantic_decontam"))
+    f = audit(_build(spark, sf_dir, "qz157_semantic_decontam"))
     assert f.joins == 0
     assert f.arrow_evals >= 1 and f.python_evals == 0

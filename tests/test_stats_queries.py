@@ -65,19 +65,19 @@ def test_ks_and_w1_match_cdf_reference(spark, sf_dir):
     d_ref = float(np.max(np.abs(fa - fb)))
     w1_ref = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(xs)))
 
-    ks = _run("q166_ks_drift", spark, sf_dir).iloc[0]
+    ks = _run("qz166_ks_drift", spark, sf_dir).iloc[0]
     assert ks["n1"] == len(a) and ks["n2"] == len(b)
     assert abs(ks["d"] - d_ref) < 1e-6
     crit = 1.3581 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
     assert ks["reject"] == int(round(d_ref, 6) > round(crit, 6))
 
-    w1 = _run("q171_wasserstein_drift", spark, sf_dir).iloc[0]
+    w1 = _run("qz171_wasserstein_drift", spark, sf_dir).iloc[0]
     assert abs(w1["w1"] - w1_ref) < 1e-6
 
 
 def test_gini_matches_sorted_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q167_token_gini", spark, sf_dir).set_index("source")
+    out = _run("qz167_token_gini", spark, sf_dir).set_index("source")
     for source, grp in d.groupby("source"):
         toks = [
             t
@@ -105,7 +105,7 @@ def test_mmd_matches_centroid_reference(spark, sf_dir):
         ).astype("int64")
         for lbl, grp in emb.groupby("label")
     }
-    out = _run("q168_label_mmd", spark, sf_dir)
+    out = _run("qz168_label_mmd", spark, sf_dir)
     assert len(out) == len(mus) * (len(mus) - 1) // 2
     for _, r in out.iterrows():
         gap = mus[r["label_a"]] - mus[r["label_b"]]
@@ -128,7 +128,7 @@ def _daily(sf_dir: str) -> pd.DataFrame:
 
 def test_theil_sen_matches_pairwise_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q172_theil_sen_trend", spark, sf_dir).set_index(
+    out = _run("qz172_theil_sen_trend", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -145,7 +145,7 @@ def test_theil_sen_matches_pairwise_reference(spark, sf_dir):
 
 def test_autocorr_matches_pearson_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q173_daily_autocorr", spark, sf_dir).set_index(
+    out = _run("qz173_daily_autocorr", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -165,7 +165,7 @@ def test_autocorr_matches_pearson_reference(spark, sf_dir):
 
 def test_cusum_matches_scan_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q174_cusum_changepoint", spark, sf_dir).set_index(
+    out = _run("qz174_cusum_changepoint", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -183,7 +183,7 @@ def test_cusum_matches_scan_reference(spark, sf_dir):
 
 def test_weekday_chi2_matches_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q175_weekday_uniformity", spark, sf_dir).set_index(
+    out = _run("qz175_weekday_uniformity", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -202,7 +202,7 @@ def test_weekday_chi2_matches_reference(spark, sf_dir):
 
 def test_datasheet_internal_consistency(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q169_corpus_datasheet", spark, sf_dir).set_index("source")
+    out = _run("qz169_corpus_datasheet", spark, sf_dir).set_index("source")
     by = d.groupby("source")
     for source, grp in by:
         row = out.loc[source]
@@ -222,7 +222,7 @@ def test_datasheet_internal_consistency(spark, sf_dir):
 
 
 def test_sketch_ks_law_flag_is_green(spark, sf_dir):
-    out = _run("q170_sketch_ks_ok", spark, sf_dir).iloc[0]
+    out = _run("qz170_sketch_ks_ok", spark, sf_dir).iloc[0]
     assert out["ok"] == 1
     # and the exact D agrees with a direct two-sample computation
     ev = _events(sf_dir)
