@@ -1742,23 +1742,35 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one corpus collapse to (v, type) counts, per-value
     totals, ONE distributed prefix sum over distinct values
     (global_running_sums — value is continuous so distinct cardinality
-    is corpus-sized), a counts-sized join back, k-row reduce."""
+    is corpus-sized), a counts-sized join back, k-row reduce. The
+    joined (v, g, c, t, mr2) table is a materialize-once artifact
+    (`kw_ranked`, the mw_ranked precedent) so warm re-asks pay only the
+    two k-row reduces."""
     from ..operators.ranking import global_running_sums
+    from . import built
+    from .llm import _artifact
 
-    e = table(spark, sf, "events").select(
-        F.col("value").alias("v"), F.col("event_type").alias("g")
-    )
-    gv = e.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
-    tv = gv.groupBy("v").agg(F.sum("c").alias("t"))
-    r = global_running_sums(
-        tv, order=[F.col("v")], value=F.col("t"), sum_col="cum"
-    ).select(
-        "v",
-        "t",
-        (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1)).alias(
-            "mr2"
-        ),
-    )
+    def _build():
+        e = table(spark, sf, "events").select(
+            F.col("value").alias("v"), F.col("event_type").alias("g")
+        )
+        gv = e.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+        tv = gv.groupBy("v").agg(F.sum("c").alias("t"))
+        r = global_running_sums(
+            tv, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+        ).select(
+            "v",
+            "t",
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1)).alias(
+                "mr2"
+            ),
+        )
+        # gv and r persist SEPARATELY: the per-type rank-sum join needs
+        # (v, g, c) x (v, mr2), the tie sum needs one row per DISTINCT v
+        # (t duplicated across the joined table would overcount t^3 - t)
+        return (built(gv.persist()), built(r.persist()))
+
+    gv, r = _artifact(spark, sf, "kw_ranked", _build)
     s = (
         gv.join(r.select("v", "mr2"), "v")
         .groupBy("g")
