@@ -205,6 +205,7 @@ def exact_quantiles_via_summary(
     eps: float = 0.01,
     summary: dict | None = None,
     rank_den: int | None = None,
+    rank_fn=None,
 ) -> dict[float, float]:
     """EXACT order statistics with no global sort — the summary is the
     PRUNE, an exact pass is the REFINE (the same approximate-prune /
@@ -250,7 +251,17 @@ def exact_quantiles_via_summary(
     for phi in phis:
         if not (0 <= phi <= 1):
             raise ValueError(f"phi must be in [0,1], got {phi}")
-        if rank_den is not None:
+        if rank_fn is not None:
+            # caller-supplied integer rank (phi, n) -> target: conformal
+            # bounds need ceil(phi*(n+1)) capped at n, which no rational
+            # phi*n form expresses; the callback must return 1..n and be
+            # mirrored exactly by the SQL twin
+            target = rank_fn(phi, n)
+            if not (1 <= target <= n):
+                raise ValueError(
+                    f"rank_fn returned {target}, outside 1..{n}"
+                )
+        elif rank_den is not None:
             # integer ceiling of (phi*rank_den)/rank_den * n: when phi is
             # an exact rational i/den (deciles, percentiles) the float
             # expression ceil(phi*n) differs between engines for some

@@ -1554,3 +1554,61 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — top event 3-paths (sequential pattern support mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q190_event_paths",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      LEAD(event_type) OVER w AS e2,
+                      LEAD(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                 COUNT(*) AS n
+          FROM s WHERE e3 IS NOT NULL GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM p ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("events", "analytics", "sequence"),
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 contiguous 3-step event paths by support — the sequential
+    n-gram mining behind 'what do users actually do around a purchase':
+    q147's Markov transitions give the 1-step conditional view; path
+    support surfaces the multi-step flows a funnel definition (q141)
+    should be built from instead of guessed.
+
+    Plan: two LEADs over ONE (user_id, (ts, event_id)) window — a single
+    keyed shuffle, tie-broken totally so both engines see identical
+    successor assignments — then a grouped count over the bounded
+    |types|^3 path space and a TakeOrdered top-10 (ORDER BY n DESC,
+    path: total order under LIMIT, the registry rule). The path space
+    is schema-bounded (125 here), so everything after the window is
+    constant-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = table(spark, sf, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    p = (
+        s.where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        p.select("path", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

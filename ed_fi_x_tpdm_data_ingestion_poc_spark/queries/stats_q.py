@@ -2288,3 +2288,108 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     return mi.select(
         mi6.alias("mi"), (mi6 > 0.001).cast("int").alias("dependent")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — split-conformal prediction bound per event type
+# ---------------------------------------------------------------------------
+
+_CONF: dict[tuple, DataFrame] = {}
+
+
+@query(
+    "q189_conformal_bound",
+    oracle="""
+    WITH m AS (SELECT event_type, v AS med FROM (
+        SELECT event_type, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events) t WHERE rn = GREATEST(1, (n + 1) // 2)),
+    r AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS res
+          FROM events e JOIN m ON m.event_type = e.event_type),
+    q AS (SELECT event_type, med, res,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY res) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM r)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(med, 6) AS med, ROUND(res, 6) AS qhat
+    FROM q WHERE rn = LEAST(n, (9 * (n + 1) + 9) // 10)
+    """,
+    tags=("events", "stats", "quantile"),
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction bound per event type: qhat = the
+    ceil(0.9(n+1))-th smallest |value - median| (Vovk's split-conformal
+    quantile, the distribution-free 90% band 'median +- qhat' that a
+    serving-time anomaly gate applies to incoming values with a
+    finite-sample coverage GUARANTEE, no normality assumed). The (n+1)
+    in the rank — not plain ceil(0.9 n) — is what buys the guarantee,
+    and is exactly the rank no rational-phi form expresses, hence the
+    rank_fn extension to exact_quantiles_via_summary.
+
+    Exactness: both the median and qhat are ORDER STATISTICS — actual
+    data values picked by integer ranks mirrored in the oracle's
+    ROW_NUMBER — and the residual |value - med| subtracts a bit-exact
+    literal, so every emitted double is engine-identical before ROUND.
+
+    Scale shape: per-type summaries come from quantile_summary_by's
+    ONE mapInPandas pass (never a job per group); each type then pays
+    the bounded prune+refine (O(eps*n + n_batches) rows). Types are
+    schema-bounded (5 here), so the per-type refine loop is
+    constant-sized — the artifact builds once per (session, sf)."""
+    from ..operators.quantiles import (
+        exact_quantiles_via_summary,
+        quantile_summary_by,
+    )
+    from . import memo
+
+    e = table(spark, sf, "events")
+
+    def _build() -> DataFrame:
+        ss = quantile_summary_by(
+            e.select(F.col("event_type"), F.col("value")),
+            "value",
+            "event_type",
+            eps=0.01,
+        )
+        meds = {}
+        for g in sorted(ss):
+            dfg = e.where(F.col("event_type") == g).select("value")
+            meds[g] = exact_quantiles_via_summary(
+                dfg, "value", [0.5], summary=ss[g], rank_den=2
+            )[0.5]
+        med_map = F.create_map(
+            *[x for g in sorted(meds) for x in (F.lit(g), F.lit(meds[g]))]
+        )
+        res = e.select(
+            "event_type",
+            F.abs(F.col("value") - med_map[F.col("event_type")]).alias(
+                "res"
+            ),
+        )
+        rs = quantile_summary_by(res, "res", "event_type", eps=0.01)
+        rows = []
+        for g in sorted(rs):
+            n = rs[g]["n"]
+            dfg = res.where(F.col("event_type") == g).select("res")
+            qhat = exact_quantiles_via_summary(
+                dfg,
+                "res",
+                [0.9],
+                summary=rs[g],
+                rank_fn=lambda _phi, nn: min(nn, (9 * (nn + 1) + 9) // 10),
+            )[0.9]
+            rows.append((g, n, meds[g], qhat))
+        return spark.createDataFrame(
+            rows, "event_type string, n long, med double, qhat double"
+        )
+
+    out = memo(_CONF, (id(spark), sf), _build, label="conformal_bounds")
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("med", 6).alias("med"),
+        F.round("qhat", 6).alias("qhat"),
+    )
