@@ -1612,3 +1612,88 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — source-affinity matrix (cosine between per-source centroids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_source_affinity",
+    oracle="""
+    WITH c AS (SELECT d.source, CAST(g.i - 1 AS INT) AS dim,
+                      ROUND(AVG(e.embedding[g.i]), 6) AS mu
+               FROM embeddings e
+               JOIN documents d ON d.doc_id = e.vec_id,
+                    UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+               GROUP BY 1, 2),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 SUM(a.mu * b.mu) AS dot,
+                 SUM(a.mu * a.mu) AS na, SUM(b.mu * b.mu) AS nb
+          FROM c a JOIN c b ON b.dim = a.dim AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           ROUND(dot / SQRT(na * nb), 6) AS cos,
+           CAST(ROUND(dot / SQRT(na * nb), 6) > 0.99 AS INT) AS redundant
+    FROM p
+    """,
+    tags=("llm", "embedding", "analytics"),
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-affinity matrix: cosine similarity between every pair of
+    per-source embedding centroids — the feed-redundancy detector a
+    mixture planner runs before assigning sampling weights (two feeds
+    whose centroids are near-parallel contribute overlapping content;
+    q152 catches verbatim overlap, this catches SEMANTIC overlap the
+    dup pipeline never sees). Centroids are the qz148 plan shape
+    (posexplode + map-side partial averages — the shuffle moves
+    sources x dims partials, never the corpus).
+
+    Exactness: the pairwise cosine is computed over centroids ROUNDED
+    to 1e-6 FIRST (the q168 fixed-point trick) — both engines then dot
+    identical 64-value vectors, so the only float-order freedom left
+    is a 64-term sum, ~9 orders below the ROUND grain.
+
+    Scale shape: everything after the centroid aggregate runs on
+    sources x dims rows; the pair join is sources^2 x dims — bounded
+    by feed count like the q176 matrix (same measured sources^2 law),
+    never by the corpus."""
+    e = table(spark, sf, "embeddings")
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    c = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select("source", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("source", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
+    )
+    a = c.select(
+        F.col("source").alias("source_a"),
+        F.col("dim").alias("dim"),
+        F.col("mu").alias("ma"),
+    )
+    b = c.select(
+        F.col("source").alias("source_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("mu").alias("mb"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("dim_b") == F.col("dim"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    cos = F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6)
+    return p.select(
+        "source_a",
+        "source_b",
+        cos.alias("cos"),
+        (cos > 0.99).cast("int").alias("redundant"),
+    )
