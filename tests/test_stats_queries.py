@@ -486,3 +486,48 @@ def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
         pb = (counts[r.event_type] + 0.5) / (counts[r.event_type].sum() + 5.0)
         psi = ((pb - pa) * np.log(pb / pa)).sum()
         assert abs(r.psi - psi) < 1e-5
+
+
+def test_conformal_bound_matches_order_stats(spark, sf_dir):
+    ev = _events(sf_dir)
+    out = _run("q189_conformal_bound", spark, sf_dir)
+    for r in out.itertuples():
+        x = np.sort(ev.loc[ev.event_type == r.event_type, "value"].to_numpy())
+        n = len(x)
+        med = x[max(1, (n + 1) // 2) - 1]
+        res = np.sort(np.abs(ev.loc[ev.event_type == r.event_type, "value"].to_numpy() - med))
+        qhat = res[min(n, (9 * (n + 1) + 9) // 10) - 1]
+        assert r.n == n
+        assert abs(r.med - med) < 1e-6
+        assert abs(r.qhat - qhat) < 1e-6
+
+
+def test_event_paths_match_pandas_reference(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    paths = {}
+    for _, g in ev.groupby("user_id"):
+        t = g["event_type"].tolist()
+        for i in range(len(t) - 2):
+            p = ">".join(t[i : i + 3])
+            paths[p] = paths.get(p, 0) + 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = _run("q190_event_paths", spark, sf_dir)
+    got = [(r.path, r.n) for r in out.itertuples()]
+    assert got == top
+
+
+def test_source_affinity_matches_centroid_reference(spark, sf_dir):
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    docs = _docs(sf_dir)[["doc_id", "source"]]
+    j = emb.merge(docs, left_on="vec_id", right_on="doc_id")
+    cents = {}
+    for s, g in j.groupby("source"):
+        m = np.stack(g["embedding"].to_numpy()).astype(float).mean(axis=0)
+        cents[s] = np.round(m, 6)
+    out = _run("q191_source_affinity", spark, sf_dir)
+    for r in out.itertuples():
+        a, b = cents[r.source_a], cents[r.source_b]
+        cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+        assert abs(r.cos - cos) < 1e-5
