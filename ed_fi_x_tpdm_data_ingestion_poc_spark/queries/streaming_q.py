@@ -1123,3 +1123,242 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return memo(_PSI_MON, (id(spark), sf), _monitor, label="psi_stream")
+
+
+# ---------------------------------------------------------------------------
+# q192 — streaming sketch-KS drift monitor (q162's stream state x q170's law)
+# ---------------------------------------------------------------------------
+
+_SKM: dict[tuple, DataFrame] = {}
+_SKM_EPS = 0.05
+_SKM_MON = "purchase"  # monitored feed
+_SKM_REF = "view"      # reference feed
+
+
+@query(
+    "q192_stream_sketch_ks",
+    oracle=f"""
+    WITH e AS (SELECT value AS v,
+                      CASE WHEN event_type = '{_SKM_MON}' THEN 1 ELSE 0 END
+                        AS a
+               FROM events
+               WHERE event_type IN ('{_SKM_MON}', '{_SKM_REF}')),
+    g AS (SELECT v, SUM(a) AS c1, COUNT(*) - SUM(a) AS c2
+          FROM e GROUP BY v),
+    w AS (SELECT SUM(c1) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum1,
+                 SUM(c2) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum2
+          FROM g),
+    t AS (SELECT (SELECT SUM(c1) FROM g) AS n1,
+                 (SELECT SUM(c2) FROM g) AS n2,
+                 MAX(ABS(cum1 * (SELECT SUM(c2) FROM g)
+                         - cum2 * (SELECT SUM(c1) FROM g))) AS dnum
+          FROM w)
+    SELECT ROUND(CAST(dnum AS DOUBLE) / (1.0 * n1 * n2), 6) AS d_exact,
+           CAST(n1 AS BIGINT) AS n_mon, CAST(n2 AS BIGINT) AS n_ref,
+           CAST(1 AS INT) AS ok
+    FROM t
+    """,
+    tags=("streaming", "stats", "quantile"),
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sketch-KS drift monitor — the mergeable-summary twin of
+    q182's PSI monitor and the live form of q170's batch law: per-type
+    MRL quantile summaries are maintained ON THE STREAM (the q162
+    applyInPandasWithState shape — state is the kept (value, weight)
+    points plus n/slack/batch counters), and after the bounded replay
+    the monitor compares the monitored feed's STREAM-BUILT summary
+    against the reference feed's, exactly as a 100 TB deployment
+    compares kilobyte summaries instead of re-scanning two corpora.
+
+    Laws folded into the flag (values hash-check, the flag pins the
+    batching-dependent parts):
+    * accounting — every type's stream summary weight total equals the
+      batch row count for that type (n_mon/n_ref are hash-checked
+      against the oracle's COUNTs);
+    * the stream carried state across >1 micro-batch;
+    * q170's error law on STREAM-built summaries: |D_sketch - D_exact|
+      <= (slack_m + maxw_m)/n_m + (slack_r + maxw_r)/n_r, with D_exact
+      from the exact integer machinery (grouped value counts + TWO
+      global_running_sums distributed prefix sums — the q165 rule:
+      event values are continuous, so the running totals never ride a
+      single-partition window).
+
+    Scale shape: stream state is n_batches/eps points per type; the
+    exact check is one grouped collapse + two range-exchange prefix
+    sums; the sketch comparison walks kilobytes on the driver."""
+    import bisect
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.quantiles import batch_points
+    from ..operators.ranking import global_running_sums
+    from ..streaming.replay import run_to_memory
+    from ..tables import table
+    from . import memo
+
+    eps = _SKM_EPS
+
+    def _build() -> DataFrame:
+        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
+            "event_type", "value"
+        )
+
+        def upd(key, pdf_iter, state: GroupState):
+            import pandas as pd
+
+            if state.exists:
+                pv, pw, n, slack, b = state.get
+                pv, pw = list(pv), list(pw)
+            else:
+                pv, pw, n, slack, b = [], [], 0, 0, 0
+            for pdf in pdf_iter:
+                vals, w, s = batch_points(
+                    pdf["value"].to_numpy(dtype="float64"), eps
+                )
+                if len(vals):
+                    pv += [float(x) for x in vals]
+                    pw += [int(x) for x in w]
+                    n += int(w.sum())
+                    slack += s
+            b += 1
+            state.update((pv, pw, n, slack, b))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "pv": [pv],
+                    "pw": [pw],
+                    "n": [n],
+                    "slack": [slack],
+                    "b": [b],
+                }
+            )
+
+        updates = ev.groupBy("event_type").applyInPandasWithState(
+            upd,
+            outputStructType=(
+                "event_type string, pv array<double>, pw array<long>, "
+                "n long, slack long, b long"
+            ),
+            stateStructType=(
+                "pv array<double>, pw array<long>, n long, slack long, b long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        res = run_to_memory(updates, output_mode="update").collect()
+        final: dict[str, object] = {}
+        for r in res:
+            if r.event_type not in final or r.b > final[r.event_type].b:
+                final[r.event_type] = r
+        multi_batch = max(r.b for r in final.values()) > 1
+
+        # batch-side exact counts per type (accounting law for EVERY type)
+        ebatch = table(spark, sf, "events")
+        exact_n = {
+            r.event_type: r.n
+            for r in ebatch.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        acct_ok = all(
+            final[t].n == exact_n.get(t, -1) for t in final
+        ) and set(final) == set(exact_n)
+
+        # exact D between monitored and reference feeds: grouped counts +
+        # two distributed prefix sums (cum_mon and cum_total; cum_ref =
+        # cum_total - cum_mon), one-row reduce
+        e = ebatch.where(
+            F.col("event_type").isin(_SKM_MON, _SKM_REF)
+        ).select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == _SKM_MON).cast("long").alias("a"),
+        )
+        g = e.groupBy("v").agg(
+            F.sum("a").alias("c1"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+        r1 = global_running_sums(
+            g, order=[F.col("v")], value=F.col("c1"), sum_col="cum1"
+        )
+        r2 = global_running_sums(
+            r1, order=[F.col("v")], value=F.col("ct"), sum_col="cumt"
+        )
+        # the max gap needs the totals first: two one-row reduces
+        tot = r2.agg(
+            F.sum("c1").alias("n1"),
+            F.sum(F.col("ct") - F.col("c1")).alias("n2"),
+        ).first()
+        n1, n2 = int(tot["n1"]), int(tot["n2"])
+        dnum = (
+            r2.select(
+                F.abs(
+                    F.col("cum1") * F.lit(n2)
+                    - (F.col("cumt") - F.col("cum1")) * F.lit(n1)
+                ).alias("d")
+            )
+            .agg(F.max("d"))
+            .first()[0]
+        )
+        d_exact = float(dnum / (1.0 * n1 * n2))
+        from decimal import ROUND_HALF_UP, Decimal
+
+        d_exact_r = float(
+            Decimal(repr(d_exact)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+
+        # sketch D from the STREAM-built summaries + q170's error law
+        def summ(t):
+            r = final[t]
+            pts = sorted(zip(r.pv, r.pw))
+            return {
+                "points": pts,
+                "n": r.n,
+                "slack": r.slack,
+            }
+
+        sm, sr = summ(_SKM_MON), summ(_SKM_REF)
+
+        def _lo_cdf(summary):
+            vals = [v for v, _ in summary["points"]]
+            cums, acc = [], 0
+            for _, wgt in summary["points"]:
+                acc += wgt
+                cums.append(acc)
+            return vals, cums
+
+        vm, cm = _lo_cdf(sm)
+        vr, cr = _lo_cdf(sr)
+
+        def lo(vals, cums, x):
+            i = bisect.bisect_right(vals, x)
+            return cums[i - 1] if i else 0
+
+        union = sorted(set(vm) | set(vr))
+        d_sketch = max(
+            abs(lo(vm, cm, x) / sm["n"] - lo(vr, cr, x) / sr["n"])
+            for x in union
+        )
+        bound = (
+            sm["slack"] + max(w for _, w in sm["points"])
+        ) / sm["n"] + (
+            sr["slack"] + max(w for _, w in sr["points"])
+        ) / sr["n"]
+        ok = (
+            multi_batch
+            and acct_ok
+            and abs(d_sketch - d_exact) <= bound
+            and sum(w for _, w in sm["points"]) == sm["n"] == n1
+            and sum(w for _, w in sr["points"]) == sr["n"] == n2
+        )
+        return spark.range(1).select(
+            F.lit(d_exact_r).alias("d_exact"),
+            F.lit(n1).cast("bigint").alias("n_mon"),
+            F.lit(n2).cast("bigint").alias("n_ref"),
+            F.lit(1 if ok else 0).cast("int").alias("ok"),
+        )
+
+    return memo(_SKM, (id(spark), sf), _build, label="sketch_ks_stream")

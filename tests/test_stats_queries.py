@@ -531,3 +531,20 @@ def test_source_affinity_matches_centroid_reference(spark, sf_dir):
         a, b = cents[r.source_a], cents[r.source_b]
         cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
         assert abs(r.cos - cos) < 1e-5
+
+
+def test_stream_sketch_ks_matches_exact_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    a = np.sort(ev.loc[ev.event_type == "purchase", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "view", "value"].to_numpy())
+    grid = np.union1d(a, b)
+    d_ref = np.max(
+        np.abs(
+            np.searchsorted(a, grid, side="right") / len(a)
+            - np.searchsorted(b, grid, side="right") / len(b)
+        )
+    )
+    out = _run("q192_stream_sketch_ks", spark, sf_dir).iloc[0]
+    assert out["ok"] == 1
+    assert out["n_mon"] == len(a) and out["n_ref"] == len(b)
+    assert abs(out["d_exact"] - d_ref) < 1e-5
