@@ -38,30 +38,74 @@ def _mw_ranked(spark: SparkSession, sf: str) -> DataFrame:
     the materialize-once artifact contract and persisted: both consumers
     are then one-row reduces over ~distinct-value rows (the round-11
     verdict found the identical pipeline built twice — the suite's two
-    largest per-query gaps)."""
-    from ..operators.ranking import global_running_sums
+    largest per-query gaps).
+
+    Derivation (round 12): reconstructed EXACTLY from the `_kw_ranked`
+    artifact built over the same events — per-value purchase/rest
+    counts are a regroup of its (v, g, c) table (distinct-values-sized,
+    not a corpus collapse), and the running total inverts the
+    doubled-midrank identity mr2 = 2*cum - t + 1, so cum =
+    (mr2 + t - 1) div 2 in exact integers. ONE corpus collapse + ONE
+    distributed prefix sum now feed all three rank statistics (AUC,
+    Mann-Whitney z, Kruskal-Wallis H)."""
     from . import built
     from .llm import _artifact
 
     def build() -> DataFrame:
-        e = table(spark, sf, "events").select(
-            F.col("value").alias("v"),
-            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        gv, r = _kw_ranked(spark, sf)
+        g = gv.groupBy("v").agg(
+            F.sum(
+                F.when(F.col("g") == "purchase", F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("p"),
+            F.sum(
+                F.when(F.col("g") != "purchase", F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("q"),
         )
-        g = (
-            e.groupBy("v")
-            .agg(
-                F.sum("y").alias("p"),
-                (F.count(F.lit(1)) - F.sum("y")).alias("q"),
-            )
-            .withColumn("t", F.col("p") + F.col("q"))
+        out = g.join(r.select("v", "t", "mr2"), "v").select(
+            "v",
+            "p",
+            "q",
+            "t",
+            F.expr("(mr2 + t - 1) div 2").alias("cum"),
         )
-        r = global_running_sums(
-            g, order=[F.col("v")], value=F.col("t"), sum_col="cum"
-        )
-        return built(r.persist())
+        return built(out.persist())
 
     return _artifact(spark, sf, "mw_ranked", build)
+
+
+def _kw_ranked(spark: SparkSession, sf: str):
+    """(gv, r): the per-(value, type) count table and the global
+    doubled-midrank table over ALL events — ONE corpus collapse + ONE
+    distributed prefix sum, persisted separately (the rank-sum join
+    needs (v, g, c) x (v, mr2); tie sums need one row per DISTINCT v).
+    Shared by q183 (Kruskal-Wallis) and, via exact regroup, by
+    `_mw_ranked` (q165 AUC / q180 z test)."""
+    from ..operators.ranking import global_running_sums
+    from . import built
+    from .llm import _artifact
+
+    def _build():
+        e = table(spark, sf, "events").select(
+            F.col("value").alias("v"), F.col("event_type").alias("g")
+        )
+        gv = e.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+        tv = gv.groupBy("v").agg(F.sum("c").alias("t"))
+        r = global_running_sums(
+            tv, order=[F.col("v")], value=F.col("t"), sum_col="cum"
+        ).select(
+            "v",
+            "t",
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1)).alias(
+                "mr2"
+            ),
+        )
+        return (built(gv.persist()), built(r.persist()))
+
+    return _artifact(spark, sf, "kw_ranked", _build)
 
 
 def _mw_s2() -> "F.Column":
@@ -1746,31 +1790,7 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     joined (v, g, c, t, mr2) table is a materialize-once artifact
     (`kw_ranked`, the mw_ranked precedent) so warm re-asks pay only the
     two k-row reduces."""
-    from ..operators.ranking import global_running_sums
-    from . import built
-    from .llm import _artifact
-
-    def _build():
-        e = table(spark, sf, "events").select(
-            F.col("value").alias("v"), F.col("event_type").alias("g")
-        )
-        gv = e.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
-        tv = gv.groupBy("v").agg(F.sum("c").alias("t"))
-        r = global_running_sums(
-            tv, order=[F.col("v")], value=F.col("t"), sum_col="cum"
-        ).select(
-            "v",
-            "t",
-            (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1)).alias(
-                "mr2"
-            ),
-        )
-        # gv and r persist SEPARATELY: the per-type rank-sum join needs
-        # (v, g, c) x (v, mr2), the tie sum needs one row per DISTINCT v
-        # (t duplicated across the joined table would overcount t^3 - t)
-        return (built(gv.persist()), built(r.persist()))
-
-    gv, r = _artifact(spark, sf, "kw_ranked", _build)
+    gv, r = _kw_ranked(spark, sf)
     s = (
         gv.join(r.select("v", "mr2"), "v")
         .groupBy("g")
