@@ -115,10 +115,8 @@ def _mw_s2() -> "F.Column":
     HUGEINT — decimal keeps the two engines exact at the 100 TB design
     point (round-11 ADVICE)."""
     return F.sum(
-        (
-            F.col("p")
-            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
-        ).cast("decimal(38,0)")
+        F.col("p").cast("decimal(38,0)")
+        * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
     )
 
 
@@ -192,7 +190,7 @@ _KS_C95 = 1.3581  # c(alpha) for alpha = 0.05 (two-sided asymptotic)
 
 
 @query(
-    "qz166_ks_drift",
+    "q166_ks_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -267,9 +265,15 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c1").over(tot).alias("n1"),
         F.sum("c2").over(tot).alias("n2"),
     )
+    # decimal(38,0): cum*n reaches n1*n2, which wraps int64 past ~3e9
+    # rows per side while the DuckDB twin's window SUM is already
+    # HUGEINT (the q165 s2 advice, same silent-asymmetric-wrap class)
     t = w.groupBy("n1", "n2").agg(
         F.max(
-            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            F.abs(
+                F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+            )
         ).alias("dnum")
     )
     d_stat = F.round(
@@ -297,7 +301,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz167_token_gini",
+    "q167_token_gini",
     oracle="""
     WITH t AS (SELECT source,
                       UNNEST(list_filter(string_split(text, ' '),
@@ -352,7 +356,9 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     a = r.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("w").alias("ww"),
-        F.sum(F.col("rn") * F.col("w")).alias("s"),
+        # decimal(38,0): sum(rank*count) reaches vocab*tokens — int64
+        # wraps while DuckDB's SUM(BIGINT) is already HUGEINT
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("w")).alias("s"),
     )
     return a.select(
         "source",
@@ -639,7 +645,7 @@ _SKS_B = "purchase"
 
 
 @query(
-    "qz170_sketch_ks_ok",
+    "q170_sketch_ks_ok",
     oracle=f"""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = '{_SKS_A}' THEN 1 ELSE 0 END
@@ -733,14 +739,15 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+                    F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
                 )
             ).alias("dnum")
         )
         .first()
     )
     n1, n2 = int(row["n1"]), int(row["n2"])
-    d_exact = float(row["dnum"] / (1.0 * n1 * n2))
+    d_exact = float(int(row["dnum"]) / (1.0 * n1 * n2))
     # HALF_UP like F.round / DuckDB ROUND (Python round is half-even —
     # a .5 tie at the 7th decimal is reachable for rationals over n1*n2)
     from decimal import ROUND_HALF_UP, Decimal
@@ -797,7 +804,7 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz171_wasserstein_drift",
+    "q171_wasserstein_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -870,11 +877,17 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
         w.where(F.col("nxt").isNotNull())
         .groupBy("n1", "n2")
         .agg(
+            # decimal(38,0): each term reaches n1*n2*gap and the SUM is
+            # strictly bigger — int64 wraps far before the KS max does
             F.sum(
-                F.abs(
-                    F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
-                )
-                * (F.col("nxt") - F.col("n_chars"))
+                (
+                    F.abs(
+                        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                        - F.col("cum2").cast("decimal(38,0)")
+                        * F.col("n1")
+                    )
+                    * (F.col("nxt") - F.col("n_chars"))
+                ).cast("decimal(38,0)")
             ).alias("wnum")
         )
     )
@@ -1176,7 +1189,7 @@ _CHI2_DF6_95 = 12.592  # chi-square 5% critical value, 6 degrees of freedom
 
 
 @query(
-    "qz175_weekday_uniformity",
+    "q175_weekday_uniformity",
     oracle=f"""
     WITH {_DAILY_SQL},
     wd AS (SELECT event_type, day % 7 AS weekday, SUM(c) AS obs
@@ -1211,11 +1224,18 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", (F.col("day") % 7).alias("weekday")
     ).agg(F.sum("c").alias("obs"))
     s = wd.groupBy("event_type").agg(
-        F.sum(F.col("obs") * F.col("obs")).alias("ss"),
+        # decimal(38,0): obs^2 ~ (n/7)^2 wraps int64 past ~2e10 events
+        # per type (the q165 s2 advice, same class)
+        F.sum(
+            F.col("obs").cast("decimal(38,0)") * F.col("obs")
+        ).alias("ss"),
         F.sum("obs").alias("tot"),
     )
     chi2 = F.round(
-        (7 * F.col("ss") - F.col("tot") * F.col("tot")).cast("double")
+        (
+            7 * F.col("ss")
+            - F.col("tot").cast("decimal(38,0)") * F.col("tot")
+        ).cast("double")
         / F.col("tot"),
         6,
     )
@@ -1285,12 +1305,16 @@ def _ks_pair_table(spark: SparkSession, sf: str):
             .agg(
                 F.max(
                     F.abs(
-                        F.col("a.cum") * F.col("b.n")
-                        - F.col("b.cum") * F.col("a.n")
+                        F.col("a.cum").cast("decimal(38,0)") * F.col("b.n")
+                        - F.col("b.cum").cast("decimal(38,0)")
+                        * F.col("a.n")
                     )
                 ).alias("dnum")
             )
         )
+        # decimal(38,0) cross-products: cum*n reaches n_a*n_b, which wraps
+        # int64 past ~3e9 rows per side while the DuckDB twin's window
+        # SUM is already HUGEINT (the q165 s2 advice, same class)
         return (built(p.persist()), n_src)
 
     return _artifact(spark, sf, "ks_pairs", build)
@@ -1556,9 +1580,8 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("p").alias("np"),
         F.sum("q").alias("nq"),
         F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
-                "decimal(38,0)"
-            )
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         ).alias("ties"),
     )
     n = F.col("np") + F.col("nq")
@@ -1797,7 +1820,7 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum("c").alias("ni"),
             F.sum(
-                (F.col("c") * F.col("mr2")).cast("decimal(38,0)")
+                F.col("c").cast("decimal(38,0)") * F.col("mr2")
             ).alias("s2"),
         )
     )
@@ -1812,9 +1835,8 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     )
     tie = r.agg(
         F.sum(
-            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(
-                "decimal(38,0)"
-            )
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         ).alias("tt")
     )
     n, k = F.col("n"), F.col("k")

@@ -1291,17 +1291,20 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("ct") - F.col("c1")).alias("n2"),
         ).first()
         n1, n2 = int(tot["n1"]), int(tot["n2"])
+        # decimal(38,0): cum*n reaches n1*n2, which wraps int64 past
+        # ~3e9 rows per side (the q165 s2 advice, same class)
         dnum = (
             r2.select(
                 F.abs(
-                    F.col("cum1") * F.lit(n2)
-                    - (F.col("cumt") - F.col("cum1")) * F.lit(n1)
+                    F.col("cum1").cast("decimal(38,0)") * F.lit(n2)
+                    - (F.col("cumt") - F.col("cum1")).cast("decimal(38,0)")
+                    * F.lit(n1)
                 ).alias("d")
             )
             .agg(F.max("d"))
             .first()[0]
         )
-        d_exact = float(dnum / (1.0 * n1 * n2))
+        d_exact = float(int(dnum) / (1.0 * n1 * n2))
         from decimal import ROUND_HALF_UP, Decimal
 
         d_exact_r = float(

@@ -65,19 +65,19 @@ def test_ks_and_w1_match_cdf_reference(spark, sf_dir):
     d_ref = float(np.max(np.abs(fa - fb)))
     w1_ref = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(xs)))
 
-    ks = _run("qz166_ks_drift", spark, sf_dir).iloc[0]
+    ks = _run("q166_ks_drift", spark, sf_dir).iloc[0]
     assert ks["n1"] == len(a) and ks["n2"] == len(b)
     assert abs(ks["d"] - d_ref) < 1e-6
     crit = 1.3581 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
     assert ks["reject"] == int(round(d_ref, 6) > round(crit, 6))
 
-    w1 = _run("qz171_wasserstein_drift", spark, sf_dir).iloc[0]
+    w1 = _run("q171_wasserstein_drift", spark, sf_dir).iloc[0]
     assert abs(w1["w1"] - w1_ref) < 1e-6
 
 
 def test_gini_matches_sorted_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("qz167_token_gini", spark, sf_dir).set_index("source")
+    out = _run("q167_token_gini", spark, sf_dir).set_index("source")
     for source, grp in d.groupby("source"):
         toks = [
             t
@@ -183,7 +183,7 @@ def test_cusum_matches_scan_reference(spark, sf_dir):
 
 def test_weekday_chi2_matches_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("qz175_weekday_uniformity", spark, sf_dir).set_index(
+    out = _run("q175_weekday_uniformity", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -222,7 +222,7 @@ def test_datasheet_internal_consistency(spark, sf_dir):
 
 
 def test_sketch_ks_law_flag_is_green(spark, sf_dir):
-    out = _run("qz170_sketch_ks_ok", spark, sf_dir).iloc[0]
+    out = _run("q170_sketch_ks_ok", spark, sf_dir).iloc[0]
     assert out["ok"] == 1
     # and the exact D agrees with a direct two-sample computation
     ev = _events(sf_dir)
