@@ -1697,3 +1697,211 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         cos.alias("cos"),
         (cos > 0.99).cast("int").alias("redundant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — last-touch attribution for purchases
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_last_touch",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT COALESCE(prev, 'none') AS touch, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY n DESC, touch
+    """,
+    tags=("events", "analytics", "sequence"),
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: which event type immediately precedes a
+    purchase, per user — the simplest attribution model a growth team
+    runs before investing in multi-touch (q147's Markov transitions
+    give ALL-pairs flow; this isolates the conversion-adjacent step,
+    with a purchase that opens a user's history attributed to 'none').
+
+    Plan: one LAG over the totally-tiebroken (user, ts, event_id)
+    window — a single keyed shuffle — then a filter to purchases and a
+    types-sized grouped count; ORDER BY (n DESC, touch) is total, so
+    the full result hash-checks without a LIMIT."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = table(spark, sf, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    return (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("prev"), F.lit("none")).alias("touch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "touch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — RFM user segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(date_diff('microsecond',
+                                     TIMESTAMP '2024-01-01 00:00:00', ts)
+                           // {_DAY_US}) AS mxd
+                FROM events),
+    u AS (SELECT user_id,
+                 (SELECT mxd FROM mx)
+                   - MAX(date_diff('microsecond',
+                                   TIMESTAMP '2024-01-01 00:00:00', ts)
+                         // {_DAY_US}) AS recency,
+                 COUNT(*) AS f,
+                 SUM(value) AS m
+          FROM events GROUP BY user_id),
+    seg AS (SELECT CASE WHEN f >= 70 AND recency <= 7 THEN 'heavy'
+                        WHEN f < 60 OR recency > 7 THEN 'light'
+                        ELSE 'mid' END AS segment,
+                   recency, f, m
+            FROM u)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(f) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(recency) AS DOUBLE) / COUNT(*), 6)
+             AS avg_recency,
+           ROUND(SUM(m), 2) AS monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+    tags=("events", "analytics"),
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: users bucketed by Recency (days since last
+    event, against the snapshot's max day) and Frequency, with Monetary
+    mass per segment — the classic warehouse cohort cut (heavy = active
+    within a week with >= 70 events; light = sparse or stale; mid =
+    the rest — thresholds sit inside this dataset's f distribution so
+    every SF produces all three buckets).
+
+    Exactness: recency/frequency are integers off epoch-anchored day
+    arithmetic (timezone-proof); the one float column (monetary = sum
+    of event values) is ROUNDed at 1e-2, ~8 orders above worst-case
+    cross-engine summation-order noise at this magnitude.
+
+    Scale shape: one user-keyed aggregate (map-side combinable), the
+    global max day as a one-row broadcast cross join, then a
+    segments-sized regroup — two shuffles total, output 3 rows."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = table(spark, sf, "events").select(
+        "user_id", F.floor(us / _DAY_US).alias("day"), "value"
+    )
+    mx = e.agg(F.max("day").alias("mxd"))
+    u = e.groupBy("user_id").agg(
+        F.max("day").alias("lastd"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum("value").alias("m"),
+    )
+    rec = F.col("mxd") - F.col("lastd")
+    seg = u.crossJoin(F.broadcast(mx)).select(
+        F.when((F.col("f") >= 70) & (rec <= 7), F.lit("heavy"))
+        .when((F.col("f") < 60) | (rec > 7), F.lit("light"))
+        .otherwise(F.lit("mid"))
+        .alias("segment"),
+        rec.alias("recency"),
+        "f",
+        "m",
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("f").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("recency").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_recency"),
+            F.round(F.sum("m"), 2).alias("monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — exact daily value bands (p50/p90 per day, no global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_daily_value_bands",
+    oracle=f"""
+    WITH e AS (SELECT date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                        // {_DAY_US} AS day,
+                      value AS v
+               FROM events),
+    g AS (SELECT day, v, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    w AS (SELECT day, v, c,
+                 SUM(c) OVER (PARTITION BY day ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY day) AS n
+          FROM g)
+    SELECT CAST(day AS BIGINT) AS day, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN cum >= GREATEST(1, (n + 1) // 2)
+                          THEN v END), 6) AS p50,
+           ROUND(MIN(CASE WHEN cum >= GREATEST(1, (9 * n + 9) // 10)
+                          THEN v END), 6) AS p90
+    FROM w GROUP BY day ORDER BY day
+    """,
+    tags=("events", "stats", "quantile", "analytics"),
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact daily p50/p90 bands of the event value — the
+    latency-percentile-style daily monitor, computed with NO global
+    sort and NO sampling: per (day, value) grouped counts, per-day
+    cumulative sums, and the order statistic read off as the least
+    value whose cumulative count reaches the integer target rank
+    (lower median (n+1)//2; p90 at ceil(9(n+1)/10), the q189 conformal
+    rank family — pure integer rank arithmetic both engines).
+
+    Scale shape: the corpus collapses once to (day, value) counts with
+    map-side combine; the cumulative window partitions BY DAY, so work
+    parallelizes across the calendar and no partition exceeds one
+    day's distinct values; output is days-sized. (The one-key global
+    prefix sum of q165 is the fallback if a single day's distinct
+    values outgrow a partition.)"""
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = table(spark, sf, "events").select(
+        F.floor(us / _DAY_US).alias("day"), F.col("value").alias("v")
+    )
+    g = e.groupBy("day", "v").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("day")
+    w = g.select(
+        "day",
+        "v",
+        F.sum("c")
+        .over(wd.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(wd).alias("n"),
+    )
+    k50 = F.greatest(F.lit(1), F.expr("(n + 1) div 2"))
+    k90 = F.greatest(F.lit(1), F.expr("(9 * n + 9) div 10"))
+    return (
+        w.groupBy("day")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                F.min(F.when(F.col("cum") >= k50, F.col("v"))), 6
+            ).alias("p50"),
+            F.round(
+                F.min(F.when(F.col("cum") >= k90, F.col("v"))), 6
+            ).alias("p90"),
+        )
+        .select(F.col("day").cast("bigint").alias("day"), "n", "p50", "p90")
+        .orderBy("day")
+    )

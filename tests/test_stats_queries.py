@@ -548,3 +548,31 @@ def test_stream_sketch_ks_matches_exact_reference(spark, sf_dir):
     assert out["ok"] == 1
     assert out["n_mon"] == len(a) and out["n_ref"] == len(b)
     assert abs(out["d_exact"] - d_ref) < 1e-5
+
+
+def test_last_touch_matches_pandas_reference(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        t = g["event_type"].tolist()
+        for i, x in enumerate(t):
+            if x == "purchase":
+                prev = t[i - 1] if i > 0 else "none"
+                counts[prev] = counts.get(prev, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = _run("q193_last_touch", spark, sf_dir)
+    assert [(r.touch, r.n) for r in out.itertuples()] == expect
+
+
+def test_daily_bands_match_order_stats(spark, sf_dir):
+    ev = _events(sf_dir)
+    day = (
+        (ev["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() // 86400
+    ).astype(int)
+    out = _run("q195_daily_value_bands", spark, sf_dir)
+    for r in out.itertuples():
+        x = np.sort(ev.loc[day == r.day, "value"].to_numpy())
+        n = len(x)
+        assert r.n == n
+        assert abs(r.p50 - x[max(1, (n + 1) // 2) - 1]) < 1e-6
+        assert abs(r.p90 - x[max(1, (9 * n + 9) // 10) - 1]) < 1e-6
