@@ -1868,9 +1868,12 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the corpus collapses once to (day, value) counts with
     map-side combine; the cumulative window partitions BY DAY, so work
     parallelizes across the calendar and no partition exceeds one
-    day's distinct values; output is days-sized. (The one-key global
-    prefix sum of q165 is the fallback if a single day's distinct
-    values outgrow a partition.)"""
+    day's distinct values; output is days-sized. Measured hot-day law
+    (tools/scale_probe.py daily_bands_hot_day, 10x events): ONE day
+    owning the entire 1M-row corpus costs 1.15x the evenly-spread
+    layout — the window sort is the only per-day serial step — and the
+    one-key global prefix sum of q165 is the documented fallback if a
+    single day's distinct values ever outgrow a partition."""
     from pyspark.sql import Window
 
     us = F.expr(

@@ -753,5 +753,84 @@ def main() -> None:
     )
 
 
+    # q195 daily-bands probe: the per-day cumulative window parallelizes
+    # across the calendar — until one HOT day owns most of the corpus
+    # (an incident day, a backfill). Inflate 10x twice: spread across 10
+    # synthetic days vs ALL copies landing on one day (values jittered
+    # per copy so the grouped (day, value) table grows with the data,
+    # not just the counts), and compare the band computation.
+    ev_src = table(spark, sf_dir, "events").select("ts", "value")
+
+    def _bands_rows(e):
+        from pyspark.sql import Window as W
+
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        g = (
+            e.select(F.floor(us / 86_400_000_000).alias("day"),
+                     F.col("value").alias("v"))
+            .groupBy("day", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wd = W.partitionBy("day")
+        w = g.select(
+            "day",
+            "v",
+            F.sum("c").over(
+                wd.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("c").over(wd).alias("n"),
+        )
+        k50 = F.greatest(F.lit(1), F.expr("(n + 1) div 2"))
+        return (
+            w.groupBy("day")
+            .agg(F.min(F.when(F.col("cum") >= k50, F.col("v"))).alias("p50"))
+            .count()
+        )
+
+    cps = spark.range(factor).select(F.col("id").alias("__copy"))
+    jitter = F.col("value") + F.col("__copy") * F.lit(1e-7)
+    spread = (
+        ev_src.crossJoin(F.broadcast(cps))
+        .select(
+            (F.col("ts") + F.make_interval(days=F.col("__copy").cast("int")))
+            .alias("ts"),
+            jitter.alias("value"),
+        )
+        .persist()
+    )
+    hot = (
+        ev_src.crossJoin(F.broadcast(cps))
+        .select(
+            F.lit("2024-01-15 12:00:00").cast("timestamp_ntz").alias("ts"),
+            jitter.alias("value"),
+        )
+        .persist()
+    )
+    spread.count(), hot.count()
+    _bands_rows(spread)  # warm
+    t0 = time.perf_counter()
+    d_spread = _bands_rows(spread)
+    t_spread = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d_hot = _bands_rows(hot)
+    t_hot = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "daily_bands_hot_day",
+                "factor": factor,
+                "days_spread": d_spread,
+                "days_hot": d_hot,
+                "sec_spread": round(t_spread, 2),
+                "sec_hot": round(t_hot, 2),
+                "skew_overhead": round(t_hot / max(t_spread, 1e-9), 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
