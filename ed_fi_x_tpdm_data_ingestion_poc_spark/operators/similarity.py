@@ -832,7 +832,7 @@ def semantic_dup_pairs(
             )
         corpus_index = build_ivf_index(
             emb, codebook, id_col=id_col, vec_col=vec_col, n_assign=n_assign
-        )
+        ).persist()
     # The probe side is re-spread by (cell, id): a persisted index often
     # sits in a handful of partitions (one, at test SFs), and with the
     # build side broadcast the per-cell self-join would then score EVERY
@@ -841,14 +841,31 @@ def semantic_dup_pairs(
     # full-cluster parallelism for the O(sum |cell|^2) scoring pass.
     # explicit partition count: AQE would coalesce this byte-tiny exchange
     # to 1-2 partitions, but each row here fans out to |cell| scored pairs
-    # — partition by expected COMPUTE, not bytes
-    n_par = corpus_index.sparkSession.sparkContext.defaultParallelism
-    a = corpus_index.select(
-        F.col("cell"), F.col("id").alias("ida"), F.col("nv").alias("va")
-    ).repartition(n_par, F.col("cell"), F.col("ida"))
-    b = corpus_index.select(
+    # — partition by expected COMPUTE, not bytes.
+    #
+    # The build side carries an EXPLICIT count-gated broadcast hint
+    # (round-12 ADVICE): relying on the 10 MB auto-broadcast threshold
+    # means a modestly larger index silently flips the join to
+    # shuffle-by-cell, re-introducing the per-cell single-task skew the
+    # repartition exists to kill. Cap is rows-based and width-aware
+    # (~0.5 KB/row for a 64-float nv): 500k rows ~ 250 MB broadcast,
+    # comfortably executor-resident. Above the cap the (cell, ida)
+    # repartition would be wasted work — the cell-key shuffle join
+    # re-exchanges both sides by cell — so it is applied only on the
+    # broadcast path; the big-index path leans on AQE's skew-join split
+    # for intra-cell parallelism instead.
+    from ..queries import broadcast_if_small
+
+    b_raw = corpus_index.select(
         F.col("cell"), F.col("id").alias("idb"), F.col("nv").alias("vb")
     )
+    b = broadcast_if_small(b_raw, max_rows=500_000)
+    a = corpus_index.select(
+        F.col("cell"), F.col("id").alias("ida"), F.col("nv").alias("va")
+    )
+    if b is not b_raw:  # hinted -> broadcast join preserves a's spread
+        n_par = corpus_index.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(n_par, F.col("cell"), F.col("ida"))
     # Score and threshold BEFORE the pair dedup: a pair sharing k of its
     # n_assign cells is scored k times (cheap, map-side, identical
     # result), but the dedup shuffle then carries (ida, idb, cosine) for

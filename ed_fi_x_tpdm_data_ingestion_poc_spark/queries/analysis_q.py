@@ -1862,8 +1862,10 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     sort and NO sampling: per (day, value) grouped counts, per-day
     cumulative sums, and the order statistic read off as the least
     value whose cumulative count reaches the integer target rank
-    (lower median (n+1)//2; p90 at ceil(9(n+1)/10), the q189 conformal
-    rank family — pure integer rank arithmetic both engines).
+    (lower median (n+1)//2; p90 at (9*n+9)//10 = ceil(0.9*n), the
+    plain empirical-quantile rank — NOT q189's conformal (n+1) rank,
+    which targets coverage on a future draw rather than the batch's
+    own order statistic — pure integer rank arithmetic both engines).
 
     Scale shape: the corpus collapses once to (day, value) counts with
     map-side combine; the cumulative window partitions BY DAY, so work

@@ -27,54 +27,39 @@ from . import query
 # ---------------------------------------------------------------------------
 
 
-def _mw_ranked(spark: SparkSession, sf: str) -> DataFrame:
-    """The grouped-and-ranked (v, p, q, t, cum) value-count table shared
-    by q165 (AUC effect size) and q180 (tie-corrected z test): events
-    collapsed once to distinct-value positive/negative counts, then the
-    one order-dependent step — the running total of t over values
-    ascending — done by `global_running_sums`' distributed prefix sum
-    (range exchange + per-partition Arrow cumsum + P-row driver offsets),
-    never a single-partition window. Built ONCE per (session, sf) under
-    the materialize-once artifact contract and persisted: both consumers
-    are then one-row reduces over ~distinct-value rows (the round-11
-    verdict found the identical pipeline built twice — the suite's two
-    largest per-query gaps).
+def _mw_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row (s2, np, nq) frame shared by q165 (AUC effect size) and
+    q180 (tie-corrected z test), reduced DIRECTLY over the `_kw_ranked`
+    artifact's (gv ⋈ r) join — per-(value, type) counts against the
+    global doubled-midrank table. The doubled positive-midrank mass is
+    simply s2 = Σ_v p_v * mr2_v (mr2 = 2*cum_before + t + 1 by
+    construction), so no intermediate (v, p, q, t, cum) regroup needs to
+    exist at all: round 12 persisted that regroup as a second
+    corpus-distinct-values-sized table (`mw_ranked`, ~5 s build) feeding
+    two one-row consumers — the round-12 verdict flagged it, and the
+    conditional aggregate here replaces it with zero extra
+    materialization. ONE corpus collapse + ONE distributed prefix sum
+    (kw_ranked's) feed all three rank statistics (AUC, Mann-Whitney z,
+    Kruskal-Wallis H).
 
-    Derivation (round 12): reconstructed EXACTLY from the `_kw_ranked`
-    artifact built over the same events — per-value purchase/rest
-    counts are a regroup of its (v, g, c) table (distinct-values-sized,
-    not a corpus collapse), and the running total inverts the
-    doubled-midrank identity mr2 = 2*cum - t + 1, so cum =
-    (mr2 + t - 1) div 2 in exact integers. ONE corpus collapse + ONE
-    distributed prefix sum now feed all three rank statistics (AUC,
-    Mann-Whitney z, Kruskal-Wallis H)."""
-    from . import built
-    from .llm import _artifact
-
-    def build() -> DataFrame:
-        gv, r = _kw_ranked(spark, sf)
-        g = gv.groupBy("v").agg(
-            F.sum(
-                F.when(F.col("g") == "purchase", F.col("c")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("p"),
-            F.sum(
-                F.when(F.col("g") != "purchase", F.col("c")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("q"),
-        )
-        out = g.join(r.select("v", "t", "mr2"), "v").select(
-            "v",
-            "p",
-            "q",
-            "t",
-            F.expr("(mr2 + t - 1) div 2").alias("cum"),
-        )
-        return built(out.persist())
-
-    return _artifact(spark, sf, "mw_ranked", build)
+    Overflow: the c*mr2 product and its sum accumulate as decimal(38,0)
+    — mr2 is O(n), so the mass is O(n^2)-ish and an int64 sum wraps past
+    ~1.5e9 events while the DuckDB twin sums in HUGEINT (round-11
+    ADVICE; operand-first cast, round-12 rule: casting a finished
+    long*long product wraps BEFORE the cast)."""
+    gv, r = _kw_ranked(spark, sf)
+    j = gv.join(r.select("v", "mr2"), "v")
+    is_pos = F.col("g") == "purchase"
+    zero = F.lit(0).cast("decimal(38,0)")
+    return j.agg(
+        F.sum(
+            F.when(
+                is_pos, F.col("c").cast("decimal(38,0)") * F.col("mr2")
+            ).otherwise(zero)
+        ).alias("s2"),
+        F.sum(F.when(is_pos, F.col("c")).otherwise(F.lit(0))).alias("np"),
+        F.sum(F.when(~is_pos, F.col("c")).otherwise(F.lit(0))).alias("nq"),
+    )
 
 
 def _kw_ranked(spark: SparkSession, sf: str):
@@ -82,8 +67,8 @@ def _kw_ranked(spark: SparkSession, sf: str):
     doubled-midrank table over ALL events — ONE corpus collapse + ONE
     distributed prefix sum, persisted separately (the rank-sum join
     needs (v, g, c) x (v, mr2); tie sums need one row per DISTINCT v).
-    Shared by q183 (Kruskal-Wallis) and, via exact regroup, by
-    `_mw_ranked` (q165 AUC / q180 z test)."""
+    Shared by q183 (Kruskal-Wallis) and, via `_mw_terms`' conditional
+    aggregate over the same join, by q165 (AUC) and q180 (z test)."""
     from ..operators.ranking import global_running_sums
     from . import built
     from .llm import _artifact
@@ -106,18 +91,6 @@ def _kw_ranked(spark: SparkSession, sf: str):
         return (built(gv.persist()), built(r.persist()))
 
     return _artifact(spark, sf, "kw_ranked", _build)
-
-
-def _mw_s2() -> "F.Column":
-    """Doubled positive-midrank mass p*(2*cum_before + t + 1), accumulated
-    as decimal(38,0): the term is O(n^2)-ish in event count, so an int64
-    sum silently wraps past ~1.5e9 events while the DuckDB twin sums in
-    HUGEINT — decimal keeps the two engines exact at the 100 TB design
-    point (round-11 ADVICE)."""
-    return F.sum(
-        F.col("p").cast("decimal(38,0)")
-        * (2 * (F.col("cum") - F.col("t")) + F.col("t") + F.lit(1))
-    )
 
 
 @query(
@@ -162,17 +135,20 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     prefix sum (range exchange + per-partition Arrow cumsum + P-row
     driver offsets), NEVER a single-partition window: score columns are
     continuous, so distinct-value cardinality is corpus-sized in the
-    worst case. The final reduce is one row, over the `_mw_ranked`
-    artifact shared with q180."""
-    s = _mw_ranked(spark, sf).agg(
-        _mw_s2().alias("s2"),
-        F.sum("p").alias("np"),
-        F.sum("q").alias("nq"),
-    )
+    worst case. The final reduce is one row via `_mw_terms` (a
+    conditional aggregate directly over the `_kw_ranked` artifact,
+    shared with q180 — no intermediate table is persisted). Every
+    integer product touching corpus-sized counts is operand-first
+    decimal(38,0): np*(np+1) and np*nq wrap int64 past ~3e9 positives
+    while the DuckDB twin promotes to HUGEINT (round-12 ADVICE —
+    the same silent-asymmetric-wrap class as s2)."""
+    s = _mw_terms(spark, sf)
+    npd = F.col("np").cast("decimal(38,0)")
+    nqd = F.col("nq").cast("decimal(38,0)")
     return s.select(
         F.round(
-            (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
-            / (2.0 * F.col("np") * F.col("nq")),
+            (F.col("s2") - npd * (F.col("np") + 1)).cast("double")
+            / (2.0 * (npd * nqd).cast("double")),
             6,
         ).alias("auc"),
         F.col("np").cast("bigint").alias("n_pos"),
@@ -1570,27 +1546,32 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     float expression over identical integers, and the decision
     boundary compares the ROUNDED z.
 
-    Scale shape: identical to q165 — it aggregates the SAME persisted
-    `_mw_ranked` artifact (grouped counts + the distributed prefix sum,
-    built once per session/sf), one-row reduce. s2 and the t^3 tie term
-    accumulate as decimal(38,0) like the oracle's HUGEINT (a tie group
-    past ~2.1e6 rows already overflows t^3 in int64)."""
-    s = _mw_ranked(spark, sf).agg(
-        _mw_s2().alias("s2"),
-        F.sum("p").alias("np"),
-        F.sum("q").alias("nq"),
+    Scale shape: identical to q165 — `_mw_terms`' one-row conditional
+    aggregate directly over the SAME persisted `_kw_ranked` artifact
+    (grouped counts + the distributed prefix sum, built once per
+    session/sf); the tie sum Σ(t³-t) needs one row per DISTINCT value,
+    so it reduces kw_ranked's r table separately and the two one-row
+    frames cross-join. s2, the t³ tie term, and every product touching
+    corpus-sized counts (np*(np+1), np*nq — round-12 ADVICE) accumulate
+    operand-first as decimal(38,0) like the oracle's HUGEINT (a tie
+    group past ~2.1e6 rows already overflows t³ in int64; np*nq wraps
+    past ~3e9 per side)."""
+    _, r = _kw_ranked(spark, sf)
+    ties = r.agg(
         F.sum(
             F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
             - F.col("t")
-        ).alias("ties"),
+        ).alias("ties")
     )
+    s = _mw_terms(spark, sf).crossJoin(ties)
+    npd = F.col("np").cast("decimal(38,0)")
+    nqd = F.col("nq").cast("decimal(38,0)")
     n = F.col("np") + F.col("nq")
     zv = (
-        0.5 * (F.col("s2") - F.col("np") * (F.col("np") + 1))
-        - 0.5 * F.col("np") * F.col("nq")
+        0.5 * (F.col("s2") - npd * (F.col("np") + 1)).cast("double")
+        - 0.5 * (npd * nqd).cast("double")
     ) / F.sqrt(
-        F.col("np")
-        * F.col("nq")
+        (npd * nqd).cast("double")
         / 12.0
         * ((n + 1) - F.col("ties") / (n * (n - 1.0)))
     )
@@ -1811,8 +1792,7 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     (global_running_sums — value is continuous so distinct cardinality
     is corpus-sized), a counts-sized join back, k-row reduce. The
     joined (v, g, c, t, mr2) table is a materialize-once artifact
-    (`kw_ranked`, the mw_ranked precedent) so warm re-asks pay only the
-    two k-row reduces."""
+    (`kw_ranked`) so warm re-asks pay only the two k-row reduces."""
     gv, r = _kw_ranked(spark, sf)
     s = (
         gv.join(r.select("v", "mr2"), "v")

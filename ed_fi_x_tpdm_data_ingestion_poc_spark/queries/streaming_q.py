@@ -455,7 +455,6 @@ def q49f(spark: SparkSession, sf: str) -> DataFrame:
     q55)."""
     from ..streaming.replay import (
         events_replay_dir,
-        low_shuffle_clone,
         read_replay_stream,
         run_to_memory,
     )

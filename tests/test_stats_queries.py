@@ -327,20 +327,6 @@ def test_kruskal_wallis_matches_rank_reference(spark, sf_dir):
     assert abs(out["h"] - h) < 1e-5
 
 
-def _daily(sf_dir: str) -> pd.DataFrame:
-    ev = _events(sf_dir)
-    day = (
-        (ev["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() // 86400
-    ).astype(int)
-    return (
-        ev.assign(day=day)
-        .groupby(["event_type", "day"])
-        .size()
-        .rename("c")
-        .reset_index()
-    )
-
-
 def test_kendall_matches_bruteforce_reference(spark, sf_dir):
     d = _daily(sf_dir)
     wide = d.pivot(index="day", columns="event_type", values="c").dropna()
