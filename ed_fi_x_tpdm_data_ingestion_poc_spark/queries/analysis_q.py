@@ -453,7 +453,7 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q133_quantile_summary_ok",
+    "qz133_quantile_summary_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("sketch", "quantile", "law"),
 )
@@ -592,7 +592,7 @@ _TOP_PHI = 0.9
 
 
 @query(
-    "q138_top_decile_events",
+    "qz138_top_decile_events",
     oracle=f"""
     WITH nn AS (SELECT event_type, value FROM events
                 WHERE value IS NOT NULL),
@@ -1167,7 +1167,7 @@ def _q146_oracle() -> str:
 
 
 @query(
-    "q146_mixture_buckets",
+    "qz146_mixture_buckets",
     oracle=_q146_oracle(),
     tags=("llm", "curation", "quantile", "scoring"),
 )
@@ -1562,7 +1562,7 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q190_event_paths",
+    "qz190_event_paths",
     oracle="""
     WITH s AS (SELECT user_id, event_type,
                       LEAD(event_type) OVER w AS e2,
@@ -1620,7 +1620,7 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q191_source_affinity",
+    "qz191_source_affinity",
     oracle="""
     WITH c AS (SELECT d.source, CAST(g.i - 1 AS INT) AS dim,
                       ROUND(AVG(e.embedding[g.i]), 6) AS mu
@@ -1705,7 +1705,7 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q193_last_touch",
+    "qz193_last_touch",
     oracle="""
     WITH s AS (SELECT event_type,
                       LAG(event_type) OVER (PARTITION BY user_id

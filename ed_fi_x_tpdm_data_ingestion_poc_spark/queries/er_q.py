@@ -376,7 +376,7 @@ _CORE_CAP = 40  # oracle recursion cap; Spark raises if fixpoint needs more
 
 
 @query(
-    "q178_coreness",
+    "qz178_coreness",
     oracle=f"""
     WITH RECURSIVE li AS MATERIALIZED (
       SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),

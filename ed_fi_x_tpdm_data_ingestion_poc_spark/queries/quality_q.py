@@ -835,7 +835,7 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q127_pca_ok",
+    "qz127_pca_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "embedding", "decomp"),
 )

@@ -712,7 +712,7 @@ _SMG_SHARDS = 8
 
 
 @query(
-    "qz161_stream_mg_ok",
+    "q161_stream_mg_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming", "sketch", "heavy-hitters", "stateful"),
 )

@@ -166,7 +166,7 @@ _KS_C95 = 1.3581  # c(alpha) for alpha = 0.05 (two-sided asymptotic)
 
 
 @query(
-    "q166_ks_drift",
+    "qz166_ks_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -277,7 +277,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q167_token_gini",
+    "qz167_token_gini",
     oracle="""
     WITH t AS (SELECT source,
                       UNNEST(list_filter(string_split(text, ' '),
@@ -621,7 +621,7 @@ _SKS_B = "purchase"
 
 
 @query(
-    "q170_sketch_ks_ok",
+    "qz170_sketch_ks_ok",
     oracle=f"""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = '{_SKS_A}' THEN 1 ELSE 0 END
@@ -780,7 +780,7 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q171_wasserstein_drift",
+    "qz171_wasserstein_drift",
     oracle=f"""
     WITH d AS (SELECT n_chars,
                       CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END AS a
@@ -1165,7 +1165,7 @@ _CHI2_DF6_95 = 12.592  # chi-square 5% critical value, 6 degrees of freedom
 
 
 @query(
-    "q175_weekday_uniformity",
+    "qz175_weekday_uniformity",
     oracle=f"""
     WITH {_DAILY_SQL},
     wd AS (SELECT event_type, day % 7 AS weekday, SUM(c) AS obs
@@ -1418,7 +1418,7 @@ def _q177_oracle() -> str:
 
 
 @query(
-    "q177_psi_drift",
+    "qz177_psi_drift",
     oracle=_q177_oracle(),
     tags=("llm", "stats", "quality", "quantile"),
 )
@@ -1850,7 +1850,7 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q184_kendall_daily",
+    "qz184_kendall_daily",
     oracle=f"""
     WITH {_DAILY_SQL},
     j AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day,
@@ -2064,7 +2064,7 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q186_js_divergence",
+    "qz186_js_divergence",
     oracle="""
     WITH g AS (SELECT source, n_chars, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -2160,7 +2160,7 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q187_bernstein_bounds",
+    "qz187_bernstein_bounds",
     oracle="""
     WITH s AS (SELECT source, COUNT(*) AS n,
                       SUM(n_chars) AS s1,
@@ -2239,7 +2239,7 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q188_type_weekday_mi",
+    "qz188_type_weekday_mi",
     oracle=f"""
     WITH {_DAILY_SQL},
     wd AS (SELECT event_type, ((day % 7) + 7) % 7 AS weekday,
@@ -2320,7 +2320,7 @@ _CONF: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "q189_conformal_bound",
+    "qz189_conformal_bound",
     oracle="""
     WITH m AS (SELECT event_type, v AS med FROM (
         SELECT event_type, value AS v,

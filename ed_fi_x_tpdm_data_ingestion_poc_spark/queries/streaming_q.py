@@ -694,7 +694,7 @@ _SQ_EPS = 0.05
 
 
 @query(
-    "q162_stream_quantiles_ok",
+    "qz162_stream_quantiles_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming", "quantile", "stateful"),
 )
@@ -839,7 +839,7 @@ _PH_LAMBDA = 1000.0
 
 
 @query(
-    "q179_stream_page_hinkley",
+    "qz179_stream_page_hinkley",
     oracle=f"""
     WITH o AS (SELECT event_type, value, event_id,
                       date_diff('microsecond',
@@ -975,7 +975,7 @@ _PSI_MON: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "q182_stream_psi_monitor",
+    "qz182_stream_psi_monitor",
     oracle="""
     WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
     rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,

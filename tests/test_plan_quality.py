@@ -424,7 +424,7 @@ def test_top_decile_threshold_is_pushed(spark, sf_dir):
     """q138: after the exact threshold is resolved, the hot path is a
     plain pushed-down filter + map-side-combined aggregate — the
     summary/refine passes never appear in the per-ask plan."""
-    f = audit(_build(spark, sf_dir, "q138_top_decile_events"))
+    f = audit(_build(spark, sf_dir, "qz138_top_decile_events"))
     assert f.joins == 0
     assert f.arrow_evals == 0 and f.python_evals == 0
     assert any("GreaterThanOrEqual(value" in p for p in f.pushed_filters)

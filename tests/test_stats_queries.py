@@ -65,19 +65,19 @@ def test_ks_and_w1_match_cdf_reference(spark, sf_dir):
     d_ref = float(np.max(np.abs(fa - fb)))
     w1_ref = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(xs)))
 
-    ks = _run("q166_ks_drift", spark, sf_dir).iloc[0]
+    ks = _run("qz166_ks_drift", spark, sf_dir).iloc[0]
     assert ks["n1"] == len(a) and ks["n2"] == len(b)
     assert abs(ks["d"] - d_ref) < 1e-6
     crit = 1.3581 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
     assert ks["reject"] == int(round(d_ref, 6) > round(crit, 6))
 
-    w1 = _run("q171_wasserstein_drift", spark, sf_dir).iloc[0]
+    w1 = _run("qz171_wasserstein_drift", spark, sf_dir).iloc[0]
     assert abs(w1["w1"] - w1_ref) < 1e-6
 
 
 def test_gini_matches_sorted_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q167_token_gini", spark, sf_dir).set_index("source")
+    out = _run("qz167_token_gini", spark, sf_dir).set_index("source")
     for source, grp in d.groupby("source"):
         toks = [
             t
@@ -183,7 +183,7 @@ def test_cusum_matches_scan_reference(spark, sf_dir):
 
 def test_weekday_chi2_matches_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q175_weekday_uniformity", spark, sf_dir).set_index(
+    out = _run("qz175_weekday_uniformity", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in daily.groupby("event_type"):
@@ -222,7 +222,7 @@ def test_datasheet_internal_consistency(spark, sf_dir):
 
 
 def test_sketch_ks_law_flag_is_green(spark, sf_dir):
-    out = _run("q170_sketch_ks_ok", spark, sf_dir).iloc[0]
+    out = _run("qz170_sketch_ks_ok", spark, sf_dir).iloc[0]
     assert out["ok"] == 1
     # and the exact D agrees with a direct two-sample computation
     ev = _events(sf_dir)
@@ -271,7 +271,7 @@ def test_ks_matrix_matches_pairwise_reference(spark, sf_dir):
 
 def test_psi_matches_binned_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q177_psi_drift", spark, sf_dir).set_index("source")
+    out = _run("qz177_psi_drift", spark, sf_dir).set_index("source")
     ref = np.sort(d.loc[d["source"] == "src0", "n_chars"].to_numpy())
     n = len(ref)
     edges = [
@@ -331,7 +331,7 @@ def test_kendall_matches_bruteforce_reference(spark, sf_dir):
     d = _daily(sf_dir)
     wide = d.pivot(index="day", columns="event_type", values="c").dropna()
     types = sorted(wide.columns)
-    out = _run("q184_kendall_daily", spark, sf_dir)
+    out = _run("qz184_kendall_daily", spark, sf_dir)
     got = {
         (r.type_a, r.type_b): (r.tau_b, r.n_pairs)
         for r in out.itertuples()
@@ -394,7 +394,7 @@ def test_bh_fdr_matches_local_procedure(spark, sf_dir):
 
 def test_jsd_matches_local_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q186_js_divergence", spark, sf_dir)
+    out = _run("qz186_js_divergence", spark, sf_dir)
     lens = np.sort(d["n_chars"].unique())
     tot = d.groupby("n_chars").size().reindex(lens, fill_value=0).to_numpy()
     n = len(d)
@@ -419,7 +419,7 @@ def test_jsd_matches_local_reference(spark, sf_dir):
 
 def test_bernstein_matches_local_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q187_bernstein_bounds", spark, sf_dir)
+    out = _run("qz187_bernstein_bounds", spark, sf_dir)
     ln_d = np.log(2.0 / 0.05)
     for r in out.itertuples():
         x = d.loc[d.source == r.source, "n_chars"].to_numpy(dtype=float)
@@ -446,7 +446,7 @@ def test_mi_matches_contingency_reference(spark, sf_dir):
         (row.c / n) * np.log(row.c * n / (rt[row.event_type] * cl[row.weekday]))
         for row in ct.itertuples()
     )
-    out = _run("q188_type_weekday_mi", spark, sf_dir).iloc[0]
+    out = _run("qz188_type_weekday_mi", spark, sf_dir).iloc[0]
     assert abs(out["mi"] - mi) < 1e-5
 
 
@@ -466,7 +466,7 @@ def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
             b[sum(v >= e for e in edges)] += 1
         counts[t] = b
     pa = (counts["view"] + 0.5) / (counts["view"].sum() + 5.0)
-    out = _run("q182_stream_psi_monitor", spark, sf_dir)
+    out = _run("qz182_stream_psi_monitor", spark, sf_dir)
     assert set(out["batches"]) == {3}
     for r in out.itertuples():
         pb = (counts[r.event_type] + 0.5) / (counts[r.event_type].sum() + 5.0)
@@ -476,7 +476,7 @@ def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
 
 def test_conformal_bound_matches_order_stats(spark, sf_dir):
     ev = _events(sf_dir)
-    out = _run("q189_conformal_bound", spark, sf_dir)
+    out = _run("qz189_conformal_bound", spark, sf_dir)
     for r in out.itertuples():
         x = np.sort(ev.loc[ev.event_type == r.event_type, "value"].to_numpy())
         n = len(x)
@@ -497,7 +497,7 @@ def test_event_paths_match_pandas_reference(spark, sf_dir):
             p = ">".join(t[i : i + 3])
             paths[p] = paths.get(p, 0) + 1
     top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    out = _run("q190_event_paths", spark, sf_dir)
+    out = _run("qz190_event_paths", spark, sf_dir)
     got = [(r.path, r.n) for r in out.itertuples()]
     assert got == top
 
@@ -512,7 +512,7 @@ def test_source_affinity_matches_centroid_reference(spark, sf_dir):
     for s, g in j.groupby("source"):
         m = np.stack(g["embedding"].to_numpy()).astype(float).mean(axis=0)
         cents[s] = np.round(m, 6)
-    out = _run("q191_source_affinity", spark, sf_dir)
+    out = _run("qz191_source_affinity", spark, sf_dir)
     for r in out.itertuples():
         a, b = cents[r.source_a], cents[r.source_b]
         cos = float(a @ b / np.sqrt((a @ a) * (b @ b)))
@@ -546,7 +546,7 @@ def test_last_touch_matches_pandas_reference(spark, sf_dir):
                 prev = t[i - 1] if i > 0 else "none"
                 counts[prev] = counts.get(prev, 0) + 1
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    out = _run("q193_last_touch", spark, sf_dir)
+    out = _run("qz193_last_touch", spark, sf_dir)
     assert [(r.touch, r.n) for r in out.itertuples()] == expect
 
 
