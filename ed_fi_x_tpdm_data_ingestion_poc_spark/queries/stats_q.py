@@ -1228,72 +1228,300 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ks_grid_pairs(docs: DataFrame, pairs: DataFrame | None = None):
+    """The exact KS numerator grid (source_a, source_b, na, nb, dnum)
+    over a (source, n_chars) frame: ONE corpus collapse to (source,
+    length) counts, per-source CDFs on a zero-filled (sources x lengths)
+    grid, pairwise max cross-multiplied CDF gap.
+
+    With `pairs` (a small (source_a, source_b) frame), the grid is
+    RESTRICTED: only sources appearing in some requested pair enter the
+    zero-filled grid, and the self-join enumerates exactly the requested
+    pairs (broadcast equi-join on both source keys) — this is the
+    sketch-screen cutover's exact fallback, where only the pairs the
+    kilobyte summaries could not decide pay the quadratic grid.
+    Evaluating a pair's CDF gap on the union of the RESTRICTED sources'
+    lengths (a superset of the pair's own) is exact: both step
+    functions are constant between their own jump points, so extra
+    evaluation points never change the max."""
+    from pyspark.sql import Window
+
+    g = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("k"))
+    if pairs is not None:
+        keep = (
+            pairs.select(F.col("source_a").alias("source"))
+            .union(pairs.select(F.col("source_b").alias("source")))
+            .distinct()
+        )
+        g = g.join(F.broadcast(keep), "source")
+    lens = g.select("n_chars").distinct()
+    srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
+    grid = srcs.crossJoin(F.broadcast(lens))
+    c = grid.join(g, ["source", "n_chars"], "left").select(
+        "source",
+        "n",
+        "n_chars",
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = c.select(
+        "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    if pairs is None:
+        j = a.join(
+            b,
+            (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+    else:
+        j = a.join(
+            F.broadcast(pairs), F.col("a.source") == F.col("source_a")
+        ).join(
+            b,
+            (F.col("b.n_chars") == F.col("a.n_chars"))
+            & (F.col("b.source") == F.col("source_b")),
+        )
+    # decimal(38,0) cross-products: cum*n reaches n_a*n_b, which wraps
+    # int64 past ~3e9 rows per side while the DuckDB twin's window
+    # SUM is already HUGEINT (the q165 s2 advice, same class)
+    return j.groupBy(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(
+        F.max(
+            F.abs(
+                F.col("a.cum").cast("decimal(38,0)") * F.col("b.n")
+                - F.col("b.cum").cast("decimal(38,0)") * F.col("a.n")
+            )
+        ).alias("dnum")
+    )
+
+
 def _ks_pair_table(spark: SparkSession, sf: str):
     """(pairs, n_src): the all-pairs KS numerator table (source_a,
     source_b, na, nb, dnum) over document lengths plus the source count —
-    ONE corpus collapse to (source, length) counts, per-source CDFs on a
-    zero-filled (sources x lengths) grid, pairwise max cross-multiplied
-    CDF gap. Memoized artifact shared by q176 (Bonferroni decision) and
-    q185 (Benjamini-Hochberg FDR) so the grid is built once per
-    (session, sf)."""
-    from pyspark.sql import Window
-
+    `_ks_grid_pairs` unrestricted. Memoized artifact shared by q176
+    (Bonferroni decision), q185 (Benjamini-Hochberg FDR) and q196's law
+    harness so the grid is built once per (session, sf)."""
     from . import built
     from .llm import _artifact
 
     def build():
-        g = (
-            table(spark, sf, "documents")
-            .groupBy("source", "n_chars")
-            .agg(F.count(F.lit(1)).alias("k"))
-        )
-        lens = g.select("n_chars").distinct()
-        srcs = g.groupBy("source").agg(F.sum("k").alias("n"))
-        n_src = srcs.count()
-        grid = srcs.crossJoin(F.broadcast(lens))
-        c = grid.join(g, ["source", "n_chars"], "left").select(
-            "source",
-            "n",
-            "n_chars",
-            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
-        )
-        cum_w = (
-            Window.partitionBy("source")
-            .orderBy("n_chars")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cdf = c.select(
-            "source", "n", "n_chars", F.sum("k").over(cum_w).alias("cum")
-        )
-        a, b = cdf.alias("a"), cdf.alias("b")
-        p = (
-            a.join(
-                b,
-                (F.col("a.n_chars") == F.col("b.n_chars"))
-                & (F.col("a.source") < F.col("b.source")),
-            )
-            .groupBy(
-                F.col("a.source").alias("source_a"),
-                F.col("b.source").alias("source_b"),
-                F.col("a.n").alias("na"),
-                F.col("b.n").alias("nb"),
-            )
-            .agg(
-                F.max(
-                    F.abs(
-                        F.col("a.cum").cast("decimal(38,0)") * F.col("b.n")
-                        - F.col("b.cum").cast("decimal(38,0)")
-                        * F.col("a.n")
-                    )
-                ).alias("dnum")
-            )
-        )
-        # decimal(38,0) cross-products: cum*n reaches n_a*n_b, which wraps
-        # int64 past ~3e9 rows per side while the DuckDB twin's window
-        # SUM is already HUGEINT (the q165 s2 advice, same class)
-        return (built(p.persist()), n_src)
+        docs = table(spark, sf, "documents").select("source", "n_chars")
+        n_src = docs.select("source").distinct().count()
+        return (built(_ks_grid_pairs(docs).persist()), n_src)
 
     return _artifact(spark, sf, "ks_pairs", build)
+
+
+# the measured all-pairs ceiling (BASELINE.md / tools/scale_probe.py
+# ks_matrix_sources2: 0.91x-linear to 200 sources, extrapolated
+# single-digit-minutes to ~1,000) — above it the exact grid's s^2 pair
+# join dominates and ks_matrix_decisions switches to sketch screening
+_KS_SKETCH_CUTOVER = 1000
+_KS_SCREEN_EPS = 0.02
+# decision margin: the exact path compares ROUND(d,6) > ROUND(crit,6);
+# a screen at |d_sketch - crit| > bound + 2e-6 guarantees the rounded
+# comparison cannot flip (round moves each side by <= 5e-7, and 2e-6
+# clears the half-grid tie case a 1e-6 margin leaves open)
+_KS_SCREEN_MARGIN = 2e-6
+
+
+def _ks_source_summaries(spark: SparkSession, sf: str) -> dict[str, dict]:
+    """Per-source mergeable quantile summaries over document lengths —
+    ONE map-only Arrow pass for ALL sources (quantile_summary_by), each
+    summary kilobytes: n_batches/eps kept (value, weight) points plus
+    n/slack. Memoized artifact: the screening side of the q176 cutover
+    and q196's law harness share it."""
+    from ..operators.quantiles import quantile_summary_by
+    from .llm import _artifact
+
+    def build():
+        return quantile_summary_by(
+            table(spark, sf, "documents").select("source", "n_chars"),
+            "n_chars",
+            "source",
+            eps=_KS_SCREEN_EPS,
+        )
+
+    return _artifact(spark, sf, "ks_src_summaries", build)
+
+
+def _ks_sketch_screen(summaries: dict[str, dict], crit_of, margin=None):
+    """Screen every source pair with q170's sketch-KS error law.
+
+    For each source the summary's lower-rank CDF is evaluated on the
+    global union of kept values (numpy, vectorized: an (s x p) matrix
+    — exact for every pair, since both step functions are constant
+    between their own kept points, so the global union is just a
+    superset of the pair union q170 walks). Per pair:
+      d_sketch = max |lo_a/n_a - lo_b/n_b|,
+      bound    = (slack_a + maxw_a)/n_a + (slack_b + maxw_b)/n_b
+    (q170's law: |d_sketch - d_exact| <= bound for EVERY batching).
+    A pair is DECIDED not-reject when d_sketch + bound < crit - margin,
+    DECIDED reject when d_sketch - bound > crit + margin — both imply
+    the exact rounded decision — and UNDECIDED otherwise (it pays the
+    exact grid).
+
+    Driver cost is (s x p) floats for the CDF matrix plus a vectorized
+    row-vs-rest max per source: ~10^4 x 10^4 at 10k sources with
+    eps=0.02 — hundreds of MB and minutes, fine to ~10k feeds; past
+    that the screen itself should move into Spark (pair-bucketed
+    summary joins), noted in ks_matrix_decisions."""
+    import numpy as np
+
+    if margin is None:
+        margin = _KS_SCREEN_MARGIN
+    srcs = sorted(summaries)
+    union = np.unique(
+        np.concatenate(
+            [
+                np.fromiter(
+                    (v for v, _ in summaries[s]["points"]), dtype="float64"
+                )
+                for s in srcs
+            ]
+        )
+    )
+    cdf = np.empty((len(srcs), len(union)))
+    bnd = np.empty(len(srcs))
+    for i, s in enumerate(srcs):
+        pts = summaries[s]["points"]
+        vals = np.fromiter((v for v, _ in pts), dtype="float64")
+        cums = np.cumsum(
+            np.fromiter((w for _, w in pts), dtype="int64")
+        )
+        idx = np.searchsorted(vals, union, side="right")
+        lo = np.where(idx > 0, cums[np.maximum(idx - 1, 0)], 0)
+        cdf[i] = lo / summaries[s]["n"]
+        bnd[i] = (
+            summaries[s]["slack"] + max(w for _, w in pts)
+        ) / summaries[s]["n"]
+    decided, undecided, info = [], [], {}
+    for i in range(len(srcs) - 1):
+        d_row = np.max(np.abs(cdf[i + 1:] - cdf[i]), axis=1)
+        for k, j in enumerate(range(i + 1, len(srcs))):
+            a, b = srcs[i], srcs[j]
+            ds = float(d_row[k])
+            bound = float(bnd[i] + bnd[j])
+            crit = crit_of(summaries[a]["n"], summaries[b]["n"])
+            info[(a, b)] = (ds, bound)
+            if ds + bound < crit - margin:
+                decided.append((a, b, 0))
+            elif ds - bound > crit + margin:
+                decided.append((a, b, 1))
+            else:
+                undecided.append((a, b))
+    return decided, undecided, info
+
+
+def _ks_bonf_crit(n_src: int, alpha: float = 0.05):
+    """c(alpha/m) Bonferroni critical-value closure over (na, nb)."""
+    import math
+
+    m = n_src * (n_src - 1) // 2
+    c = math.sqrt(math.log(2.0 / (alpha / m)) / 2.0)
+    return lambda na, nb: c * math.sqrt((na + nb) / (1.0 * na * nb))
+
+
+def ks_matrix_decisions(
+    spark: SparkSession,
+    sf: str,
+    *,
+    alpha: float = 0.05,
+    cutover: int = _KS_SKETCH_CUTOVER,
+) -> DataFrame:
+    """(source_a, source_b, reject_bonf) for EVERY source pair — the
+    executable form of the documented KS-matrix scale law (round-12
+    verdict: the law was prose, so a 5,000-feed user silently got the
+    quadratic grid). Strategy is selected by source count:
+
+    * n_src <= cutover — the exact all-pairs grid (`_ks_pair_table`,
+      q176's machinery; measured 0.91x-linear to 200 sources, ceiling
+      ~1,000).
+    * n_src >  cutover — kilobyte-per-source quantile summaries screen
+      every pair with q170's error law (`_ks_sketch_screen`); only the
+      pairs whose sketch interval straddles the critical value pay the
+      exact grid, RESTRICTED to exactly those pairs
+      (`_ks_grid_pairs(pairs=...)`). Decisions from both paths are
+      provably equal to the exact rounded decision (screen margins
+      absorb both 6-decimal roundings), so the cutover is
+      result-invisible — q196 asserts that law.
+
+    Scale: screening is one map-only Arrow pass + a driver matrix walk
+    (fine to ~10k sources, see _ks_sketch_screen); the restricted grid
+    re-scans only undecided sources' rows. Past ~10k feeds the screen
+    itself should become a pair-bucketed summary join in Spark — not
+    implemented, documented here.
+
+    Measured (tools/scale_probe.py ks_sketch_cutover, sf0.1 inflated to
+    200 sources / 19,900 pairs): the sketch path decided ALL pairs from
+    summaries (0 undecided), decisions identical to exact, 2.6 s vs
+    8.5 s for the exact grid — 3.3x at 200 sources, widening
+    quadratically since the screen is linear in sources while the grid
+    is s^2 in the pair join."""
+    docs = table(spark, sf, "documents").select("source", "n_chars")
+    reject_exact = lambda crit_c: (  # noqa: E731
+        F.round(
+            F.col("dnum").cast("double")
+            / (1.0 * F.col("na") * F.col("nb")),
+            6,
+        )
+        > F.round(
+            crit_c
+            * F.sqrt(
+                (F.col("na") + F.col("nb"))
+                / (1.0 * F.col("na") * F.col("nb"))
+            ),
+            6,
+        )
+    ).cast("int")
+
+    n_src = docs.select("source").distinct().count()
+    import math
+
+    m = n_src * (n_src - 1) // 2
+    c_bonf = math.sqrt(math.log(2.0 / (alpha / m)) / 2.0)
+    if n_src <= cutover:
+        p, _ = _ks_pair_table(spark, sf)
+        return p.select(
+            "source_a",
+            "source_b",
+            reject_exact(F.lit(c_bonf)).alias("reject_bonf"),
+        )
+    summaries = _ks_source_summaries(spark, sf)
+    decided, undecided, _ = _ks_sketch_screen(
+        summaries, _ks_bonf_crit(n_src, alpha)
+    )
+    parts = []
+    if decided:
+        parts.append(
+            spark.createDataFrame(
+                decided, "source_a string, source_b string, reject_bonf int"
+            )
+        )
+    if undecided:
+        pairs = spark.createDataFrame(
+            undecided, "source_a string, source_b string"
+        )
+        parts.append(
+            _ks_grid_pairs(docs, pairs=pairs).select(
+                "source_a",
+                "source_b",
+                reject_exact(F.lit(c_bonf)).alias("reject_bonf"),
+            )
+        )
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 @query(
@@ -1352,10 +1580,13 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     quadratic law, i.e. at 200 sources the corpus collapse and grid
     still dominate and the s^2 pair join is not yet the bottleneck.
     Extrapolating the measured per-pair cost, all-pairs stays
-    single-digit-minutes to ~1,000 sources; beyond that, switch to
-    sketch-KS pair screening (q170's mergeable MRL summaries compare
-    kilobytes per pair) and reserve the exact grid for the screened
-    survivors."""
+    single-digit-minutes to ~1,000 sources; beyond that the cutover is
+    EXECUTABLE: `ks_matrix_decisions` switches to sketch-KS pair
+    screening above `_KS_SKETCH_CUTOVER` sources (q170's mergeable MRL
+    summaries compare kilobytes per pair) and reserves the exact grid
+    for the pairs the screen cannot decide — q196 pins that the two
+    paths produce identical decisions; this query remains the exact
+    per-pair-D form (d itself is only computable by the grid)."""
     import math
 
     p, n_src = _ks_pair_table(spark, sf)
@@ -1376,6 +1607,100 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         "source_b",
         d_stat.alias("d"),
         (d_stat > crit).cast("int").alias("reject_bonf"),
+    )
+
+
+@query(
+    "q196_ks_sketch_screen",
+    oracle="""
+    WITH g AS (SELECT source, n_chars, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT n_chars FROM g),
+    srcs AS (SELECT source, SUM(k) AS n FROM g GROUP BY source),
+    m AS (SELECT COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM srcs),
+    grid AS (SELECT s.source, s.n, l.n_chars FROM srcs s CROSS JOIN lens l),
+    c AS (SELECT grid.source, grid.n, grid.n_chars,
+                 SUM(COALESCE(g.k, 0)) OVER (PARTITION BY grid.source
+                                             ORDER BY grid.n_chars
+                                             ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM grid LEFT JOIN g ON g.source = grid.source
+                                AND g.n_chars = grid.n_chars),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb,
+                 MAX(ABS(a.cum * b.n - b.cum * a.n)) AS dnum
+          FROM c a JOIN c b ON a.n_chars = b.n_chars
+                            AND a.source < b.source
+          GROUP BY 1, 2, 3, 4)
+    SELECT source_a, source_b,
+           CAST(ROUND(CAST(dnum AS DOUBLE) / (1.0 * na * nb), 6)
+                > ROUND(SQRT(LN(2.0 / (0.05 / (SELECT pairs FROM m))) / 2.0)
+                        * SQRT((na + nb) / (1.0 * na * nb)), 6)
+                AS INT) AS reject_bonf,
+           CAST(1 AS INT) AS ok
+    FROM p
+    """,
+    tags=("llm", "stats", "sketch", "quality"),
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """The KS-matrix sketch-screening cutover, exercised and law-checked
+    — `ks_matrix_decisions` with the cutover FORCED below the fixture's
+    source count, so the fixture runs the production >1,000-source
+    path: per-source kilobyte summaries screen every pair against the
+    Bonferroni critical value (q170's error law gives each pair a
+    certain interval [d_sketch - bound, d_sketch + bound]), and only
+    straddling pairs pay the exact grid, restricted to exactly those
+    pairs.
+
+    Hash-checked output is (pair, reject_bonf) — provably equal to the
+    exact path's rounded decision whichever side of the screen decided
+    it, so the batching-dependent sketch values never touch the hash
+    (the q170 rule). The per-row `ok` flag pins the laws the hash
+    cannot see, against the SAME exact `ks_pairs` artifact q176/q185
+    use: |d_sketch - d_exact| <= bound for EVERY pair, and every
+    sketch-decided pair's decision equals the exact decision. A
+    violated law yields ok=0 rows and a loud hash mismatch.
+
+    Scale shape: one map-only Arrow summary pass for all sources, a
+    driver matrix screen over kilobytes-per-source, and an exact grid
+    over only the undecided sources' rows; the all-pairs law JOIN here
+    is the test harness, not the production path (a >1,000-source
+    deployment never builds the full exact grid — that is the point)."""
+    dec = ks_matrix_decisions(spark, sf, cutover=0)
+    rows = {(r.source_a, r.source_b): int(r.reject_bonf)
+            for r in dec.collect()}
+
+    # law harness: exact pair table + the screen's internals
+    p, n_src = _ks_pair_table(spark, sf)
+    crit_of = _ks_bonf_crit(n_src)
+    exact = {
+        (r.source_a, r.source_b): (int(r.dnum), int(r.na), int(r.nb))
+        for r in p.collect()
+    }
+    summaries = _ks_source_summaries(spark, sf)
+    decided, undecided, info = _ks_sketch_screen(summaries, crit_of)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    screen_reject = {(a, b): r for a, b, r in decided}
+    out = []
+    for key in sorted(exact):
+        dnum, na, nb = exact[key]
+        d_exact = dnum / (1.0 * na * nb)
+        ex_reject = int(_r6(d_exact) > _r6(crit_of(na, nb)))
+        d_sketch, bound = info[key]
+        ok = int(
+            abs(d_sketch - d_exact) <= bound
+            and rows.get(key) == ex_reject
+            and screen_reject.get(key, ex_reject) == ex_reject
+        )
+        out.append((key[0], key[1], rows.get(key, -1), ok))
+    return spark.createDataFrame(
+        out, "source_a string, source_b string, reject_bonf int, ok int"
     )
 
 

@@ -562,3 +562,90 @@ def test_daily_bands_match_order_stats(spark, sf_dir):
         assert r.n == n
         assert abs(r.p50 - x[max(1, (n + 1) // 2) - 1]) < 1e-6
         assert abs(r.p90 - x[max(1, (9 * n + 9) // 10) - 1]) < 1e-6
+
+
+def _ks_exact_ref(docs: pd.DataFrame) -> dict:
+    """Exact per-pair two-sample KS D via numpy CDFs (independent of the
+    grid machinery): {(a, b): (d, na, nb)} for a < b."""
+    arrs = {
+        s: np.sort(g["n_chars"].to_numpy())
+        for s, g in docs.groupby("source")
+    }
+    srcs = sorted(arrs)
+    out = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            xa, xb = arrs[a], arrs[b]
+            xs = np.unique(np.concatenate([xa, xb]))
+            fa = np.searchsorted(xa, xs, side="right") / len(xa)
+            fb = np.searchsorted(xb, xs, side="right") / len(xb)
+            out[(a, b)] = (float(np.max(np.abs(fa - fb))), len(xa), len(xb))
+    return out
+
+
+def test_ks_screen_law_and_decision_safety(spark, sf_dir):
+    """q170's error law on the per-source summaries, and the screen's
+    core contract: every DECIDED pair's decision equals the exact
+    rounded Bonferroni decision (the margins absorb both roundings)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.quantiles import (
+        quantile_summary_by,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _ks_bonf_crit,
+        _ks_sketch_screen,
+    )
+
+    docs = _docs(sf_dir)
+    exact = _ks_exact_ref(docs)
+    summ = quantile_summary_by(
+        spark.createDataFrame(docs[["source", "n_chars"]]),
+        "n_chars",
+        "source",
+        eps=0.02,
+    )
+    n_src = docs["source"].nunique()
+    crit_of = _ks_bonf_crit(n_src)
+    decided, undecided, info = _ks_sketch_screen(summ, crit_of)
+    assert len(decided) + len(undecided) == len(exact)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    for (a, b), (d_exact, na, nb) in exact.items():
+        d_sketch, bound = info[(a, b)]
+        assert abs(d_sketch - d_exact) <= bound + 1e-12, (a, b)
+    for a, b, rej in decided:
+        d_exact, na, nb = exact[(a, b)]
+        assert rej == int(r6(d_exact) > r6(crit_of(na, nb))), (a, b)
+
+
+def test_ks_restricted_grid_equals_full(spark, sf_dir):
+    """_ks_grid_pairs(pairs=...) must return EXACTLY the full grid's rows
+    for the requested pairs — the cutover's exact fallback computes the
+    same dnum/na/nb the all-pairs grid would."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _ks_grid_pairs,
+    )
+
+    docs_df = spark.createDataFrame(
+        _docs(sf_dir)[["source", "n_chars"]]
+    )
+    full = {
+        (r.source_a, r.source_b): (int(r.dnum), r.na, r.nb)
+        for r in _ks_grid_pairs(docs_df).collect()
+    }
+    want = [("src0", "src3"), ("src11", "src7"), ("src1", "src19")]
+    pairs = spark.createDataFrame(
+        want, "source_a string, source_b string"
+    )
+    got = {
+        (r.source_a, r.source_b): (int(r.dnum), r.na, r.nb)
+        for r in _ks_grid_pairs(docs_df, pairs=pairs).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == full[k], k

@@ -752,6 +752,74 @@ def main() -> None:
         )
     )
 
+    # the EXECUTABLE cutover (ks_matrix_decisions / q196): above the
+    # measured ~1,000-source ceiling, kilobyte-per-source quantile
+    # summaries screen every pair and only straddlers pay the exact
+    # grid, restricted to those pairs. Law at `factor`x sources:
+    # decisions identical to the exact path; screened fraction and both
+    # wall-clocks reported so the cutover's economics stay measured.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.quantiles import (
+        quantile_summary_by,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _ks_bonf_crit,
+        _ks_grid_pairs,
+        _ks_sketch_screen,
+    )
+
+    def _r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _rejects_of(rows, crit_of):
+        return {
+            (r.source_a, r.source_b): int(
+                _r6(int(r.dnum) / (1.0 * r.na * r.nb))
+                > _r6(crit_of(r.na, r.nb))
+            )
+            for r in rows
+        }
+
+    n_src_big = big_src.select("source").distinct().count()
+    crit_of = _ks_bonf_crit(n_src_big)
+    t0 = time.perf_counter()
+    ex = _rejects_of(_ks_grid_pairs(big_src).collect(), crit_of)
+    t_exact = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    summ = quantile_summary_by(big_src, "n_chars", "source", eps=0.02)
+    decided, undecided, _info = _ks_sketch_screen(summ, crit_of)
+    sk = {(a, b): r for a, b, r in decided}
+    if undecided:
+        pairs = spark.createDataFrame(
+            undecided, "source_a string, source_b string"
+        )
+        sk.update(
+            _rejects_of(
+                _ks_grid_pairs(big_src, pairs=pairs).collect(), crit_of
+            )
+        )
+    t_sketch = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "ks_sketch_cutover",
+                "sources": n_src_big,
+                "pairs": len(ex),
+                "screened": len(decided),
+                "undecided": len(undecided),
+                "decisions_agree": sum(
+                    1 for k in ex if sk.get(k) == ex[k]
+                ) == len(ex),
+                "sec_exact": round(t_exact, 2),
+                "sec_sketch_path": round(t_sketch, 2),
+            }
+        )
+    )
+
 
     # q195 daily-bands probe: the per-day cumulative window parallelizes
     # across the calendar — until one HOT day owns most of the corpus
