@@ -710,6 +710,56 @@ _SMG_K = 2  # small enough that the 31-token fixture vocabulary forces
 #             real decrements in every shard (k >= vocab would be exact)
 _SMG_SHARDS = 8
 
+# the per-shard Misra-Gries state contract: shared by q161 and
+# tests/test_monitor_recovery.py so a state-schema change that would
+# break checkpoint recovery fails CI instead of production
+MG_MONITOR_OUT_DDL = (
+    "shard int, items array<string>, counts array<long>, "
+    "err long, n long, b long"
+)
+MG_MONITOR_STATE_DDL = (
+    "items array<string>, counts array<long>, err long, n long, b long"
+)
+
+
+def mg_state_update(k: int):
+    """Builder for q161's applyInPandasWithState updater: per-shard MG
+    counters with a never-resetting carry (each decrement of `cut`
+    removes >= (k+1)*cut of counter mass, so err <= n_shard/(k+1) over
+    the WHOLE stream). Module-level so the checkpoint-recovery contract
+    test drives the PRODUCTION updater, not a test double."""
+    from ..operators.sketches import _mg_compress
+
+    def upd(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, err, n, b = state.get
+            d = dict(zip(items, counts))
+        else:
+            d, err, n, b = {}, 0, 0, 0
+        for pdf in pdf_iter:
+            vc = pdf["tok"].value_counts()
+            for t, c in vc.items():
+                d[t] = d.get(t, 0) + int(c)
+            n += int(vc.sum())
+        d, cut = _mg_compress(d, k)
+        err += cut
+        b += 1
+        state.update((list(d), [int(v) for v in d.values()], err, n, b))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "items": [list(d)],
+                "counts": [[int(v) for v in d.values()]],
+                "err": [err],
+                "n": [n],
+                "b": [b],
+            }
+        )
+
+    return upd
+
 
 @query(
     "q161_stream_mg_ok",
@@ -737,10 +787,8 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     * bounds — est <= true and true - est <= err_shard for every
       reported token;
     * the stream ran in > 1 micro-batch (state actually carried)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..operators.sketches import _mg_compress
     from ..streaming.replay import read_replay_stream, run_to_memory
 
     k, shards = _SMG_K, _SMG_SHARDS
@@ -758,44 +806,10 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("shard", shard_of(F.col("tok")))
         )
 
-        def upd(key, pdf_iter, state: GroupState):
-            if state.exists:
-                items, counts, err, n, b = state.get
-                d = dict(zip(items, counts))
-            else:
-                d, err, n, b = {}, 0, 0, 0
-            for pdf in pdf_iter:
-                vc = pdf["tok"].value_counts()
-                for t, c in vc.items():
-                    d[t] = d.get(t, 0) + int(c)
-                n += int(vc.sum())
-            d, cut = _mg_compress(d, k)
-            err += cut
-            b += 1
-            state.update(
-                (list(d), [int(v) for v in d.values()], err, n, b)
-            )
-            yield pd.DataFrame(
-                {
-                    "shard": [key[0]],
-                    "items": [list(d)],
-                    "counts": [[int(v) for v in d.values()]],
-                    "err": [err],
-                    "n": [n],
-                    "b": [b],
-                }
-            )
-
         updates = toks.groupBy("shard").applyInPandasWithState(
-            upd,
-            outputStructType=(
-                "shard int, items array<string>, counts array<long>, "
-                "err long, n long, b long"
-            ),
-            stateStructType=(
-                "items array<string>, counts array<long>, "
-                "err long, n long, b long"
-            ),
+            mg_state_update(k),
+            outputStructType=MG_MONITOR_OUT_DDL,
+            stateStructType=MG_MONITOR_STATE_DDL,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1133,6 +1133,60 @@ _SKM_EPS = 0.05
 _SKM_MON = "purchase"  # monitored feed
 _SKM_REF = "view"      # reference feed
 
+# the per-key MRL-summary state contract: shared by q192 and
+# tests/test_monitor_recovery.py so a state-schema change that would
+# break checkpoint recovery fails CI instead of production
+MRL_MONITOR_OUT_DDL = (
+    "event_type string, pv array<double>, pw array<long>, "
+    "n long, slack long, b long"
+)
+MRL_MONITOR_STATE_DDL = (
+    "pv array<double>, pw array<long>, n long, slack long, b long"
+)
+
+
+def mrl_state_update(eps: float, value_col: str = "value"):
+    """Builder for q192's applyInPandasWithState updater: state is the
+    kept (value, weight) points plus n/slack/batch counters of a
+    mergeable MRL quantile summary; each micro-batch is compressed by
+    the SAME batch_points kernel the batch summaries use and appended
+    (ranks add over disjoint row sets, so bounds add — the q170 merge
+    law). Module-level so the checkpoint-recovery contract test drives
+    the PRODUCTION updater, not a test double."""
+    from ..operators.quantiles import batch_points
+
+    def upd(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            pv, pw, n, slack, b = state.get
+            pv, pw = list(pv), list(pw)
+        else:
+            pv, pw, n, slack, b = [], [], 0, 0, 0
+        for pdf in pdf_iter:
+            vals, w, s = batch_points(
+                pdf[value_col].to_numpy(dtype="float64"), eps
+            )
+            if len(vals):
+                pv += [float(x) for x in vals]
+                pw += [int(x) for x in w]
+                n += int(w.sum())
+                slack += s
+        b += 1
+        state.update((pv, pw, n, slack, b))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "pv": [pv],
+                "pw": [pw],
+                "n": [n],
+                "slack": [slack],
+                "b": [b],
+            }
+        )
+
+    return upd
+
 
 @query(
     "q192_stream_sketch_ks",
@@ -1189,9 +1243,8 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
     sums; the sketch comparison walks kilobytes on the driver."""
     import bisect
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..operators.quantiles import batch_points
     from ..operators.ranking import global_running_sums
     from ..streaming.replay import run_to_memory
     from ..tables import table
@@ -1204,45 +1257,10 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
             "event_type", "value"
         )
 
-        def upd(key, pdf_iter, state: GroupState):
-            import pandas as pd
-
-            if state.exists:
-                pv, pw, n, slack, b = state.get
-                pv, pw = list(pv), list(pw)
-            else:
-                pv, pw, n, slack, b = [], [], 0, 0, 0
-            for pdf in pdf_iter:
-                vals, w, s = batch_points(
-                    pdf["value"].to_numpy(dtype="float64"), eps
-                )
-                if len(vals):
-                    pv += [float(x) for x in vals]
-                    pw += [int(x) for x in w]
-                    n += int(w.sum())
-                    slack += s
-            b += 1
-            state.update((pv, pw, n, slack, b))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "pv": [pv],
-                    "pw": [pw],
-                    "n": [n],
-                    "slack": [slack],
-                    "b": [b],
-                }
-            )
-
         updates = ev.groupBy("event_type").applyInPandasWithState(
-            upd,
-            outputStructType=(
-                "event_type string, pv array<double>, pw array<long>, "
-                "n long, slack long, b long"
-            ),
-            stateStructType=(
-                "pv array<double>, pw array<long>, n long, slack long, b long"
-            ),
+            mrl_state_update(eps),
+            outputStructType=MRL_MONITOR_OUT_DDL,
+            stateStructType=MRL_MONITOR_STATE_DDL,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

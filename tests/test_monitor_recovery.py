@@ -1,0 +1,217 @@
+"""Checkpoint recovery for the STATEFUL stream monitors — the round-12
+verdict's missing piece: file-source offset recovery and dropDuplicates
+state are pinned (test_streaming_recovery.py), but the
+applyInPandasWithState monitors are exactly where SILENT state loss
+would hide (a restarted monitor that rebuilds from empty state still
+runs, still emits, and quietly reports drift statistics over a
+truncated stream).
+
+Both tests drive the PRODUCTION state updaters (q192's MRL summary,
+q161's Misra-Gries counters) and their exported state/output DDLs, so
+any state-schema change that would break checkpoint compatibility
+fails here instead of in production:
+
+* restart resumes from the checkpoint — the post-restart emission
+  counts rows from BEFORE the restart (state restored, not rebuilt),
+  and equals the uninterrupted run's final state exactly;
+* the restart processes ONLY the new file (batch counters advance by
+  one, totals grow by exactly the new rows — no reprocessing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.sketch_q import (
+    MG_MONITOR_OUT_DDL,
+    MG_MONITOR_STATE_DDL,
+    mg_state_update,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.streaming_q import (
+    MRL_MONITOR_OUT_DDL,
+    MRL_MONITOR_STATE_DDL,
+    mrl_state_update,
+)
+
+
+def _write(path: str, name: str, pdf: pd.DataFrame) -> None:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, name),
+    )
+
+
+def _run_monitor(spark, stream_df, ckpt: str) -> list:
+    """One availableNow run; returns every update-mode emission row."""
+    rows: list = []
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return rows
+
+
+def _final_by(rows, key: str) -> dict:
+    out: dict = {}
+    for r in rows:
+        k = r[key]
+        if k not in out or r.b > out[k].b:
+            out[k] = r
+    return out
+
+
+# --------------------------------------------------------------- MRL --
+
+
+def _mrl_stream(spark, src: str):
+    ev = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        mrl_state_update(0.25),
+        outputStructType=MRL_MONITOR_OUT_DDL,
+        stateStructType=MRL_MONITOR_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_MRL_A = pd.DataFrame(
+    {"event_type": ["a"] * 10 + ["b"] * 6,
+     "value": [float(v) for v in range(10)] + [100.0 + v for v in range(6)]}
+)
+_MRL_B = pd.DataFrame(
+    {"event_type": ["a"] * 10,
+     "value": [10.0 + v for v in range(10)]}
+)
+_MRL_C = pd.DataFrame(
+    {"event_type": ["a"] * 5 + ["b"] * 5,
+     "value": [20.0 + v for v in range(5)] + [106.0 + v for v in range(5)]}
+)
+
+
+def test_mrl_monitor_state_survives_restart(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src, "0000.parquet", _MRL_A)
+    _write(src, "0001.parquet", _MRL_B)
+    phase1 = _final_by(_run_monitor(spark, _mrl_stream(spark, src), ckpt),
+                       "event_type")
+    assert phase1["a"].n == 20 and phase1["a"].b == 2
+    assert phase1["b"].n == 6 and phase1["b"].b == 1
+
+    _write(src, "0002.parquet", _MRL_C)
+    rows2 = _run_monitor(spark, _mrl_stream(spark, src), ckpt)
+    # the restart processed ONLY file C: one emission per key in C
+    assert sorted(r.event_type for r in rows2) == ["a", "b"]
+    got = _final_by(rows2, "event_type")
+    # state RESTORED: totals count rows from before the restart,
+    # batch counters advanced by exactly one
+    assert got["a"].n == 25 and got["a"].b == 3
+    assert got["b"].n == 11 and got["b"].b == 2
+    for r in got.values():  # summary accounting survives the round-trip
+        assert sum(r.pw) == r.n and len(r.pv) == len(r.pw)
+
+    # ... and equals the uninterrupted run over A,B,C exactly
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    for name, pdf in [("0000.parquet", _MRL_A), ("0001.parquet", _MRL_B),
+                      ("0002.parquet", _MRL_C)]:
+        _write(src2, name, pdf)
+    ref = _final_by(_run_monitor(spark, _mrl_stream(spark, src2), ckpt2),
+                    "event_type")
+    for k in ("a", "b"):
+        assert (list(got[k].pv), list(got[k].pw), got[k].n, got[k].slack,
+                got[k].b) == (list(ref[k].pv), list(ref[k].pw), ref[k].n,
+                              ref[k].slack, ref[k].b)
+
+
+# ---------------------------------------------------------------- MG --
+
+_MG_SHARDS = 2
+
+
+def _mg_stream(spark, src: str, k: int = 2):
+    toks = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("tok"), F.lit(_MG_SHARDS)).cast("int"),
+        )
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        mg_state_update(k),
+        outputStructType=MG_MONITOR_OUT_DDL,
+        stateStructType=MG_MONITOR_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _toks(spec: dict[str, int]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"tok": [t for t, c in sorted(spec.items()) for _ in range(c)]}
+    )
+
+
+_MG_A = _toks({"x": 8, "y": 3, "z": 2, "w": 1})
+_MG_B = _toks({"x": 4, "q": 5, "y": 1})
+_MG_C = _toks({"x": 2, "r": 3, "q": 1, "v": 1})
+
+
+def test_mg_monitor_state_survives_restart(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src, "0000.parquet", _MG_A)
+    _write(src, "0001.parquet", _MG_B)
+    phase1 = _final_by(_run_monitor(spark, _mg_stream(spark, src), ckpt),
+                       "shard")
+    n_phase1 = sum(r.n for r in phase1.values())
+    assert n_phase1 == len(_MG_A) + len(_MG_B)
+
+    _write(src, "0002.parquet", _MG_C)
+    rows2 = _run_monitor(spark, _mg_stream(spark, src), ckpt)
+    got = _final_by(rows2, "shard")
+    # only C's shards re-emit; every emitted shard carried its history
+    for s, r in got.items():
+        assert r.b == phase1[s].b + 1
+    # restored totals: phase-1 mass is still counted after the restart
+    all_rows = len(_MG_A) + len(_MG_B) + len(_MG_C)
+    merged = {**{s: r for s, r in phase1.items()}, **got}
+    assert sum(r.n for r in merged.values()) == all_rows
+
+    # equals the uninterrupted run over A,B,C exactly (counters, carry)
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    for name, pdf in [("0000.parquet", _MG_A), ("0001.parquet", _MG_B),
+                      ("0002.parquet", _MG_C)]:
+        _write(src2, name, pdf)
+    ref = _final_by(_run_monitor(spark, _mg_stream(spark, src2), ckpt2),
+                    "shard")
+    assert set(merged) == set(ref)
+    for s in ref:
+        assert (list(merged[s].items), list(merged[s].counts),
+                merged[s].err, merged[s].n, merged[s].b) == (
+            list(ref[s].items), list(ref[s].counts), ref[s].err,
+            ref[s].n, ref[s].b), s
+    # the never-resetting-carry error law holds across the restart
+    for s, r in merged.items():
+        assert r.err <= r.n / (2 + 1)
