@@ -884,6 +884,9 @@ def semantic_dup_pairs(
     )
 
 
+_SURVIVOR_DRIVER_EDGE_CAP = 100_000
+
+
 def semantic_dedup_survivors(
     emb: DataFrame,
     pairs: DataFrame,
@@ -891,23 +894,62 @@ def semantic_dedup_survivors(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, cluster, keep) survivor assignment over semantic-dup pairs:
-    connected components glue transitive near-dups into one cluster
-    (operators/graph.py — min-label + star-contraction, no collects),
+    connected components glue transitive near-dups into one cluster,
     min-id per cluster survives, vectors in no pair survive as their own
     singleton. The paper's keep-lowest-centroid-similarity variant is a
     one-line ORDER BY swap on the same cluster map; min-id keeps the
-    result engine-checkable."""
-    from .graph import connected_components
+    result engine-checkable.
 
-    comp = connected_components(pairs.select("ida", "idb"))
+    Count-gated component strategy (round-12 verdict: the survivor
+    build's 3.5 s at sf0.1 was ~all fixed job floor — the THRESHOLDED
+    semantic pair set is 141 edges there, but distributed min-label
+    propagation still pays init + 3 rounds x (join + localCheckpoint +
+    convergence probe) of per-job overhead): at or below
+    _SURVIVOR_DRIVER_EDGE_CAP edges the pair set — already persisted
+    and by construction post-threshold, i.e. corpus-FRACTION-sized, not
+    corpus-sized — is collected and solved with driver union-find
+    (union-by-min + path compression, so roots ARE the min ids), and
+    the cluster map returns as a broadcast join: ONE job end to end.
+    Above the cap the distributed label/star propagation
+    (operators/graph.py) runs unchanged — a web-scale near-dup graph
+    with millions of pairs never touches the driver."""
     ids = emb.select(F.col(id_col).cast("long").alias("id"))
-    return (
-        ids.join(
-            comp.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    edge_df = pairs.select("ida", "idb")
+    if pairs.count() <= _SURVIVOR_DRIVER_EDGE_CAP:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_df.collect():
+            a, b = int(row.ida), int(row.idb)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by MIN id: the root is the survivor
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = F.broadcast(
+            pairs.sparkSession.createDataFrame(
+                [(n, find(n)) for n in sorted(parent)],
+                "id long, cluster long",
+            )
         )
-        .select(
-            "id",
-            F.coalesce("cluster", "id").alias("cluster"),
-            (F.coalesce("cluster", "id") == F.col("id")).cast("int").alias("keep"),
+    else:
+        from .graph import connected_components
+
+        comp = connected_components(edge_df).select(
+            F.col("node").alias("id"), "cluster"
         )
+    return ids.join(comp, "id", "left").select(
+        "id",
+        F.coalesce("cluster", "id").alias("cluster"),
+        (F.coalesce("cluster", "id") == F.col("id")).cast("int").alias("keep"),
     )

@@ -649,3 +649,22 @@ def test_ks_restricted_grid_equals_full(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == full[k], k
+
+
+def test_rfm_segments_all_populated_at_every_shipped_sf(spark):
+    """q194's heavy/light cut points (f >= 70, recency <= 7) are
+    data-coupled constants: this pins the docstring's claim that they
+    sit INSIDE the f distribution at every shipped SF (all three
+    segments non-empty), plus the partition laws (users and events are
+    partitioned exactly once across segments)."""
+    for sfd in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        out = _run("q194_rfm_segments", spark, sfd)
+        assert sorted(out["segment"]) == ["heavy", "light", "mid"], sfd
+        assert (out["n_users"] > 0).all(), sfd
+        ev = _events(sfd)
+        assert out["n_events"].sum() == len(ev), sfd
+        assert out["n_users"].sum() == ev["user_id"].nunique(), sfd
