@@ -1910,3 +1910,450 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("day").cast("bigint").alias("day"), "n", "p50", "p90")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — two-step Markov kernel over event types (fixed-point P^2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_markov_two_step",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    x AS (SELECT event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS nxt
+          FROM e),
+    c AS (SELECT cur, nxt, COUNT(*) AS c FROM x
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT cur, SUM(c) AS tot FROM c GROUP BY 1),
+    q AS (SELECT c.cur, c.nxt,
+                 CAST(ROUND(c.c * 1000000.0 / t.tot, 0) AS BIGINT) AS qmu
+          FROM c JOIN t ON t.cur = c.cur)
+    SELECT a.cur AS cur, b.nxt AS nxt2,
+           ROUND(SUM(a.qmu * b.qmu) / 1000000000000.0, 6) AS p2
+    FROM q a JOIN q b ON b.cur = a.nxt
+    GROUP BY 1, 2 ORDER BY cur, nxt2
+    """,
+    tags=("events", "analytics", "sequence"),
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-step Markov transition kernel P^2 over event types — where a
+    user lands TWO events after each state, the first matrix power of
+    qz147's one-step chain (the difference between 'errors lead to
+    errors' and 'errors lead to churn via one more error' is exactly
+    P^2 vs P).
+
+    Hash determinism for a matrix product of rationals: summing
+    c_ab*c_bc/(t_a*t_b) as floats is order-sensitive, and clearing all
+    five denominators overflows decimal(38) at sf0.1-scale counts —
+    so both engines multiply in FIXED POINT (the q168/q191/q191 trick):
+    one-step micro-probabilities qmu = ROUND(1e6*c/t) are bit-identical
+    BIGINTs on both engines (one IEEE multiply+divide, half-up round),
+    and P^2_mu = sum(qmu_ab * qmu_bc) is then an exact INTEGER sum
+    (order-free; <= 5e12, no overflow) with one final /1e12 display
+    division. The kernel is the fixed-point approximation on BOTH
+    sides — identical by construction, within 5e-6 of the real-valued
+    product per entry.
+
+    Scale shape: one totally-tiebroken user window (single keyed
+    shuffle, the qz147 plan), a types^2-sized count table, and a
+    types^3 join entirely on grouped counts — nothing after the window
+    touches the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = table(spark, sf, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    c = (
+        x.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = c.groupBy("cur").agg(F.sum("c").alias("tot"))
+    q = c.join(t, "cur").select(
+        "cur",
+        "nxt",
+        F.round(F.col("c") * 1000000.0 / F.col("tot"), 0)
+        .cast("bigint")
+        .alias("qmu"),
+    )
+    a = q.select(
+        F.col("cur"), F.col("nxt"), F.col("qmu").alias("qa")
+    )
+    b = q.select(
+        F.col("cur").alias("mid"),
+        F.col("nxt").alias("nxt2"),
+        F.col("qmu").alias("qb"),
+    )
+    return (
+        a.join(b, F.col("nxt") == F.col("mid"))
+        .groupBy("cur", "nxt2")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("s"))
+        .select(
+            "cur",
+            "nxt2",
+            F.round(F.col("s") / 1000000000000.0, 6).alias("p2"),
+        )
+        .orderBy("cur", "nxt2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — daily event-type concentration (HHI) with the dominant type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_daily_hhi",
+    oracle=f"""
+    WITH e AS (SELECT event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts)
+                        // {_DAY_US} AS day
+               FROM events),
+    c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    t AS (SELECT day, SUM(c) AS tot, SUM(c * c) AS sumsq FROM c GROUP BY day),
+    r AS (SELECT day, event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY c DESC, event_type) AS rk
+          FROM c)
+    SELECT t.day AS day, CAST(t.tot AS BIGINT) AS n_events,
+           ROUND(CAST(t.sumsq AS DOUBLE) / (1.0 * t.tot * t.tot), 6)
+             AS hhi,
+           r.event_type AS top_type,
+           ROUND(r.c * 1.0 / t.tot, 6) AS top_share
+    FROM t JOIN r ON r.day = t.day AND r.rk = 1
+    ORDER BY day
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily Herfindahl-Hirschman concentration of event-type shares,
+    with the dominant type — the mix-shift monitor: a day whose HHI
+    spikes is one type flooding the stream (an incident, a bot, a
+    replayed feed), visible before any single-type threshold trips.
+
+    Exactness: HHI = sum(c_i^2)/total^2 is integers + ONE float
+    division; the dominant type is a deterministic (c DESC, type)
+    rank. The c*c square accumulates as decimal(38,0) on the Spark
+    side (a 100 TB day's count wraps int64 when squared — the q165
+    operand-first rule) while DuckDB sums HUGEINT.
+
+    Scale shape: runs entirely off the memoized types x days artifact
+    (daily_type_counts) — days-sized windows, days-sized output."""
+    from pyspark.sql import Window
+
+    c = daily_type_counts(spark, sf)
+    t = c.groupBy("day").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+            "sumsq"
+        ),
+    )
+    rk = Window.partitionBy("day").orderBy(
+        F.col("c").desc(), "event_type"
+    )
+    r = c.withColumn("rk", F.row_number().over(rk)).where(
+        F.col("rk") == 1
+    )
+    return (
+        t.join(r, "day")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("tot").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("sumsq").cast("double")
+                / (1.0 * F.col("tot") * F.col("tot")),
+                6,
+            ).alias("hhi"),
+            F.col("event_type").alias("top_type"),
+            F.round(F.col("c") * 1.0 / F.col("tot"), 6).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — inter-event gap survival at fixed horizons
+# ---------------------------------------------------------------------------
+
+_GAP_HORIZONS_S = (60, 300, 1800, 86400)
+
+
+@query(
+    "q202_gap_survival",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    g AS (SELECT event_type,
+                 LEAD(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) - us AS gap
+          FROM e),
+    v AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+    SELECT v.event_type, CAST(h.h AS INT) AS horizon_s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN v.gap > CAST(h.h AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exceed,
+           ROUND(SUM(CASE WHEN v.gap > CAST(h.h AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS share
+    FROM v, UNNEST([{", ".join(str(h) for h in _GAP_HORIZONS_S)}]) AS h(h)
+    GROUP BY 1, 2 ORDER BY event_type, horizon_s
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event gap survival S(h) = P(gap > h) at fixed horizons
+    (1 min / 5 min / 30 min / 1 day), grouped by the type of the event
+    OPENING the gap — the empirical dwell/churn curve behind every
+    session-timeout and re-engagement-window choice (qz132 hardcodes a
+    30-minute gap; this is the distribution that justifies or indicts
+    it — and the per-type split shows purchases close gaps faster than
+    errors).
+
+    Exactness: gaps are integer microseconds off the totally-tiebroken
+    (user, ts, event_id) window; survival counts are integers with one
+    rational division per row.
+
+    Scale shape: ONE keyed window shuffle (the qz147/q193 plan), then
+    a conditional aggregate against a broadcast 4-row horizon table —
+    output is types x horizons."""
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = table(spark, sf, "events").select(
+        "event_type",
+        (F.lead(us).over(w) - us).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    hs = spark.createDataFrame(
+        [(h,) for h in _GAP_HORIZONS_S], "h int"
+    )
+    return (
+        g.crossJoin(F.broadcast(hs))
+        .groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(
+                (F.col("gap") > F.col("h").cast("long") * 1000000)
+                .cast("long")
+            ).alias("n_exceed"),
+        )
+        .select(
+            "event_type",
+            F.col("h").cast("int").alias("horizon_s"),
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.col("n_exceed").cast("bigint").alias("n_exceed"),
+            F.round(
+                F.col("n_exceed") * 1.0 / F.col("n_gaps"), 6
+            ).alias("share"),
+        )
+        .orderBy("event_type", "horizon_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — market-basket lift between event types within sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_session_lift",
+    oracle=f"""
+    WITH x AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us,
+                      LAG(date_diff('microsecond',
+                                    TIMESTAMP '2024-01-01 00:00:00', ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev
+               FROM events),
+    m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > {_GAP_US}
+                         THEN 1 ELSE 0 END AS brk
+          FROM x),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+    tot AS (SELECT COUNT(DISTINCT (user_id, sid)) AS n_sessions FROM s),
+    ct AS (SELECT event_type, COUNT(*) AS c FROM st GROUP BY 1),
+    co AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_co
+           FROM st a JOIN st b
+             ON b.user_id = a.user_id AND b.sid = a.sid
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT co.type_a, co.type_b, CAST(co.n_co AS BIGINT) AS n_co,
+           ROUND((1.0 * co.n_co * (SELECT n_sessions FROM tot))
+                 / (1.0 * ca.c * cb.c), 6) AS lift,
+           ROUND(co.n_co * 1.0 / ca.c, 6) AS conf_a_to_b
+    FROM co JOIN ct ca ON ca.event_type = co.type_a
+            JOIN ct cb ON cb.event_type = co.type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "analytics", "sequence"),
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the same
+    session — lift(a,b) = P(a,b together) / (P(a)P(b)) over gap-based
+    sessions (qz132's 30-minute islands): the association-rule view of
+    the stream that qz147's ADJACENT transitions cannot see (a view and
+    a purchase forty events apart in one session co-occur here, never
+    there).
+
+    Exactness: session membership is integer arithmetic (the qz132
+    microsecond window), supports are integer counts over DISTINCT
+    (session, type) rows, lift and confidence are single rational
+    divisions of integers.
+
+    Scale shape: one keyed window shuffle sessionizes; the co-occur
+    self-join runs on the (session, type)-DISTINCT table — at most
+    |types| rows per session, so the join fan-out is bounded by
+    types^2 per session, never events^2; output is types-pairs-sized."""
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.lag(us).over(w).alias("prev"),
+    )
+    brk = (
+        F.col("prev").isNull()
+        | ((F.col("us") - F.col("prev")) > _GAP_US)
+    ).cast("int")
+    cum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = x.select(
+        "user_id",
+        "event_type",
+        F.sum(brk).over(cum).alias("sid"),
+    )
+    st = s.distinct().persist()
+    n_sessions = st.select("user_id", "sid").distinct().count()
+    ct = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.sid") == F.col("a.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    ca = ct.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = ct.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        co.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.round(
+                (1.0 * F.col("n_co") * float(n_sessions))
+                / (1.0 * F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_co") * 1.0 / F.col("ca"), 6).alias(
+                "conf_a_to_b"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — audience overlap (user Jaccard) between event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_audience_jaccard",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    ct AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+    co AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_inter
+           FROM ut a JOIN ut b
+             ON b.user_id = a.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT co.type_a, co.type_b,
+           CAST(co.n_inter AS BIGINT) AS n_inter,
+           ROUND(co.n_inter * 1.0
+                 / (ca.c + cb.c - co.n_inter), 6) AS jaccard
+    FROM co JOIN ct ca ON ca.event_type = co.type_a
+            JOIN ct cb ON cb.event_type = co.type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "analytics"),
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience Jaccard between event types — |users(a) ∩ users(b)| /
+    |users(a) ∪ users(b)|: do the same people who click also purchase,
+    or are they disjoint populations? The exact-set companion of
+    qz105's HLL set-intersection estimate (that one trades exactness
+    for mergeable kilobyte sketches; this is the ground-truth join a
+    fixture-scale audit runs), and the user-space complement of q191's
+    embedding-space source affinity.
+
+    Exactness: distinct (type, user) pairs, integer intersection
+    counts, union by inclusion-exclusion, one rational division.
+
+    Scale shape: the self-join runs on the DISTINCT (type, user) table
+    keyed by user — at most |types| rows per user, fan-out bounded by
+    types^2 per user; counts are types- and type-pairs-sized."""
+    ut = table(spark, sf, "events").select("event_type", "user_id").distinct().persist()
+    ct = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ut.alias("a"), ut.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = ct.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = ct.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        co.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("ca") + F.col("cb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2740,3 +2740,377 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         F.round("med", 6).alias("med"),
         F.round("qhat", 6).alias("qhat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q197 — Benford first-significant-digit profile of event values
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_benford_digits",
+    oracle="""
+    WITH v AS (SELECT event_type,
+                      CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
+               FROM events WHERE value > 0),
+    d AS (SELECT event_type,
+                 CAST(SUBSTR(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM v),
+    g AS (SELECT event_type, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n) AS tot FROM g GROUP BY 1)
+    SELECT g.event_type, CAST(g.digit AS INT) AS digit,
+           CAST(g.n AS BIGINT) AS n,
+           ROUND(g.n * 1.0 / t.tot, 6) AS share,
+           ROUND(g.n * 1.0 / t.tot - LOG(1.0 + 1.0 / g.digit), 6)
+             AS excess
+    FROM g JOIN t ON t.event_type = g.event_type
+    ORDER BY g.event_type, digit
+    """,
+    tags=("events", "stats", "quality"),
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """First-significant-digit profile per event type against Benford's
+    law — the classic fabricated/synthetic-feed tripwire (Benford 1938;
+    a feed whose amounts are generated, capped, or unit-converted
+    drifts from log10(1+1/d) long before its mean moves).
+
+    Exactness: the first significant digit is extracted WITHOUT libm —
+    value -> fixed-point micro-units (ROUND(v*1e6), the q168/q191
+    trick: one IEEE multiply + half-up round, bit-identical both
+    engines) -> leading character of the INTEGER's decimal string
+    (integer-to-string is exact in both engines; scaling by a power of
+    ten never changes the first significant digit). Counts and shares
+    are then integers + one rational division; only the Benford
+    reference log10(1+1/d) is a libm call, on 9 tiny constants, 6
+    orders above ulp noise.
+
+    Scale shape: map-only digit extraction (JVM string ops), one
+    (type, digit)-grained grouped count with map-side combine — output
+    is at most types x 9 rows."""
+    v = table(spark, sf, "events").where(F.col("value") > 0).select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0, 0)
+        .cast("bigint")
+        .alias("iv"),
+    )
+    d = v.select(
+        "event_type",
+        F.substring(F.col("iv").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    g = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    share = F.col("n") * 1.0 / F.col("tot")
+    return (
+        g.join(t, "event_type")
+        .select(
+            "event_type",
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round(
+                share - F.log10(1.0 + 1.0 / F.col("digit")), 6
+            ).alias("excess"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — decile QQ drift between two sources (quantile-space distance)
+# ---------------------------------------------------------------------------
+
+_QQ_A = "src0"
+_QQ_B = "src1"
+
+
+@query(
+    "q199_qq_deciles",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars FROM documents
+               WHERE source IN ('{_QQ_A}', '{_QQ_B}')),
+    g AS (SELECT source, n_chars, COUNT(*) AS k FROM d GROUP BY 1, 2),
+    w AS (SELECT source, n_chars,
+                 SUM(k) OVER (PARTITION BY source ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(k) OVER (PARTITION BY source) AS n
+          FROM g),
+    q AS (SELECT i.i AS decile, w.source,
+                 MIN(w.n_chars) AS qv
+          FROM w, UNNEST(generate_series(1, 9)) AS i(i)
+          WHERE w.cum >= GREATEST(1, (i.i * w.n + 9) // 10)
+          GROUP BY 1, 2)
+    SELECT CAST(a.decile AS INT) AS decile,
+           CAST(a.qv AS BIGINT) AS q_a,
+           CAST(b.qv AS BIGINT) AS q_b,
+           CAST(ABS(a.qv - b.qv) AS BIGINT) AS gap
+    FROM q a JOIN q b ON b.decile = a.decile
+    WHERE a.source = '{_QQ_A}' AND b.source = '{_QQ_B}'
+    ORDER BY decile
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile QQ drift between two sources' length distributions — the
+    quantile-space complement of q166's KS (probability-space max gap)
+    and qz171's W1 (area): WHERE the distributions diverge, read off as
+    nine exact order-statistic gaps |q_a(i/10) - q_b(i/10)|. A feed
+    whose p90 moved 40% while its median held is a tail problem; KS
+    alone cannot say that.
+
+    Exactness: every decile is an exact order statistic at integer
+    target rank ceil(i*n/10) = (i*n+9)//10 read off per-source
+    cumulative counts (the q195 machinery) — the whole result is
+    integers; there is NO float anywhere.
+
+    Scale shape: one corpus collapse to (source, length) counts, two
+    per-source cumulative windows (distinct-lengths-sized, bounded by
+    max doc length), a 9-row decile probe, 9-row output."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "documents")
+        .where(F.col("source").isin(_QQ_A, _QQ_B))
+        .groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    w = d.select(
+        "source",
+        "n_chars",
+        F.sum("k").over(w_cum).alias("cum"),
+        F.sum("k").over(w_all).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    q = (
+        w.join(
+            F.broadcast(deciles),
+            F.col("cum")
+            >= F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(decile * n + 9) div 10"),
+            ),
+        )
+        .groupBy("decile", "source")
+        .agg(F.min("n_chars").alias("qv"))
+    )
+    a = q.where(F.col("source") == _QQ_A).select(
+        "decile", F.col("qv").alias("q_a")
+    )
+    b = q.where(F.col("source") == _QQ_B).select(
+        "decile", F.col("qv").alias("q_b")
+    )
+    return (
+        a.join(b, "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("q_a").cast("bigint").alias("q_a"),
+            F.col("q_b").cast("bigint").alias("q_b"),
+            F.abs(F.col("q_a") - F.col("q_b"))
+            .cast("bigint")
+            .alias("gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — top bigram collocations by PMI (pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 5
+_PMI_K = 20
+
+
+@query(
+    "q200_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    ug AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+    m AS (SELECT SUM(c) AS m FROM ug),
+    b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> [toks[i], toks[i + 1]])) AS pair
+          FROM t),
+    bg AS (SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c
+           FROM b GROUP BY 1, 2),
+    nn AS (SELECT SUM(c) AS n FROM bg),
+    s AS (SELECT bg.w1, bg.w2, bg.c,
+                 (1.0 * bg.c * (SELECT m FROM m) * (SELECT m FROM m))
+                 / ((1.0 * (SELECT n FROM nn)) * a.c * z.c) AS ratio
+          FROM bg JOIN ug a ON a.w = bg.w1
+                  JOIN ug z ON z.w = bg.w2
+          WHERE bg.c >= {_PMI_MIN_N})
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair,
+           ROUND(LN(ratio), 6) AS pmi
+    FROM s ORDER BY ratio DESC, w1, w2 LIMIT {_PMI_K}
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI — log p(ab)/(p(a)p(b)), the
+    standard collocation statistic (Church & Hanks 1990): phrases whose
+    co-occurrence beats the unigram-independence baseline, the
+    vocabulary a tokenizer-merge or stop-phrase list is built from
+    (q82's raw top bigrams rank 'of the'; PMI ranks 'san francisco').
+
+    Hash determinism around the float: the RANKING key is the rational
+    ratio c_ab*M^2/(N*c_a*c_b) evaluated as one identically-ordered
+    double expression on both engines (each op IEEE-deterministic, so
+    the sort keys are bit-identical; ties then break on the bigram
+    text) — ln() touches only the _PMI_K DISPLAYED values, rounded 6
+    decimals, never the order. Support floor c >= _PMI_MIN_N kills the
+    hapax-pair noise PMI is notorious for.
+
+    Scale shape: two grouped counts with map-side combine (distinct
+    unigrams / distinct bigrams per partition ride the shuffle, not
+    occurrences — the q82 shape), the unigram side joined twice
+    (broadcast: vocabulary-sized), TakeOrdered top-k."""
+    from . import broadcast_if_small, built
+    from .llm import _artifact
+
+    d = table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _counts():
+        ug = built(
+            d.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        bg = built(
+            d.select(F.explode(bigrams).alias("p"))
+            .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        return ug, bg
+
+    ug, bg = _artifact(spark, sf, "pmi_counts", _counts)
+    m = ug.agg(F.sum("c")).first()[0]
+    n = bg.agg(F.sum("c")).first()[0]
+    a = broadcast_if_small(ug.select(F.col("w").alias("w1"),
+                                     F.col("c").alias("ca")))
+    z = broadcast_if_small(ug.select(F.col("w").alias("w2"),
+                                     F.col("c").alias("cb")))
+    ratio = (1.0 * F.col("c") * float(m) * float(m)) / (
+        (1.0 * float(n)) * F.col("ca") * F.col("cb")
+    )
+    return (
+        bg.where(F.col("c") >= _PMI_MIN_N)
+        .join(a, "w1")
+        .join(z, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_pair"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "w1", "w2")
+        .limit(_PMI_K)
+        .drop("_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — token coverage curve (corpus mass of the top-k vocabulary)
+# ---------------------------------------------------------------------------
+
+_COV_KS = (10, 100, 1000)
+
+
+@query(
+    "q205_token_coverage",
+    oracle=f"""
+    WITH u AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    g AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+    r AS (SELECT c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+                 SUM(c) OVER (ORDER BY c DESC, w
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER () AS tot
+          FROM g)
+    SELECT k.k AS k, CAST(MAX(r.cum) AS BIGINT) AS covered,
+           CAST(MAX(r.tot) AS BIGINT) AS total,
+           ROUND(MAX(r.cum) * 1.0 / MAX(r.tot), 6) AS share
+    FROM r, UNNEST([{", ".join(str(k) for k in _COV_KS)}]) AS k(k)
+    WHERE r.rk <= k.k
+    GROUP BY k.k ORDER BY k
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-10/100/1000 most frequent types cover — the
+    head-mass complement of qz167's Gini and qz134's Zipf slope, and
+    the first number a tokenizer budget decision needs (if 1,000 types
+    cover 95% of the stream, a 32k vocabulary is spending 31k entries
+    on 5% of the mass).
+
+    Exactness: pure integers — grouped counts, a total-ordered
+    (c DESC, w) rank + running sum, coverage read at rank k; one
+    rational division per output row.
+
+    Scale shape: one grouped count with map-side combine; the ranked
+    running sum is vocabulary-sized, NOT corpus-sized, and runs through
+    `global_running_sums`' distributed prefix sum (range exchange +
+    Arrow cumsum + P-row offsets) rather than a single-partition
+    window — web-scale vocabularies (hundreds of millions of types
+    with typos/URLs) keep the rank step parallel. Output is
+    len(ks) rows."""
+    from ..operators.ranking import global_running_sums
+    from .llm import _artifact
+
+    def _ranked():
+        from . import built
+
+        g = (
+            table(spark, sf, "documents")
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        r = global_running_sums(
+            g,
+            order=[F.col("c").desc(), F.col("w")],
+            value=F.col("c"),
+            sum_col="cum",
+        )
+        rk = global_running_sums(
+            r,
+            order=[F.col("c").desc(), F.col("w")],
+            value=F.lit(1),
+            sum_col="rk",
+        )
+        return built(rk.persist())
+
+    r = _artifact(spark, sf, "token_coverage_ranked", _ranked)
+    tot = r.agg(F.sum("c")).first()[0]
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    return (
+        r.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("covered").cast("bigint").alias("covered"),
+            F.lit(int(tot)).cast("bigint").alias("total"),
+            F.round(F.col("covered") * 1.0 / float(tot), 6).alias("share"),
+        )
+        .orderBy("k")
+    )

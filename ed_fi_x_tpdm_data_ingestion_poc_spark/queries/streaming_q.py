@@ -1382,3 +1382,92 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return memo(_SKM, (id(spark), sf), _build, label="sketch_ks_stream")
+
+
+# ---------------------------------------------------------------------------
+# q206 — streaming last-touch attribution (qz193's live form)
+# ---------------------------------------------------------------------------
+
+_SLT: dict[tuple, DataFrame] = {}
+
+
+@query(
+    "q206_stream_last_touch",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT COALESCE(prev, 'none') AS touch, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY n DESC, touch
+    """,
+    tags=("streaming", "analytics", "sequence", "stateful"),
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution maintained ON THE STREAM — qz193's LAG
+    window in its live form: per-user state is ONE string (the last
+    event type seen), each micro-batch credits its purchases to the
+    type immediately preceding them (the in-batch predecessor, or the
+    carried state for a purchase that OPENS a batch — the cross-batch
+    case that makes this a real stateful operator), and emits only the
+    batch's (touch, n) delta rows; the final result is the running sum
+    of deltas. Must hash-equal the batch oracle exactly.
+
+    Order contract: last-touch is ORDER-SENSITIVE state, so the replay
+    uses the thirds_total layout (total (ts, event_id) order across
+    micro-batch boundaries — the qz179 Page-Hinkley contract) and each
+    batch's per-user chunk is concatenated and sorted before the fold.
+
+    Scale shape: state is one string per user (vs qz179's 5 floats per
+    type); each batch does one vectorized shift-and-mask pass per user
+    chunk — no per-event Python, no shuffle beyond the user-key
+    exchange; emissions are touch-types-sized per batch, and the delta
+    aggregation is types-sized."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.replay import run_to_memory
+    from . import memo
+
+    def _build() -> DataFrame:
+        ev = _events_stream(
+            spark, sf, layout="thirds_total", shuffle_n=4
+        ).select("user_id", "event_id", "ts", "event_type")
+
+        def upd(key, pdf_iter, state: GroupState):
+            last = state.get[0] if state.exists else "none"
+            chunks = [pdf for pdf in pdf_iter]
+            out: dict[str, int] = {}
+            if chunks:
+                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+                types = pdf["event_type"].tolist()
+                prev = [last] + types[:-1]
+                for t, p in zip(types, prev):
+                    if t == "purchase":
+                        out[p] = out.get(p, 0) + 1
+                last = types[-1]
+            state.update((last,))
+            yield pd.DataFrame(
+                {"touch": list(out), "n": [out[t] for t in out]}
+            )
+
+        updates = ev.groupBy("user_id").applyInPandasWithState(
+            upd,
+            outputStructType="touch string, n long",
+            stateStructType="last string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        # every emitted row is a per-(user, batch) DELTA: the memory
+        # sink in update mode appends rows, so the final answer is the
+        # sum over all emissions
+        res = run_to_memory(updates, output_mode="update")
+        return (
+            res.groupBy("touch")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "touch")
+        )
+
+    out = memo(_SLT, (id(spark), sf), _build, label="last_touch_stream")
+    return out

@@ -668,3 +668,198 @@ def test_rfm_segments_all_populated_at_every_shipped_sf(spark):
         ev = _events(sfd)
         assert out["n_events"].sum() == len(ev), sfd
         assert out["n_users"].sum() == ev["user_id"].nunique(), sfd
+
+
+def test_benford_digits_match_string_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    v = ev.loc[ev["value"] > 0]
+    iv = (v["value"] * 1e6).round().astype("int64")
+    digit = iv.astype(str).str[0].astype(int)
+    ref = (
+        pd.DataFrame({"event_type": v["event_type"], "digit": digit})
+        .groupby(["event_type", "digit"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    tot = ref.groupby("event_type")["n"].transform("sum")
+    ref["share"] = ref["n"] / tot
+    out = _run("q197_benford_digits", spark, sf_dir)
+    assert len(out) == len(ref)
+    m = out.merge(ref, on=["event_type", "digit"], suffixes=("", "_ref"))
+    assert (m["n"] == m["n_ref"]).all()
+    assert (m["share"] - m["share_ref"]).abs().max() < 1e-6
+    # excess vs the Benford reference
+    benford = np.log10(1 + 1 / m["digit"].to_numpy())
+    assert (m["excess"] - (m["share_ref"] - benford)).abs().max() < 1e-5
+
+
+def test_markov_two_step_matches_matrix_power(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    pairs = []
+    for _, g in ev.groupby("user_id"):
+        t = g["event_type"].tolist()
+        pairs += list(zip(t, t[1:]))
+    c = pd.Series(pairs).value_counts()
+    types = sorted({a for a, _ in c.index} | {b for _, b in c.index})
+    ix = {t: i for i, t in enumerate(types)}
+    q = np.zeros((len(types), len(types)), dtype="int64")
+    tot = np.zeros(len(types), dtype="int64")
+    for (a, b), n in c.items():
+        tot[ix[a]] += n
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for (a, b), n in c.items():
+        q[ix[a], ix[b]] = int(
+            Decimal(repr(n * 1000000.0 / tot[ix[a]])).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+    p2 = q @ q  # integer fixed-point product
+    out = _run("q198_markov_two_step", spark, sf_dir)
+    for r in out.itertuples():
+        ref = p2[ix[r.cur], ix[r.nxt2]] / 1e12
+        assert abs(r.p2 - ref) < 1e-6, (r.cur, r.nxt2)
+    # full real-valued kernel within fixed-point tolerance (9 terms x 5e-7)
+    p = q / 1e6
+    for r in out.itertuples():
+        assert abs(r.p2 - (p @ p)[ix[r.cur], ix[r.nxt2]]) < 1e-5
+
+
+def test_qq_deciles_match_order_stats(spark, sf_dir):
+    d = _docs(sf_dir)
+    a = np.sort(d.loc[d["source"] == "src0", "n_chars"].to_numpy())
+    b = np.sort(d.loc[d["source"] == "src1", "n_chars"].to_numpy())
+    out = _run("q199_qq_deciles", spark, sf_dir).set_index("decile")
+    for i in range(1, 10):
+        qa = a[max(1, -(-i * len(a) // 10)) - 1]
+        qb = b[max(1, -(-i * len(b) // 10)) - 1]
+        row = out.loc[i]
+        assert row["q_a"] == qa and row["q_b"] == qb
+        assert row["gap"] == abs(int(qa) - int(qb))
+
+
+def test_pmi_matches_pandas_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    uni: dict = {}
+    big: dict = {}
+    for text in d["text"]:
+        toks = str(text).split(" ")
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for w1, w2 in zip(toks, toks[1:]):
+            big[(w1, w2)] = big.get((w1, w2), 0) + 1
+    M = sum(uni.values())
+    N = sum(big.values())
+    scored = [
+        (1.0 * c * M * M / ((1.0 * N) * uni[w1] * uni[w2]), w1, w2, c)
+        for (w1, w2), c in big.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    out = _run("q200_pmi_collocations", spark, sf_dir)
+    assert len(out) == 20
+    for row, (ratio, w1, w2, c) in zip(out.itertuples(), scored[:20]):
+        assert (row.w1, row.w2, row.n_pair) == (w1, w2, c)
+        assert abs(row.pmi - np.log(ratio)) < 1e-5
+
+
+def test_daily_hhi_matches_reference(spark, sf_dir):
+    daily = _daily(sf_dir)
+    out = _run("q201_daily_hhi", spark, sf_dir).set_index("day")
+    for day, g in daily.groupby("day"):
+        tot = g["c"].sum()
+        hhi = float((g["c"] ** 2).sum()) / tot**2
+        top = g.sort_values(["c", "event_type"],
+                            ascending=[False, True]).iloc[0]
+        row = out.loc[day]
+        assert row["n_events"] == tot
+        assert abs(row["hhi"] - hhi) < 1e-6
+        assert row["top_type"] == top["event_type"]
+        assert abs(row["top_share"] - top["c"] / tot) < 1e-6
+
+
+def test_gap_survival_matches_reference(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for _, g in ev.groupby("user_id"):
+        us = (
+            (g["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() * 1e6
+        ).round().astype("int64").to_numpy()
+        t = g["event_type"].to_numpy()
+        for i in range(len(us) - 1):
+            rows.append((t[i], us[i + 1] - us[i]))
+    gaps = pd.DataFrame(rows, columns=["event_type", "gap"])
+    out = _run("q202_gap_survival", spark, sf_dir)
+    for r in out.itertuples():
+        g = gaps.loc[gaps["event_type"] == r.event_type, "gap"]
+        assert r.n_gaps == len(g)
+        exceed = int((g > r.horizon_s * 1_000_000).sum())
+        assert r.n_exceed == exceed
+        assert abs(r.share - exceed / len(g)) < 1e-6
+
+
+def test_session_lift_matches_reference(spark, sf_dir):
+    ev = _events(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    sess_types: dict = {}
+    for uid, g in ev.groupby("user_id"):
+        us = (
+            (g["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() * 1e6
+        ).round().astype("int64").to_numpy()
+        sid = 0
+        for i, t in enumerate(g["event_type"].to_numpy()):
+            if i > 0 and us[i] - us[i - 1] > 1_800_000_000:
+                sid += 1
+            sess_types.setdefault((uid, sid), set()).add(t)
+    S = len(sess_types)
+    ct: dict = {}
+    co: dict = {}
+    for types in sess_types.values():
+        ts_sorted = sorted(types)
+        for t in ts_sorted:
+            ct[t] = ct.get(t, 0) + 1
+        for i, ta in enumerate(ts_sorted):
+            for tb in ts_sorted[i + 1:]:
+                co[(ta, tb)] = co.get((ta, tb), 0) + 1
+    out = _run("q203_session_lift", spark, sf_dir)
+    assert len(out) == len(co)
+    for r in out.itertuples():
+        n_co = co[(r.type_a, r.type_b)]
+        assert r.n_co == n_co
+        assert abs(r.lift - n_co * S / (ct[r.type_a] * ct[r.type_b])) < 1e-6
+        assert abs(r.conf_a_to_b - n_co / ct[r.type_a]) < 1e-6
+
+
+def test_audience_jaccard_matches_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    users = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    out = _run("q204_audience_jaccard", spark, sf_dir)
+    types = sorted(users)
+    expect_pairs = [
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+        if users[a] & users[b]
+    ]
+    assert len(out) == len(expect_pairs)
+    for r in out.itertuples():
+        inter = len(users[r.type_a] & users[r.type_b])
+        union = len(users[r.type_a] | users[r.type_b])
+        assert r.n_inter == inter
+        assert abs(r.jaccard - inter / union) < 1e-6
+
+
+def test_token_coverage_matches_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    cnt: dict = {}
+    for text in d["text"]:
+        for w in str(text).split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(cnt.values())
+    out = _run("q205_token_coverage", spark, sf_dir).set_index("k")
+    for k in (10, 100, 1000):
+        covered = sum(c for _, c in ranked[:k])
+        row = out.loc[k]
+        assert row["covered"] == covered and row["total"] == tot
+        assert abs(row["share"] - covered / tot) < 1e-6
