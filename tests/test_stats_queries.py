@@ -863,3 +863,52 @@ def test_token_coverage_matches_reference(spark, sf_dir):
         row = out.loc[k]
         assert row["covered"] == covered and row["total"] == tot
         assert abs(row["share"] - covered / tot) < 1e-6
+
+
+def test_ks_distributed_screen_brackets_and_decision_safety(spark, sf_dir):
+    """The distributed grid-CDF screen's two-sided interval must bracket
+    the exact D for every pair (q170 slack + fixed-grid interpolation
+    term), and every DECIDED pair must match the exact rounded
+    Bonferroni decision — including under an adversarially COARSE grid,
+    which may only widen the undecided band, never flip a decision."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.quantiles import (
+        quantile_summary_by,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _ks_bonf_crit,
+        _ks_sketch_screen_distributed,
+    )
+
+    docs = _docs(sf_dir)
+    exact = _ks_exact_ref(docs)
+    summ = quantile_summary_by(
+        spark.createDataFrame(docs[["source", "n_chars"]]),
+        "n_chars",
+        "source",
+        eps=0.02,
+    )
+    n_src = docs["source"].nunique()
+    m = n_src * (n_src - 1) // 2
+    c_bonf = math.sqrt(math.log(2.0 / (0.05 / m)) / 2.0)
+    crit_of = _ks_bonf_crit(n_src)
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    for grid_size in (128, 8):  # production grid and an adversarial one
+        rows = _ks_sketch_screen_distributed(
+            spark, summ, c_bonf, grid_size=grid_size
+        ).collect()
+        assert len(rows) == len(exact)
+        for r in rows:
+            d_exact, na, nb = exact[(r.source_a, r.source_b)]
+            assert r.lo_bound - 1e-12 <= d_exact <= r.up_bound + 1e-12
+            if r.decision >= 0:
+                assert r.decision == int(
+                    r6(d_exact) > r6(crit_of(na, nb))
+                ), (r.source_a, r.source_b, grid_size)
