@@ -497,7 +497,7 @@ def test_event_paths_match_pandas_reference(spark, sf_dir):
             p = ">".join(t[i : i + 3])
             paths[p] = paths.get(p, 0) + 1
     top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    out = _run("qz190_event_paths", spark, sf_dir)
+    out = _run("q190_event_paths", spark, sf_dir)
     got = [(r.path, r.n) for r in out.itertuples()]
     assert got == top
 
@@ -546,7 +546,7 @@ def test_last_touch_matches_pandas_reference(spark, sf_dir):
                 prev = t[i - 1] if i > 0 else "none"
                 counts[prev] = counts.get(prev, 0) + 1
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    out = _run("qz193_last_touch", spark, sf_dir)
+    out = _run("q193_last_touch", spark, sf_dir)
     assert [(r.touch, r.n) for r in out.itertuples()] == expect
 
 
