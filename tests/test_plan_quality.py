@@ -477,3 +477,38 @@ def test_semantic_decontam_corpus_map_only(spark, sf_dir):
     f = audit(_build(spark, sf_dir, "qz157_semantic_decontam"))
     assert f.joins == 0
     assert f.arrow_evals >= 1 and f.python_evals == 0
+
+
+def test_user_seq_artifact_is_one_exchange_one_sort(spark, sf_dir):
+    """The shared event-sequence artifact must keep its contract: all
+    five window expressions (prev/next type, prev/next us, 2-ahead
+    type) ride ONE (user_id) exchange and one sort — a second Exchange
+    would mean the corpus is shuffled per expression group, exactly
+    what the artifact exists to prevent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    e = table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(us).over(w).alias("prev_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(us).over(w).alias("next_us"),
+        F.lead("event_type", 2).over(w).alias("next2_type"),
+    )
+    f = audit(df)
+    # the formatted dump names each physical node twice (tree line +
+    # detail header), so ONE physical Exchange == 2 regex hits; a
+    # second physical shuffle would push this to 4
+    assert f.exchanges <= 2, f
