@@ -904,10 +904,18 @@ def user_seq(spark: SparkSession, sf: str) -> DataFrame:
     queries re-shuffled the corpus for the SAME keyed sort — the
     kw_ranked/ks_pairs rationale applied to event sequences. All
     window expressions share one (user_id, ts, event_id) sort, so
-    Catalyst plans exactly one exchange + one sort for the build;
-    measured at sf0.1 the artifact read is ~0.28 s vs ~0.45 s for a
-    fresh window pass per query, and the 100 TB effect is 7 corpus
-    shuffles -> 1."""
+    Catalyst plans exactly one exchange + one sort for the build
+    (pinned by tests/test_plan_quality.py).
+
+    Measured trade (10x-inflated sf0.1, 1M rows): seven independent
+    NARROW window passes cost 2.5 s cold, the wide build 3.2 s + 0.16 s
+    per artifact read — so a one-shot cold sweep LOSES by ~1.8 s and
+    the artifact pays for itself from the ~16th ask (~2.3 family
+    sweeps; each per-query ask is 0.36 s fresh vs 0.16 s read). That is
+    the right side of the trade for this registry — the bench protocol
+    alone asks each consumer ~8x per run, and a production monitoring
+    suite re-asks the family per snapshot — and at 100 TB it is 7
+    corpus shuffles per snapshot -> 1."""
     from . import built
     from .llm import _artifact
 
