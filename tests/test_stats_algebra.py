@@ -135,3 +135,93 @@ def test_cusum_crossmultiplied_identity(c):
     s_float = np.abs(cum - k * tot / n)
     assert int(np.argmax(dnum)) == int(np.argmax(np.round(s_float * n)))
     assert abs(dnum.max() / (n * tot) - s_float.max() / tot) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# KS sketch-screen decision-safety: a PROPERTY of the margin algebra, so it
+# gets a hypothesis sweep over arbitrary two-sample data and batchings —
+# no Spark involved: summaries built with the same batch_points kernel the
+# distributed passes use.
+# --------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.quantiles import (
+    batch_points,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+    _ks_sketch_screen,
+)
+
+
+def _summary_of(values: list[float], n_batches: int, eps: float) -> dict:
+    """Build a summary exactly as quantile_summary_by would: the values
+    split into n_batches arbitrary slices, each compressed by
+    batch_points, kept points concatenated."""
+    arr = np.asarray(values, dtype="float64")
+    chunks = np.array_split(arr, n_batches)
+    pts, slack = [], 0
+    for c in chunks:
+        if not len(c):
+            continue
+        v, w, s = batch_points(c, eps)
+        pts += list(zip(v.tolist(), w.tolist()))
+        slack += s
+    pts.sort()
+    return {"points": pts, "n": int(len(arr)), "slack": int(slack)}
+
+
+def _exact_ks(a: list[float], b: list[float]) -> float:
+    xa, xb = np.sort(np.asarray(a)), np.sort(np.asarray(b))
+    xs = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, xs, side="right") / len(xa)
+    fb = np.searchsorted(xb, xs, side="right") / len(xb)
+    return float(np.max(np.abs(fa - fb)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a=st.lists(
+        st.integers(min_value=0, max_value=40).map(float),
+        min_size=4,
+        max_size=120,
+    ),
+    b=st.lists(
+        st.integers(min_value=20, max_value=80).map(float),
+        min_size=4,
+        max_size=120,
+    ),
+    na_batches=st.integers(min_value=1, max_value=5),
+    nb_batches=st.integers(min_value=1, max_value=5),
+    eps=st.sampled_from([0.02, 0.1, 0.3]),
+    crit=st.floats(min_value=0.01, max_value=1.0),
+)
+def test_screen_decision_safety_property(
+    a, b, na_batches, nb_batches, eps, crit
+):
+    """For ARBITRARY two-sample data, batching, compression rate, and
+    critical value: (1) the sketch interval brackets the exact D;
+    (2) any DECIDED pair's decision equals the exact rounded decision —
+    the margin algebra's whole contract, independent of the fixtures."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    summ = {
+        "sa": _summary_of(a, na_batches, eps),
+        "sb": _summary_of(b, nb_batches, eps),
+    }
+    decided, undecided, info = _ks_sketch_screen(
+        summ, lambda na, nb: crit
+    )
+    d_sketch, bound = info[("sa", "sb")]
+    d_exact = _exact_ks(a, b)
+    assert abs(d_sketch - d_exact) <= bound + 1e-12
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    for _, _, rej in decided:
+        assert rej == int(r6(d_exact) > r6(crit))
