@@ -1390,6 +1390,42 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
 
 _SLT: dict[tuple, DataFrame] = {}
 
+# the per-user last-touch state contract: shared by q206 and
+# tests/test_monitor_recovery.py (the q192/q161 rationale — a
+# state-schema change that breaks checkpoint recovery fails CI)
+LAST_TOUCH_OUT_DDL = "touch string, n long"
+LAST_TOUCH_STATE_DDL = "last string"
+
+
+def last_touch_state_update():
+    """Builder for q206's applyInPandasWithState updater: state is ONE
+    string (the user's last seen event type); each batch's purchases
+    credit their in-batch predecessor, or the carried state when a
+    purchase OPENS the batch (the cross-batch case). Emits the batch's
+    per-touch DELTA counts. Module-level so the checkpoint-recovery
+    contract test drives the PRODUCTION updater."""
+
+    def upd(key, pdf_iter, state):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else "none"
+        chunks = [pdf for pdf in pdf_iter]
+        out: dict[str, int] = {}
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            types = pdf["event_type"].tolist()
+            prev = [last] + types[:-1]
+            for t, p in zip(types, prev):
+                if t == "purchase":
+                    out[p] = out.get(p, 0) + 1
+            last = types[-1]
+        state.update((last,))
+        yield pd.DataFrame(
+            {"touch": list(out), "n": [out[t] for t in out]}
+        )
+
+    return upd
+
 
 @query(
     "q206_stream_last_touch",
@@ -1424,8 +1460,7 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
     chunk — no per-event Python, no shuffle beyond the user-key
     exchange; emissions are touch-types-sized per batch, and the delta
     aggregation is types-sized."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..streaming.replay import run_to_memory
     from . import memo
@@ -1435,27 +1470,10 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
             spark, sf, layout="thirds_total", shuffle_n=4
         ).select("user_id", "event_id", "ts", "event_type")
 
-        def upd(key, pdf_iter, state: GroupState):
-            last = state.get[0] if state.exists else "none"
-            chunks = [pdf for pdf in pdf_iter]
-            out: dict[str, int] = {}
-            if chunks:
-                pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-                types = pdf["event_type"].tolist()
-                prev = [last] + types[:-1]
-                for t, p in zip(types, prev):
-                    if t == "purchase":
-                        out[p] = out.get(p, 0) + 1
-                last = types[-1]
-            state.update((last,))
-            yield pd.DataFrame(
-                {"touch": list(out), "n": [out[t] for t in out]}
-            )
-
         updates = ev.groupBy("user_id").applyInPandasWithState(
-            upd,
-            outputStructType="touch string, n long",
-            stateStructType="last string",
+            last_touch_state_update(),
+            outputStructType=LAST_TOUCH_OUT_DDL,
+            stateStructType=LAST_TOUCH_STATE_DDL,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -215,3 +215,94 @@ def test_mg_monitor_state_survives_restart(spark, tmp_path):
     # the never-resetting-carry error law holds across the restart
     for s, r in merged.items():
         assert r.err <= r.n / (2 + 1)
+
+
+# -------------------------------------------------------------- last-touch --
+
+
+def _lt_stream(spark, src: str):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.streaming_q import (
+        LAST_TOUCH_OUT_DDL,
+        LAST_TOUCH_STATE_DDL,
+        last_touch_state_update,
+    )
+
+    ev = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        last_touch_state_update(),
+        outputStructType=LAST_TOUCH_OUT_DDL,
+        stateStructType=LAST_TOUCH_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _lt_events(rows):
+    return pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type"]
+    ).astype({"ts": "datetime64[us]"})
+
+
+_T0 = pd.Timestamp("2024-01-01")
+
+
+def _ts(minutes):
+    return _T0 + pd.Timedelta(minutes=minutes)
+
+
+# user 1's purchase OPENS file B: its touch ('view') must come from the
+# state carried across the A->B batch boundary — the cross-batch case
+_LT_A = _lt_events(
+    [(1, 1, _ts(0), "view"), (2, 2, _ts(1), "click"),
+     (2, 3, _ts(2), "purchase")]
+)
+_LT_B = _lt_events(
+    [(1, 4, _ts(3), "purchase"), (2, 5, _ts(4), "view")]
+)
+# user 2's purchase OPENS file C after the RESTART: its touch ('view')
+# must come from state restored from the checkpoint
+_LT_C = _lt_events(
+    [(2, 6, _ts(5), "purchase"), (1, 7, _ts(6), "purchase")]
+)
+
+
+def test_last_touch_state_survives_restart(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src, "0000.parquet", _LT_A)
+    _write(src, "0001.parquet", _LT_B)
+    rows1 = _run_monitor(spark, _lt_stream(spark, src), ckpt)
+    tally1 = {}
+    for r in rows1:
+        tally1[r.touch] = tally1.get(r.touch, 0) + r.n
+    # A: u2 purchase after click; B: u1 purchase after view (cross-batch)
+    assert tally1 == {"click": 1, "view": 1}
+
+    _write(src, "0002.parquet", _LT_C)
+    rows2 = _run_monitor(spark, _lt_stream(spark, src), ckpt)
+    tally2 = {}
+    for r in rows2:
+        tally2[r.touch] = tally2.get(r.touch, 0) + r.n
+    # C only: u2's purchase touches the 'view' carried across the
+    # RESTART; u1's purchase touches its pre-restart 'purchase'. If
+    # state were rebuilt empty both would read 'none'.
+    assert tally2 == {"view": 1, "purchase": 1}, tally2
+
+    # delta emissions: phase1 + phase2 equal an uninterrupted run
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    for name, pdf in [("0000.parquet", _LT_A), ("0001.parquet", _LT_B),
+                      ("0002.parquet", _LT_C)]:
+        _write(src2, name, pdf)
+    ref_rows = _run_monitor(spark, _lt_stream(spark, src2), ckpt2)
+    ref = {}
+    for r in ref_rows:
+        ref[r.touch] = ref.get(r.touch, 0) + r.n
+    got = dict(tally1)
+    for k, v in tally2.items():
+        got[k] = got.get(k, 0) + v
+    assert got == ref
