@@ -432,7 +432,7 @@ def q49d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz49f_stream_stream_join",
+    "q49f_stream_stream_join",
     oracle="""
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            COUNT(*) AS n_pairs

@@ -16,6 +16,15 @@ fails here instead of in production:
   and equals the uninterrupted run's final state exactly;
 * the restart processes ONLY the new file (batch counters advance by
   one, totals grow by exactly the new rows — no reprocessing).
+
+Contrast: qz182's PSI monitor keeps its (bounded, types x deciles)
+cumulative counts in a driver dict via foreachBatch — that pattern
+restarts COLD by design (the checkpoint skips consumed input, so a
+restarted driver dict would silently undercount; a production
+deployment re-runs the monitor from its reference snapshot instead).
+The applyInPandasWithState family tested here is the checkpoint-
+recoverable form and the template whenever monitor state must survive
+a restart.
 """
 
 from __future__ import annotations
