@@ -491,8 +491,13 @@ def test_user_seq_artifact_is_one_exchange_one_sort(spark, sf_dir):
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
 
     e = table(spark, sf_dir, "events")
+    # a deliberately DISTINCT anchor: with the production anchor this
+    # logical plan is identical to the user_seq artifact's, and once any
+    # earlier test materializes that artifact the CacheManager swaps in
+    # the InMemoryRelation (whose printed cached plan carries its own
+    # Exchange), making the count order-dependent across the suite
     us = F.expr(
-        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:01', ts)"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     df = e.select(
