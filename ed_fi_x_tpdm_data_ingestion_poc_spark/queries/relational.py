@@ -884,3 +884,247 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# q208-q211 — classic warehouse report shapes over the TPC-H-style tables
+# (the multi-way selective-join family the earlier relational surface
+# exercised only piecewise: joins qz10-qz17, aggregates qz18-qz23)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_ship_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_key,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_date, o_key LIMIT 10
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority report (the TPC-H Q3 shape): top-10 unshipped
+    revenue among BUILDING-segment orders placed before a cutoff with
+    line items still shipping after it — a selective 3-way
+    fact-dimension-fact join feeding a grouped top-k.
+
+    Plan shape at 100 TB: the segment filter reduces customer ~5x
+    BEFORE its join (predicate pushdown reaches the scan), orders
+    prunes on the date filter, and the orderkey join is the only
+    fact-fact shuffle; revenue is ROUND(2)-ed before the ordering so
+    the top-k boundary is deterministic cross-engine (ties then break
+    on date + key — total order under LIMIT, the registry rule)."""
+    c = table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_key"),
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("o_key", "revenue", "o_date", "priority")
+        .orderBy(F.col("revenue").desc(), "o_date", "o_key")
+        .limit(10)
+    )
+
+
+@query(
+    "q209_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY nation
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-supplier volume (the TPC-H Q5 shape): revenue per ASIA
+    nation where the CUSTOMER and the SUPPLIER sit in the same nation —
+    the 6-way join whose distinguishing edge is the non-hierarchical
+    c_nationkey = s_nationkey condition (it correlates two dimension
+    branches, so join ORDER matters: nation/region prune the supplier
+    side before the fact join, not after).
+
+    Plan shape at 100 TB: region -> nation -> supplier is a broadcast
+    chain (both dims are tiny; the hint is explicit); orders prunes on
+    the year filter; lineitem joins orders on orderkey (fact-fact
+    shuffle) and the supplier branch on suppkey (broadcast); the
+    same-nation condition rides the supplier join as an equi-key with
+    the customer side. Output is nations-sized, totally ordered."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    sup = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (c.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q210_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, custkey LIMIT 20
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item report (the TPC-H Q10 shape): the 20 customers who
+    returned the most revenue in one quarter — the churn-risk /
+    fraud-triage report every warehouse runs; a returnflag-filtered
+    fact joined up the customer->nation hierarchy.
+
+    Plan shape at 100 TB: the returnflag + quarter predicates reach
+    both fact scans; one orderkey fact-fact shuffle; customer joins on
+    custkey and nation broadcasts. Revenue is ROUND(2)-ed before the
+    top-k ordering, ties break on custkey."""
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q211_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice
+                                       * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion revenue share (the TPC-H Q14 shape): the percentage of
+    one month's shipped revenue attributable to PROMO parts — the
+    conditional-aggregate-over-a-dimension-attribute report (campaign
+    lift, assortment mix) in its canonical form.
+
+    Plan shape at 100 TB: the ship-month predicate reaches the
+    lineitem scan; part joins broadcast on partkey; BOTH sums ride one
+    aggregate over the same join (never two scans). The output ratio
+    is float-sum over float-sum — rounded at 1e-4, ~7 orders above the
+    worst-case cross-engine summation-order noise at this row count
+    (the established revenue-ROUND(2) argument, one decade tighter)."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
