@@ -1128,3 +1128,183 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@query(
+    "q212_late_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY priority
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority late-shipment check (the TPC-H Q4 shape): how many
+    of one quarter's orders, per priority, had at least one line item
+    ship more than 60 days after the order — the EXISTS-with-a-
+    CORRELATED-condition report (the subquery's predicate references
+    BOTH relations: l_shipdate > o_orderdate + 60d), which plans as a
+    LEFT SEMI join carrying the non-equi condition alongside the
+    orderkey equi key, so each order counts ONCE no matter how many
+    late items it has (an inner join + distinct would shuffle the
+    multiplicity it then throws away).
+
+    Plan shape at 100 TB: the quarter filter reaches the orders scan;
+    the semi join shuffles on orderkey only; output is
+    priorities-sized, totally ordered."""
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q213_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive-predicate revenue (the TPC-H Q19 shape): an OR of
+    three (brand, size-range, quantity-range) conjunctions across BOTH
+    join sides — the optimizer stress case for predicate decomposition:
+    Catalyst pushes the derivable per-side disjunctions
+    (brand-1 OR 2 OR 3 to the part scan, the quantity-range union to
+    the lineitem scan) even though the full predicate can only be
+    evaluated after the join. The report itself is the classic
+    'special deal' revenue question.
+
+    Plan shape at 100 TB: both scans prune on the pushed disjunction
+    residuals before the partkey join (part side broadcasts); one
+    final one-row aggregate."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q214_two_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(YEAR(CAST(l.l_shipdate AS DATE)) AS INT) AS ship_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE ((cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_2'))
+    GROUP BY 1, 2, 3 ORDER BY cust_nation, supp_nation, ship_year
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-nation shipping volume by year (the TPC-H Q7 shape): trade
+    flow between two specific nations in BOTH directions, split by
+    customer-side vs supplier-side nation and ship year — the
+    bilateral-flow report whose distinguishing feature is the SAME
+    dimension (nation) joined twice under different roles, with a
+    symmetric pair filter across the two aliases.
+
+    Plan shape at 100 TB: both nation aliases broadcast (and the name
+    filter prunes each to one row BEFORE its join, so the fact stream
+    is filtered early through the customer and supplier branches); one
+    orderkey fact-fact shuffle; year comes from the TZ-free DATE cast
+    (the session is UTC-pinned, the q77 precedent). Output is
+    2 x years-sized, totally ordered."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_2", "NATION_7"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_2", "NATION_7"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year(F.col("l_shipdate").cast("date"))
+            .cast("int")
+            .alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )

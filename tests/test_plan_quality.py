@@ -517,3 +517,15 @@ def test_user_seq_artifact_is_one_exchange_one_sort(spark, sf_dir):
     # detail header), so ONE physical Exchange == 2 regex hits; a
     # second physical shuffle would push this to 4
     assert f.exchanges <= 2, f
+
+
+def test_disjunctive_predicate_decomposes_to_both_scans(spark, sf_dir):
+    """q213's OR-of-conjunctions spans both join sides; Catalyst must
+    still push the DERIVABLE per-side disjunctions into each parquet
+    scan (the quantity-range union to lineitem, the brand+size union to
+    part) — losing this decomposition means scanning both tables in
+    full at 100 TB and filtering after the join."""
+    f = audit(_build(spark, sf_dir, "q213_disjunctive_revenue"))
+    pushed = " ".join(f.pushed_filters)
+    assert "l_quantity" in pushed and "Or(" in pushed
+    assert "p_brand" in pushed and "p_size" in pushed
