@@ -899,6 +899,72 @@ def main() -> None:
         )
     )
 
+    # q209's 6-way warehouse join (TPC-H Q5 shape) under a `factor`x
+    # lineitem: the selective date filter prunes orders at the scan,
+    # every dimension branch broadcasts, and the ONLY fact-fact shuffle
+    # is the orderkey join — so wall-clock should track the filtered
+    # fact volume, not the 6-way join's nominal input product (the
+    # probe body mirrors q209's plan).
+    li0 = table(spark, sf_dir, "lineitem")
+
+    def _q5(li):
+        oo = table(spark, sf_dir, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        c5 = table(spark, sf_dir, "customer")
+        s5 = table(spark, sf_dir, "supplier")
+        n5 = table(spark, sf_dir, "nation")
+        r5 = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+        sup = s5.join(
+            F.broadcast(
+                n5.join(F.broadcast(r5), n5.n_regionkey == r5.r_regionkey)
+            ),
+            s5.s_nationkey == F.col("n_nationkey"),
+        )
+        (
+            li.join(oo, li.l_orderkey == oo.o_orderkey)
+            .join(c5, oo.o_custkey == c5.c_custkey)
+            .join(
+                F.broadcast(sup),
+                (li.l_suppkey == sup.s_suppkey)
+                & (c5.c_nationkey == sup.s_nationkey),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("rev")
+            )
+            .collect()
+        )
+
+    _q5(li0)  # warm
+    t0 = time.perf_counter()
+    _q5(li0)
+    t_base5 = time.perf_counter() - t0
+    cps5 = spark.range(factor).select(F.col("id").alias("__c"))
+    big5 = li0.crossJoin(F.broadcast(cps5)).drop("__c").persist()
+    big5.count()
+    t0 = time.perf_counter()
+    _q5(big5)
+    t_big5 = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "warehouse_join_q5",
+                "factor": factor,
+                "sec_base": round(t_base5, 2),
+                "sec_big": round(t_big5, 2),
+                "growth_vs_linear": round(t_big5 / (t_base5 * factor), 2),
+            }
+        )
+    )
+    big5.unpersist()
+
 
 if __name__ == "__main__":
     main()
