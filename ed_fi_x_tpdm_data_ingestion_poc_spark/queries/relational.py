@@ -1313,3 +1313,167 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation", "ship_year")
     )
+
+
+@query(
+    "q215_top_supplier",
+    oracle="""
+    WITH rev AS (SELECT l.l_suppkey AS suppkey,
+                        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)),
+                              2) AS total
+                 FROM lineitem l
+                 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1997-04-01'
+                 GROUP BY 1)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name, rev.total AS total
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.suppkey
+    WHERE rev.total = (SELECT MAX(total) FROM rev)
+    ORDER BY suppkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier by quarterly revenue, TIES INCLUDED (the TPC-H Q15
+    shape): the correlated-max idiom — 'every row achieving the group
+    maximum', which a LIMIT 1 gets wrong whenever two suppliers tie.
+    Plans as one grouped revenue table joined against its own one-row
+    MAX (broadcast scalar), never a window over the full table.
+
+    Float-equality hazard handled: the tie comparison runs on
+    ROUND(2)-ed revenue on BOTH engines — raw float equality across
+    engines is exactly the nondeterminism the registry bans; at 2
+    decimals the compared values are bit-identical cross-engine (the
+    revenue-ROUND precedent).
+
+    Plan shape at 100 TB: quarter filter at the scan, one suppkey
+    grouped aggregate, a 1-row broadcast max join, supplier dimension
+    broadcast."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total == F.col("mx"))
+        .join(F.broadcast(s), rev.suppkey == s.s_suppkey)
+        .select(
+            F.col("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q216_order_count_histogram",
+    oracle="""
+    WITH per_cust AS (SELECT c.c_custkey,
+                             COUNT(o.o_orderkey) AS n_orders
+                      FROM customer c
+                      LEFT JOIN orders o
+                        ON o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority <> '1-URGENT'
+                      GROUP BY 1)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1 ORDER BY n_customers DESC, n_orders
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer order-count distribution (the TPC-H Q13 shape): how
+    many customers placed 0, 1, 2, ... non-urgent orders — the
+    ZERO-PRESERVING double aggregate whose defining subtlety is the
+    LEFT join with the filter ON THE JOIN CONDITION (a WHERE would
+    silently delete the zero-order customers the histogram exists to
+    count) and COUNT(column) counting only matched rows.
+
+    Plan shape at 100 TB: one custkey shuffle for the outer join +
+    first aggregate (same key, one exchange serves both), then a
+    histogram-sized regroup; output is max-order-count rows."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(F.col("n_orders").cast("bigint").alias("n_orders"),
+                "n_customers")
+        .orderBy(F.col("n_customers").desc(), "n_orders")
+    )
+
+
+@query(
+    "q217_dormant_rich_customers",
+    oracle="""
+    WITH thresh AS (SELECT AVG(c_acctbal) AS t FROM customer
+                    WHERE c_acctbal > 0),
+    dormant AS (SELECT c.c_mktsegment AS segment, c.c_acctbal
+                FROM customer c
+                WHERE c.c_acctbal > (SELECT t FROM thresh)
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey
+                                    AND o.o_orderpriority = '1-URGENT'))
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS balance
+    FROM dormant GROUP BY 1 ORDER BY segment
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """Dormant high-balance customers per segment (the TPC-H Q22
+    shape): above-average account balance and no URGENT order — the
+    scalar-subquery-threshold + NOT-EXISTS idiom (who has money parked
+    but never escalates; the urgent-priority restriction also keeps the
+    fixture result non-empty, where no-orders-at-all selects zero rows
+    and the hash would be trivially empty). The threshold is a one-row
+    aggregate broadcast as a cross join (never recomputed per row);
+    NOT EXISTS with the correlated priority condition plans as a LEFT
+    ANTI join on custkey with the priority filter pushed to the orders
+    scan.
+
+    Float note: the AVG threshold is computed independently by each
+    engine; a customer within one ulp of it could theoretically flip —
+    the fixture's balances sit well off the mean (the qz20-style
+    argument), and the aggregate outputs are ROUND(2)-ed.
+
+    Plan shape at 100 TB: one scalar aggregate over customer, the
+    filter map-side against the broadcast scalar, one anti-join
+    shuffle on custkey (orders projected to the key column only),
+    segment-sized output."""
+    c = table(spark, sf, "customer")
+    o = (
+        table(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("t")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("t"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+        .orderBy("segment")
+    )
