@@ -96,7 +96,7 @@ _GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap
 
 
 @query(
-    "q132_sessionize",
+    "qz132_sessionize",
     oracle=f"""
     WITH x AS (SELECT user_id, event_id, value,
                       date_diff('microsecond',
@@ -1271,7 +1271,7 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q147_event_transitions",
+    "qz147_event_transitions",
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -1595,7 +1595,7 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q190_event_paths",
+    "qz190_event_paths",
     oracle="""
     WITH s AS (SELECT user_id, event_type,
                       LEAD(event_type) OVER w AS e2,
@@ -1736,7 +1736,7 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q193_last_touch",
+    "qz193_last_touch",
     oracle="""
     WITH s AS (SELECT event_type,
                       LAG(event_type) OVER (PARTITION BY user_id
@@ -1777,7 +1777,7 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q194_rfm_segments",
+    "qz194_rfm_segments",
     oracle=f"""
     WITH mx AS (SELECT MAX(date_diff('microsecond',
                                      TIMESTAMP '2024-01-01 00:00:00', ts)
@@ -1863,7 +1863,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q195_daily_value_bands",
+    "qz195_daily_value_bands",
     oracle=f"""
     WITH e AS (SELECT date_diff('microsecond',
                                 TIMESTAMP '2024-01-01 00:00:00', ts)
@@ -1947,7 +1947,7 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q198_markov_two_step",
+    "qz198_markov_two_step",
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -2037,7 +2037,7 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q201_daily_hhi",
+    "qz201_daily_hhi",
     oracle=f"""
     WITH e AS (SELECT event_type,
                       date_diff('microsecond',
@@ -2116,7 +2116,7 @@ _GAP_HORIZONS_S = (60, 300, 1800, 86400)
 
 
 @query(
-    "q202_gap_survival",
+    "qz202_gap_survival",
     oracle=f"""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -2308,7 +2308,7 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q204_audience_jaccard",
+    "qz204_audience_jaccard",
     oracle="""
     WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
     ct AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),

@@ -213,7 +213,7 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q50e_embedding_dups",
+    "qz50e_embedding_dups",
     oracle="""
     WITH n AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[],
@@ -256,7 +256,7 @@ _NORM_SQL = """
 
 
 @query(
-    "q51a_cosine_topk",
+    "qz51a_cosine_topk",
     oracle=_NORM_SQL
     + """
        , q AS (SELECT vec_id AS qid, nv AS qv FROM n WHERE vec_id < 5),
@@ -278,7 +278,7 @@ def q51a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q51b_ann_lsh_ok",
+    "qz51b_ann_lsh_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -310,7 +310,7 @@ def q51b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q51c_ann_ivf_ok",
+    "qz51c_ann_ivf_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "similarity", "embedding", "sketch"),
 )
@@ -565,7 +565,7 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52a_text_stats",
+    "qz52a_text_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -592,7 +592,7 @@ def q52a(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52b_lang_quality",
+    "qz52b_lang_quality",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          m AS (SELECT doc_id, text,
@@ -627,7 +627,7 @@ def q52b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q52c_fingerprint",
+    "qz52c_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS fp,
            list_reduce(

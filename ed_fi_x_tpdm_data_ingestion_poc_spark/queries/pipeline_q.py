@@ -96,7 +96,7 @@ def _values(rows: list[tuple]) -> str:
 
 
 @query(
-    "q60_pipeline_docs",
+    "qz60_pipeline_docs",
     oracle=f"""
     WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
            (VALUES {_values(_CANDS)}),
@@ -215,7 +215,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q61_reconcile_snapshot",
+    "qz61_reconcile_snapshot",
     oracle=f"""
     WITH cand(pidm, first_name, last_name, birth_date, sex_code, ord) AS
            (VALUES {_values(_CANDS)}),
@@ -247,7 +247,7 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q02_jdbc_scan",
+    "qz02_jdbc_scan",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
     FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100) t

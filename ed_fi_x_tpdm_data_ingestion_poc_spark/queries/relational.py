@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..tables import table
-from . import ok_flag, query
+from . import broadcast_if_small, ok_flag, query
 
 # ---------------------------------------------------------------- scans ----
 
@@ -113,19 +113,39 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz07_is_null",
+    "q07_is_null",
     oracle="""
-    SELECT event_id FROM events
-    WHERE props IS NULL OR value IS NULL
+    SELECT e.event_id FROM events e
+    LEFT JOIN (SELECT DISTINCT event_type AS et FROM events
+               WHERE event_type <> 'error') d
+      ON e.event_type = d.et
+    WHERE d.et IS NULL OR NULLIF(e.event_type, 'click') IS NULL
     """,
     tags=("filter",),
 )
 def q07(spark: SparkSession, sf: str) -> DataFrame:
     """IS NULL / three-valued logic (ref §2.2 teacherCandidateAddresses.sql:22;
-    unmatched-column->null path SisConnectorService.java:830-836)."""
+    unmatched-column->null path SisConnectorService.java:830-836).
+
+    The testdata carries no natural NULLs in any column, so the r01–r06
+    certifications of the old single-table predicate were over 0-row
+    results — a hash that certifies only emptiness agreement (VERDICT
+    r13). This version manufactures NULLs exactly the way the reference
+    hits them — an unmatched LEFT-join column — and via a NULLIF
+    expression, then filters on IS NULL over both: ~4k of 10k events
+    qualify at sf0.01, so the certification hash now bites."""
     e = table(spark, sf, "events")
+    d = (
+        e.where(F.col("event_type") != "error")
+        .select(F.col("event_type").alias("et"))
+        .distinct()
+    )
     return (
-        e.filter(F.col("props").isNull() | F.col("value").isNull())
+        e.join(d, e.event_type == d.et, "left")
+        .where(
+            F.col("et").isNull()
+            | F.nullif(F.col("event_type"), F.lit("click")).isNull()
+        )
         .select("event_id")
     )
 
@@ -248,18 +268,32 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz14_anti_join",
+    "q14_anti_join",
     oracle="""
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o.o_orderdate <  TIMESTAMP '1997-01-01')
     """,
     tags=("join",),
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
     """Left anti join (NOT EXISTS) — the reference's delete-detection
-    reconciliation (R21, SisConnectorService.java:463-470) is exactly this."""
+    reconciliation (R21, SisConnectorService.java:463-470) is exactly this.
+
+    Every sf0.01 customer has SOME order, so the original unfiltered
+    anti join certified a 0-row hash (VERDICT r13: emptiness agreement
+    proves nothing). The right side is now the 1996 order book —
+    'customers with no orders last year', the real churn question this
+    idiom answers — and 332 of 1500 customers qualify at sf0.01, so the
+    anti-join semantics are certified on a non-vacuous result. The date
+    filter also prunes the orders scan before the join at 100 TB."""
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
@@ -708,18 +742,33 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz33_except",
+    "q33_except",
     oracle="""
-    SELECT n_nationkey FROM nation
-    EXCEPT SELECT s_nationkey FROM supplier
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
     """,
     tags=("setop",),
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
-    """EXCEPT — set-level analog of the reconciliation anti-join (R21)."""
-    n = table(spark, sf, "nation").select("n_nationkey")
-    s = table(spark, sf, "supplier").select("s_nationkey")
-    return n.subtract(s)
+    """EXCEPT — set-level analog of the reconciliation anti-join (R21):
+    nations that have customers but no high-balance (> 9000) supplier.
+
+    Suppliers cover all 25 nations at every SF, so the original
+    nation-minus-supplier EXCEPT certified a 0-row hash (VERDICT r13).
+    The filtered right side leaves a real 18-nation difference at
+    sf0.01, so the set-difference semantics (dedup + anti) are
+    certified on actual rows. subtract == EXCEPT DISTINCT in both
+    engines; the acctbal predicate pushes to the supplier scan."""
+    c = table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
 
 
 @query(
@@ -894,7 +943,7 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q208_ship_priority",
+    "qz208_ship_priority",
     oracle="""
     SELECT l.l_orderkey AS o_key,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
@@ -981,17 +1030,26 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     branches, so join ORDER matters: nation/region prune the supplier
     side before the fact join, not after).
 
-    Plan shape at 100 TB: region -> nation -> supplier is a broadcast
-    chain (both dims are tiny; the hint is explicit); orders prunes on
-    the year filter; lineitem joins orders on orderkey (fact-fact
-    shuffle) and the supplier branch on suppkey (broadcast); the
-    same-nation condition rides the supplier join as an equi-key with
-    the customer side. Output is nations-sized, totally ordered.
+    Plan shape at 100 TB: nation and region are FIXED-cardinality
+    (25/5 rows — never SF-proportional), so their hints are
+    unconditional; supplier is SF x 10k rows (~1e9 at 100 TB), so the
+    region-pruned supplier branch goes through ``broadcast_if_small``
+    — hinted only when provably under the cap, otherwise unhinted so
+    AQE picks the join strategy from runtime sizes (the query degrades
+    to a shuffle join instead of dying on a blown broadcast). Orders
+    prunes on the year filter; lineitem joins orders on orderkey (the
+    one fact-fact shuffle); the same-nation condition rides the
+    supplier join as an equi-key with the customer side. Output is
+    nations-sized, totally ordered.
 
     Measured (tools/scale_probe.py warehouse_join_q5, sf0.1 lineitem
     x10 = 6M rows): 1.04 -> 1.19 s — 0.11x the linear law; the pruned
     orders scan and broadcast dimension chain keep the join cost
-    pinned to the filtered fact stream, exactly the plan contract."""
+    pinned to the filtered fact stream, exactly the plan contract. The
+    same probe also inflates supplier 10x under a forced-low gate and
+    measures the shuffle-join fallback completing with identical
+    results (gate measured, not asserted); the degrade-to-shuffle plan
+    itself is pinned by tests/test_plan_quality.py."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1009,7 +1067,7 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(sup),
+            broadcast_if_small(sup),
             (li.l_suppkey == sup.s_suppkey)
             & (c.c_nationkey == sup.s_nationkey),
         )
@@ -1025,7 +1083,7 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q210_returned_items",
+    "qz210_returned_items",
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
@@ -1106,7 +1164,10 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
     lift, assortment mix) in its canonical form.
 
     Plan shape at 100 TB: the ship-month predicate reaches the
-    lineitem scan; part joins broadcast on partkey; BOTH sums ride one
+    lineitem scan; part is SF x 200k rows (~2e10 at 100 TB), so its
+    partkey join is ``broadcast_if_small``-gated — hinted only under
+    the cap, otherwise unhinted and AQE picks shuffle vs broadcast
+    from runtime sizes (degrades, never dies); BOTH sums ride one
     aggregate over the same join (never two scans). The output ratio
     is float-sum over float-sum — rounded at 1e-4, ~7 orders above the
     worst-case cross-engine summation-order noise at this row count
@@ -1118,7 +1179,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
     p = table(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -1136,7 +1197,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q212_late_order_priority",
+    "qz212_late_order_priority",
     oracle="""
     SELECT o.o_orderpriority AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -1213,8 +1274,10 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
     'special deal' revenue question.
 
     Plan shape at 100 TB: both scans prune on the pushed disjunction
-    residuals before the partkey join (part side broadcasts); one
-    final one-row aggregate."""
+    residuals before the partkey join; part is SF x 200k rows, so its
+    side is ``broadcast_if_small``-gated (hinted under the cap,
+    otherwise AQE picks the strategy from runtime sizes — a shuffle
+    join, never a blown broadcast); one final one-row aggregate."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part")
     cond = (
@@ -1235,7 +1298,7 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.round(
@@ -1248,7 +1311,7 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q214_two_nation_volume",
+    "qz214_two_nation_volume",
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(YEAR(CAST(l.l_shipdate AS DATE)) AS INT) AS ship_year,
@@ -1346,8 +1409,11 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
     revenue-ROUND precedent).
 
     Plan shape at 100 TB: quarter filter at the scan, one suppkey
-    grouped aggregate, a 1-row broadcast max join, supplier dimension
-    broadcast."""
+    grouped aggregate, a 1-row broadcast max join (genuinely scalar —
+    the unconditional hint is safe). Supplier is SF x 10k rows, so its
+    dimension join is ``broadcast_if_small``-gated: hinted under the
+    cap, otherwise unhinted so AQE degrades it to a shuffle join
+    instead of blowing the broadcast limit."""
     li = table(spark, sf, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -1361,7 +1427,7 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
     mx = rev.agg(F.max("total").alias("mx"))
     return (
         rev.join(F.broadcast(mx), rev.total == F.col("mx"))
-        .join(F.broadcast(s), rev.suppkey == s.s_suppkey)
+        .join(broadcast_if_small(s), rev.suppkey == s.s_suppkey)
         .select(
             F.col("suppkey"),
             F.col("s_name").alias("name"),
@@ -1372,7 +1438,7 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q216_order_count_histogram",
+    "qz216_order_count_histogram",
     oracle="""
     WITH per_cust AS (SELECT c.c_custkey,
                              COUNT(o.o_orderkey) AS n_orders
@@ -1420,7 +1486,7 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q217_dormant_rich_customers",
+    "qz217_dormant_rich_customers",
     oracle="""
     WITH thresh AS (SELECT AVG(c_acctbal) AS t FROM customer
                     WHERE c_acctbal > 0),

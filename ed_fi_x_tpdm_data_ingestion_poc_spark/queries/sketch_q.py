@@ -762,7 +762,7 @@ def mg_state_update(k: int):
 
 
 @query(
-    "q161_stream_mg_ok",
+    "qz161_stream_mg_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming", "sketch", "heavy-hitters", "stateful"),
 )

@@ -94,7 +94,7 @@ def _kw_ranked(spark: SparkSession, sf: str):
 
 
 @query(
-    "q165_exact_auc",
+    "qz165_exact_auc",
     oracle="""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
@@ -1685,7 +1685,7 @@ def ks_matrix_decisions(
 
 
 @query(
-    "q176_ks_matrix",
+    "qz176_ks_matrix",
     oracle="""
     WITH g AS (SELECT source, n_chars, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -2103,7 +2103,7 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q180_mannwhitney_test",
+    "qz180_mannwhitney_test",
     oracle="""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
@@ -2341,7 +2341,7 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q183_kruskal_wallis",
+    "qz183_kruskal_wallis",
     oracle="""
     WITH e AS (SELECT value AS v, event_type AS g FROM events),
     gv AS (SELECT v, g, COUNT(*) AS c FROM e GROUP BY 1, 2),
@@ -2562,7 +2562,7 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q185_ks_matrix_fdr",
+    "qz185_ks_matrix_fdr",
     oracle="""
     WITH g AS (SELECT source, n_chars, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -3103,7 +3103,7 @@ _QQ_B = "src1"
 
 
 @query(
-    "q199_qq_deciles",
+    "qz199_qq_deciles",
     oracle=f"""
     WITH d AS (SELECT source, n_chars FROM documents
                WHERE source IN ('{_QQ_A}', '{_QQ_B}')),
@@ -3206,7 +3206,7 @@ _PMI_K = 20
 
 
 @query(
-    "q200_pmi_collocations",
+    "qz200_pmi_collocations",
     oracle=f"""
     WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
     u AS (SELECT unnest(toks) AS w FROM t),
@@ -3311,7 +3311,7 @@ _COV_KS = (10, 100, 1000)
 
 
 @query(
-    "q205_token_coverage",
+    "qz205_token_coverage",
     oracle=f"""
     WITH u AS (SELECT unnest(string_split(text, ' ')) AS w
                FROM documents),

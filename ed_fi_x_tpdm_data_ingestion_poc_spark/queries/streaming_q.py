@@ -247,7 +247,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q65_stream_stateful_custom",
+    "qz65_stream_stateful_custom",
     oracle="""
     SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
     FROM events GROUP BY user_id ORDER BY user_id
@@ -432,7 +432,7 @@ def q49d(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49f_stream_stream_join",
+    "qz49f_stream_stream_join",
     oracle="""
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            COUNT(*) AS n_pairs
@@ -1189,7 +1189,7 @@ def mrl_state_update(eps: float, value_col: str = "value"):
 
 
 @query(
-    "q192_stream_sketch_ks",
+    "qz192_stream_sketch_ks",
     oracle=f"""
     WITH e AS (SELECT value AS v,
                       CASE WHEN event_type = '{_SKM_MON}' THEN 1 ELSE 0 END
@@ -1428,7 +1428,7 @@ def last_touch_state_update():
 
 
 @query(
-    "q206_stream_last_touch",
+    "qz206_stream_last_touch",
     oracle="""
     WITH s AS (SELECT event_type,
                       LAG(event_type) OVER (PARTITION BY user_id

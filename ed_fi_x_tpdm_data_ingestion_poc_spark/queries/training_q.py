@@ -90,7 +90,7 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q55_interval_pairs",
+    "qz55_interval_pairs",
     oracle="""
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            COUNT(*) AS n_pairs
@@ -209,7 +209,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q58_tfidf_topk",
+    "qz58_tfidf_topk",
     oracle="""
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents),

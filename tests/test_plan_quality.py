@@ -67,7 +67,7 @@ def test_udf_path_is_arrow_not_row_python(spark, sf_dir):
 def test_no_cartesian_in_similarity(spark, sf_dir):
     """Embedding near-dup runs as blocked GEMM + prefilter, not a Catalyst
     cartesian join of interpreted dot products."""
-    f = audit(_build(spark, sf_dir, "q50e_embedding_dups"))
+    f = audit(_build(spark, sf_dir, "qz50e_embedding_dups"))
     assert f.cartesian_products == 0
     assert f.arrow_evals >= 1
 
@@ -96,7 +96,7 @@ def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("qz13_semi_join", "qz14_anti_join"):
+    for name in ("qz13_semi_join", "q14_anti_join"):
         text = plan_string(_build(spark, sf_dir, name))
         assert "LeftSemi" in text or "LeftAnti" in text, name
 
@@ -109,12 +109,20 @@ def test_trivial_queries_have_no_exchange(spark, sf_dir):
     for name in (
         "qz05_filter_conjunction",
         "qz06_in_between",
-        "qz07_is_null",
         "qz08_case_when",
         "qz09_rename_alias",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.exchanges == 0, name
+    # q07 (de-vacuated r14) manufactures NULLs via a LEFT join against a
+    # distinct-event-type dim: the only exchange is the 5-row dim's
+    # distinct; the 10k-row (100 TB-proportional) fact side must NOT
+    # shuffle — the join stays broadcast. One physical Exchange == 2
+    # formatted-dump hits (tree line + detail header).
+    f = audit(_build(spark, sf_dir, "q07_is_null"))
+    assert f.broadcast_joins >= 1, f
+    assert f.exchanges <= 2, f
+    assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0, f
 
 
 def test_global_topk_is_take_ordered(spark, sf_dir):
@@ -181,7 +189,7 @@ def test_binned_range_join_plan(spark, sf_dir):
     (hash/merge/broadcast), never nested-loop or cartesian; with
     hash_build_right it must actually take the shuffled-hash form (skips
     both sort passes — the bounded-bucket-density opt-in)."""
-    f = audit(_build(spark, sf_dir, "q55_interval_pairs"))
+    f = audit(_build(spark, sf_dir, "qz55_interval_pairs"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
     assert f.shuffled_hash_joins >= 1
     assert f.sortmerge_joins == 0
@@ -190,7 +198,7 @@ def test_binned_range_join_plan(spark, sf_dir):
 def test_tfidf_small_sides_broadcast(spark, sf_dir):
     """q58: the vocab-sized document-frequency side is broadcast — the
     corpus-sized tf side never reshuffles for the idf join."""
-    f = audit(_build(spark, sf_dir, "q58_tfidf_topk"))
+    f = audit(_build(spark, sf_dir, "qz58_tfidf_topk"))
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0
 
@@ -529,3 +537,54 @@ def test_disjunctive_predicate_decomposes_to_both_scans(spark, sf_dir):
     pushed = " ".join(f.pushed_filters)
     assert "l_quantity" in pushed and "Or(" in pushed
     assert "p_brand" in pushed and "p_size" in pushed
+
+
+def test_warehouse_dim_broadcasts_gated_at_scale(spark, sf_dir):
+    """The round-13 warehouse shapes (q209/q211/q213/q215) hint their
+    SF-proportional dimensions (part = SF x 200k, supplier = SF x 10k)
+    ONLY through broadcast_if_small. Two contracts pinned here:
+
+    1. At test scale the gate passes, so the dimension join IS a
+       broadcast join (the fast plan is not lost).
+    2. When the gate fails (forced max_rows=1, simulating the ~2e10-row
+       part table at 100 TB) the join carries NO broadcast hint: with
+       size-based auto-broadcast disabled the plan degrades to a
+       sort-merge join instead of dying on a blown broadcast. An
+       unconditional F.broadcast hint would survive the threshold=-1
+       conf and keep planning a BroadcastHashJoin — exactly the
+       scale-killer this test exists to reject."""
+    from pyspark.sql import functions as F
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import (
+        broadcast_if_small,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    # contract 1: the gate passes at test scale -> broadcast plan
+    for name in (
+        "q211_promo_revenue_share",
+        "q213_disjunctive_revenue",
+        "q215_top_supplier",
+        "q209_local_supplier_volume",
+    ):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.broadcast_joins >= 1, (name, f)
+
+    # contract 2: gate fails -> no hint -> shuffle join (never a forced
+    # broadcast). threshold=-1 disables SIZE-based auto-broadcast so the
+    # only way a BroadcastHashJoin could appear is an explicit hint.
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(
+            broadcast_if_small(p, max_rows=1), li.l_partkey == p.p_partkey
+        ).agg(F.count(F.lit(1)).alias("n"))
+        f = audit(joined)
+        assert f.broadcast_joins == 0, f
+        assert f.sortmerge_joins + f.shuffled_hash_joins >= 1, f
+        # and the gated-open path still computes the same answer
+        assert joined.collect()[0]["n"] == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -50,7 +50,7 @@ def test_auc_matches_midrank_reference(spark, sf_dir):
     n_pos, n_neg = int(y.sum()), int((~y).sum())
     auc_ref = (ranks[y].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
 
-    out = _run("q165_exact_auc", spark, sf_dir).iloc[0]
+    out = _run("qz165_exact_auc", spark, sf_dir).iloc[0]
     assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
     assert abs(out["auc"] - auc_ref) < 1e-6
 
@@ -244,7 +244,7 @@ def test_sketch_ks_law_flag_is_green(spark, sf_dir):
 
 def test_ks_matrix_matches_pairwise_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q176_ks_matrix", spark, sf_dir).set_index(
+    out = _run("qz176_ks_matrix", spark, sf_dir).set_index(
         ["source_a", "source_b"]
     )
     sources = sorted(d["source"].unique())
@@ -322,7 +322,7 @@ def test_kruskal_wallis_matches_rank_reference(spark, sf_dir):
     tie = (t_counts.astype(float) ** 3 - t_counts).sum()
     h /= 1.0 - tie / (float(n) ** 3 - n)
 
-    out = _run("q183_kruskal_wallis", spark, sf_dir).iloc[0]
+    out = _run("qz183_kruskal_wallis", spark, sf_dir).iloc[0]
     assert out["df"] == len(groups) - 1
     assert abs(out["h"] - h) < 1e-5
 
@@ -387,7 +387,7 @@ def test_bh_fdr_matches_local_procedure(spark, sf_dir):
     )
     expect = {k: int(i + 1 <= kstar) for i, (k, _) in enumerate(items)}
 
-    out = _run("q185_ks_matrix_fdr", spark, sf_dir)
+    out = _run("qz185_ks_matrix_fdr", spark, sf_dir)
     got = {(r.source_a, r.source_b): int(r.reject_bh) for r in out.itertuples()}
     assert got == expect
 
@@ -497,7 +497,7 @@ def test_event_paths_match_pandas_reference(spark, sf_dir):
             p = ">".join(t[i : i + 3])
             paths[p] = paths.get(p, 0) + 1
     top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    out = _run("q190_event_paths", spark, sf_dir)
+    out = _run("qz190_event_paths", spark, sf_dir)
     got = [(r.path, r.n) for r in out.itertuples()]
     assert got == top
 
@@ -530,7 +530,7 @@ def test_stream_sketch_ks_matches_exact_reference(spark, sf_dir):
             - np.searchsorted(b, grid, side="right") / len(b)
         )
     )
-    out = _run("q192_stream_sketch_ks", spark, sf_dir).iloc[0]
+    out = _run("qz192_stream_sketch_ks", spark, sf_dir).iloc[0]
     assert out["ok"] == 1
     assert out["n_mon"] == len(a) and out["n_ref"] == len(b)
     assert abs(out["d_exact"] - d_ref) < 1e-5
@@ -546,7 +546,7 @@ def test_last_touch_matches_pandas_reference(spark, sf_dir):
                 prev = t[i - 1] if i > 0 else "none"
                 counts[prev] = counts.get(prev, 0) + 1
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    out = _run("q193_last_touch", spark, sf_dir)
+    out = _run("qz193_last_touch", spark, sf_dir)
     assert [(r.touch, r.n) for r in out.itertuples()] == expect
 
 
@@ -555,7 +555,7 @@ def test_daily_bands_match_order_stats(spark, sf_dir):
     day = (
         (ev["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() // 86400
     ).astype(int)
-    out = _run("q195_daily_value_bands", spark, sf_dir)
+    out = _run("qz195_daily_value_bands", spark, sf_dir)
     for r in out.itertuples():
         x = np.sort(ev.loc[day == r.day, "value"].to_numpy())
         n = len(x)
@@ -662,7 +662,7 @@ def test_rfm_segments_all_populated_at_every_shipped_sf(spark):
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ):
-        out = _run("q194_rfm_segments", spark, sfd)
+        out = _run("qz194_rfm_segments", spark, sfd)
         assert sorted(out["segment"]) == ["heavy", "light", "mid"], sfd
         assert (out["n_users"] > 0).all(), sfd
         ev = _events(sfd)
@@ -716,7 +716,7 @@ def test_markov_two_step_matches_matrix_power(spark, sf_dir):
             )
         )
     p2 = q @ q  # integer fixed-point product
-    out = _run("q198_markov_two_step", spark, sf_dir)
+    out = _run("qz198_markov_two_step", spark, sf_dir)
     for r in out.itertuples():
         ref = p2[ix[r.cur], ix[r.nxt2]] / 1e12
         assert abs(r.p2 - ref) < 1e-6, (r.cur, r.nxt2)
@@ -730,7 +730,7 @@ def test_qq_deciles_match_order_stats(spark, sf_dir):
     d = _docs(sf_dir)
     a = np.sort(d.loc[d["source"] == "src0", "n_chars"].to_numpy())
     b = np.sort(d.loc[d["source"] == "src1", "n_chars"].to_numpy())
-    out = _run("q199_qq_deciles", spark, sf_dir).set_index("decile")
+    out = _run("qz199_qq_deciles", spark, sf_dir).set_index("decile")
     for i in range(1, 10):
         qa = a[max(1, -(-i * len(a) // 10)) - 1]
         qb = b[max(1, -(-i * len(b) // 10)) - 1]
@@ -757,7 +757,7 @@ def test_pmi_matches_pandas_reference(spark, sf_dir):
         if c >= 5
     ]
     scored.sort(key=lambda x: (-x[0], x[1], x[2]))
-    out = _run("q200_pmi_collocations", spark, sf_dir)
+    out = _run("qz200_pmi_collocations", spark, sf_dir)
     assert len(out) == 20
     for row, (ratio, w1, w2, c) in zip(out.itertuples(), scored[:20]):
         assert (row.w1, row.w2, row.n_pair) == (w1, w2, c)
@@ -766,7 +766,7 @@ def test_pmi_matches_pandas_reference(spark, sf_dir):
 
 def test_daily_hhi_matches_reference(spark, sf_dir):
     daily = _daily(sf_dir)
-    out = _run("q201_daily_hhi", spark, sf_dir).set_index("day")
+    out = _run("qz201_daily_hhi", spark, sf_dir).set_index("day")
     for day, g in daily.groupby("day"):
         tot = g["c"].sum()
         hhi = float((g["c"] ** 2).sum()) / tot**2
@@ -790,7 +790,7 @@ def test_gap_survival_matches_reference(spark, sf_dir):
         for i in range(len(us) - 1):
             rows.append((t[i], us[i + 1] - us[i]))
     gaps = pd.DataFrame(rows, columns=["event_type", "gap"])
-    out = _run("q202_gap_survival", spark, sf_dir)
+    out = _run("qz202_gap_survival", spark, sf_dir)
     for r in out.itertuples():
         g = gaps.loc[gaps["event_type"] == r.event_type, "gap"]
         assert r.n_gaps == len(g)
@@ -835,7 +835,7 @@ def test_audience_jaccard_matches_reference(spark, sf_dir):
     users = {
         t: set(g["user_id"]) for t, g in ev.groupby("event_type")
     }
-    out = _run("q204_audience_jaccard", spark, sf_dir)
+    out = _run("qz204_audience_jaccard", spark, sf_dir)
     types = sorted(users)
     expect_pairs = [
         (a, b) for i, a in enumerate(types) for b in types[i + 1:]
@@ -857,7 +857,7 @@ def test_token_coverage_matches_reference(spark, sf_dir):
             cnt[w] = cnt.get(w, 0) + 1
     ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
     tot = sum(cnt.values())
-    out = _run("q205_token_coverage", spark, sf_dir).set_index("k")
+    out = _run("qz205_token_coverage", spark, sf_dir).set_index("k")
     for k in (10, 100, 1000):
         covered = sum(c for _, c in ranked[:k])
         row = out.loc[k]

@@ -51,3 +51,31 @@ def test_rotation_single_pass_no_cascade_no_prefix_bleed(tmp_path, monkeypatch):
     assert "q901_nightly_rollup" in out       # untouched despite q90 prefix
     assert "qz902_pq_ann_ok" in out
     assert "q902_pq_ann_ok" not in out
+
+
+def test_oracle_check_rejects_unknown_names():
+    """VERDICT r13 'What's wrong' #3: a sweep invoked with misspelled
+    query names used to silently check nothing and print '0 failures'.
+    Unknown names must be a hard error (exit code 2, names listed on
+    stderr) BEFORE any Spark session spins up."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "..", "tools", "oracle_check.py"
+            ),
+            "/root/testdata/sf0.001",
+            "q999_does_not_exist",
+            "qz998_typo",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 2, (proc.returncode, proc.stdout, proc.stderr)
+    assert "q999_does_not_exist" in proc.stderr
+    assert "qz998_typo" in proc.stderr
+    assert "0 failures" not in proc.stdout

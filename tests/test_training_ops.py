@@ -97,7 +97,7 @@ def test_interval_join_equality_keys_and_errors(spark):
 def test_interval_join_plan_has_no_nested_loop(spark, sf_dir):
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
 
-    df = all_queries()["q55_interval_pairs"].build(spark, sf_dir)
+    df = all_queries()["qz55_interval_pairs"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

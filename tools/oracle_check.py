@@ -77,9 +77,19 @@ def main() -> int:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
 
+    specs = all_queries()
+    unknown = sorted(only - set(specs))
+    if unknown:
+        # A misspelled sweep must never read as a pass: checking nothing
+        # and printing "0 failures" is how a verification hole hides.
+        print(
+            f"ERROR: unknown query name(s): {unknown}", file=sys.stderr
+        )
+        return 2
+
     spark = get_spark()
     failures = []
-    for name, spec in sorted(all_queries().items()):
+    for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         t0 = time.time()

@@ -136,6 +136,9 @@ def main() -> None:
         24,
     )
 
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import (
+        broadcast_if_small,
+    )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
 
@@ -901,19 +904,29 @@ def main() -> None:
 
     # q209's 6-way warehouse join (TPC-H Q5 shape) under a `factor`x
     # lineitem: the selective date filter prunes orders at the scan,
-    # every dimension branch broadcasts, and the ONLY fact-fact shuffle
-    # is the orderkey join — so wall-clock should track the filtered
-    # fact volume, not the 6-way join's nominal input product (the
-    # probe body mirrors q209's plan).
+    # nation/region broadcast unconditionally (fixed cardinality), the
+    # supplier branch is broadcast_if_small-gated (mirrors q209), and
+    # the ONLY fact-fact shuffle is the orderkey join — so wall-clock
+    # should track the filtered fact volume, not the 6-way join's
+    # nominal input product. A third leg inflates SUPPLIER `factor`x
+    # under a forced-low gate (cap 1 row), so the supplier join runs
+    # as the ungated shuffle/AQE path a 100 TB supplier would take —
+    # measuring that the degrade completes and agrees with the
+    # broadcast plan's totals instead of asserting it.
     li0 = table(spark, sf_dir, "lineitem")
 
-    def _q5(li):
+    def _q5(li, sup_factor=1, gate_rows=2_000_000):
         oo = table(spark, sf_dir, "orders").where(
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         c5 = table(spark, sf_dir, "customer")
         s5 = table(spark, sf_dir, "supplier")
+        if sup_factor > 1:
+            # duplicate supplier rows (suppkey kept) so the join output
+            # multiplies exactly sup_factor x — a size-only inflation
+            reps = spark.range(sup_factor).select(F.col("id").alias("__r"))
+            s5 = s5.crossJoin(F.broadcast(reps)).drop("__r")
         n5 = table(spark, sf_dir, "nation")
         r5 = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
         sup = s5.join(
@@ -922,11 +935,11 @@ def main() -> None:
             ),
             s5.s_nationkey == F.col("n_nationkey"),
         )
-        (
+        rows = (
             li.join(oo, li.l_orderkey == oo.o_orderkey)
             .join(c5, oo.o_custkey == c5.c_custkey)
             .join(
-                F.broadcast(sup),
+                broadcast_if_small(sup, max_rows=gate_rows),
                 (li.l_suppkey == sup.s_suppkey)
                 & (c5.c_nationkey == sup.s_nationkey),
             )
@@ -941,10 +954,11 @@ def main() -> None:
             )
             .collect()
         )
+        return {r["n_name"]: r["rev"] for r in rows}
 
     _q5(li0)  # warm
     t0 = time.perf_counter()
-    _q5(li0)
+    res_base5 = _q5(li0)
     t_base5 = time.perf_counter() - t0
     cps5 = spark.range(factor).select(F.col("id").alias("__c"))
     big5 = li0.crossJoin(F.broadcast(cps5)).drop("__c").persist()
@@ -952,6 +966,16 @@ def main() -> None:
     t0 = time.perf_counter()
     _q5(big5)
     t_big5 = time.perf_counter() - t0
+    # gate leg: supplier inflated factor x AND the broadcast gate forced
+    # below it — the supplier join must degrade to the shuffle/AQE path
+    # and still produce factor x the broadcast-plan revenue per nation.
+    t0 = time.perf_counter()
+    res_gate5 = _q5(li0, sup_factor=factor, gate_rows=1)
+    t_gate5 = time.perf_counter() - t0
+    gate_ok = set(res_gate5) == set(res_base5) and all(
+        abs(res_gate5[k] - factor * res_base5[k]) <= 0.5 * factor
+        for k in res_base5
+    )
     print(
         json.dumps(
             {
@@ -960,6 +984,8 @@ def main() -> None:
                 "sec_base": round(t_base5, 2),
                 "sec_big": round(t_big5, 2),
                 "growth_vs_linear": round(t_big5 / (t_base5 * factor), 2),
+                "sec_gated_shuffle": round(t_gate5, 2),
+                "gate_degrade_ok": gate_ok,
             }
         )
     )
