@@ -905,8 +905,10 @@ def semantic_dedup_survivors(
     semantic pair set is 141 edges there, but distributed min-label
     propagation still pays init + 3 rounds x (join + localCheckpoint +
     convergence probe) of per-job overhead): at or below
-    _SURVIVOR_DRIVER_EDGE_CAP edges the pair set — already persisted
-    and by construction post-threshold, i.e. corpus-FRACTION-sized, not
+    _SURVIVOR_DRIVER_EDGE_CAP edges the pair set — persisted HERE if
+    the caller didn't (the gate count and the edge collect must share
+    one materialization of the cell-self-join scoring pipeline) and by
+    construction post-threshold, i.e. corpus-FRACTION-sized, not
     corpus-sized — is collected and solved with driver union-find
     (union-by-min + path compression, so roots ARE the min ids), and
     the cluster map returns as a broadcast join: ONE job end to end.
@@ -914,6 +916,12 @@ def semantic_dedup_survivors(
     (operators/graph.py) runs unchanged — a web-scale near-dup graph
     with millions of pairs never touches the driver."""
     ids = emb.select(F.col(id_col).cast("long").alias("id"))
+    if not pairs.is_cached:
+        # enforce the materialize-once contract instead of assuming it
+        # (ADVICE r13: an unpersisted pair frame re-ran the full
+        # cell-self-join scoring pipeline twice — once for the gate
+        # probe count, once for the edge collect)
+        pairs = pairs.persist()
     edge_df = pairs.select("ida", "idb")
     if pairs.count() <= _SURVIVOR_DRIVER_EDGE_CAP:
         parent: dict[int, int] = {}

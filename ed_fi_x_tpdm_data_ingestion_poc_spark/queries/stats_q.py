@@ -1622,6 +1622,14 @@ def ks_matrix_decisions(
     n_src = docs.select("source").distinct().count()
     import math
 
+    if n_src < 2:
+        # degenerate feed (0 or 1 sources): no pairs exist — m = 0
+        # would divide alpha by zero below, and the driver-screen path
+        # would index an empty parts list. An empty decision table is
+        # the correct answer, not an exception.
+        return spark.createDataFrame(
+            [], "source_a string, source_b string, reject_bonf int"
+        )
     m = n_src * (n_src - 1) // 2
     c_bonf = math.sqrt(math.log(2.0 / (alpha / m)) / 2.0)
     if n_src <= cutover:
@@ -1636,10 +1644,24 @@ def ks_matrix_decisions(
         # the s^2 decision table NEVER lands on the driver: decided
         # pairs flow straight through as a DataFrame, and only the
         # undecided band (small by construction — the screen's whole
-        # point) is broadcast into the restricted exact grid
-        scr = _ks_sketch_screen_distributed(
-            spark, summaries, c_bonf
-        ).persist()
+        # point) is broadcast into the restricted exact grid. The
+        # persisted screen is memoized per (session, sf, alpha) like
+        # every other persisted intermediate — a fresh persist per
+        # invocation would pin one orphaned s^2-row cache entry per
+        # call for the life of the session (ADVICE r13).
+        from . import built
+        from .llm import _artifact
+
+        scr = _artifact(
+            spark,
+            sf,
+            f"ks_screen_dist_a{alpha}",
+            lambda: built(
+                _ks_sketch_screen_distributed(
+                    spark, summaries, c_bonf
+                ).persist()
+            ),
+        )
         out = scr.where(F.col("decision") >= 0).select(
             "source_a",
             "source_b",
@@ -3032,7 +3054,7 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
                FROM events WHERE value > 0),
     d AS (SELECT event_type,
                  CAST(SUBSTR(CAST(iv AS VARCHAR), 1, 1) AS INT) AS digit
-          FROM v),
+          FROM v WHERE iv >= 1),
     g AS (SELECT event_type, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
     t AS (SELECT event_type, SUM(n) AS tot FROM g GROUP BY 1)
     SELECT g.event_type, CAST(g.digit AS INT) AS digit,
@@ -3063,14 +3085,20 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: map-only digit extraction (JVM string ops), one
     (type, digit)-grained grouped count with map-side combine — output
-    is at most types x 9 rows."""
+    is at most types x 9 rows.
+
+    Degenerate-input guard (ADVICE r13): a value in (0, 5e-7) rounds to
+    iv = 0, whose leading character is the invalid Benford digit 0 and
+    whose excess term divides by zero (Spark would emit Infinity,
+    DuckDB may not — a cross-engine hash break). Both engines filter to
+    iv >= 1, mirroring the value > 0 predicate one rung up."""
     v = table(spark, sf, "events").where(F.col("value") > 0).select(
         "event_type",
         F.round(F.col("value") * 1000000.0, 0)
         .cast("bigint")
         .alias("iv"),
     )
-    d = v.select(
+    d = v.where(F.col("iv") >= 1).select(
         "event_type",
         F.substring(F.col("iv").cast("string"), 1, 1)
         .cast("int")

@@ -912,3 +912,85 @@ def test_ks_distributed_screen_brackets_and_decision_safety(spark, sf_dir):
                 assert r.decision == int(
                     r6(d_exact) > r6(crit_of(na, nb))
                 ), (r.source_a, r.source_b, grid_size)
+
+
+def test_ks_matrix_decisions_degenerate_sources(spark, tmp_path):
+    """ADVICE r13: with fewer than 2 sources there are no pairs — m = 0
+    used to divide alpha by zero (and the driver-screen path indexed an
+    empty parts list). The correct answer is an EMPTY decision table
+    with the production schema, on both the single-source and the
+    zero-row feed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        ks_matrix_decisions,
+    )
+
+    for label, sources, chars in (
+        ("one_source", ["solo"] * 40, list(range(40))),
+        ("empty", [], []),
+    ):
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(len(sources)), type=pa.int64()
+                    ),
+                    "source": pa.array(sources, type=pa.string()),
+                    "n_chars": pa.array(chars, type=pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = ks_matrix_decisions(spark, str(d))
+        assert out.columns == ["source_a", "source_b", "reject_bonf"]
+        assert out.count() == 0, label
+
+
+def test_benford_filters_subresolution_values(spark, tmp_path):
+    """ADVICE r13: a value in (0, 5e-7) rounds to iv = 0 — leading digit
+    '0' is not a Benford digit and the excess term would divide by
+    zero (Spark Infinity vs DuckDB error: a cross-engine hash break).
+    Both the Spark plan and the oracle must drop those rows; the rest
+    of the profile is unaffected."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from tools.oracle_check import duck_result, frame_digest
+
+    vals = [1e-9, 4.9e-7, 0.25, 3.5, 17.0, 0.0, -1.0, 9.1e-7]
+    types = ["click", "click", "click", "view", "view", "view", "view", "view"]
+    d = tmp_path / "tiny"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), type=pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000_000 + i for i in range(len(vals))],
+                    type=pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([1] * len(vals), type=pa.int64()),
+                "event_type": pa.array(types, type=pa.string()),
+                "value": pa.array(vals, type=pa.float64()),
+                "props": pa.array(["{}"] * len(vals), type=pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    spec = all_queries()["q197_benford_digits"]
+    df = spec.build(spark, str(d))
+    rows = [tuple(r) for r in df.collect()]
+    digits = {r[1] for r in rows}
+    assert 0 not in digits, rows
+    # the two sub-5e-7 positives and the non-positives are gone; the
+    # remaining 4 values keep their exact first significant digit
+    assert sorted(rows)[0][2] >= 1
+    assert frame_digest(list(df.columns), rows) == duck_result(
+        spec.oracle, str(d)
+    )
