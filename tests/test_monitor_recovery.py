@@ -17,14 +17,13 @@ fails here instead of in production:
 * the restart processes ONLY the new file (batch counters advance by
   one, totals grow by exactly the new rows — no reprocessing).
 
-Contrast: qz182's PSI monitor keeps its (bounded, types x deciles)
+qz182's original PSI monitor keeps its (bounded, types x deciles)
 cumulative counts in a driver dict via foreachBatch — that pattern
 restarts COLD by design (the checkpoint skips consumed input, so a
-restarted driver dict would silently undercount; a production
-deployment re-runs the monitor from its reference snapshot instead).
-The applyInPandasWithState family tested here is the checkpoint-
-recoverable form and the template whenever monitor state must survive
-a restart.
+restarted driver dict would silently undercount). q218 ports that
+state into applyInPandasWithState (tested below), so every stateful
+monitor in the family — MRL quantiles, Misra-Gries, PSI — now
+survives a restart.
 """
 
 from __future__ import annotations
@@ -45,7 +44,10 @@ from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.sketch_q import (
 from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.streaming_q import (
     MRL_MONITOR_OUT_DDL,
     MRL_MONITOR_STATE_DDL,
+    PSI_MONITOR_OUT_DDL,
+    PSI_MONITOR_STATE_DDL,
     mrl_state_update,
+    psi_state_update,
 )
 
 
@@ -315,3 +317,80 @@ def test_last_touch_state_survives_restart(spark, tmp_path):
     for k, v in tally2.items():
         got[k] = got.get(k, 0) + v
     assert got == ref
+
+
+# --------------------------------------------------------------- PSI --
+
+
+def _psi_stream(spark, src: str):
+    ev = (
+        spark.readStream.schema("event_type string, bucket int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        psi_state_update(),
+        outputStructType=PSI_MONITOR_OUT_DDL,
+        stateStructType=PSI_MONITOR_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _psi_batch(spec: dict[str, list[int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_type": [t for t, bks in sorted(spec.items()) for _ in bks],
+            "bucket": pd.array(
+                [b for _, bks in sorted(spec.items()) for b in bks],
+                dtype="int32",
+            ),
+        }
+    )
+
+
+_PSI_A = _psi_batch({"view": [0, 0, 3, 9], "click": [1, 1, 2]})
+_PSI_B = _psi_batch({"view": [5, 5], "click": [2, 9, 9], "error": [4]})
+_PSI_C = _psi_batch({"view": [7], "error": [4, 4, 8]})
+
+
+def test_psi_monitor_state_survives_restart(spark, tmp_path):
+    """q218's contingency state (VERDICT r13 'What's missing' #3 — the
+    PSI monitor was the one stateful monitor that restarted cold):
+    kill after two files, restart on a third, and the restored bucket
+    vectors must count the pre-restart mass and equal the
+    uninterrupted run exactly."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src, "0000.parquet", _PSI_A)
+    _write(src, "0001.parquet", _PSI_B)
+    phase1 = _final_by(_run_monitor(spark, _psi_stream(spark, src), ckpt),
+                       "event_type")
+    assert phase1["view"].n == 6 and phase1["view"].b == 2
+    assert phase1["click"].n == 6 and phase1["click"].b == 2
+    assert phase1["error"].n == 1 and phase1["error"].b == 1
+
+    _write(src, "0002.parquet", _PSI_C)
+    rows2 = _run_monitor(spark, _psi_stream(spark, src), ckpt)
+    # the restart processed ONLY file C: one emission per key in C
+    assert sorted(r.event_type for r in rows2) == ["error", "view"]
+    got = _final_by(rows2, "event_type")
+    # state RESTORED: bucket vectors count rows from before the restart
+    assert got["view"].n == 7 and got["view"].b == 3
+    assert list(got["view"].counts) == [2, 0, 0, 1, 0, 2, 0, 1, 0, 1]
+    assert got["error"].n == 4 and got["error"].b == 2
+    assert list(got["error"].counts) == [0, 0, 0, 0, 3, 0, 0, 0, 1, 0]
+    for r in got.values():  # vector accounting survives the round-trip
+        assert sum(r.counts) == r.n
+
+    # ... and equals the uninterrupted run over A,B,C exactly
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    for name, pdf in [("0000.parquet", _PSI_A), ("0001.parquet", _PSI_B),
+                      ("0002.parquet", _PSI_C)]:
+        _write(src2, name, pdf)
+    ref = _final_by(_run_monitor(spark, _psi_stream(spark, src2), ckpt2),
+                    "event_type")
+    merged = {**phase1, **got}
+    assert set(merged) == set(ref)
+    for k in ref:
+        assert (list(merged[k].counts), merged[k].n, merged[k].b) == (
+            list(ref[k].counts), ref[k].n, ref[k].b), k
