@@ -1543,3 +1543,668 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q219_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("relational", "agg"),
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting-revenue-change (the TPC-H Q6 shape): how much revenue
+    would appear if small-quantity discounts in one band were dropped —
+    the purest what-if aggregate: NO join, arithmetic over a
+    triple-predicate slice of the fact table.
+
+    Plan shape at 100 TB: all three predicates (ship-year range,
+    discount band, quantity ceiling) push to the parquet scan, column
+    pruning leaves 4 columns, and the whole query is one map-only
+    partial aggregate + a 1-row reduce — zero shuffles of data, only
+    the final scalar exchange. This is the query that measures pure
+    scan bandwidth."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q220_min_cost_supplier",
+    oracle="""
+    WITH eu AS (SELECT s.s_suppkey, s.s_name FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                             AND r.r_name = 'EUROPE'),
+    ec AS (SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+                  ROUND(MIN(l.l_extendedprice / l.l_quantity), 6)
+                    AS unit_cost
+           FROM lineitem l
+           JOIN eu ON eu.s_suppkey = l.l_suppkey
+           JOIN part p ON p.p_partkey = l.l_partkey
+                      AND p.p_size BETWEEN 10 AND 15
+                      AND p.p_type = 'PROMO'
+           GROUP BY 1, 2),
+    best AS (SELECT partkey, MIN(unit_cost) AS mc FROM ec GROUP BY 1)
+    SELECT ec.partkey AS partkey, ec.suppkey AS suppkey,
+           eu.s_name AS supplier, ec.unit_cost AS unit_cost
+    FROM ec JOIN best ON best.partkey = ec.partkey
+                     AND ec.unit_cost = best.mc
+    JOIN eu ON eu.s_suppkey = ec.suppkey
+    ORDER BY partkey, suppkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-cost supplier per part (the TPC-H Q2 shape): for every
+    PROMO part in a size band, the EUROPE supplier(s) offering the
+    lowest observed unit cost — the correlated-min-PER-GROUP idiom
+    (q215's correlated max is the 1-group special case). The testdata
+    has no partsupp table, so the supply catalog is DERIVED: per
+    (part, supplier) the minimum shipped unit price from lineitem.
+
+    Float discipline: unit cost is one IEEE division ROUND(6)-ed at
+    the catalog build on BOTH engines, so the min and the tie-equality
+    compare rounded values — never raw float equality (the q215 rule).
+
+    Plan shape at 100 TB: part + supplier-region predicates prune the
+    catalog BEFORE the per-part min (restricting a per-group min to a
+    group subset is semantics-preserving); the catalog aggregate is
+    the one big shuffle (partkey, suppkey); `best` regroups by partkey
+    and Catalyst's ReuseExchange serves both branches from the same
+    shuffle; the best-join is partkey-keyed on co-partitioned data.
+    Supplier/nation/region ride broadcast_if_small / fixed-dim
+    hints."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    p = table(spark, sf, "part").where(
+        F.col("p_size").between(10, 15) & (F.col("p_type") == "PROMO")
+    )
+    eu = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    ec = (
+        li.join(broadcast_if_small(eu), li.l_suppkey == eu.s_suppkey)
+        .join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    best = ec.groupBy("partkey").agg(F.min("unit_cost").alias("mc"))
+    return (
+        ec.join(
+            best,
+            (ec.partkey == best.partkey) & (ec.unit_cost == best.mc),
+        )
+        .drop(best.partkey)
+        .join(broadcast_if_small(eu), F.col("suppkey") == eu.s_suppkey)
+        .select(
+            "partkey",
+            "suppkey",
+            F.col("s_name").alias("supplier"),
+            "unit_cost",
+        )
+        .orderBy("partkey", "suppkey")
+    )
+
+
+@query(
+    "q221_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+                   AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(yr AS INT) AS yr,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                          ELSE 0 END) / SUM(vol), 4) AS share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM sales GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (the TPC-H Q8 shape): one supplier
+    nation's share of ECONOMY-part revenue sold into the AMERICA
+    market per year — the conditional-share-of-total idiom where the
+    numerator's filter (supplier nation) is independent of the
+    market-defining joins.
+
+    Float discipline: the share is float-sum over float-sum of the
+    SAME rows on both engines, ROUND(4) — the q211 promo_pct argument
+    (noise is ~9 orders below the rounding grain at any row count
+    because both sums grow together).
+
+    Plan shape at 100 TB: the order-date window prunes the orders
+    scan, p_type prunes part; lineitem->orders is the fact-fact
+    orderkey shuffle, customer joins on custkey (second keyed
+    shuffle); nation x2 and region broadcast unconditionally (fixed
+    25/5 rows); supplier and part are broadcast_if_small-gated. The
+    two-year output is 2 rows."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    p = table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(
+            F.broadcast(r), F.col("cn_region") == r.r_regionkey
+        )
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.groupBy(F.col("yr").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("vol")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum("vol"),
+                4,
+            ).alias("share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "q222_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * 0.1 * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-line profit by supplier nation and year (the TPC-H Q9
+    shape): revenue minus a cost term that needs a DIMENSION attribute
+    (p_retailprice) inside the fact-row arithmetic — the
+    measure-from-two-tables idiom. The testdata has no partsupp
+    supplycost, so cost is a fixed 10% retail-price carry per unit —
+    deterministic and engine-identical.
+
+    Plan shape at 100 TB: the name LIKE prunes part before its gated
+    broadcast; supplier is gated, nation broadcast; the one fact-fact
+    shuffle is the orderkey join for the order year. Output is
+    nations x years."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    o = table(spark, sf, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .orderBy("nation", "yr")
+    )
+
+
+@query(
+    "q223_important_parts",
+    oracle="""
+    WITH v AS (SELECT l.l_partkey AS partkey, SUM(l.l_quantity) AS vol
+               FROM lineitem l
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               JOIN nation n ON n.n_nationkey = s.s_nationkey
+                            AND n.n_name = 'NATION_7'
+               GROUP BY 1),
+    t AS (SELECT SUM(vol) AS tot FROM v)
+    SELECT partkey, CAST(vol AS BIGINT) AS vol
+    FROM v, t WHERE vol > tot * 0.002
+    ORDER BY vol DESC, partkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """Important-stock report (the TPC-H Q11 shape): parts whose shipped
+    volume from one nation's suppliers exceeds a FRACTION OF THE TOTAL
+    — the scalar-subquery-threshold idiom, where the cut line is an
+    aggregate of the same grouped table being filtered.
+
+    Exactness: volumes are sums of integer-valued quantities — exact
+    in doubles at any summation order — and the threshold is one IEEE
+    multiply of that exact total, so the comparison can never flip
+    cross-engine.
+
+    Plan shape at 100 TB: ONE grouped aggregate (partkey) over the
+    supplier-filtered fact feeds both the rows and (via a 1-row
+    re-aggregate + broadcast cross join, the q215 scalar idiom) the
+    threshold — Catalyst's ReuseExchange serves both consumers from
+    the same shuffle; supplier is gated, nation broadcast."""
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_quantity").alias("vol"))
+    )
+    t = v.agg(F.sum("vol").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("vol") > F.col("tot") * 0.002)
+        .select("partkey", F.col("vol").cast("bigint").alias("vol"))
+        .orderBy(F.desc("vol"), "partkey")
+    )
+
+
+@query(
+    "q224_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag AS rflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority-class line counts per return flag (the TPC-H Q12 shape):
+    a fact-fact join whose ONLY payload from the joined side is a
+    two-way CASE classification — the count-by-condition-after-join
+    idiom (Q12 classifies shipmodes; the testdata's equivalent
+    categorical pair is returnflag x orderpriority).
+
+    Plan shape at 100 TB: the ship-year predicate prunes the lineitem
+    scan to one year before the orderkey shuffle; orders carries only
+    (orderkey, orderpriority) after pruning; both conditional counts
+    ride ONE aggregate pass. Output is 3 rows."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("rflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_lines"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_lines"),
+        )
+        .orderBy("rflag")
+    )
+
+
+@query(
+    "q225_supplier_variety",
+    oracle="""
+    SELECT p.p_brand AS brand, CAST(p.p_size AS INT) AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand NOT IN ('Brand#1','Brand#2')
+      AND p.p_size IN (1,4,9,16,25,36,49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1,2 ORDER BY supplier_cnt DESC, brand, size
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier variety per (brand, size) (the TPC-H Q16 shape): how
+    many DISTINCT suppliers ship each excluded-brand part class,
+    excluding a blacklist subquery — the NOT-IN-subquery + distinct
+    count idiom.
+
+    NOT IN is planned as a left ANTI join (s_suppkey is never NULL in
+    the blacklist, so anti-join and NOT IN agree; with a nullable
+    subquery Spark would need the null-aware variant — documented
+    hazard, not hit here).
+
+    Plan shape at 100 TB: brand/size predicates prune part before its
+    gated broadcast; the blacklist (negative-balance suppliers) is a
+    tiny filtered scan broadcast as the anti side; the distinct count
+    is the one (brand, size)-keyed shuffle with partial distinct
+    aggregation map-side."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").where(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        table(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(
+            broadcast_if_small(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "brand", "size")
+    )
+
+
+@query(
+    "q226_small_qty_revenue",
+    oracle="""
+    WITH pa AS (SELECT l_partkey, COUNT(*) AS cnt, SUM(l_quantity) AS sq
+                FROM lineitem GROUP BY 1)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_weekly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity * 5.0 * pa.cnt < pa.sq
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order revenue (the TPC-H Q17 shape): revenue from
+    lines whose quantity is below 20% of that part's average — the
+    correlated-per-group-average idiom (the group aggregate joins back
+    against its own members).
+
+    Exactness: `qty < 0.2 * avg` is rewritten `5 * qty * cnt < sum` on
+    BOTH engines — quantities are integer-valued, so every operand is
+    an exactly-representable integer in a double and the comparison is
+    order-independent; the raw form divides two floats and could flip
+    on the boundary cross-engine.
+
+    Plan shape at 100 TB: the per-part profile is one partkey-grouped
+    aggregate; the join back to the brand-filtered lines is
+    partkey-keyed on co-partitioned data (ReuseExchange-able scan);
+    part's gated broadcast prunes lines before the profile join; one
+    1-row final reduce."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sq")
+    )
+    return (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q227_large_volume_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sq
+                 FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150)
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           CAST(big.sq AS BIGINT) AS total_qty
+    FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey LIMIT 20
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume orders (the TPC-H Q18 shape): the 20 biggest orders
+    by price among those whose total line quantity clears a HAVING
+    threshold — the grouped-HAVING-then-rejoin idiom. Quantity sums
+    are integer-exact, so the HAVING cut is deterministic.
+
+    Plan shape at 100 TB: the orderkey-grouped quantity sum is the one
+    fact shuffle and the HAVING filter collapses it to the rare heavy
+    tail BEFORE the orders join (orderkey-keyed, co-partitioned);
+    customer joins on custkey; the top-20 compiles to
+    TakeOrderedAndProject (per-partition heap, never a global
+    sort)."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("sq").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q228_promo_suppliers",
+    oracle="""
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+                 AND r.r_name = 'EUROPE'
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 HAVING SUM(l.l_quantity) > 40)
+    ORDER BY suppkey
+    """,
+    tags=("relational", "join"),
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion-capable suppliers (the TPC-H Q20 shape): EUROPE
+    suppliers who shipped more than a threshold volume of red parts in
+    one year — the IN-on-an-AGGREGATED-subquery idiom (a semi join
+    whose right side is itself a grouped HAVING table).
+
+    Plan shape at 100 TB: the inner aggregate prunes lineitem by
+    ship-year at the scan and by the part LIKE through a gated
+    broadcast, groups by suppkey, and the HAVING collapses it to at
+    most |suppliers| rows — which is why the semi join gates it with
+    broadcast_if_small (supplier-proportional, NOT fact-proportional);
+    nation/region broadcast unconditionally. Quantity sums are
+    integer-exact, so the HAVING cut is deterministic."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf, "part").where(F.col("p_name").like("red%"))
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    heavy = (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            broadcast_if_small(heavy),
+            s.s_suppkey == heavy.l_suppkey,
+            "left_semi",
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q229_waiting_suppliers",
+    oracle="""
+    WITH ll AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                       CAST(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                            AS INT) AS late
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'),
+    ord AS (SELECT ok, COUNT(DISTINCT sk) AS ns,
+                   COUNT(DISTINCT CASE WHEN late = 1 THEN sk END) AS nl
+            FROM ll GROUP BY ok)
+    SELECT s.s_name AS name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ll JOIN ord ON ord.ok = ll.ok
+    JOIN supplier s ON s.s_suppkey = ll.sk
+    WHERE ll.late = 1 AND ord.ns > 1 AND ord.nl = 1
+    GROUP BY 1 ORDER BY numwait DESC, name LIMIT 25
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers who kept orders waiting (the TPC-H Q21 shape): late
+    lines (shipped > 60 days after the order date — the testdata's
+    stand-in for receipt > commit) on multi-supplier finished orders
+    where NO OTHER supplier was late. Q21's classic form is an EXISTS
+    + NOT EXISTS pair of correlated self-joins; here both collapse
+    into ONE per-order profile — distinct suppliers and distinct LATE
+    suppliers — because 'another supplier exists' is ns > 1 and 'no
+    other supplier is late' (given this line is late) is nl = 1. The
+    rewrite is the scale-correct form: the correlated-EXISTS plan
+    re-probes the fact table per row; the profile is one grouped
+    aggregate.
+
+    Plan shape at 100 TB: the status filter prunes orders; lineitem
+    joins orders on orderkey (THE fact shuffle); the per-order profile
+    groups on the same key, so Catalyst reuses the partitioning (no
+    second exchange of the fact), and the profile join is
+    co-partitioned; supplier is gated; top-25 is
+    TakeOrderedAndProject. Timestamps compare exactly — no float
+    hazard anywhere."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    s = table(spark, sf, "supplier")
+    ll = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    ordp = ll.groupBy("ok").agg(
+        F.countDistinct("sk").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("sk"))
+        ).alias("nl"),
+    )
+    return (
+        ll.join(ordp, "ok")
+        .where(
+            (F.col("late") == 1) & (F.col("ns") > 1) & (F.col("nl") == 1)
+        )
+        .join(broadcast_if_small(s), F.col("sk") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "name")
+        .limit(25)
+    )

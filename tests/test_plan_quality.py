@@ -588,3 +588,49 @@ def test_warehouse_dim_broadcasts_gated_at_scale(spark, sf_dir):
         assert joined.collect()[0]["n"] == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_new_warehouse_shapes_plan_contracts(spark, sf_dir):
+    """The r14 TPC-H-idiom additions' scale contracts:
+
+    * q219 (Q6 shape) is scan -> filter -> agg: all three predicates
+      reach the parquet scan, NO join anywhere, and the only exchange
+      is the final 1-row reduce.
+    * q227 (Q18) / q229 (Q21) end in TakeOrderedAndProject — a
+      per-partition heap, never a global sort of the fact table.
+    * q229's fact-fact join and its per-order profile group on the
+      same key: the grouped profile must not pay a second full-fact
+      exchange (one orderkey exchange each for lineitem and orders,
+      one for the distinct-aggregate re-use; a naive plan doubles it).
+    * none of the 11 new shapes contains a cartesian product or a
+      row-Python node."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    f = audit(_build(spark, sf_dir, "q219_forecast_revenue"))
+    assert f.joins == 0, f
+    pushed = " ".join(f.pushed_filters)
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    assert "l_shipdate" in pushed, pushed
+    assert f.exchanges <= 2, f  # 1 physical node == 2 formatted hits
+
+    for name in ("q227_large_volume_orders", "q229_waiting_suppliers"):
+        assert "TakeOrderedAndProject" in plan_string(
+            _build(spark, sf_dir, name)
+        ), name
+
+    for name in (
+        "q219_forecast_revenue",
+        "q220_min_cost_supplier",
+        "q221_market_share",
+        "q222_product_profit",
+        "q223_important_parts",
+        "q224_priority_lines",
+        "q225_supplier_variety",
+        "q226_small_qty_revenue",
+        "q227_large_volume_orders",
+        "q228_promo_suppliers",
+        "q229_waiting_suppliers",
+    ):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.cartesian_products == 0, name
+        assert f.python_evals == 0, name
