@@ -1626,12 +1626,13 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape at 100 TB: part + supplier-region predicates prune the
     catalog BEFORE the per-part min (restricting a per-group min to a
-    group subset is semantics-preserving); the catalog aggregate is
+    group SUBSET is semantics-preserving); the catalog aggregate is
     the one big shuffle (partkey, suppkey); `best` regroups by partkey
-    and Catalyst's ReuseExchange serves both branches from the same
-    shuffle; the best-join is partkey-keyed on co-partitioned data.
-    Supplier/nation/region ride broadcast_if_small / fixed-dim
-    hints."""
+    and AQE's runtime exchange reuse serves both branches from the
+    same shuffle (verified in the post-execution adaptive plan:
+    ReusedExchange x2); the best-join is partkey-keyed on
+    co-partitioned catalog-sized data. Supplier/nation/region ride
+    broadcast_if_small / fixed-dim hints."""
     li = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
@@ -1848,11 +1849,17 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
     multiply of that exact total, so the comparison can never flip
     cross-engine.
 
-    Plan shape at 100 TB: ONE grouped aggregate (partkey) over the
-    supplier-filtered fact feeds both the rows and (via a 1-row
-    re-aggregate + broadcast cross join, the q215 scalar idiom) the
-    threshold — Catalyst's ReuseExchange serves both consumers from
-    the same shuffle; supplier is gated, nation broadcast."""
+    Plan shape at 100 TB: the grouped volume table (partkey) feeds
+    both the output rows and, via a 1-row re-aggregate + broadcast
+    cross join (the q215 scalar idiom), the threshold. The scalar
+    branch re-derives the aggregate — a second map-side partial + tiny
+    shuffle over the nation-pruned fact (measured: AQE's exchange
+    reuse does not canonicalize the two consumers equal here). That
+    second bounded pass is inherent to the fraction-of-total idiom
+    unless the grouped table is materialized; at parts-scale output it
+    is cheaper than a global-window single-partition plan, which is
+    the alternative this query deliberately avoids. Supplier is gated,
+    nation broadcast."""
     li = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
@@ -2002,20 +2009,29 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
     order-independent; the raw form divides two floats and could flip
     on the boundary cross-engine.
 
-    Plan shape at 100 TB: the per-part profile is one partkey-grouped
-    aggregate; the join back to the brand-filtered lines is
-    partkey-keyed on co-partitioned data (ReuseExchange-able scan);
-    part's gated broadcast prunes lines before the profile join; one
-    1-row final reduce."""
+    Plan shape at 100 TB: the classic encoding aggregates lineitem per
+    part and joins the profile back — TWO passes over the fact. Here
+    the per-part profile rides a WINDOW over the already-filtered
+    lines instead: brand is a part-level attribute and the join key is
+    partkey, so the gated part broadcast keeps EVERY line of each
+    surviving part — the windowed count/sum per partkey equals the
+    whole-table profile for exactly the parts that can reach the
+    output. One scan, one partkey exchange, one 1-row reduce (the
+    oracle keeps the two-pass SQL form; the algebra is identical)."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sq")
+    w = Window.partitionBy("l_partkey")
+    j = (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .select(
+            "l_quantity",
+            "l_extendedprice",
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.sum("l_quantity").over(w).alias("sq"),
+        )
     )
     return (
-        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
-        .join(pa, li.l_partkey == pa.pk)
-        .where(F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sq"))
+        j.where(F.col("l_quantity") * 5.0 * F.col("cnt") < F.col("sq"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -2173,14 +2189,18 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape at 100 TB: the status filter prunes orders; lineitem
     joins orders on orderkey (THE fact shuffle); the per-order profile
-    groups on the same key, so Catalyst reuses the partitioning (no
-    second exchange of the fact), and the profile join is
-    co-partitioned; supplier is gated; top-25 is
-    TakeOrderedAndProject. Timestamps compare exactly — no float
-    hazard anywhere."""
+    — distinct suppliers / distinct late suppliers — rides a WINDOW
+    (size of collect_set) over the same orderkey partitioning instead
+    of a grouped self-join, so the fact is scanned and shuffled ONCE
+    (the grouped form re-derived the join for its second consumer —
+    measured, no AQE exchange reuse fired); the per-order sets are
+    bounded by suppliers-per-order, not order size. Supplier is gated;
+    top-25 is TakeOrderedAndProject. Timestamps compare exactly — no
+    float hazard anywhere."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     s = table(spark, sf, "supplier")
+    w = Window.partitionBy("ok")
     ll = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_suppkey").alias("sk"),
@@ -2191,15 +2211,18 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("late"),
     )
-    ordp = ll.groupBy("ok").agg(
-        F.countDistinct("sk").alias("ns"),
-        F.countDistinct(
-            F.when(F.col("late") == 1, F.col("sk"))
+    prof = ll.select(
+        "sk",
+        "late",
+        F.size(F.collect_set("sk").over(w)).alias("ns"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("late") == 1, F.col("sk"))
+            ).over(w)
         ).alias("nl"),
     )
     return (
-        ll.join(ordp, "ok")
-        .where(
+        prof.where(
             (F.col("late") == 1) & (F.col("ns") > 1) & (F.col("nl") == 1)
         )
         .join(broadcast_if_small(s), F.col("sk") == s.s_suppkey)
