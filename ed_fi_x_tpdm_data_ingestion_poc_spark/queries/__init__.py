@@ -56,22 +56,39 @@ def memo(cache: dict, key, build, label: str | None = None):
         return cache[key]
 
 
-def broadcast_if_small(df: DataFrame, max_rows: int = 2_000_000) -> DataFrame:
-    """Broadcast-hint a PERSISTED artifact only when it is provably small.
+# gate-probe memo for broadcast_if_small: (session ref kept so id() can't
+# be recycled) — keyed by the side's CANONICALIZED plan, so re-built
+# expressions over the same tables (a fresh .where() per query eval)
+# share one probe count instead of paying a count job per evaluation
+_GATE_COUNTS: dict[tuple, tuple] = {}
 
-    A hard ``F.broadcast`` on a corpus-proportional side is a scale bug:
-    near-dup cluster membership commonly covers 20-50% of a web corpus,
-    and at 100 TB an unconditional hint forces a driver-OOM-sized
-    broadcast instead of letting AQE pick a shuffle join. The side here
-    is already materialized (persisted artifact), so ``count()`` is a
-    metadata read — cheap and exact, unlike Catalyst's LogicalRDD stats,
-    which are unknown for checkpointed iterative results. Above the cap
+
+def broadcast_if_small(df: DataFrame, max_rows: int = 2_000_000) -> DataFrame:
+    """Broadcast-hint a join side only when it is provably small.
+
+    A hard ``F.broadcast`` on a corpus- or SF-proportional side is a
+    scale bug: near-dup cluster membership commonly covers 20-50% of a
+    web corpus (and TPC-H part/supplier grow with SF), so at 100 TB an
+    unconditional hint forces a driver-OOM-sized broadcast instead of
+    letting AQE pick a shuffle join. ``count()`` is exact, unlike
+    Catalyst's LogicalRDD stats (unknown for checkpointed iterative
+    results); for persisted artifacts it is a metadata read, and for
+    scan-shaped sides the probe is memoized per (session, canonical
+    plan) — a query re-built per bench evaluation re-uses the first
+    probe instead of paying a count job each time (a side with fresh
+    lineage — e.g. a new localCheckpoint — hashes differently and is
+    re-probed, which is the correct staleness behavior). Above the cap
     the frame is returned unhinted and AQE chooses the strategy from
     runtime shuffle sizes (including its own broadcast conversion when
     the side turns out small after filters)."""
     from pyspark.sql import functions as _F
 
-    return _F.broadcast(df) if df.count() <= max_rows else df
+    key = (id(df.sparkSession), df.semanticHash())
+    hit = _GATE_COUNTS.get(key)
+    if hit is None or hit[0] is not df.sparkSession:
+        _GATE_COUNTS[key] = (df.sparkSession, df.count())
+    n = _GATE_COUNTS[key][1]
+    return _F.broadcast(df) if n <= max_rows else df
 
 
 def built(df: DataFrame) -> DataFrame:

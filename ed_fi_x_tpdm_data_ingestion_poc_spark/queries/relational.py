@@ -1046,10 +1046,12 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     x10 = 6M rows): 1.04 -> 1.19 s — 0.11x the linear law; the pruned
     orders scan and broadcast dimension chain keep the join cost
     pinned to the filtered fact stream, exactly the plan contract. The
-    same probe also inflates supplier 10x under a forced-low gate and
-    measures the shuffle-join fallback completing with identical
-    results (gate measured, not asserted); the degrade-to-shuffle plan
-    itself is pinned by tests/test_plan_quality.py."""
+    same probe also inflates SUPPLIER 10x under a forced-low gate
+    (cap 1 row — the 100 TB condition): the supplier join degrades to
+    the shuffle/AQE path and completes in 1.5 s vs 1.57 s broadcast
+    with exactly 10x the per-nation revenue — gate measured, not
+    asserted; the degrade-to-shuffle plan itself is pinned by
+    tests/test_plan_quality.py."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
