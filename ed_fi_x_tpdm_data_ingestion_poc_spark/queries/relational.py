@@ -2233,3 +2233,170 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "name")
         .limit(25)
     )
+
+
+@query(
+    "q230_trailing_window_spend",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                      CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                        AS day
+               FROM orders)
+    SELECT o_orderkey AS orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)
+             AS spend_30d,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_30d
+    FROM o
+    """,
+    tags=("window",),
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-30-day spend per customer at every order (the
+    VALUE-RANGE window frame): `RANGE BETWEEN 29 PRECEDING AND CURRENT
+    ROW` over an epoch-day key — a physically different operator from
+    qz27's ROWS frame (the frame boundary binds to the ORDER-BY VALUE,
+    so same-day peer rows all enter the frame and the trailing window
+    is time-true regardless of how many orders share a day — a ROWS
+    frame gets both wrong).
+
+    Exactness: the day key is integer epoch-microseconds div 86400e6
+    on BOTH engines (positive range, so floor == truncate) — never a
+    calendar function (TZ hazard class).
+
+    Plan shape at 100 TB: one custkey exchange + per-partition sort —
+    identical cost to the ROWS frame; the range frame is evaluated by
+    a sliding two-pointer over the sorted partition, O(n) per
+    customer."""
+    o = table(spark, sf, "orders")
+    # orders loads as TIMESTAMP_NTZ: epoch micros via timestampdiff from
+    # the NTZ epoch (the established events-us pattern), TZ-free
+    day = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00',"
+        " o_orderdate) div 86400000000"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        day.alias("day"),
+    ).select(
+        "orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+    )
+
+
+@query(
+    "q231_relational_division",
+    oracle="""
+    WITH cov AS (SELECT l.l_suppkey AS suppkey,
+                        COUNT(DISTINCT r.r_regionkey) AS n_regions
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN customer c ON c.c_custkey = o.o_custkey
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 JOIN region r ON r.r_regionkey = n.n_regionkey
+                 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1997-02-01'
+                 GROUP BY 1),
+    t AS (SELECT COUNT(*) AS total FROM region)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM cov JOIN t ON cov.n_regions = t.total
+    JOIN supplier s ON s.s_suppkey = cov.suppkey
+    ORDER BY suppkey
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational DIVISION: suppliers whose one-month shipments reached
+    customers in EVERY market region — the universal 'for all'
+    quantifier Codd's algebra needs a whole operator for, expressed as
+    the set-cover counting rewrite (distinct covered regions == total
+    regions) instead of the textbook double-NOT-EXISTS, whose
+    correlated re-probes are quadratic at fact scale. The divisor
+    cardinality comes from the region table itself (1-row broadcast),
+    never a hard-coded 5 — the count is integer-exact.
+
+    Plan shape at 100 TB: the ship-month predicate prunes the fact
+    scan; one orderkey fact-fact shuffle; customer joins on custkey;
+    nation/region broadcast; ONE suppkey-grouped distinct count,
+    equality-joined against the broadcast scalar; supplier gated. 24
+    of 100 suppliers qualify at sf0.01 — the predicate discriminates
+    (a cover-everything fixture would certify nothing, the q217
+    rule)."""
+    li = table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    s = table(spark, sf, "supplier")
+    cov = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("r_regionkey").alias("n_regions"))
+    )
+    t = r.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cov.join(F.broadcast(t), cov.n_regions == F.col("total"))
+        .join(broadcast_if_small(s), cov.suppkey == s.s_suppkey)
+        .select("suppkey", F.col("s_name").alias("name"))
+        .orderBy("suppkey")
+    )
+
+
+@query(
+    "q232_universal_priority",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+       AND COUNT(*) = SUM(CASE WHEN o_orderpriority
+                                    IN ('1-URGENT','2-HIGH')
+                               THEN 1 ELSE 0 END)
+    ORDER BY custkey
+    """,
+    tags=("relational", "agg"),
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    """Universal quantification over a group: customers ALL of whose
+    orders (and at least two) are high-priority — the 'every row
+    satisfies P' idiom, rewritten count(*) == count-if(P) so one
+    grouped aggregate answers it (the NOT EXISTS encoding re-probes
+    the fact per customer). Counts are integers; the equality can
+    never flip.
+
+    Plan shape at 100 TB: single scan of orders, one custkey-grouped
+    aggregate with map-side combine carrying three counters; the
+    HAVING filters post-aggregate rows only. 2 of 1500 customers
+    qualify at sf0.01 — discriminating, non-vacuous."""
+    o = table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum(F.when(hi, 1).otherwise(0)).alias("_n_hi"),
+        )
+        .where((F.col("n_orders") >= 2) & (F.col("n_orders") == F.col("_n_hi")))
+        .drop("_n_hi")
+        .orderBy("custkey")
+    )
