@@ -125,3 +125,47 @@ def test_funnel_times_ordered_semantics(spark):
     assert out[2] == (10, 30, FUNNEL_INF)
     assert out[3] == (10, 40, FUNNEL_INF)
     assert out[4] == (FUNNEL_INF, FUNNEL_INF, FUNNEL_INF)
+
+
+def test_broadcast_if_small_gate_and_memo(spark, sf_dir):
+    """The r14 gate-probe memo must be RESULT-invariant: the hint
+    decision for a given side is identical with a cold or warm memo
+    (the count is a pure function of the canonicalized plan), below-cap
+    sides get the hint, above-cap sides come back unhinted, and a
+    re-built expression over the same tables (fresh .where() per query
+    evaluation) reuses the first probe instead of paying a count job.
+    A semanticHash collision could only flip a HINT (a plan choice
+    AQE re-checks at runtime), never a result."""
+    from pyspark.sql import functions as F
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import (
+        _GATE_COUNTS,
+        broadcast_if_small,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+    n = table(spark, sf_dir, "nation").where(F.col("n_nationkey") >= 0)
+    before = len(_GATE_COUNTS)
+    out1 = broadcast_if_small(n)
+    # hinted below the cap: joining against it plans a broadcast join
+    c = table(spark, sf_dir, "customer")
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import audit
+
+    f = audit(c.join(out1, c.c_nationkey == out1.n_nationkey))
+    assert f.broadcast_joins >= 1
+    grew = len(_GATE_COUNTS) - before
+    assert grew == 1
+    # a RE-BUILT identical expression (fresh .where object) memo-hits
+    n2 = table(spark, sf_dir, "nation").where(F.col("n_nationkey") >= 0)
+    broadcast_if_small(n2)
+    assert len(_GATE_COUNTS) - before == 1  # no new probe
+    # above the cap: unhinted frame returned as-is (same object)
+    big = table(spark, sf_dir, "customer")
+    out2 = broadcast_if_small(big, max_rows=1)
+    assert out2 is big
+    # ... and the decision uses the memoized count, not max_rows, as key:
+    # the same side with a different cap flips the hint without re-probing
+    probes = len(_GATE_COUNTS)
+    out3 = broadcast_if_small(big, max_rows=10_000_000)
+    assert out3 is not big  # hinted now
+    assert len(_GATE_COUNTS) == probes
