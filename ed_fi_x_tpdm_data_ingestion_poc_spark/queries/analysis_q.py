@@ -2391,3 +2391,240 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 / q240 — survival analysis + multi-touch attribution over user_seq
+# ---------------------------------------------------------------------------
+
+_US_SQL = """
+    e AS (SELECT user_id, event_id, event_type,
+                 date_diff('microsecond',
+                           TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+          FROM events)
+"""
+
+
+@query(
+    "q239_kaplan_meier",
+    oracle=f"""
+    WITH {_US_SQL},
+    u AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us,
+                 MIN(us) FILTER (event_type = 'purchase') AS fp_us
+          FROM e GROUP BY 1),
+    d AS (SELECT (COALESCE(fp_us, last_us) - first_us)
+                   // {_DAY_US} AS day,
+                 CAST(fp_us IS NOT NULL AS INT) AS obs
+          FROM u),
+    g AS (SELECT day, SUM(obs) AS d, COUNT(*) - SUM(obs) AS w
+          FROM d GROUP BY day),
+    r AS (SELECT day, d,
+                 SUM(d + w) OVER (ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) - (d + w)
+                   AS removed,
+                 SUM(d + w) OVER () AS n
+          FROM g),
+    k AS (SELECT day, d, n - removed AS at_risk,
+                 SUM(CASE WHEN n - removed > d THEN
+                       LN(CAST(n - removed - d AS DOUBLE) / (n - removed))
+                     ELSE 0.0 END)
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ls
+          FROM r WHERE d > 0)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN at_risk = d THEN 0.0
+                ELSE ROUND(EXP(ls), 6) END AS survival
+    FROM k ORDER BY day
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase, in days
+    from each user's first event, with users who never purchase RIGHT-
+    CENSORED at their last observed event (Kaplan & Meier 1958) — the
+    estimator a naive conversion-time histogram gets wrong: dropping
+    never-purchasers biases conversion fast, counting them as
+    non-converters biases it slow; KM removes them from the risk set
+    at their censoring time and stays unbiased under independent
+    censoring. Output: one row per event day — risk-set size, deaths,
+    and the survival step S(t) = prod(1 - d_i/n_i).
+
+    Exactness: risk sets and death counts are exact integers from one
+    per-user collapse of the user_seq artifact; the product is
+    exp(cumulative sum of ln((n_i-d_i)/n_i)) where each ln argument is
+    a ratio of exact integers and the cumulative sum runs in the
+    deterministic day order — identical doubles cross-engine. An
+    exhausted risk set (the last death removes everyone: at_risk = d,
+    only ever possible on the final step) is an explicit survival-0
+    CASE rather than ln(0) — Spark evaluates ln(0) to -inf but DuckDB
+    RAISES on it, so the guard is a cross-engine requirement, not
+    style.
+
+    Scale shape: ONE aggregate collapses user_seq to a users-sized
+    table (conditional min/max, no join), a second collapses that to
+    distinct-duration rows (days-bounded); the two cumulative windows
+    run on the days-bounded table — the qz185 rule: a single-partition
+    window is correct exactly when the input is bounded by something
+    that never grows with the corpus (the observation-window length)."""
+    from pyspark.sql import Window
+
+    u = user_seq(spark, sf).groupBy("user_id").agg(
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("fp_us"),
+    )
+    d = u.select(
+        F.floor(
+            (F.coalesce(F.col("fp_us"), F.col("last_us"))
+             - F.col("first_us"))
+            / _DAY_US
+        ).alias("day"),
+        F.col("fp_us").isNotNull().cast("int").alias("obs"),
+    )
+    g = d.groupBy("day").agg(
+        F.sum("obs").alias("d"),
+        (F.count(F.lit(1)) - F.sum("obs")).alias("w"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    r = g.select(
+        "day",
+        "d",
+        (F.sum(F.col("d") + F.col("w")).over(cum)
+         - (F.col("d") + F.col("w"))).alias("removed"),
+        F.sum(F.col("d") + F.col("w")).over(tot).alias("n"),
+    )
+    at_risk = F.col("n") - F.col("removed")
+    k = r.where(F.col("d") > 0).select(
+        "day",
+        "d",
+        at_risk.alias("at_risk"),
+        F.sum(
+            F.when(
+                at_risk > F.col("d"),
+                F.log(
+                    (at_risk - F.col("d")).cast("double") / at_risk
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(cum)
+        .alias("ls"),
+    )
+    return k.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("at_risk") == F.col("d"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("ls")), 6))
+        .alias("survival"),
+    ).orderBy("day")
+
+
+@query(
+    "q240_position_attribution",
+    oracle=f"""
+    WITH {_US_SQL},
+    fp AS (SELECT user_id, us, event_id FROM (
+             SELECT user_id, us, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS rn
+             FROM e WHERE event_type = 'purchase')
+           WHERE rn = 1),
+    t AS (SELECT e.user_id, e.event_type, e.us, e.event_id
+          FROM e JOIN fp ON fp.user_id = e.user_id
+          WHERE e.us < fp.us
+             OR (e.us = fp.us AND e.event_id < fp.event_id)),
+    r AS (SELECT event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS k
+          FROM t),
+    cr AS (SELECT event_type,
+                  CASE WHEN k = 1 THEN 1.0
+                       WHEN rn = 1 OR rn = k THEN
+                         (CASE WHEN k = 2 THEN 0.5 ELSE 0.4 END)
+                       ELSE 0.2 / (k - 2) END AS credit
+           FROM r)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(credit), 6) AS credit
+    FROM cr GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "analytics"),
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every event
+    before a user's FIRST purchase is a touch; the first and last
+    touch each earn 40% of the conversion credit and the middle
+    touches split the remaining 20% evenly (k=1 -> 100%, k=2 ->
+    50/50) — the standard middle ground between qz193's last-touch
+    (recency-only) and linear attribution (position-blind), reported
+    as total credit per touching event type.
+
+    Correctness detail: "before" is the TOTAL (us, event_id) order —
+    the same composite tiebreak as user_seq — so a touch landing on
+    the first purchase's exact microsecond attributes
+    deterministically on both engines.
+
+    Exactness: positions and touch counts are exact integers; each
+    credit is a closed-form rational of k evaluated identically
+    cross-engine, and the per-type sums (magnitude ~users) are
+    ROUNDed at 1e-6, ~6 orders above float-order noise (qz186 rule).
+
+    Scale shape: first purchases come from one user-partitioned
+    window over the user_seq artifact (reusing its hash partitioning,
+    no new corpus exchange); the touch filter is a users-sized
+    broadcast-gated join; position/count windows run per user on the
+    touch subset. No driver loops, no collect."""
+    from pyspark.sql import Window
+
+    from . import broadcast_if_small
+
+    seq = user_seq(spark, sf)
+    w_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    fp = (
+        seq.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            F.row_number().over(w_user).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("us").alias("fp_us"),
+            F.col("event_id").alias("fp_eid"),
+        )
+    )
+    t = seq.join(broadcast_if_small(fp), "user_id").where(
+        (F.col("us") < F.col("fp_us"))
+        | (
+            (F.col("us") == F.col("fp_us"))
+            & (F.col("event_id") < F.col("fp_eid"))
+        )
+    )
+    r = t.select(
+        "event_type",
+        F.row_number().over(w_user).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.when(F.col("k") == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        r.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

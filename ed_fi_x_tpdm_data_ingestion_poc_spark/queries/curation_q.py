@@ -241,7 +241,7 @@ _SHARD16_SQL = "(" + _mul_hash32_sql("doc_id") + ") % 16"
 
 
 @query(
-    "q78_weighted_sample",
+    "qz78_weighted_sample",
     oracle=f"""
     SELECT doc_id, ROUND(LEAST(n_chars / 400.0, 1.0), 6) AS w
     FROM documents
@@ -266,7 +266,7 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q79_pii_scrub",
+    "qz79_pii_scrub",
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
@@ -330,7 +330,7 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q80_source_mixture",
+    "qz80_source_mixture",
     oracle=f"""
     SELECT doc_id, source
     FROM documents
@@ -360,7 +360,7 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q81_jsonl_roundtrip",
+    "qz81_jsonl_roundtrip",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("formats", "sink"),
 )
@@ -403,7 +403,7 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q82_bigram_topk",
+    "qz82_bigram_topk",
     oracle="""
     WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(toks)),
@@ -439,7 +439,7 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q91_shard_export",
+    "qz91_shard_export",
     oracle=f"""
     WITH s AS (SELECT *, {_SHARD16_SQL} AS shard
                FROM documents)
@@ -548,7 +548,7 @@ _SEG = 16
 
 
 @query(
-    "q92_segment_dedup",
+    "qz92_segment_dedup",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          w AS (SELECT doc_id, toks,
@@ -618,7 +618,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q97_orc_roundtrip",
+    "qz97_orc_roundtrip",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("formats", "sink"),
 )

@@ -478,7 +478,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q93_dedup_survivors",
+    "qz93_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_WITH},
     edges AS (SELECT ida AS src, idb AS dst FROM pairs

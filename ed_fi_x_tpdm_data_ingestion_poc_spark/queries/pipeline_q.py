@@ -375,7 +375,7 @@ def q49b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q98_rest_datasource",
+    "qz98_rest_datasource",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
            CAST(r.range % 10 AS BIGINT) AS grp
@@ -408,7 +408,7 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q98b_rest_limit",
+    "qz98b_rest_limit",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
            CAST(r.range % 10 AS BIGINT) AS grp
@@ -441,7 +441,7 @@ def q98b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q99_stream_rest_source",
+    "qz99_stream_rest_source",
     oracle="""
     SELECT CAST(r.range AS BIGINT) AS id, 'row-' || r.range AS name,
            CAST(r.range % 10 AS BIGINT) AS grp

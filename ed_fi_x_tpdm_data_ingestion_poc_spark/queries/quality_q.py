@@ -33,7 +33,7 @@ def _built(df: DataFrame) -> DataFrame:
 
 
 @query(
-    "q83_rag_retrieval",
+    "qz83_rag_retrieval",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          q AS (SELECT doc_id AS qid, list_distinct(toks) AS qt
@@ -114,7 +114,7 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q85_hot_keys",
+    "qz85_hot_keys",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
                FROM orders GROUP BY o_custkey),
@@ -152,7 +152,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q86_dq_checks",
+    "qz86_dq_checks",
     oracle="""
     SELECT 'totalprice_positive' AS rule,
            CAST(COUNT(*) AS BIGINT) AS n_checked,
@@ -223,7 +223,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q87_scd2_asof",
+    "qz87_scd2_asof",
     oracle=f"""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),
@@ -274,7 +274,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q88_video_frames",
+    "qz88_video_frames",
     oracle="""
     SELECT doc_id,
            CAST(16 AS INT) AS width,

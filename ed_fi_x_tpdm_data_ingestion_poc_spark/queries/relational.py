@@ -2400,3 +2400,90 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
         .drop("_n_hi")
         .orderBy("custkey")
     )
+
+
+@query(
+    "q241_pareto_share",
+    oracle="""
+    WITH r AS (SELECT l_partkey,
+                      SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                     * 100.0, 0) AS BIGINT)) AS rev
+               FROM lineitem GROUP BY 1),
+    w AS (SELECT rev,
+                 ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rk,
+                 SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(rev) OVER () AS tot,
+                 COUNT(*) OVER () AS n
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(rk AS BIGINT) AS top_n,
+           ROUND(CAST(cum AS DOUBLE) / tot, 6) AS top_share
+    FROM w WHERE rk = CAST(CEIL(0.2 * n) AS BIGINT)
+    """,
+    tags=("relational", "agg", "analytics"),
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto revenue concentration: the share of total lineitem
+    revenue earned by the top 20% of parts — the 80/20 check behind
+    assortment and cache-tiering decisions (qz201's HHI compresses
+    concentration to one unitless number; this reports the actionable
+    cut: HOW MUCH revenue the head actually holds and how many parts
+    that is).
+
+    Exactness: per-row revenue is fixed-point cents
+    (ROUND(price*(1-disc)*100), identical double->integer rounding
+    cross-engine), so part revenues, the running sum, and the total
+    are exact integers; the single share division happens once at the
+    cut rank. The (rev DESC, partkey) order is total, so the 20% cut
+    is deterministic.
+
+    Scale shape: one map-side-combined groupBy collapses the fact
+    table to parts-sized rows; rank and running revenue come from TWO
+    passes of `global_running_sums`' distributed prefix sum (range
+    exchange + Arrow cumsum + P-row driver offsets) — at 100 TB the
+    part table is SF x 200k rows (~2e10), far past the
+    single-partition-window cliff the plain OVER () form would hit.
+    The ranked table is a materialize-once artifact (the q205
+    token_coverage_ranked convention: the two prefix-sum passes cost
+    ~4 s of fixed mapInPandas overhead at sf0.1 and are identical per
+    evaluation); n and tot are read off its LAST row (max rk / max
+    cum) via a 1-row broadcast cross join, so the warm query is one
+    cached-scan job with no driver scalars."""
+    from ..operators.ranking import global_running_sums
+    from .llm import _artifact
+
+    def _ranked() -> DataFrame:
+        from . import built
+
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+        ).cast("bigint")
+        r = (
+            table(spark, sf, "lineitem")
+            .select(F.col("l_partkey"), cents.alias("c"))
+            .groupBy("l_partkey")
+            .agg(F.sum("c").alias("rev"))
+        )
+        order = [F.col("rev").desc(), F.col("l_partkey")]
+        cum = global_running_sums(r, order=order, value=F.col("rev"),
+                                  sum_col="cum")
+        rk = global_running_sums(cum, order=order, value=F.lit(1),
+                                 sum_col="rk")
+        return built(rk.persist())
+
+    rk = _artifact(spark, sf, "pareto_ranked", _ranked)
+    st = rk.agg(
+        F.max("rk").alias("n"), F.max("cum").alias("tot")
+    )
+    return (
+        rk.crossJoin(F.broadcast(st))
+        .where(F.col("rk") == F.ceil(0.2 * F.col("n")).cast("bigint"))
+        .select(
+            F.col("n").cast("bigint").alias("n_parts"),
+            F.col("rk").cast("bigint").alias("top_n"),
+            F.round(
+                F.col("cum").cast("double") / F.col("tot"), 6
+            ).alias("top_share"),
+        )
+    )

@@ -250,7 +250,7 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q95_variant_json",
+    "qz95_variant_json",
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

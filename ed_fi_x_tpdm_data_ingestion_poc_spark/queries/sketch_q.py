@@ -44,7 +44,7 @@ _FPP = 0.01
 
 
 @query(
-    "q89_hll_rollup_ok",
+    "qz89_hll_rollup_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch"),
 )
@@ -87,7 +87,7 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q90_bloom_decontam_ok",
+    "qz90_bloom_decontam_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "curation", "sketch"),
 )
@@ -187,7 +187,7 @@ def _shingle_arr(toks) -> "F.Column":
 
 
 @query(
-    "q94_stream_decontam_ok",
+    "qz94_stream_decontam_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("streaming", "llm", "sketch"),
 )
@@ -256,7 +256,7 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q96_hll_incremental_ok",
+    "qz96_hll_incremental_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("agg", "sketch", "incremental"),
 )

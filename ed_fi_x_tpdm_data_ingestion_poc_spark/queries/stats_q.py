@@ -3419,3 +3419,627 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233-q238, q242 — round-14 classical-inference layer over the shared
+# daily/corpus collapses: independence, location, agreement, linear trend,
+# lead-lag, and exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_chi_square_independence",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    o AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
+          FROM c GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o) AS rt FROM o GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS ct FROM o GROUP BY 1),
+    st AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+                  COUNT(DISTINCT dow) AS cc
+           FROM o),
+    cell AS (SELECT rt.rt, ct.ct, COALESCE(o.o, 0) AS o
+             FROM rt CROSS JOIN ct
+             LEFT JOIN o ON o.event_type = rt.event_type
+                         AND o.dow = ct.dow),
+    t AS (SELECT SUM(POWER(CAST(CAST(o AS HUGEINT) * st.n
+                                - CAST(rt AS HUGEINT) * ct AS DOUBLE), 2)
+                     / (CAST(rt AS DOUBLE) * ct * st.n)) AS chi2,
+                 MAX(st.n) AS n, MAX(st.r) AS r, MAX(st.cc) AS cc
+          FROM cell CROSS JOIN st)
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST((r - 1) * (cc - 1) AS INT) AS df,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, cc - 1))), 6) AS cramers_v
+    FROM t
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    weekday, with Cramér's V effect size — the is-traffic-mix-stable-
+    across-the-week monitor (a feed whose type mix shifts on weekends
+    shows up here before any single-type monitor fires). V normalizes
+    chi2 to [0, 1] so snapshots of different sizes compare (chi2 alone
+    grows linearly with N; at corpus scale EVERYTHING is "significant"
+    and only the effect size is actionable).
+
+    Exactness: observed and margin counts are exact integers from the
+    memoized daily artifact; each cell's numerator O*N - rt*ct is
+    computed in decimal(38,0)/HUGEINT (operand-first, the q165 s2
+    rule — at the 100 TB design point O*N is ~1e24 and an int64
+    product wraps silently) and only then cast to double; the ~35-cell
+    term sum is ROUNDed at 1e-6, far above float-order noise (the
+    qz186 JSD precedent).
+
+    Scale shape: everything after the one memoized corpus collapse
+    (daily_type_counts) runs on types x 7 cells — margins, zero-fill
+    grid, and the term sum are all O(types) work; nothing re-touches
+    the corpus."""
+    from .analysis_q import daily_type_counts
+
+    daily = daily_type_counts(spark, sf)
+    o = (
+        daily.select(
+            "event_type", (F.col("day") % 7).alias("dow"), "c"
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("c").alias("o"))
+    )
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("dow").agg(F.sum("o").alias("ct"))
+    st = o.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("cc"),
+    )
+    cell = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["event_type", "dow"], "left")
+        .select(
+            "rt", "ct", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+        .crossJoin(F.broadcast(st))
+    )
+    dec = "decimal(38,0)"
+    diff = F.col("o").cast(dec) * F.col("n") - F.col("rt").cast(dec) * F.col(
+        "ct"
+    )
+    term = F.pow(diff.cast("double"), F.lit(2.0)) / (
+        F.col("rt").cast("double") * F.col("ct") * F.col("n")
+    )
+    t = cell.agg(
+        F.sum(term).alias("chi2"),
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("cc").alias("cc"),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        ((F.col("r") - 1) * (F.col("cc") - 1)).cast("int").alias("df"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q234_anova_f",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
+               FROM events),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(iv) AS s,
+                 SUM(CAST(iv AS HUGEINT) * iv) AS ss
+          FROM e GROUP BY 1),
+    t AS (SELECT SUM(n) AS nn, COUNT(*) AS k,
+                 CAST(SUM(s) AS DOUBLE) AS st,
+                 CAST(SUM(ss) AS DOUBLE) AS sst,
+                 SUM(POWER(CAST(s AS DOUBLE), 2) / n) AS sb
+          FROM g)
+    SELECT CAST(nn AS BIGINT) AS n_events,
+           CAST(k AS INT) AS k_groups,
+           ROUND(((sb - st * st / nn) / (k - 1))
+                 / ((sst - sb) / (nn - k)), 6) AS f_stat,
+           ROUND((sb - st * st / nn)
+                 / (sst - st * st / nn), 6) AS eta_sq
+    FROM t
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F over event value by type (plus eta-squared
+    effect size) — does ANY event type carry a different mean value, in
+    one omnibus test, before the pairwise drill-down (q235): the
+    variance decomposition SSB/SSW every value-mix monitor starts
+    from. Eta² = SSB/SST is the size-invariant companion (share of
+    value variance explained by type).
+
+    Exactness: value -> fixed-point micro-units (the q168/q191
+    convention: ROUND(v*1e6) evaluates identically on identical
+    doubles cross-engine), so per-group n/Σv/Σv² are EXACT integers —
+    Σv² accumulates decimal(38,0)/HUGEINT operand-first (iv² ~ 2.4e17
+    per row; an int64 SUM wraps past ~75 rows of max-value events at
+    corpus scale). The k-group reduction to doubles happens on a
+    5-row table; F and eta² are closed-form over those exact moments
+    (micro-unit scale cancels in both ratios).
+
+    Scale shape: ONE corpus scan with map-side combine into k rows;
+    the F statistic is a 1-row fold of the group table. No window, no
+    join, no second pass."""
+    e = table(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint").alias("iv"),
+    )
+    dec = "decimal(38,0)"
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("iv").cast(dec)).alias("s"),
+        F.sum(F.col("iv").cast(dec) * F.col("iv")).alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("ss").cast("double").alias("sst"),
+        F.sum(
+            F.pow(F.col("s").cast("double"), F.lit(2.0)) / F.col("n")
+        ).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("st") * F.col("st") / F.col("nn")
+    ssw = F.col("sst") - F.col("sb")
+    sstot = F.col("sst") - F.col("st") * F.col("st") / F.col("nn")
+    return t.select(
+        F.col("nn").cast("bigint").alias("n_events"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sstot, 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "q235_welch_ttest",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
+               FROM events
+               WHERE event_type IN ('purchase', 'click')),
+    m AS (SELECT
+            COUNT(*) FILTER (event_type = 'purchase') AS na,
+            COUNT(*) FILTER (event_type = 'click') AS nb,
+            CAST(SUM(iv) FILTER (event_type = 'purchase') AS DOUBLE) AS sa,
+            CAST(SUM(iv) FILTER (event_type = 'click') AS DOUBLE) AS sb,
+            CAST(SUM(CAST(iv AS HUGEINT) * iv)
+                 FILTER (event_type = 'purchase') AS DOUBLE) AS ssa,
+            CAST(SUM(CAST(iv AS HUGEINT) * iv)
+                 FILTER (event_type = 'click') AS DOUBLE) AS ssb
+          FROM e),
+    v AS (SELECT na, nb,
+                 (sa / na - sb / nb) / 1000000.0 AS mean_diff,
+                 ((ssa - sa * sa / na) / (na - 1)) / na AS qa,
+                 ((ssb - sb * sb / nb) / (nb - 1)) / nb AS qb
+          FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(mean_diff, 6) AS mean_diff,
+           ROUND(mean_diff * 1000000.0 / SQRT(qa + qb), 6) AS t_stat,
+           ROUND(POWER(qa + qb, 2)
+                 / (qa * qa / (na - 1) + qb * qb / (nb - 1)), 6)
+             AS welch_df
+    FROM v
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch two-sample t-test on event value, purchase vs click — the
+    unequal-variance pairwise drill-down behind q234's omnibus F
+    (Welch 1947: pooled-variance t silently inflates error rates when
+    group variances differ, the common case for revenue-like values),
+    with the Welch-Satterthwaite effective degrees of freedom.
+
+    Exactness: the same micro-unit reduction as q234 — one corpus pass
+    folds both groups to exact integer (n, Σv, Σv²) via conditional
+    aggregates (Σv² operand-first decimal(38,0)/HUGEINT); t and df are
+    closed-form doubles over those six exact numbers (micro scale
+    cancels in t and df; mean_diff divides it back out once).
+
+    Scale shape: the type filter is pushed to the scan, ONE map-side-
+    combined aggregate produces a single row, and everything after is
+    driver-free column algebra on that row."""
+    e = table(spark, sf, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    dec = "decimal(38,0)"
+    iv = F.round(F.col("value") * 1000000.0, 0).cast("bigint")
+    is_a = F.col("event_type") == "purchase"
+    m = e.select(is_a.alias("a"), iv.alias("iv")).agg(
+        F.count(F.when(F.col("a"), 1)).alias("na"),
+        F.count(F.when(~F.col("a"), 1)).alias("nb"),
+        F.sum(F.when(F.col("a"), F.col("iv").cast(dec)))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(~F.col("a"), F.col("iv").cast(dec)))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(F.col("a"), F.col("iv").cast(dec) * F.col("iv")))
+        .cast("double")
+        .alias("ssa"),
+        F.sum(F.when(~F.col("a"), F.col("iv").cast(dec) * F.col("iv")))
+        .cast("double")
+        .alias("ssb"),
+    )
+    mean_diff = (
+        F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    ) / 1000000.0
+    qa = (
+        (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+    ) / F.col("na")
+    qb = (
+        (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+    ) / F.col("nb")
+    return m.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(mean_diff * 1000000.0 / F.sqrt(qa + qb), 6).alias("t_stat"),
+        F.round(
+            F.pow(qa + qb, F.lit(2.0))
+            / (
+                qa * qa / (F.col("na") - 1)
+                + qb * qb / (F.col("nb") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q236_cohens_kappa",
+    oracle="""
+    WITH d AS (SELECT CAST(n_chars >= 300 AS INT) AS a,
+                      CAST(len(string_split(text, ' ')) >= 50 AS INT) AS b
+               FROM documents),
+    m AS (SELECT COUNT(*) AS n,
+                 COUNT(*) FILTER (a = 1 AND b = 1) AS n11,
+                 COUNT(*) FILTER (a = 1 AND b = 0) AS n10,
+                 COUNT(*) FILTER (a = 0 AND b = 1) AS n01,
+                 COUNT(*) FILTER (a = 0 AND b = 0) AS n00
+          FROM d),
+    p AS (SELECT n, CAST(n11 + n00 AS DOUBLE) / n AS po,
+                 (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                   / (CAST(n AS DOUBLE) * n) AS pe
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+           ROUND((po - pe) / (1 - pe), 6) AS kappa
+    FROM p
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa agreement between two deterministic document
+    quality raters — a character-length gate (n_chars >= 300) and a
+    token-count gate (>= 50 whitespace tokens) — the
+    chance-corrected agreement score (Cohen 1960) a curation pipeline
+    uses to decide whether a cheap gate can replace an expensive one:
+    raw agreement po is inflated whenever both raters mostly say
+    "keep"; kappa subtracts the agreement two INDEPENDENT raters with
+    these marginals would reach by luck (pe).
+
+    Exactness: the 2x2 confusion table is four exact integer counts
+    from one corpus pass (conditional aggregates, no join); po, pe,
+    kappa are closed-form doubles over those five integers — identical
+    inputs, identical IEEE ops, one ROUND each.
+
+    Scale shape: ONE map-side-combined corpus aggregate to a single
+    row; the token count is a JVM split/size expression (no UDF), so
+    the whole plan is one WholeStageCodegen scan."""
+    d = table(spark, sf, "documents").select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= 50).cast("int").alias("b"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)).alias(
+            "n11"
+        ),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)).alias(
+            "n10"
+        ),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)).alias(
+            "n01"
+        ),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)).alias(
+            "n00"
+        ),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "q237_ols_trend",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(day) AS sd, SUM(c) AS sc,
+                 SUM(day * day) AS sdd,
+                 SUM(CAST(c AS HUGEINT) * day) AS sdc,
+                 SUM(CAST(c AS HUGEINT) * c) AS scc
+          FROM c GROUP BY 1),
+    t AS (SELECT event_type, n,
+                 CAST(n * sdc - CAST(sd AS HUGEINT) * sc AS DOUBLE) AS num,
+                 CAST(n * CAST(sdd AS HUGEINT)
+                      - CAST(sd AS HUGEINT) * sd AS DOUBLE) AS den,
+                 CAST(n * scc - CAST(sc AS HUGEINT) * sc AS DOUBLE) AS vy,
+                 CAST(sd AS DOUBLE) AS sdf, CAST(sc AS DOUBLE) AS scf
+          FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN den > 0 THEN ROUND(num / den, 6) ELSE 0.0 END
+             AS slope,
+           CASE WHEN den > 0
+                THEN ROUND((scf - num / den * sdf) / n, 6)
+                ELSE ROUND(scf / n, 6) END AS intercept,
+           CASE WHEN den > 0 AND vy > 0
+                THEN ROUND(num * num / (den * vy), 6) ELSE 0.0 END AS r2
+    FROM t
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordinary-least-squares daily-volume trend per event type —
+    slope, intercept, and R² of count-vs-day — the classical
+    complement of q172's Theil-Sen median slope: OLS is the
+    minimum-variance estimator when the series is well-behaved, and
+    the R² says how much of the volume variation the linear trend
+    actually explains (a slope with R² 0.05 is noise, not growth).
+    Reading both: Theil-Sen far from OLS flags influential burst days.
+
+    Exactness: all five moments (Σd, Σc, Σd², Σdc, Σc²) are exact
+    integers over the memoized daily artifact — the c-weighted
+    products accumulate decimal(38,0)/HUGEINT operand-first (a
+    100 TB day carries ~1e8 events; c² ~ 1e16 per day wraps an int64
+    sum within a long date range) — and slope/intercept/R² are
+    closed-form doubles over exact moments. Degenerate series
+    (single day, constant counts) report slope 0 by the q173 guard
+    convention.
+
+    Scale shape: one aggregate over the types x days artifact; output
+    is types-sized. Nothing touches the corpus."""
+    from .analysis_q import daily_type_counts
+
+    dec = "decimal(38,0)"
+    g = daily_type_counts(spark, sf).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sd"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("day") * F.col("day")).alias("sdd"),
+        F.sum(F.col("c").cast(dec) * F.col("day")).alias("sdc"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("scc"),
+    )
+    num = (
+        F.col("n") * F.col("sdc") - F.col("sd").cast(dec) * F.col("sc")
+    ).cast("double")
+    den = (
+        F.col("n") * F.col("sdd").cast(dec)
+        - F.col("sd").cast(dec) * F.col("sd")
+    ).cast("double")
+    vy = (
+        F.col("n") * F.col("scc") - F.col("sc").cast(dec) * F.col("sc")
+    ).cast("double")
+    sdf = F.col("sd").cast("double")
+    scf = F.col("sc").cast("double")
+    slope = F.col("num") / F.col("den")
+    t = g.select(
+        "event_type",
+        F.col("n"),
+        num.alias("num"),
+        den.alias("den"),
+        vy.alias("vy"),
+        sdf.alias("sdf"),
+        scf.alias("scf"),
+    )
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(F.col("den") > 0, F.round(slope, 6))
+        .otherwise(F.lit(0.0))
+        .alias("slope"),
+        F.when(
+            F.col("den") > 0,
+            F.round((F.col("scf") - slope * F.col("sdf")) / F.col("n"), 6),
+        )
+        .otherwise(F.round(F.col("scf") / F.col("n"), 6))
+        .alias("intercept"),
+        F.when(
+            (F.col("den") > 0) & (F.col("vy") > 0),
+            F.round(
+                F.col("num") * F.col("num") / (F.col("den") * F.col("vy")), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )
+
+
+@query(
+    "q238_cross_correlation",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    a AS (SELECT day, c AS x FROM c WHERE event_type = 'click'),
+    b AS (SELECT day, c AS y FROM c WHERE event_type = 'purchase'),
+    p AS (SELECT l.lag AS lag, a.x, b.y
+          FROM a CROSS JOIN UNNEST([0, 1, 2, 3]) AS l(lag)
+          JOIN b ON b.day = a.day + l.lag),
+    s AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM p GROUP BY lag),
+    t AS (SELECT lag, n,
+                 CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov,
+                 CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+                 CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+          FROM s)
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN ROUND(cov / SQRT(vx * vy), 6) ELSE 0.0 END AS r
+    FROM t ORDER BY lag
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    series at lags 0-3 days — does click volume PREDICT purchase
+    volume, and at what horizon (the max-|r| lag is the conversion
+    latency a campaign dashboard reports; lag 0 vs lag 1 separates
+    same-day conversion from overnight carts). The two-series
+    generalization of q173's lag-1 autocorrelation.
+
+    Exactness: the q173 integer-moment reduction per lag — pairs join
+    on exact day keys, Pearson moments are decimal(38,0)/HUGEINT
+    integers (operand-first: c² per day at 100 TB is ~1e16, wrapping
+    int64 within a long range), one double division + sqrt per lag.
+    Degenerate variance reports 0 by the q173 convention.
+
+    Scale shape: both series come from the memoized daily artifact
+    (days-bounded); the lag table is 4 literal rows broadcast against
+    it, the join key is the integer day, and the output is 4 rows.
+    No corpus contact."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a = c.where(F.col("event_type") == "click").select(
+        "day", F.col("c").alias("x")
+    )
+    b = c.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("bday"), F.col("c").alias("y")
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    dec = "decimal(38,0)"
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.col("day") + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    cov = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
+    vx = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    vy = (
+        F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    t = s.select(
+        "lag", "n", cov.alias("cov"), vx.alias("vx"), vy.alias("vy")
+    )
+    return t.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(
+            (F.col("vx") > 0) & (F.col("vy") > 0),
+            F.round(F.col("cov") / F.sqrt(F.col("vx") * F.col("vy")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    ).orderBy("lag")
+
+
+@query(
+    "q242_ewma_smoothing",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    p AS (SELECT a.event_type, a.day,
+                 POWER(0.7, a.day - b.day) AS w, b.c AS bc
+          FROM c a JOIN c b ON b.event_type = a.event_type
+                            AND b.day BETWEEN a.day - 13 AND a.day)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS INT) AS n_terms,
+           ROUND(SUM(bc * w) / SUM(w), 6) AS ewma
+    FROM p GROUP BY 1, 2
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    volume per type (decay 0.7/day over a 14-day window) — the
+    smoothed baseline a rate monitor compares today against: recency-
+    weighted unlike q230's flat trailing mean, and gap-robust because
+    the weights are normalized over the days actually PRESENT in the
+    window (a missing day contributes neither mass nor weight).
+    Truncation at 14 days caps the smallest weight at 0.7^13 ~ 1% —
+    below monitoring noise — and, unlike the textbook recursive EWMA,
+    keeps the operator a bounded self-join instead of an unbounded
+    sequential recurrence (the same closed-form-over-recursion choice
+    as q174's CUSUM).
+
+    Exactness: each weight is POWER(0.7, integer lag) — identical
+    IEEE pow cross-engine — times an exact integer count; the <= 14-
+    term weighted sums are ROUNDed at 1e-6 (qz186 precedent, 6 orders
+    above 14-term float-order noise).
+
+    Scale shape: a types-keyed equi-join with a +-13-day band
+    predicate on the memoized daily artifact — Catalyst plans a hash/
+    sort-merge join on event_type with the band as a post-filter; the
+    pair table is days x 14 per type, never corpus-sized."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a = c.select("event_type", "day")
+    b = c.select(
+        F.col("event_type").alias("btype"),
+        F.col("day").alias("bday"),
+        F.col("c").alias("bc"),
+    )
+    p = a.join(
+        b,
+        (F.col("btype") == F.col("event_type"))
+        & (F.col("bday") >= F.col("day") - 13)
+        & (F.col("bday") <= F.col("day")),
+    ).select(
+        "event_type",
+        "day",
+        F.pow(F.lit(0.7), (F.col("day") - F.col("bday")).cast("double"))
+        .alias("w"),
+        "bc",
+    )
+    return p.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.round(F.sum(F.col("bc") * F.col("w")) / F.sum("w"), 6).alias(
+            "ewma"
+        ),
+    ).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        "n_terms",
+        "ewma",
+    )

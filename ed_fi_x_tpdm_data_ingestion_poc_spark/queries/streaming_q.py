@@ -597,7 +597,7 @@ _SPACK_CAP, _SPACK_SHARDS = 256, 8
 
 
 @query(
-    "q84_stream_packing",
+    "qz84_stream_packing",
     oracle=f"""
     WITH RECURSIVE d AS (SELECT doc_id, doc_id % {_SPACK_SHARDS} AS shard,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

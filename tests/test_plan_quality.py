@@ -225,7 +225,7 @@ def test_segment_dedup_single_pass_window(spark, sf_dir):
     """q92's occurrence counts come from a partition-only window, not a
     groupBy + join-back: the exploded segment stream is scanned ONCE, no
     join appears, and everything stays JVM-side."""
-    f = audit(_build(spark, sf_dir, "q92_segment_dedup"))
+    f = audit(_build(spark, sf_dir, "qz92_segment_dedup"))
     assert f.joins == 0
     assert f.python_evals == 0 and f.arrow_evals == 0
 
@@ -235,7 +235,7 @@ def test_shard_export_jvm_only_partial_agg(spark, sf_dir):
     JVM, with map-side combine, reading only the three needed columns."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import scan_columns
 
-    df = _build(spark, sf_dir, "q91_shard_export")
+    df = _build(spark, sf_dir, "qz91_shard_export")
     f = audit(df)
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert f.partial_aggs >= 1
@@ -246,7 +246,7 @@ def test_shard_export_jvm_only_partial_agg(spark, sf_dir):
 def test_variant_path_is_jvm_only(spark, sf_dir):
     """q95: parse_json/variant_get are JVM expressions — no Python node,
     one aggregation shuffle with map-side combine."""
-    f = audit(_build(spark, sf_dir, "q95_variant_json"))
+    f = audit(_build(spark, sf_dir, "qz95_variant_json"))
     assert f.python_evals == 0 and f.arrow_evals == 0
     assert f.partial_aggs >= 1
     assert f.joins == 0

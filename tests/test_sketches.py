@@ -116,7 +116,7 @@ def test_shard_export_write_path(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == d.count()
     n_shards = back.select("shard").distinct().count()
-    manifest = all_queries()["q91_shard_export"].build(spark, sf_dir)
+    manifest = all_queries()["qz91_shard_export"].build(spark, sf_dir)
     assert manifest.count() == n_shards
 
 
@@ -136,7 +136,7 @@ def test_segment_dedup_plants_duplicate(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     df.write.parquet(str(tmp_path / "documents.parquet"))
-    spec = all_queries()["q92_segment_dedup"]
+    spec = all_queries()["qz92_segment_dedup"]
     rows = {
         r.doc_id: r for r in spec.build(spark, str(tmp_path)).collect()
     }

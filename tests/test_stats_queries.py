@@ -994,3 +994,248 @@ def test_benford_filters_subresolution_values(spark, tmp_path):
     assert frame_digest(list(df.columns), rows) == duck_result(
         spec.oracle, str(d)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-14 classical-inference layer (q233-q242)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _day_counts(ev: pd.DataFrame) -> pd.DataFrame:
+    us = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    out = ev.assign(day=us // _DAY_US)
+    return (
+        out.groupby(["event_type", "day"]).size().rename("c").reset_index()
+    )
+
+
+def test_chi_square_matches_contingency_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    c = _day_counts(ev).assign(dow=lambda d: d["day"] % 7)
+    tab = c.pivot_table(
+        index="event_type", columns="dow", values="c", aggfunc="sum",
+        fill_value=0,
+    ).to_numpy(dtype=float)
+    n = tab.sum()
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2_ref = float(((tab - exp) ** 2 / exp).sum())
+    r, cc = tab.shape
+    v_ref = float(np.sqrt(chi2_ref / (n * min(r - 1, cc - 1))))
+
+    out = _run("q233_chi_square_independence", spark, sf_dir).iloc[0]
+    assert out["n_events"] == int(n)
+    assert out["df"] == (r - 1) * (cc - 1)
+    assert abs(out["chi2"] - chi2_ref) < 1e-4
+    assert abs(out["cramers_v"] - v_ref) < 1e-6
+
+
+def test_anova_f_matches_groupwise_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    # the query's fixed-point contract: micro-unit ints, then exact sums
+    iv = (ev["value"] * 1_000_000).round()
+    g = iv.groupby(ev["event_type"])
+    nn, k = len(iv), g.ngroups
+    sb = sum(s.sum() ** 2 / len(s) for _, s in g)
+    st, sst = iv.sum(), (iv**2).sum()
+    ssb = sb - st**2 / nn
+    ssw = sst - sb
+    f_ref = (ssb / (k - 1)) / (ssw / (nn - k))
+    eta_ref = ssb / (sst - st**2 / nn)
+
+    out = _run("q234_anova_f", spark, sf_dir).iloc[0]
+    assert out["n_events"] == nn and out["k_groups"] == k
+    assert abs(out["f_stat"] - f_ref) < 1e-4
+    assert abs(out["eta_sq"] - eta_ref) < 1e-6
+
+
+def test_welch_t_matches_two_sample_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    a = (ev.loc[ev["event_type"] == "purchase", "value"] * 1e6).round()
+    b = (ev.loc[ev["event_type"] == "click", "value"] * 1e6).round()
+    ma, mb = a.mean(), b.mean()
+    qa, qb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t_ref = (ma - mb) / np.sqrt(qa + qb)
+    df_ref = (qa + qb) ** 2 / (
+        qa**2 / (len(a) - 1) + qb**2 / (len(b) - 1)
+    )
+
+    out = _run("q235_welch_ttest", spark, sf_dir).iloc[0]
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["mean_diff"] - (ma - mb) / 1e6) < 1e-6
+    assert abs(out["t_stat"] - t_ref) < 1e-4
+    assert abs(out["welch_df"] - df_ref) < 1e-2
+
+
+def test_cohens_kappa_matches_confusion_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    a = (d["n_chars"] >= 300).to_numpy()
+    b = (d["text"].str.split(" ").str.len() >= 50).to_numpy()
+    n = len(d)
+    po = float((a == b).mean())
+    pe = float(
+        (a.sum() * b.sum() + (~a).sum() * (~b).sum()) / (n * n)
+    )
+    kappa_ref = (po - pe) / (1 - pe)
+
+    out = _run("q236_cohens_kappa", spark, sf_dir).iloc[0]
+    assert out["n_docs"] == n
+    assert abs(out["po"] - po) < 1e-6
+    assert abs(out["pe"] - pe) < 1e-6
+    assert abs(out["kappa"] - kappa_ref) < 1e-6
+
+
+def test_ols_matches_polyfit_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q237_ols_trend", spark, sf_dir).set_index("event_type")
+    for et, grp in c.groupby("event_type"):
+        x = grp["day"].to_numpy(dtype=float)
+        y = grp["c"].to_numpy(dtype=float)
+        row = out.loc[et]
+        assert row["n_days"] == len(x)
+        if len(x) < 2 or np.ptp(x) == 0:
+            assert row["slope"] == 0.0
+            continue
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(row["slope"] - slope) < 1e-4
+        assert abs(row["intercept"] - intercept) < 1e-3
+        assert abs(row["r2"] - r * r) < 1e-6
+
+
+def test_cross_correlation_matches_shifted_pearson(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    a = c[c["event_type"] == "click"].set_index("day")["c"]
+    b = c[c["event_type"] == "purchase"].set_index("day")["c"]
+    out = _run("q238_cross_correlation", spark, sf_dir).set_index("lag")
+    for lag in range(4):
+        shifted = pd.DataFrame(
+            {"x": a, "y": b.rename(lambda d: d - lag)}
+        ).dropna()
+        row = out.loc[lag]
+        assert row["n_days"] == len(shifted)
+        if len(shifted) > 1 and shifted["x"].std() > 0:
+            r_ref = shifted["x"].corr(shifted["y"])
+            assert abs(row["r"] - r_ref) < 1e-6
+
+
+def test_kaplan_meier_matches_product_limit_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    per_user = ev.groupby("user_id").agg(
+        first_us=("us", "min"), last_us=("us", "max")
+    )
+    fp = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["us"]
+        .min()
+        .rename("fp_us")
+    )
+    u = per_user.join(fp)
+    dur = (
+        (u["fp_us"].fillna(u["last_us"]) - u["first_us"]) // _DAY_US
+    ).astype(int)
+    obs = u["fp_us"].notna().to_numpy()
+
+    out = _run("q239_kaplan_meier", spark, sf_dir).set_index("day")
+    # product-limit over distinct death days
+    n_at_risk = len(u)
+    surv = 1.0
+    for day in sorted(dur.unique()):
+        at_day = dur == day
+        deaths = int((at_day & obs).sum())
+        if deaths > 0:
+            row = out.loc[day]
+            assert row["at_risk"] == n_at_risk
+            assert row["n_events"] == deaths
+            surv *= (n_at_risk - deaths) / n_at_risk
+            assert abs(row["survival"] - surv) < 1e-6
+        n_at_risk -= int(at_day.sum())
+    assert set(out.index) == {
+        int(d) for d in dur.unique() if ((dur == d) & obs).sum() > 0
+    }
+
+
+def test_position_attribution_credit_conserved(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    p = ev[ev["event_type"] == "purchase"]
+    fp = p.sort_values(["us", "event_id"]).groupby("user_id").first()
+    merged = ev.merge(
+        fp[["us", "event_id"]].rename(
+            columns={"us": "fp_us", "event_id": "fp_eid"}
+        ),
+        on="user_id",
+    )
+    touches = merged[
+        (merged["us"] < merged["fp_us"])
+        | (
+            (merged["us"] == merged["fp_us"])
+            & (merged["event_id"] < merged["fp_eid"])
+        )
+    ]
+    n_converting_users_with_touches = (
+        touches.groupby("user_id").size().shape[0]
+    )
+
+    out = _run("q240_position_attribution", spark, sf_dir)
+    # credit is conserved: one unit per converting user that HAS touches
+    assert out["n_touches"].sum() == len(touches)
+    assert (
+        abs(out["credit"].sum() - n_converting_users_with_touches) < 1e-3
+    )
+    # independent per-type credit reference
+    ref: dict[str, float] = {}
+    for _, grp in touches.groupby("user_id"):
+        g = grp.sort_values(["us", "event_id"]).reset_index()
+        k = len(g)
+        for i, et in enumerate(g["event_type"]):
+            if k == 1:
+                cr = 1.0
+            elif i in (0, k - 1):
+                cr = 0.5 if k == 2 else 0.4
+            else:
+                cr = 0.2 / (k - 2)
+            ref[et] = ref.get(et, 0.0) + cr
+    for _, row in out.iterrows():
+        assert abs(row["credit"] - ref[row["event_type"]]) < 1e-4
+
+
+def test_pareto_share_matches_sorted_reference(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cents = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * 100.0)
+        .round()
+        .astype("int64")
+    )
+    rev = cents.groupby(li["l_partkey"]).sum().sort_values(
+        ascending=False, kind="mergesort"
+    )
+    n = len(rev)
+    top_n = int(np.ceil(0.2 * n))
+    share_ref = rev.iloc[:top_n].sum() / rev.sum()
+
+    out = _run("q241_pareto_share", spark, sf_dir).iloc[0]
+    assert out["n_parts"] == n and out["top_n"] == top_n
+    assert abs(out["top_share"] - share_ref) < 1e-6
+
+
+def test_ewma_matches_weighted_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q242_ewma_smoothing", spark, sf_dir)
+    # spot-check every row of one type plus global term-count sanity
+    one = c[c["event_type"] == "click"].set_index("day")["c"]
+    got = out[out["event_type"] == "click"].set_index("day")
+    for day, row in got.iterrows():
+        window = one[(one.index >= day - 13) & (one.index <= day)]
+        w = 0.7 ** (day - window.index.to_numpy(dtype=float))
+        assert row["n_terms"] == len(window)
+        assert abs(row["ewma"] - (window * w).sum() / w.sum()) < 1e-6
+    assert len(out) == len(c)

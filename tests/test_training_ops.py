@@ -267,7 +267,7 @@ def test_stream_packing_matches_batch(spark, sf_dir):
     )
     from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
 
-    streamed = all_queries()["q84_stream_packing"].build(spark, sf_dir)
+    streamed = all_queries()["qz84_stream_packing"].build(spark, sf_dir)
     got = {
         (r["doc_id"], r["shard"], r["bin_id"], r["tok"])
         for r in streamed.collect()
