@@ -2628,3 +2628,100 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q247_repeat_purchase",
+    oracle=f"""
+    WITH {_US_SQL},
+    p AS (SELECT user_id, us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS rn
+          FROM e WHERE event_type = 'purchase'),
+    u AS (SELECT user_id,
+                 MIN(us) FILTER (rn = 1) AS us1,
+                 MIN(us) FILTER (rn = 2) AS us2
+          FROM p GROUP BY user_id),
+    gaps AS (SELECT (us2 - us1) // {_DAY_US} AS gap
+             FROM u WHERE us2 IS NOT NULL),
+    gc AS (SELECT gap, COUNT(*) AS k FROM gaps GROUP BY gap),
+    w AS (SELECT gap, k,
+                 SUM(k) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+                 SUM(k) OVER () AS nr
+          FROM gc),
+    med AS (SELECT MIN(gap) AS m FROM w
+            WHERE cum >= (nr + 1) // 2),
+    agg AS (SELECT COUNT(*) AS n_buyers,
+                   COUNT(us2) AS n_repeat
+            FROM u)
+    SELECT CAST(n_buyers AS BIGINT) AS n_buyers,
+           CAST(n_repeat AS BIGINT) AS n_repeat,
+           ROUND(CAST(n_repeat AS DOUBLE) / n_buyers, 6)
+             AS repeat_rate,
+           CAST((SELECT m FROM med) AS BIGINT) AS median_gap_days
+    FROM agg
+    """,
+    tags=("events", "analytics"),
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase report: how many buyers purchase a second time,
+    the repeat rate, and the EXACT median days between first and
+    second purchase — the retention number behind LTV and win-back
+    timing (the median, not the mean: second-purchase gaps are heavy-
+    tailed and one 300-day returner should not move the campaign
+    window).
+
+    Exactness: purchase ordinals come from one totally-tiebroken
+    (us, event_id) window per user; the gap is exact integer days;
+    the median is the exact lower-median rank (n+1)//2 reconstructed
+    from grouped gap counts (the qz158 convention) — no per-row sort,
+    no percentile approximation.
+
+    Scale shape: the purchase filter prunes the user_seq artifact
+    scan; one user-partitioned window (reusing user_seq's hash
+    partitioning), one users-sized aggregate, and a grouped-count
+    median over a gaps-valued table bounded by the observation range
+    in days. The one single-partition window runs on that days-
+    bounded table (the qz185 rule)."""
+    from pyspark.sql import Window
+
+    seq = user_seq(spark, sf)
+    w_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = (
+        seq.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "us", F.row_number().over(w_user).alias("rn")
+        )
+        .where(F.col("rn") <= 2)
+    )
+    u = p.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("us"))).alias("us1"),
+        F.min(F.when(F.col("rn") == 2, F.col("us"))).alias("us2"),
+    )
+    gaps = u.where(F.col("us2").isNotNull()).select(
+        F.floor((F.col("us2") - F.col("us1")) / _DAY_US).alias("gap")
+    )
+    gc = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("k"))
+    cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    wtab = gc.select(
+        "gap",
+        F.sum("k").over(cum).alias("cum"),
+        F.sum("k").over(tot).alias("nr"),
+    )
+    med = wtab.where(
+        F.col("cum") >= F.floor((F.col("nr") + 1) / 2)
+    ).agg(F.min("gap").alias("m"))
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.count("us2").alias("n_repeat"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        F.col("n_buyers").cast("bigint").alias("n_buyers"),
+        F.col("n_repeat").cast("bigint").alias("n_repeat"),
+        F.round(
+            F.col("n_repeat").cast("double") / F.col("n_buyers"), 6
+        ).alias("repeat_rate"),
+        F.col("m").cast("bigint").alias("median_gap_days"),
+    )

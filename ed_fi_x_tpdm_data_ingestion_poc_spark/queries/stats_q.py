@@ -4043,3 +4043,667 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
         "n_terms",
         "ewma",
     )
+
+
+# ---------------------------------------------------------------------------
+# q243-q246, q248-q249 — second round-14 inference batch: partial
+# correlation, residual diagnostics, nonparametric randomness/trend tests,
+# Heaps' vocabulary growth, embedding label separation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_partial_correlation",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    j AS (SELECT x.c AS x, y.c AS y, z.c AS z
+          FROM (SELECT day, c FROM c WHERE event_type = 'click') x
+          JOIN (SELECT day, c FROM c WHERE event_type = 'purchase') y
+            ON y.day = x.day
+          JOIN (SELECT day, c FROM c WHERE event_type = 'view') z
+            ON z.day = x.day),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy,
+                 SUM(CAST(z AS HUGEINT) * z) AS szz,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                 SUM(CAST(y AS HUGEINT) * z) AS syz
+          FROM j),
+    r AS (SELECT n,
+            CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+              AS rxy,
+            CAST(n * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+              / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                     * CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE))
+              AS rxz,
+            CAST(n * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+              / SQRT(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                     * CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE))
+              AS ryz
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(rxy, 6) AS r_xy,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r
+    FROM r
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order partial correlation between daily click and purchase
+    volume CONTROLLING for view volume — the confounder check behind
+    q238's raw cross-correlation: clicks and purchases both ride
+    overall-traffic swings (views), so their plain Pearson r is
+    inflated by the common driver; r_xy.z = (rxy - rxz*ryz) /
+    sqrt((1-rxz²)(1-ryz²)) is what remains after the shared traffic
+    component is regressed out of both.
+
+    Exactness: the three series inner-join on exact day keys from the
+    memoized daily artifact; all nine Pearson moments are exact
+    decimal(38,0)/HUGEINT integers (operand-first, the q173/q238
+    convention), and the three r's plus the partial formula are
+    closed-form doubles over them.
+
+    Scale shape: three days-bounded slices of the daily artifact,
+    joined on the integer day, one aggregate to a single row. No
+    corpus contact."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+
+    def sl(et: str, col: str) -> DataFrame:
+        return c.where(F.col("event_type") == et).select(
+            F.col("day").alias(f"{col}day"), F.col("c").alias(col)
+        )
+
+    j = (
+        sl("click", "x")
+        .join(sl("purchase", "y"), F.col("yday") == F.col("xday"))
+        .join(sl("view", "z"), F.col("zday") == F.col("xday"))
+        .select("x", "y", "z")
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("z").cast(dec) * F.col("z")).alias("szz"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("z")).alias("sxz"),
+        F.sum(F.col("y").cast(dec) * F.col("z")).alias("syz"),
+    )
+
+    def pearson(sab, sa, sb, saa, sbb):
+        cov = (F.col("n") * F.col(sab)
+               - F.col(sa).cast(dec) * F.col(sb)).cast("double")
+        va = (F.col("n") * F.col(saa)
+              - F.col(sa).cast(dec) * F.col(sa)).cast("double")
+        vb = (F.col("n") * F.col(sbb)
+              - F.col(sb).cast(dec) * F.col(sb)).cast("double")
+        return cov / F.sqrt(va * vb)
+
+    rxy = pearson("sxy", "sx", "sy", "sxx", "syy")
+    rxz = pearson("sxz", "sx", "sz", "sxx", "szz")
+    ryz = pearson("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_r"),
+    )
+
+
+@query(
+    "q244_durbin_watson",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(day) AS sd, SUM(c) AS sc,
+                 SUM(day * day) AS sdd,
+                 SUM(CAST(c AS HUGEINT) * day) AS sdc
+          FROM c GROUP BY 1),
+    f AS (SELECT event_type,
+                 CAST(n * sdc - CAST(sd AS HUGEINT) * sc AS DOUBLE)
+                   / CAST(n * CAST(sdd AS HUGEINT)
+                          - CAST(sd AS HUGEINT) * sd AS DOUBLE) AS b,
+                 CAST(sc AS DOUBLE) / n AS my,
+                 CAST(sd AS DOUBLE) / n AS mx
+          FROM g),
+    res AS (SELECT c.event_type, c.day,
+                   c.c - (f.my + f.b * (c.day - f.mx)) AS e
+            FROM c JOIN f ON f.event_type = c.event_type),
+    l AS (SELECT event_type, e,
+                 LAG(e) OVER (PARTITION BY event_type ORDER BY day)
+                   AS pe,
+                 day - LAG(day) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS gap
+          FROM res),
+    s AS (SELECT event_type,
+                 SUM(e * e) AS see,
+                 SUM(CASE WHEN gap = 1 THEN (e - pe) * (e - pe)
+                          ELSE 0.0 END) AS sdd2,
+                 COUNT(*) AS n
+          FROM l GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(sdd2 / see, 6) AS dw
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of q237's per-type OLS
+    daily-volume trend — the serial-correlation diagnostic that says
+    whether the linear-trend model is ENOUGH (DW ~ 2: residuals are
+    noise; DW << 2: positive autocorrelation remains, so trust
+    neither the OLS confidence nor a naive day-ahead forecast; DW >>
+    2: alternation, usually an oscillating load balancer or batch
+    cadence). Successive differences are restricted to CONSECUTIVE
+    days (the q173 gap guard) so sparse types don't fake
+    autocorrelation across gaps.
+
+    Exactness: the OLS slope/means come from exact integer moments
+    (the q237 algebra); residuals are closed-form doubles evaluated
+    identically per row cross-engine; both quadratic-form sums run
+    over the days-bounded artifact and are ROUNDed at 1e-6 (qz186
+    rule — the sums have ~30-365 terms).
+
+    Scale shape: one aggregate for the moments, a types-sized
+    broadcast join back onto the daily artifact, one lag window per
+    type, one final aggregate. The corpus is never re-touched; every
+    table after the artifact is types x days."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    dec = "decimal(38,0)"
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sd"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("day") * F.col("day")).alias("sdd"),
+        F.sum(F.col("c").cast(dec) * F.col("day")).alias("sdc"),
+    )
+    b = (
+        F.col("n") * F.col("sdc") - F.col("sd").cast(dec) * F.col("sc")
+    ).cast("double") / (
+        F.col("n") * F.col("sdd").cast(dec)
+        - F.col("sd").cast(dec) * F.col("sd")
+    ).cast(
+        "double"
+    )
+    f = g.select(
+        F.col("event_type").alias("ftype"),
+        b.alias("b"),
+        (F.col("sc").cast("double") / F.col("n")).alias("my"),
+        (F.col("sd").cast("double") / F.col("n")).alias("mx"),
+    )
+    e = c.join(
+        F.broadcast(f), F.col("ftype") == F.col("event_type")
+    ).select(
+        "event_type",
+        "day",
+        (
+            F.col("c")
+            - (F.col("my") + F.col("b") * (F.col("day") - F.col("mx")))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = e.select(
+        "event_type",
+        "e",
+        F.lag("e").over(w).alias("pe"),
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(
+                F.col("gap") == 1,
+                (F.col("e") - F.col("pe")) * (F.col("e") - F.col("pe")),
+            ).otherwise(F.lit(0.0))
+        ).alias("sdd2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("sdd2") / F.col("see"), 6).alias("dw"),
+    )
+
+
+@query(
+    "q245_runs_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    l AS (SELECT event_type, day, c,
+                 c - LAG(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS diff
+          FROM c),
+    m AS (SELECT event_type,
+                 CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s,
+                 day
+          FROM l WHERE diff IS NOT NULL AND diff <> 0),
+    b AS (SELECT event_type, s,
+                 CASE WHEN s <> LAG(s) OVER (PARTITION BY event_type
+                                             ORDER BY day)
+                      THEN 1 ELSE 0 END AS brk
+          FROM m),
+    t AS (SELECT event_type,
+                 COUNT(*) FILTER (s = 1) AS np,
+                 COUNT(*) FILTER (s = -1) AS nm,
+                 1 + SUM(brk) AS runs
+          FROM b GROUP BY 1),
+    z AS (SELECT event_type, np, nm, runs,
+                 1.0 + 2.0 * np * nm / (np + nm) AS mu
+          FROM t WHERE np > 0 AND nm > 0 AND np + nm > 1)
+    SELECT event_type, CAST(np AS BIGINT) AS n_up,
+           CAST(nm AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS runs,
+           ROUND((runs - mu)
+                 / SQRT((mu - 1) * (mu - 2) / (np + nm - 1)), 6) AS z
+    FROM z
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the signs of day-over-day volume
+    changes per event type — is the up/down pattern RANDOM, or does
+    the series trend (too few runs) or oscillate (too many)? This is
+    the distribution-free companion to q173's lag-1 autocorrelation:
+    r1 measures linear persistence in the magnitudes, the runs z only
+    looks at signs, so a few huge burst days cannot move it. Zero
+    diffs are dropped (the standard treatment); types with all-same-
+    sign changes are excluded (the statistic is undefined).
+
+    Exactness: up/down/run counts are exact integers from two lag
+    windows over the days-bounded artifact; mu and sigma are the
+    closed-form Wald-Wolfowitz moments over those integers, one
+    double division at the end.
+
+    Scale shape: two narrow windows per type on the daily artifact
+    plus one aggregate — types x days work, no corpus contact."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    m = (
+        c.select(
+            "event_type",
+            "day",
+            (F.col("c") - F.lag("c").over(w)).alias("diff"),
+        )
+        .where(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("diff") > 0, F.lit(1)).otherwise(F.lit(-1)).alias(
+                "s"
+            ),
+        )
+    )
+    b = m.select(
+        "event_type",
+        "s",
+        F.when(F.col("s") != F.lag("s").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    t = b.groupBy("event_type").agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("np"),
+        F.count(F.when(F.col("s") == -1, 1)).alias("nm"),
+        (F.lit(1) + F.sum("brk")).alias("runs"),
+    ).where(
+        (F.col("np") > 0) & (F.col("nm") > 0)
+        & (F.col("np") + F.col("nm") > 1)
+    )
+    mu = 1.0 + 2.0 * F.col("np") * F.col("nm") / (
+        F.col("np") + F.col("nm")
+    )
+    sigma = F.sqrt(
+        (mu - 1) * (mu - 2) / (F.col("np") + F.col("nm") - 1)
+    )
+    return t.select(
+        "event_type",
+        F.col("np").cast("bigint").alias("n_up"),
+        F.col("nm").cast("bigint").alias("n_down"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.round((F.col("runs") - mu) / sigma, 6).alias("z"),
+    )
+
+
+@query(
+    "q246_mann_kendall",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    p AS (SELECT a.event_type,
+                 CASE WHEN b.c > a.c THEN 1
+                      WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+          FROM c a JOIN c b ON b.event_type = a.event_type
+                            AND b.day > a.day),
+    s AS (SELECT event_type, SUM(sgn) AS s FROM p GROUP BY 1),
+    nd AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1),
+    ties AS (SELECT event_type,
+                    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tc
+             FROM (SELECT event_type, c, COUNT(*) AS t
+                   FROM c GROUP BY 1, 2)
+             WHERE t > 1 GROUP BY 1),
+    v AS (SELECT nd.event_type, nd.n, s.s,
+                 (CAST(nd.n AS HUGEINT) * (nd.n - 1) * (2 * nd.n + 5)
+                  - COALESCE(ties.tc, 0)) / 18.0 AS var
+          FROM nd JOIN s ON s.event_type = nd.event_type
+          LEFT JOIN ties ON ties.event_type = nd.event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s,
+           CASE WHEN var > 0 AND s > 0
+                  THEN ROUND((s - 1) / SQRT(var), 6)
+                WHEN var > 0 AND s < 0
+                  THEN ROUND((s + 1) / SQRT(var), 6)
+                ELSE 0.0 END AS z
+    FROM v
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the nonparametric IS-
+    there-a-trend decision that pairs with q172's Theil-Sen HOW-MUCH
+    estimate (Mann 1945, Kendall's tau numerator): S sums the signs
+    of all pairwise day-ordered count comparisons, the variance gets
+    the standard tie correction Σ t(t-1)(2t+5), and the z applies the
+    ±1 continuity correction. Robust where q237's OLS t-test is not:
+    no normality assumption, bursts bounded by their sign.
+
+    Exactness: S and the tie term are exact integers (the tie cube is
+    decimal(38,0)/HUGEINT operand-first — n(n-1)(2n+5) at a 10-year
+    range is ~1e11 per type and the tie sum over a heavy-tie corpus
+    can overflow int64); z is one double division.
+
+    Scale shape: the pairwise comparison is the SAME days²-per-type
+    self-join as q172 (date-range-bounded, never corpus-sized); ties
+    and n come from two more aggregates of the artifact. Everything
+    post-artifact is days² work per type."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    dec = "decimal(38,0)"
+    a, b2 = c.alias("a"), c.alias("b")
+    p = a.join(
+        b2,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.c") > F.col("a.c"), F.lit(1))
+        .when(F.col("b.c") < F.col("a.c"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sgn"),
+    )
+    s = p.groupBy("event_type").agg(F.sum("sgn").alias("s"))
+    nd = c.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        c.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t").cast(dec)
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tc")
+        )
+    )
+    v = (
+        nd.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                (
+                    F.col("n").cast(dec)
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tc"), F.lit(0).cast(dec))
+                ).cast("double")
+                / 18.0
+            ).alias("var"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s"),
+        F.when(
+            (F.col("var") > 0) & (F.col("s") > 0),
+            F.round((F.col("s") - 1) / F.sqrt(F.col("var")), 6),
+        )
+        .when(
+            (F.col("var") > 0) & (F.col("s") < 0),
+            F.round((F.col("s") + 1) / F.sqrt(F.col("var")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+@query(
+    "q248_heaps_law",
+    oracle="""
+    WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    g AS (SELECT source, COUNT(*) AS tokens,
+                 COUNT(DISTINCT w) AS types
+          FROM u GROUP BY source),
+    p AS (SELECT LN(CAST(tokens AS DOUBLE)) AS x,
+                 LN(CAST(types AS DOUBLE)) AS y
+          FROM g),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM p),
+    f AS (SELECT n,
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                 (n * sxy - sx * sy) AS num,
+                 (n * sxx - sx * sx) AS vx,
+                 (n * syy - sy * sy) AS vy,
+                 sx, sy
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           ROUND(beta, 6) AS beta,
+           ROUND(EXP((sy - beta * sx) / n), 6) AS k,
+           ROUND(num * num / (vx * vy), 6) AS r2
+    FROM f
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth across sources: regress
+    ln(distinct types) on ln(token count) over the per-source points
+    to estimate V = K * n^beta (Heaps 1978; beta ~ 0.4-0.6 for
+    natural language). The planning number behind tokenizer vocab
+    sizing and dedup capacity: it extrapolates how many NEW types the
+    next 10x of corpus brings — machine-generated or template text
+    shows beta near 0 (vocabulary saturates), ID-heavy logs near 1
+    (every document mints new tokens). Complements qz134's Zipf slope
+    (frequency decay) and qz205's coverage curve (head mass) with the
+    growth axis.
+
+    Exactness: per-source token/type counts are exact integers from
+    one grouped count; ln() of identical bigints is identical IEEE;
+    the OLS moments reduce over #sources points (~20) and are ROUNDed
+    at 1e-6 (qz186 rule).
+
+    Scale shape: the explode feeds ONE (source, word) grouped count
+    with map-side combine — distinct-counting per source without a
+    corpus-wide distinct (the groupBy key carries the source); the
+    regression runs on a sources-sized table. At 100 TB the
+    (source, word) table is vocabulary x sources bounded, the same
+    scale class as qz205's ranked vocabulary."""
+    u = table(spark, sf, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    g = (
+        u.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .groupBy("source")
+        .agg(
+            F.sum("cw").alias("tokens"),
+            F.count(F.lit(1)).alias("types"),
+        )
+    )
+    p = g.select(
+        F.log(F.col("tokens").cast("double")).alias("x"),
+        F.log(F.col("types").cast("double")).alias("y"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = num / vx
+    return s.select(
+        F.col("n").cast("bigint").alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("k"),
+        F.round(num * num / (vx * vy), 6).alias("r2"),
+    )
+
+
+@query(
+    "q249_label_separation",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, u.val AS v, u.idx AS i
+               FROM (SELECT vec_id, label,
+                            unnest(embedding) AS val,
+                            generate_subscripts(embedding, 1) AS idx
+                     FROM embeddings) u(vec_id, label, val, idx)),
+    cent AS (SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS c
+             FROM x GROUP BY label, i),
+    gcent AS (SELECT i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS g
+             FROM x GROUP BY i),
+    dots AS (SELECT x.vec_id, x.label,
+                    SUM(CAST(x.v AS DOUBLE) * cent.c) AS dot_own,
+                    SUM(CAST(x.v AS DOUBLE) * gcent.g) AS dot_glob,
+                    SUM(CAST(x.v AS DOUBLE) * x.v) AS nv,
+                    SUM(cent.c * cent.c) AS nc,
+                    SUM(gcent.g * gcent.g) AS ng
+             FROM x JOIN cent ON cent.label = x.label AND cent.i = x.i
+                    JOIN gcent ON gcent.i = x.i
+             GROUP BY x.vec_id, x.label),
+    cosv AS (SELECT label,
+                    dot_own / SQRT(nv * nc) AS cos_own,
+                    dot_glob / SQRT(nv * ng) AS cos_glob
+             FROM dots)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cos_own), 6) AS mean_cos_own,
+           ROUND(AVG(cos_glob), 6) AS mean_cos_global,
+           ROUND(AVG(cos_own) - AVG(cos_glob), 6) AS separation
+    FROM cosv GROUP BY label ORDER BY label
+    """,
+    tags=("llm", "stats", "embedding"),
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding label-coherence report: per label, the mean cosine of
+    member vectors to their OWN label centroid versus to the GLOBAL
+    centroid, and the gap between the two — the cheap clustering-
+    quality monitor for a labeled embedding table (a label whose
+    members sit no closer to their own centroid than to the corpus
+    mean is noise, mislabeled, or collapsed — qz127's PCA and
+    qz126's k-means need exactly this sanity gate on their inputs).
+    Global-centroid contrast instead of nearest-OTHER-centroid is
+    deliberate: a max over near-tied centroid cosines can flip on
+    last-ulp float-summation differences cross-engine, while both
+    means here are ROUND(1e-6)-stable.
+
+    Exactness note (the one float-order concession): centroids are
+    means of float32 values whose summation order differs between
+    engines — the resulting ~1e-13 centroid wobble propagates through
+    the cosines into the per-label MEANS, which is why the contract
+    rounds at 1e-6 (7 orders of headroom) and never branches on a
+    comparison of those floats.
+
+    Scale shape: posexplode to (vec, dim, val) rows; centroids are
+    one labels x dims aggregate (map-side combined); the per-vector
+    dot products join the exploded table to the labels x dims and
+    dims-sized centroid tables (both broadcast — bounded by labels
+    and dimension, never by corpus) and reduce per vector. One corpus
+    explode, two bounded broadcasts, two aggregates — the map-only
+    GEMM shape of qz157's semantic decontamination."""
+    x = table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i", "v"),
+    )
+    vd = F.col("v").cast("double")
+    cent = (
+        x.groupBy("label", "i")
+        .agg((F.sum(vd) / F.count(F.lit(1))).alias("c"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.col("i").alias("ci"),
+            "c",
+        )
+    )
+    glob = (
+        x.groupBy("i")
+        .agg((F.sum(vd) / F.count(F.lit(1))).alias("g"))
+        .select(F.col("i").alias("gi"), "g")
+    )
+    dots = (
+        x.join(
+            F.broadcast(cent),
+            (F.col("clabel") == F.col("label"))
+            & (F.col("ci") == F.col("i")),
+        )
+        .join(F.broadcast(glob), F.col("gi") == F.col("i"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(vd * F.col("c")).alias("dot_own"),
+            F.sum(vd * F.col("g")).alias("dot_glob"),
+            F.sum(vd * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+            F.sum(F.col("g") * F.col("g")).alias("ng"),
+        )
+    )
+    cosv = dots.select(
+        "label",
+        (F.col("dot_own") / F.sqrt(F.col("nv") * F.col("nc"))).alias(
+            "cos_own"
+        ),
+        (F.col("dot_glob") / F.sqrt(F.col("nv") * F.col("ng"))).alias(
+            "cos_glob"
+        ),
+    )
+    return (
+        cosv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("cos_own"), 6).alias("mean_cos_own"),
+            F.round(F.avg("cos_glob"), 6).alias("mean_cos_global"),
+            F.round(
+                F.avg("cos_own") - F.avg("cos_glob"), 6
+            ).alias("separation"),
+        )
+        .orderBy("label")
+    )

@@ -1239,3 +1239,149 @@ def test_ewma_matches_weighted_reference(spark, sf_dir):
         assert row["n_terms"] == len(window)
         assert abs(row["ewma"] - (window * w).sum() / w.sum()) < 1e-6
     assert len(out) == len(c)
+
+
+def test_partial_correlation_matches_formula(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    piv = c.pivot(index="day", columns="event_type", values="c").dropna(
+        subset=["click", "purchase", "view"]
+    )
+    x, y, z = piv["click"], piv["purchase"], piv["view"]
+    rxy, rxz, ryz = x.corr(y), x.corr(z), y.corr(z)
+    pr_ref = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+
+    out = _run("q243_partial_correlation", spark, sf_dir).iloc[0]
+    assert out["n_days"] == len(piv)
+    assert abs(out["r_xy"] - rxy) < 1e-6
+    assert abs(out["partial_r"] - pr_ref) < 1e-6
+
+
+def test_durbin_watson_matches_residual_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q244_durbin_watson", spark, sf_dir).set_index("event_type")
+    for et, grp in c.groupby("event_type"):
+        x = grp["day"].to_numpy(dtype=float)
+        y = grp["c"].to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        e = y - (slope * x + intercept)
+        consec = np.diff(x) == 1
+        dw_ref = float((np.diff(e)[consec] ** 2).sum() / (e**2).sum())
+        assert abs(out.loc[et, "dw"] - dw_ref) < 1e-6
+
+
+def test_runs_test_matches_sign_sequence_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q245_runs_test", spark, sf_dir).set_index("event_type")
+    for et, grp in c.groupby("event_type"):
+        g = grp.sort_values("day")
+        diffs = g["c"].diff().dropna()
+        signs = np.sign(diffs[diffs != 0].to_numpy())
+        npos, nneg = int((signs > 0).sum()), int((signs < 0).sum())
+        if npos == 0 or nneg == 0 or npos + nneg < 2:
+            assert et not in out.index
+            continue
+        runs = 1 + int((signs[1:] != signs[:-1]).sum())
+        mu = 1 + 2 * npos * nneg / (npos + nneg)
+        sig = np.sqrt((mu - 1) * (mu - 2) / (npos + nneg - 1))
+        row = out.loc[et]
+        assert row["n_up"] == npos and row["n_down"] == nneg
+        assert row["runs"] == runs
+        assert abs(row["z"] - (runs - mu) / sig) < 1e-6
+
+
+def test_mann_kendall_matches_pairwise_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q246_mann_kendall", spark, sf_dir).set_index("event_type")
+    for et, grp in c.groupby("event_type"):
+        y = grp.sort_values("day")["c"].to_numpy()
+        n = len(y)
+        s = int(
+            sum(
+                np.sign(y[j] - y[i])
+                for i in range(n - 1)
+                for j in range(i + 1, n)
+            )
+        )
+        _, counts = np.unique(y, return_counts=True)
+        tie = sum(int(t) * (t - 1) * (2 * t + 5) for t in counts if t > 1)
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if var > 0 and s > 0:
+            z_ref = (s - 1) / np.sqrt(var)
+        elif var > 0 and s < 0:
+            z_ref = (s + 1) / np.sqrt(var)
+        else:
+            z_ref = 0.0
+        row = out.loc[et]
+        assert row["n_days"] == n and row["s"] == s
+        assert abs(row["z"] - z_ref) < 1e-6
+
+
+def test_repeat_purchase_matches_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    p = (
+        ev[ev["event_type"] == "purchase"]
+        .sort_values(["us", "event_id"])
+        .groupby("user_id")["us"]
+        .agg(["count", lambda s: s.iloc[0], lambda s: s.iloc[1] if len(s) > 1 else np.nan])
+    )
+    p.columns = ["n", "us1", "us2"]
+    n_buyers = len(p)
+    rep = p[p["n"] >= 2]
+    gaps = ((rep["us2"] - rep["us1"]) // _DAY_US).astype(int).sort_values()
+    median_ref = int(gaps.iloc[(len(gaps) + 1) // 2 - 1])
+
+    out = _run("q247_repeat_purchase", spark, sf_dir).iloc[0]
+    assert out["n_buyers"] == n_buyers
+    assert out["n_repeat"] == len(rep)
+    assert abs(out["repeat_rate"] - len(rep) / n_buyers) < 1e-6
+    assert out["median_gap_days"] == median_ref
+
+
+def test_heaps_law_matches_loglog_fit(spark, sf_dir):
+    d = _docs(sf_dir)
+    words = d["text"].str.split(" ")
+    g = pd.DataFrame(
+        {
+            "tokens": words.str.len().groupby(d["source"]).sum(),
+            "types": words.groupby(d["source"]).apply(
+                lambda ws: len(set(w for row in ws for w in row))
+            ),
+        }
+    )
+    x, y = np.log(g["tokens"].to_numpy()), np.log(g["types"].to_numpy())
+    beta, lnk = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+
+    out = _run("q248_heaps_law", spark, sf_dir).iloc[0]
+    assert out["n_sources"] == len(g)
+    assert abs(out["beta"] - beta) < 1e-4
+    assert abs(out["k"] - np.exp(lnk)) < 1e-3
+    assert abs(out["r2"] - r * r) < 1e-6
+
+
+def test_label_separation_matches_centroid_reference(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    gcent = M.mean(axis=0)
+
+    out = _run("q249_label_separation", spark, sf_dir).set_index("label")
+    for lab in np.unique(labels):
+        rows = M[labels == lab]
+        cent = rows.mean(axis=0)
+        cos_own = (rows @ cent) / (
+            np.linalg.norm(rows, axis=1) * np.linalg.norm(cent)
+        )
+        cos_glob = (rows @ gcent) / (
+            np.linalg.norm(rows, axis=1) * np.linalg.norm(gcent)
+        )
+        r = out.loc[lab]
+        assert r["n_vecs"] == len(rows)
+        assert abs(r["mean_cos_own"] - cos_own.mean()) < 1e-5
+        assert abs(r["mean_cos_global"] - cos_glob.mean()) < 1e-5
+        assert (
+            abs(r["separation"] - (cos_own.mean() - cos_glob.mean())) < 1e-5
+        )
