@@ -4707,3 +4707,369 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250-q254 — third round-14 batch: paired-rater asymmetry, blocked ranks,
+# seasonality strength, burstiness, DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_mcnemar_gates",
+    oracle="""
+    WITH d AS (SELECT CAST(n_chars >= 300 AS INT) AS a,
+                      CAST(len(string_split(text, ' ')) >= 50 AS INT) AS b
+               FROM documents),
+    m AS (SELECT COUNT(*) FILTER (a = 1 AND b = 0) AS n10,
+                 COUNT(*) FILTER (a = 0 AND b = 1) AS n01
+          FROM d)
+    SELECT CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           ROUND(POWER(CAST(n10 - n01 AS DOUBLE), 2) / (n10 + n01), 6)
+             AS chi2_mcnemar,
+           ROUND(POWER(ABS(CAST(n10 - n01 AS DOUBLE)) - 1, 2)
+                 / (n10 + n01), 6) AS chi2_cc
+    FROM m
+    """,
+    tags=("llm", "stats", "quality"),
+)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar test on the two q236 quality gates — the DIRECTION
+    question kappa cannot answer: kappa says the char-length and
+    token-count raters agree beyond chance, McNemar asks whether
+    their disagreements are SYMMETRIC (n10 ~ n01) or one gate is
+    systematically stricter, which is the decision input when
+    replacing gate A with gate B would silently change the corpus
+    size. Reports the plain chi-square (n10-n01)²/(n10+n01) and the
+    Edwards continuity-corrected form.
+
+    Exactness: two exact integer discordant-cell counts from one
+    corpus pass; each statistic is one closed-form double expression.
+
+    Scale shape: ONE map-side-combined corpus aggregate to one row —
+    identical plan class to q236 (same scan, two of its conditional
+    counters)."""
+    d = table(spark, sf, "documents").select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= 50).cast("int").alias("b"),
+    )
+    m = d.agg(
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)).alias(
+            "n10"
+        ),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)).alias(
+            "n01"
+        ),
+    )
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    tot = F.col("n10") + F.col("n01")
+    return m.select(
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.round(F.pow(diff, F.lit(2.0)) / tot, 6).alias("chi2_mcnemar"),
+        F.round(
+            F.pow(F.abs(diff) - 1, F.lit(2.0)) / tot, 6
+        ).alias("chi2_cc"),
+    )
+
+
+@query(
+    "q251_friedman_ranks",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    o AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
+          FROM c GROUP BY 1, 2),
+    r AS (SELECT event_type, dow, o,
+                 2 * (RANK() OVER (PARTITION BY dow ORDER BY o) - 1)
+                 + COUNT(*) OVER (PARTITION BY dow, o) + 1 AS mr2
+          FROM o),
+    rj AS (SELECT event_type, SUM(mr2) AS rj2 FROM r GROUP BY 1),
+    st AS (SELECT COUNT(*) AS k,
+                  (SELECT COUNT(DISTINCT dow) FROM o) AS b,
+                  SUM(CAST(rj2 AS HUGEINT) * rj2) AS s4
+           FROM rj)
+    SELECT CAST(k AS INT) AS k_types, CAST(b AS INT) AS b_blocks,
+           ROUND(12.0 / (b * k * (k + 1)) * (CAST(s4 AS DOUBLE) / 4.0)
+                 - 3.0 * b * (k + 1), 6) AS friedman_chi2
+    FROM st
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman rank test of event-type volume across weekday blocks —
+    the nonparametric twin of q233's chi-square independence: within
+    each weekday, rank the k event types by total volume (midranks on
+    ties), sum ranks per type across the b=7 blocks, and test whether
+    any type consistently out-ranks the others
+    (chi2_F = 12/(bk(k+1)) ΣR_j² - 3b(k+1), Friedman 1937). Rank-
+    based, so one monster weekday cannot dominate the way raw counts
+    do in q233.
+
+    Exactness: the doubled midrank mr2 = 2*(RANK()-1) + ties + 1 is
+    an exact integer from a rank window plus a tie-group count (the
+    kw_ranked midrank identity, per-row form); ΣR_j² accumulates (Σmr2)² in decimal(38,0)/
+    HUGEINT and the statistic divides the integer mass by 4 exactly
+    once in double.
+
+    Scale shape: ranks run per-dow over the k x 7 grid from the
+    memoized daily artifact — constant-size work after the one
+    corpus collapse."""
+    from pyspark.sql import Window
+
+    from .analysis_q import daily_type_counts
+
+    o = (
+        daily_type_counts(spark, sf)
+        .select("event_type", (F.col("day") % 7).alias("dow"), "c")
+        .groupBy("event_type", "dow")
+        .agg(F.sum("c").alias("o"))
+    )
+    byval = Window.partitionBy("dow").orderBy("o")
+    tie = Window.partitionBy("dow", "o")
+    r = o.select(
+        "event_type",
+        (
+            2 * (F.rank().over(byval) - 1)
+            + F.count(F.lit(1)).over(tie)
+            + 1
+        ).alias("mr2"),
+    )
+    rj = r.groupBy("event_type").agg(F.sum("mr2").alias("rj2"))
+    dec = "decimal(38,0)"
+    bf = o.agg(F.countDistinct("dow").alias("b"))
+    st = rj.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("rj2").cast(dec) * F.col("rj2")).alias("s4"),
+    ).crossJoin(F.broadcast(bf))
+    return st.select(
+        F.col("k").cast("int").alias("k_types"),
+        F.col("b").cast("int").alias("b_blocks"),
+        F.round(
+            12.0
+            / (F.col("b") * F.col("k") * (F.col("k") + 1))
+            * (F.col("s4").cast("double") / 4.0)
+            - 3.0 * F.col("b") * (F.col("k") + 1),
+            6,
+        ).alias("friedman_chi2"),
+    )
+
+
+@query(
+    "q252_weekday_seasonality",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, day % 7 AS dow, COUNT(*) AS nd,
+                 SUM(c) AS s
+          FROM c GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(nd) AS n, SUM(s) AS st,
+                 SUM(POWER(CAST(s AS DOUBLE), 2) / nd) AS sb
+          FROM g GROUP BY 1),
+    ss AS (SELECT event_type,
+                  SUM(CAST(c AS HUGEINT) * c) AS sst
+           FROM c GROUP BY 1)
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_days,
+           ROUND((t.sb - CAST(t.st AS DOUBLE) * t.st / t.n)
+                 / (CAST(ss.sst AS DOUBLE)
+                    - CAST(t.st AS DOUBLE) * t.st / t.n), 6)
+             AS seasonal_eta_sq
+    FROM t JOIN ss ON ss.event_type = t.event_type
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekday-seasonality strength per event type: the share of
+    daily-volume variance explained by day-of-week (eta² of counts
+    grouped by dow — the q234 ANOVA decomposition applied WITHIN each
+    type, with weekday as the factor). The monitoring consumer: a
+    type with eta² ~ 0.6 needs weekday-conditioned thresholds
+    (qz175's uniformity test says weekdays DIFFER; this says how much
+    of the noise budget they explain), while eta² ~ 0 licenses one
+    flat band.
+
+    Exactness: per-(type, dow) day counts and count sums are exact
+    integers over the daily artifact; Σc² accumulates HUGEINT/
+    decimal(38,0) operand-first; the 7-term between-group fold and
+    final ratio are doubles ROUNDed at 1e-6.
+
+    Scale shape: two aggregates of the types x days artifact (one per
+    (type,dow), one per type), one types-sized join. No corpus
+    contact."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    dec = "decimal(38,0)"
+    g = (
+        c.select("event_type", (F.col("day") % 7).alias("dow"), "c")
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("c").alias("s"))
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("nd").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum(
+            F.pow(F.col("s").cast("double"), F.lit(2.0)) / F.col("nd")
+        ).alias("sb"),
+    )
+    ss = c.groupBy("event_type").agg(
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("sst")
+    )
+    grand = F.col("st").cast("double") * F.col("st") / F.col("n")
+    return (
+        t.join(ss, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                (F.col("sb") - grand)
+                / (F.col("sst").cast("double") - grand),
+                6,
+            ).alias("seasonal_eta_sq"),
+        )
+    )
+
+
+@query(
+    "q253_burstiness",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    l AS (SELECT event_type, us,
+                 LEAD(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS nxt
+          FROM e),
+    g AS (SELECT event_type, nxt - us AS gap FROM l
+          WHERE nxt IS NOT NULL),
+    s AS (SELECT event_type, COUNT(*) AS n, SUM(gap) AS sg,
+                 SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+          FROM g GROUP BY 1),
+    v AS (SELECT event_type, n,
+                 CAST(sg AS DOUBLE) / n AS mu,
+                 SQRT((CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * sg / n) / n) AS sigma
+          FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(mu / 1000000.0, 6) AS mean_gap_s,
+           ROUND(sigma / mu, 6) AS cv,
+           ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM v
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ-μ)/(σ+μ) of the inter-event
+    waiting times following each event type (per user, next event of
+    ANY type) — the one-number answer to "is this traffic Poisson or
+    bursty": B ~ 0 for a memoryless arrival process (σ = μ for the
+    exponential), B -> 1 for heavy-tailed burst trains, B < 0 for
+    pacemaker-regular cadence. The per-type split localizes WHICH
+    action precedes the bursts (errors clustering is an incident
+    signature; purchases clustering is a promotion signature). The
+    distributional companion to q202's gap-survival curve, collapsed
+    to a drift-monitorable scalar.
+
+    Exactness: gaps are exact integer microseconds off the user_seq
+    artifact's precomputed next_us; n/Σg/Σg² accumulate HUGEINT/
+    decimal(38,0) operand-first (a month-long gap is ~2.6e12 us —
+    its square alone overflows int64); μ, σ, CV, B are closed-form
+    doubles over those three exact moments.
+
+    Scale shape: zero new windows — user_seq already carries next_us
+    — one map-side-combined aggregate to a types-sized row set."""
+    from .analysis_q import user_seq
+
+    dec = "decimal(38,0)"
+    g = (
+        user_seq(spark, sf)
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "event_type", (F.col("next_us") - F.col("us")).alias("gap")
+        )
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap").cast(dec)).alias("sg"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap")).alias("sgg"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("sgg").cast("double")
+            - F.col("sg").cast("double") * F.col("sg").cast("double")
+            / F.col("n")
+        )
+        / F.col("n")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mu / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(sigma / mu, 6).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
+
+
+@query(
+    "q254_stickiness",
+    oracle="""
+    WITH e AS (SELECT DISTINCT
+                 date_diff('microsecond',
+                           TIMESTAMP '2024-01-01 00:00:00', ts)
+                   // 86400000000 AS day,
+                 user_id
+               FROM events),
+    d AS (SELECT day, COUNT(*) AS dau FROM e GROUP BY day),
+    t AS (SELECT COUNT(*) AS n_days, SUM(dau) AS sdau FROM d),
+    m AS (SELECT COUNT(DISTINCT user_id) AS mau FROM e)
+    SELECT CAST(t.n_days AS BIGINT) AS n_days,
+           ROUND(CAST(t.sdau AS DOUBLE) / t.n_days, 6) AS avg_dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           ROUND(CAST(t.sdau AS DOUBLE) / t.n_days / m.mau, 6)
+             AS stickiness
+    FROM t CROSS JOIN m
+    """,
+    tags=("events", "analytics"),
+)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/MAU stickiness: average daily active users divided by the
+    distinct actives of the whole window — the habit-formation ratio
+    every product dashboard leads with (0.1 = monthly habit, 0.5 =
+    daily habit), here as exact distinct counts rather than the HLL
+    approximations the sketch family (qz89/qz96) would serve at
+    interactive latency.
+
+    Exactness: one DISTINCT (day, user) collapse makes both numbers
+    exact integers — per-day actives are counts over it and the
+    monthly active total is one more distinct fold; one double
+    division each at the end.
+
+    Scale shape: the (day, user) distinct is ONE corpus shuffle
+    (map-side partial dedup first); everything after is days- and
+    users-bounded. The exact/sketch trade is deliberate and
+    documented: this query is the ground-truth twin the qz89 HLL
+    rollup is validated against."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = (
+        table(spark, sf, "events")
+        .select(F.floor(us / 86_400_000_000).alias("day"), "user_id")
+        .distinct()
+    )
+    d = e.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("sdau")
+    )
+    m = e.agg(F.countDistinct("user_id").alias("mau"))
+    return t.crossJoin(F.broadcast(m)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            F.col("sdau").cast("double") / F.col("n_days"), 6
+        ).alias("avg_dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(
+            F.col("sdau").cast("double") / F.col("n_days") / F.col("mau"),
+            6,
+        ).alias("stickiness"),
+    )

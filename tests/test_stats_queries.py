@@ -1385,3 +1385,90 @@ def test_label_separation_matches_centroid_reference(spark, sf_dir):
         assert (
             abs(r["separation"] - (cos_own.mean() - cos_glob.mean())) < 1e-5
         )
+
+
+def test_mcnemar_matches_discordant_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    a = (d["n_chars"] >= 300).to_numpy()
+    b = (d["text"].str.split(" ").str.len() >= 50).to_numpy()
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+
+    out = _run("q250_mcnemar_gates", spark, sf_dir).iloc[0]
+    assert out["n10"] == n10 and out["n01"] == n01
+    assert abs(out["chi2_mcnemar"] - (n10 - n01) ** 2 / (n10 + n01)) < 1e-6
+    assert (
+        abs(out["chi2_cc"] - (abs(n10 - n01) - 1) ** 2 / (n10 + n01))
+        < 1e-6
+    )
+
+
+def test_friedman_matches_rank_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir)).assign(dow=lambda d: d["day"] % 7)
+    o = (
+        c.groupby(["event_type", "dow"])["c"].sum().unstack(fill_value=0)
+    )
+    # midranks of each type within each dow column
+    ranks = o.rank(axis=0, method="average")
+    rj = ranks.sum(axis=1)
+    k, b = o.shape
+    chi2_ref = float(12.0 / (b * k * (k + 1)) * (rj**2).sum() - 3 * b * (k + 1))
+
+    out = _run("q251_friedman_ranks", spark, sf_dir).iloc[0]
+    assert out["k_types"] == k and out["b_blocks"] == b
+    assert abs(out["friedman_chi2"] - chi2_ref) < 1e-6
+
+
+def test_weekday_seasonality_matches_anova_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir)).assign(dow=lambda d: d["day"] % 7)
+    out = _run("q252_weekday_seasonality", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in c.groupby("event_type"):
+        y = grp["c"].to_numpy(dtype=float)
+        grand = y.mean()
+        ssb = sum(
+            len(g) * (g["c"].mean() - grand) ** 2
+            for _, g in grp.groupby("dow")
+        )
+        sst = ((y - grand) ** 2).sum()
+        row = out.loc[et]
+        assert row["n_days"] == len(y)
+        assert abs(row["seasonal_eta_sq"] - ssb / sst) < 1e-6
+
+
+def test_burstiness_matches_gap_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    ev["nxt"] = ev.groupby("user_id")["us"].shift(-1)
+    g = ev.dropna(subset=["nxt"]).assign(gap=lambda d: d["nxt"] - d["us"])
+
+    out = _run("q253_burstiness", spark, sf_dir).set_index("event_type")
+    for et, grp in g.groupby("event_type"):
+        gap = grp["gap"].to_numpy(dtype=float)
+        mu, sigma = gap.mean(), gap.std(ddof=0)
+        row = out.loc[et]
+        assert row["n_gaps"] == len(gap)
+        assert abs(row["mean_gap_s"] - mu / 1e6) < 1e-4
+        assert abs(row["cv"] - sigma / mu) < 1e-6
+        assert abs(row["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-6
+
+
+def test_stickiness_matches_distinct_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["day"] = (
+        (ev["ts"] - pd.Timestamp("2024-01-01"))
+        // pd.Timedelta(microseconds=1)
+    ) // _DAY_US
+    pairs = ev[["day", "user_id"]].drop_duplicates()
+    dau = pairs.groupby("day").size()
+    mau = pairs["user_id"].nunique()
+
+    out = _run("q254_stickiness", spark, sf_dir).iloc[0]
+    assert out["n_days"] == len(dau)
+    assert abs(out["avg_dau"] - dau.mean()) < 1e-6
+    assert out["mau"] == mau
+    assert abs(out["stickiness"] - dau.mean() / mau) < 1e-6
