@@ -991,6 +991,107 @@ def main() -> None:
     )
     big5.unpersist()
 
+    # q248's Heaps'-law collapse under a `factor`x corpus whose VOCABULARY
+    # also grows factor x (the copy-suffixed tokens of docs_big — the
+    # hostile case for the (source, word) grouped count: both the group
+    # count and the distinct-key cardinality scale). Wall should track
+    # token volume; super-linear growth would flag the per-source distinct
+    # reduction as a 100 TB bottleneck.
+    def _heaps(d):
+        u = d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        g = (
+            u.groupBy("source", "w")
+            .agg(F.count(F.lit(1)).alias("cw"))
+            .groupBy("source")
+            .agg(
+                F.sum("cw").alias("tokens"),
+                F.count(F.lit(1)).alias("types"),
+            )
+        )
+        p = g.select(
+            F.log(F.col("tokens").cast("double")).alias("x"),
+            F.log(F.col("types").cast("double")).alias("y"),
+        )
+        return p.agg(
+            F.count(F.lit(1)), F.sum(F.col("x") * F.col("y"))
+        ).collect()[0][0]
+
+    hd = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    hd_big = inflate(hd, factor, ["doc_id"], text_col="text").persist()
+    hd_big.count()
+    _heaps(hd)  # warm
+    t0 = time.perf_counter()
+    _heaps(hd)
+    t_hb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _heaps(hd_big)
+    t_hg = time.perf_counter() - t0
+    hd_big.unpersist()
+    print(
+        json.dumps(
+            {
+                "probe": "heaps_vocab_growth",
+                "factor": factor,
+                "sec_base": round(t_hb, 2),
+                "sec_big": round(t_hg, 2),
+                "growth_vs_linear": round(t_hg / (t_hb * factor), 2),
+            }
+        )
+    )
+
+    # q241's Pareto ranking under `factor`x lineitem with DISJOINT part
+    # keys per copy, so the ranked part table itself grows factor x —
+    # the case the distributed prefix sum exists for (a single-partition
+    # OVER () window would serialize here). Wall should track the part
+    # count; the fact-side groupBy is the other linear term.
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.ranking import (
+        global_running_sums,
+    )
+
+    def _pareto(li):
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+        ).cast("bigint")
+        r = (
+            li.select(F.col("l_partkey"), cents.alias("c"))
+            .groupBy("l_partkey")
+            .agg(F.sum("c").alias("rev"))
+        )
+        order = [F.col("rev").desc(), F.col("l_partkey")]
+        cum = global_running_sums(
+            r, order=order, value=F.col("rev"), sum_col="cum"
+        )
+        rk = global_running_sums(
+            cum, order=order, value=F.lit(1), sum_col="rk"
+        )
+        return rk.where(F.col("rk") % 977 == 0).count()
+
+    li_parts_big = inflate(li0, factor, ["l_partkey"]).persist()
+    li_parts_big.count()
+    _pareto(li0)  # warm
+    t0 = time.perf_counter()
+    _pareto(li0)
+    t_pb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _pareto(li_parts_big)
+    t_pg = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "pareto_prefix_sum",
+                "factor": factor,
+                "sec_base": round(t_pb, 2),
+                "sec_big": round(t_pg, 2),
+                "growth_vs_linear": round(t_pg / (t_pb * factor), 2),
+            }
+        )
+    )
+    li_parts_big.unpersist()
+
 
 if __name__ == "__main__":
     main()
