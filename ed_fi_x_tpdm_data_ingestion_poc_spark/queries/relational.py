@@ -2449,7 +2449,12 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
     ~4 s of fixed mapInPandas overhead at sf0.1 and are identical per
     evaluation); n and tot are read off its LAST row (max rk / max
     cum) via a 1-row broadcast cross join, so the warm query is one
-    cached-scan job with no driver scalars."""
+    cached-scan job with no driver scalars.
+
+    Measured (tools/scale_probe.py pareto_prefix_sum, sf0.1, lineitem
+    with DISJOINT part keys x10): 7.9 -> 13.8 s — 0.17x the linear
+    law; the fixed two-pass mapInPandas cost dominates and the 10x
+    part-key growth rides the range exchange without a knee."""
     from ..operators.ranking import global_running_sums
     from .llm import _artifact
 
