@@ -2492,3 +2492,103 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+@query(
+    "q255_fulfillment_latency",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderdate
+               FROM orders),
+    firstship AS (SELECT l_orderkey, MIN(l_shipdate) AS fs
+                  FROM lineitem GROUP BY 1),
+    lat AS (SELECT o.o_orderpriority AS priority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(f.fs AS DATE)) AS days
+            FROM o JOIN firstship f ON f.l_orderkey = o.o_orderkey),
+    g AS (SELECT priority, days, COUNT(*) AS k
+          FROM lat GROUP BY 1, 2),
+    w AS (SELECT priority, days, k,
+                 SUM(k) OVER (PARTITION BY priority ORDER BY days
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(k) OVER (PARTITION BY priority) AS n
+          FROM g)
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MIN(days) FILTER (cum >= (n + 1) // 2) AS BIGINT)
+             AS p50_days,
+           CAST(MIN(days) FILTER (cum >= CEIL(0.9 * n)) AS BIGINT)
+             AS p90_days
+    FROM w GROUP BY priority ORDER BY priority
+    """,
+    tags=("relational", "agg", "analytics"),
+)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    """Fulfillment-latency percentiles by order priority: exact
+    p50/p90 days from order placement to the FIRST line shipment —
+    the SLA report that tells whether URGENT orders actually move
+    faster, as order statistics rather than means (latency tails are
+    what SLAs are written against, and one stuck order should move
+    p90, not drown in an average).
+
+    Exactness: latency is an exact integer day difference on DATE-cast
+    values (identical calendar arithmetic cross-engine, no timezone
+    arithmetic — the qz35 rule); percentiles are exact grouped-count
+    rank reconstructions per priority — p50 at rank (n+1)//2, p90 at
+    ceil(0.9 n), the q195 convention.
+
+    Scale shape: ONE orderkey-keyed shuffle (the lineitem collapse to
+    first-ship joins orders on its grouping key); after that the
+    (priority, days) table is 5 x observation-range rows and the rank
+    windows are per-priority over it. Map-side combine applies to
+    both the MIN(l_shipdate) collapse and the day-count group."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    fs = (
+        table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("fs"))
+    )
+    lat = o.join(fs, o.o_orderkey == fs.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("fs").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    g = lat.groupBy("priority", "days").agg(F.count(F.lit(1)).alias("k"))
+    cum = (
+        W.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    per = W.partitionBy("priority")
+    w = g.select(
+        "priority",
+        "days",
+        F.sum("k").over(cum).alias("cum"),
+        F.sum("k").over(per).alias("n"),
+    )
+    return (
+        w.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.floor((F.col("n") + 1) / 2),
+                    F.col("days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50_days"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(0.9 * F.col("n")),
+                    F.col("days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_days"),
+        )
+        .orderBy("priority")
+    )

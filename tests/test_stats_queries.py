@@ -1472,3 +1472,24 @@ def test_stickiness_matches_distinct_reference(spark, sf_dir):
     assert abs(out["avg_dau"] - dau.mean()) < 1e-6
     assert out["mau"] == mau
     assert abs(out["stickiness"] - dau.mean() / mau) < 1e-6
+
+
+def test_fulfillment_latency_matches_order_stats(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupby("l_orderkey")["l_shipdate"].min()
+    j = o.join(fs, on="o_orderkey", how="inner")
+    days = (
+        j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize()
+    ).dt.days
+
+    out = _run("q255_fulfillment_latency", spark, sf_dir).set_index(
+        "priority"
+    )
+    for pr, grp in days.groupby(j["o_orderpriority"]):
+        v = np.sort(grp.to_numpy())
+        n = len(v)
+        row = out.loc[pr]
+        assert row["n_orders"] == n
+        assert row["p50_days"] == v[(n + 1) // 2 - 1]
+        assert row["p90_days"] == v[int(np.ceil(0.9 * n)) - 1]
