@@ -634,3 +634,67 @@ def test_new_warehouse_shapes_plan_contracts(spark, sf_dir):
         f = audit(_build(spark, sf_dir, name))
         assert f.cartesian_products == 0, name
         assert f.python_evals == 0, name
+
+
+def test_round14_inference_plans_clean(spark, sf_dir):
+    """The round-14 inference/analytics layer: no cartesian products, no
+    row-Python nodes anywhere (the crossJoins in q233/q238/q251 are
+    broadcast nested-loop joins of provably bounded frames — margins,
+    4 literal lags, a 1-row stats row — which the audit counts as
+    broadcast joins, not cartesians)."""
+    for name in (
+        "q233_chi_square_independence",
+        "q234_anova_f",
+        "q235_welch_ttest",
+        "q236_cohens_kappa",
+        "q237_ols_trend",
+        "q238_cross_correlation",
+        "q239_kaplan_meier",
+        "q240_position_attribution",
+        "q242_ewma_smoothing",
+        "q243_partial_correlation",
+        "q244_durbin_watson",
+        "q245_runs_test",
+        "q246_mann_kendall",
+        "q247_repeat_purchase",
+        "q248_heaps_law",
+        "q249_label_separation",
+        "q250_mcnemar_gates",
+        "q251_friedman_ranks",
+        "q252_weekday_seasonality",
+        "q253_burstiness",
+        "q254_stickiness",
+        "q255_fulfillment_latency",
+    ):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.cartesian_products == 0, name
+        assert f.python_evals == 0, name
+
+
+def test_ewma_band_join_is_keyed(spark, sf_dir):
+    """q242's +-13-day band self-join must ride the event_type equality
+    as a real join key (hash or sort-merge with the band as a post-
+    condition) — a nested-loop over the daily table would be days^2 x
+    types^2 at a long date range."""
+    df = _build(spark, sf_dir, "q242_ewma_smoothing")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_pareto_warm_query_reads_cached_artifact(spark, sf_dir):
+    """q241's ranked part table is a materialize-once artifact: the warm
+    query must be an InMemoryTableScan read, not a rebuild of the
+    groupBy + two prefix-sum passes (whose mapInPandas nodes would
+    otherwise show up in every evaluation)."""
+    _build(spark, sf_dir, "q241_pareto_share").collect()  # builds artifact
+    plan = (
+        _build(spark, sf_dir, "q241_pareto_share")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
