@@ -2452,9 +2452,10 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
     cached-scan job with no driver scalars.
 
     Measured (tools/scale_probe.py pareto_prefix_sum, sf0.1, lineitem
-    with DISJOINT part keys x10): 7.9 -> 13.8 s — 0.17x the linear
-    law; the fixed two-pass mapInPandas cost dominates and the 10x
-    part-key growth rides the range exchange without a knee."""
+    with DISJOINT part keys x10, num_partitions=32): 4.1 -> 10.8 s —
+    0.27x the linear law; the fixed two-pass mapInPandas cost
+    dominates and the 10x part-key growth rides the range exchange
+    without a knee."""
     from ..operators.ranking import global_running_sums
     from .llm import _artifact
 
@@ -2471,10 +2472,18 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum("c").alias("rev"))
         )
         order = [F.col("rev").desc(), F.col("l_partkey")]
+        # num_partitions sized to the session's parallelism: the prefix
+        # sum's cost at test scale is FIXED per range partition (two
+        # Arrow passes each), so 64 empty-ish partitions doubled the
+        # build (9.5 -> 4.7 s measured at sf0.1 with 32); at 100 TB the
+        # knob scales up with the parts table instead
+        npart = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         cum = global_running_sums(r, order=order, value=F.col("rev"),
-                                  sum_col="cum")
+                                  sum_col="cum", num_partitions=npart)
         rk = global_running_sums(cum, order=order, value=F.lit(1),
-                                 sum_col="rk")
+                                 sum_col="rk", num_partitions=npart)
         return built(rk.persist())
 
     rk = _artifact(spark, sf, "pareto_ranked", _ranked)

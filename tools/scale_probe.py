@@ -1063,10 +1063,12 @@ def main() -> None:
         )
         order = [F.col("rev").desc(), F.col("l_partkey")]
         cum = global_running_sums(
-            r, order=order, value=F.col("rev"), sum_col="cum"
+            r, order=order, value=F.col("rev"), sum_col="cum",
+            num_partitions=32,
         )
         rk = global_running_sums(
-            cum, order=order, value=F.lit(1), sum_col="rk"
+            cum, order=order, value=F.lit(1), sum_col="rk",
+            num_partitions=32,
         )
         return rk.where(F.col("rk") % 977 == 0).count()
 
