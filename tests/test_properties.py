@@ -388,3 +388,72 @@ def test_portable_uniform01_and_shard_share_one_hash(spark):
     ).collect()
     for r in got:
         assert r.u == r.ref
+
+
+# ---------------------------------------------------------------------------
+# round-14 inference-layer laws: Kaplan-Meier product-limit identity and the
+# doubled-midrank identity behind the Friedman ranks
+# ---------------------------------------------------------------------------
+
+_durs = st.lists(
+    st.tuples(st.integers(0, 20), st.booleans()),  # (duration_day, observed)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(durs=_durs)
+def test_km_product_limit_identity(durs):
+    """The engine's exp(Σ ln((n-d)/n)) survival form must equal the
+    directly multiplied product limit for ANY duration/censoring mix,
+    including exhausted-risk-set tails (survival 0) — the law behind
+    q239 with no engines involved."""
+    import math
+    from collections import Counter
+
+    n = len(durs)
+    deaths = Counter(d for d, obs in durs if obs)
+    removed = Counter(d for d, _ in durs)
+    days = sorted(set(removed))
+    at_risk = n
+    surv_direct = 1.0
+    ls = 0.0
+    for day in days:
+        d = deaths.get(day, 0)
+        if d > 0:
+            surv_direct *= (at_risk - d) / at_risk
+            # the engine's guarded-cumsum form
+            if at_risk > d:
+                ls += math.log((at_risk - d) / at_risk)
+                surv_engine = math.exp(ls)
+            else:
+                surv_engine = 0.0
+            assert abs(surv_engine - surv_direct) < 1e-12
+        at_risk -= removed[day]
+    assert at_risk == 0
+
+
+_block_vals = st.lists(
+    st.lists(st.integers(0, 5), min_size=2, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(blocks=_block_vals)
+def test_doubled_midrank_identity(blocks):
+    """mr2 = 2*(RANK()-1) + ties + 1 must equal twice the average-rank
+    midrank for ANY tie structure — the identity q251 (and the
+    kw_ranked family) relies on. Each inner list is one block; RANK is
+    the min 1-based position among equal values."""
+    for vals in blocks:
+        sv = sorted(vals)
+        for v in vals:
+            rank_min = sv.index(v) + 1
+            ties = sv.count(v)
+            mr2 = 2 * (rank_min - 1) + ties + 1
+            # average rank of the tie group, doubled
+            avg_rank2 = rank_min + (rank_min + ties - 1)
+            assert mr2 == avg_rank2
