@@ -1,0 +1,179 @@
+"""Third-engine differential tests for the round-13/14 warehouse idioms
+(queries/relational.py q219-q232 block): independent pandas reference
+implementations straight off the parquet fixtures, so a shared SQL
+misconception between the Spark plan and its DuckDB twin (both written
+by the same author) cannot certify itself — the same rationale as
+test_stats_queries.py for the statistics family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+_SPECS = all_queries()
+
+
+def _run(name: str, spark, sf_dir: str) -> pd.DataFrame:
+    return _SPECS[name].build(spark, sf_dir).toPandas()
+
+
+def _t(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def test_trailing_window_spend_matches_range_frame(spark, sf_dir):
+    o = _t(sf_dir, "orders").copy()
+    o["day"] = (
+        o["o_orderdate"] - pd.Timestamp("1970-01-01")
+    ) // pd.Timedelta(days=1)
+    out = _run("q230_trailing_window_spend", spark, sf_dir).set_index(
+        "orderkey"
+    )
+    assert len(out) == len(o)
+    # spot-check 50 orders incl. same-day peers (RANGE frame semantics:
+    # every same-customer order within [day-29, day] counts, including
+    # same-day rows "after" the current one)
+    sample = o.sample(50, random_state=7) if len(o) > 50 else o
+    for _, r in sample.iterrows():
+        w = o[
+            (o["o_custkey"] == r["o_custkey"])
+            & (o["day"] >= r["day"] - 29)
+            & (o["day"] <= r["day"])
+        ]
+        row = out.loc[r["o_orderkey"]]
+        assert row["n_30d"] == len(w)
+        assert abs(row["spend_30d"] - round(w["o_totalprice"].sum(), 2)) < 1e-6
+
+
+def test_relational_division_covers_all_regions(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    n = _t(sf_dir, "nation")
+    r = _t(sf_dir, "region")
+    j = (
+        li[
+            (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1997-02-01"))
+        ]
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    cov = j.groupby("l_suppkey")["r_regionkey"].nunique()
+    expected = set(cov[cov == r["r_regionkey"].nunique()].index)
+
+    out = _run("q231_relational_division", spark, sf_dir)
+    assert set(out["suppkey"]) == expected
+
+
+def test_universal_priority_quantifier(spark, sf_dir):
+    o = _t(sf_dir, "orders")
+    hi = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    g = o.groupby("o_custkey").agg(
+        n=("o_orderkey", "size"), spend=("o_totalprice", "sum")
+    )
+    nhi = o[hi].groupby("o_custkey").size().reindex(g.index, fill_value=0)
+    expected = g[(g["n"] >= 2) & (g["n"] == nhi)]
+
+    out = _run("q232_universal_priority", spark, sf_dir).set_index("custkey")
+    assert set(out.index) == set(expected.index)
+    for ck, row in out.iterrows():
+        assert row["n_orders"] == expected.loc[ck, "n"]
+        assert abs(row["spend"] - round(expected.loc[ck, "spend"], 2)) < 1e-6
+
+
+def test_min_cost_supplier_keeps_ties(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    r = _t(sf_dir, "region")
+    p = _t(sf_dir, "part")
+    eu = s.merge(n, left_on="s_nationkey", right_on="n_nationkey").merge(
+        r[r["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    pp = p[(p["p_size"].between(10, 15)) & (p["p_type"] == "PROMO")]
+    j = li.merge(eu[["s_suppkey"]], left_on="l_suppkey", right_on="s_suppkey")
+    j = j.merge(pp[["p_partkey"]], left_on="l_partkey", right_on="p_partkey")
+    j["uc"] = j["l_extendedprice"] / j["l_quantity"]
+    ec = (
+        j.groupby(["l_partkey", "l_suppkey"])["uc"]
+        .min()
+        .round(6)
+        .reset_index()
+    )
+    best = ec.groupby("l_partkey")["uc"].transform("min")
+    winners = ec[ec["uc"] == best]
+
+    out = _run("q220_min_cost_supplier", spark, sf_dir)
+    got = set(zip(out["partkey"], out["suppkey"]))
+    ref = set(zip(winners["l_partkey"], winners["l_suppkey"]))
+    assert got == ref
+    uc = out.set_index(["partkey", "suppkey"])["unit_cost"]
+    wref = winners.set_index(["l_partkey", "l_suppkey"])["uc"]
+    for key, v in uc.items():
+        assert abs(v - wref.loc[key]) < 1e-6
+
+
+def test_large_volume_orders_top20(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    sq = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = sq[sq > 150]
+    j = (
+        big.rename("sq")
+        .reset_index()
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    j["tp"] = j["o_totalprice"].round(2)
+    ref = j.sort_values(
+        ["tp", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+
+    out = _run("q227_large_volume_orders", spark, sf_dir)
+    assert list(out["orderkey"]) == list(ref["o_orderkey"])
+    assert np.allclose(out["totalprice"], ref["tp"])
+    assert list(out["total_qty"]) == [int(x) for x in ref["sq"]]
+
+
+def test_waiting_suppliers_sole_late_multi_supplier(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    s = _t(sf_dir, "supplier")
+    j = li.merge(
+        o[o["o_orderstatus"] == "F"][["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    j["late"] = (
+        j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=60)
+    ).astype(int)
+    ns = j.groupby("l_orderkey")["l_suppkey"].nunique()
+    nl = (
+        j[j["late"] == 1].groupby("l_orderkey")["l_suppkey"].nunique()
+    ).reindex(ns.index, fill_value=0)
+    ok_orders = ns.index[(ns > 1) & (nl == 1)]
+    hits = j[(j["late"] == 1) & j["l_orderkey"].isin(ok_orders)]
+    counts = (
+        hits.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby("s_name")
+        .size()
+        .rename("numwait")
+        .reset_index()
+        .sort_values(
+            ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+        )
+        .head(25)
+    )
+
+    out = _run("q229_waiting_suppliers", spark, sf_dir)
+    assert list(out["name"]) == list(counts["s_name"])
+    assert list(out["numwait"]) == list(counts["numwait"])
