@@ -177,3 +177,119 @@ def test_waiting_suppliers_sole_late_multi_supplier(spark, sf_dir):
     out = _run("q229_waiting_suppliers", spark, sf_dir)
     assert list(out["name"]) == list(counts["s_name"])
     assert list(out["numwait"]) == list(counts["numwait"])
+
+
+def test_market_share_conditional_ratio(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    n = _t(sf_dir, "nation")
+    r = _t(sf_dir, "region")
+    s = _t(sf_dir, "supplier")
+    p = _t(sf_dir, "part")
+    j = (
+        li.merge(
+            o[
+                (o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+                & (o["o_orderdate"] < pd.Timestamp("1998-01-01"))
+            ],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(
+            n.add_prefix("cn_"),
+            left_on="c_nationkey",
+            right_on="cn_n_nationkey",
+        )
+        .merge(
+            r[r["r_name"] == "AMERICA"],
+            left_on="cn_n_regionkey",
+            right_on="r_regionkey",
+        )
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(
+            n.add_prefix("sn_"),
+            left_on="s_nationkey",
+            right_on="sn_n_nationkey",
+        )
+        .merge(
+            p[p["p_type"] == "ECONOMY"],
+            left_on="l_partkey",
+            right_on="p_partkey",
+        )
+    )
+    j["vol"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    j["yr"] = j["o_orderdate"].dt.year
+
+    out = _run("q221_market_share", spark, sf_dir).set_index("yr")
+    for yr, grp in j.groupby("yr"):
+        nat = grp.loc[grp["sn_n_name"] == "NATION_3", "vol"].sum()
+        row = out.loc[yr]
+        assert row["n_lines"] == len(grp)
+        assert abs(row["share"] - round(nat / grp["vol"].sum(), 4)) < 1e-6
+
+
+def test_important_parts_group_share_threshold(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    j = li.merge(s, left_on="l_suppkey", right_on="s_suppkey").merge(
+        n[n["n_name"] == "NATION_7"],
+        left_on="s_nationkey",
+        right_on="n_nationkey",
+    )
+    v = j.groupby("l_partkey")["l_quantity"].sum()
+    ref = v[v > v.sum() * 0.002]
+
+    out = _run("q223_important_parts", spark, sf_dir).set_index("partkey")
+    assert set(out.index) == set(ref.index)
+    for pk, row in out.iterrows():
+        assert row["vol"] == int(ref.loc[pk])
+
+
+def test_small_qty_revenue_correlated_avg(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    pa = li.groupby("l_partkey")["l_quantity"].agg(["count", "sum"])
+    j = li.merge(
+        p[p["p_brand"] == "Brand#3"][["p_partkey"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    ).merge(pa, left_on="l_partkey", right_index=True)
+    # l_quantity < 0.2 * avg == qty * 5 * cnt < sum (integer-safe form)
+    hits = j[j["l_quantity"] * 5.0 * j["count"] < j["sum"]]
+
+    out = _run("q226_small_qty_revenue", spark, sf_dir).iloc[0]
+    assert out["n_lines"] == len(hits)
+    assert (
+        abs(out["avg_weekly"] - round(hits["l_extendedprice"].sum() / 7.0, 2))
+        < 1e-6
+    )
+
+
+def test_promo_suppliers_semi_join_chain(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    r = _t(sf_dir, "region")
+    red = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+    ].merge(
+        p[p["p_name"].str.startswith("red")][["p_partkey"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    q = red.groupby("l_suppkey")["l_quantity"].sum()
+    qualified = set(q[q > 40].index)
+    eu = s.merge(n, left_on="s_nationkey", right_on="n_nationkey").merge(
+        r[r["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    expected = sorted(set(eu["s_suppkey"]) & qualified)
+
+    out = _run("q228_promo_suppliers", spark, sf_dir)
+    assert list(out["suppkey"]) == expected
