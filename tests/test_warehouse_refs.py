@@ -293,3 +293,90 @@ def test_promo_suppliers_semi_join_chain(spark, sf_dir):
 
     out = _run("q228_promo_suppliers", spark, sf_dir)
     assert list(out["suppkey"]) == expected
+
+
+def test_forecast_revenue_band_filter(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    hits = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    ]
+    out = _run("q219_forecast_revenue", spark, sf_dir).iloc[0]
+    assert out["n_lines"] == len(hits)
+    assert (
+        abs(
+            out["revenue_delta"]
+            - round((hits["l_extendedprice"] * hits["l_discount"]).sum(), 2)
+        )
+        < 1e-6
+    )
+
+
+def test_product_profit_nation_year(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    o = _t(sf_dir, "orders")
+    j = (
+        li.merge(
+            p[p["p_name"].str.contains("red")][
+                ["p_partkey", "p_retailprice"]
+            ],
+            left_on="l_partkey",
+            right_on="p_partkey",
+        )
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    )
+    j["profit"] = j["l_extendedprice"] * (1 - j["l_discount"]) - j[
+        "p_retailprice"
+    ] * 0.1 * j["l_quantity"]
+    j["yr"] = j["o_orderdate"].dt.year
+    ref = j.groupby(["n_name", "yr"])["profit"].sum().round(2)
+
+    out = _run("q222_product_profit", spark, sf_dir)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        assert abs(row["profit"] - ref.loc[(row["nation"], row["yr"])]) < 1e-6
+
+
+def test_priority_lines_two_way_counts(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    j = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+    ].merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    hi = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    out = _run("q224_priority_lines", spark, sf_dir).set_index("rflag")
+    for rf, grp in j.groupby("l_returnflag"):
+        h = int(hi[grp.index].sum())
+        assert out.loc[rf, "high_lines"] == h
+        assert out.loc[rf, "low_lines"] == len(grp) - h
+
+
+def test_supplier_variety_distinct_under_anti_join(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    s = _t(sf_dir, "supplier")
+    bad = set(s.loc[s["s_acctbal"] < 0, "s_suppkey"])
+    pp = p[
+        (~p["p_brand"].isin(["Brand#1", "Brand#2"]))
+        & (p["p_size"].isin([1, 4, 9, 16, 25, 36, 49]))
+    ]
+    j = li[~li["l_suppkey"].isin(bad)].merge(
+        pp[["p_partkey", "p_brand", "p_size"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    ref = j.groupby(["p_brand", "p_size"])["l_suppkey"].nunique()
+
+    out = _run("q225_supplier_variety", spark, sf_dir)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        assert row["supplier_cnt"] == ref.loc[(row["brand"], row["size"])]
