@@ -380,3 +380,151 @@ def test_supplier_variety_distinct_under_anti_join(spark, sf_dir):
     assert len(out) == len(ref)
     for _, row in out.iterrows():
         assert row["supplier_cnt"] == ref.loc[(row["brand"], row["size"])]
+
+
+def test_promo_revenue_share_gated(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    j = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-03-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1997-04-01"))
+    ].merge(p[["p_partkey", "p_type"]], left_on="l_partkey",
+            right_on="p_partkey")
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    promo = rev[j["p_type"].str.startswith("PROMO")].sum()
+
+    out = _run("q211_promo_revenue_share", spark, sf_dir).iloc[0]
+    assert out["n_items"] == len(j)
+    assert abs(out["promo_pct"] - round(100.0 * promo / rev.sum(), 4)) < 1e-6
+
+
+def test_disjunctive_revenue_gated(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    p = _t(sf_dir, "part")
+    j = li.merge(
+        p[["p_partkey", "p_brand", "p_size"]],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    m = (
+        (
+            (j["p_brand"] == "Brand#1")
+            & j["p_size"].between(1, 10)
+            & j["l_quantity"].between(1, 20)
+        )
+        | (
+            (j["p_brand"] == "Brand#2")
+            & j["p_size"].between(5, 20)
+            & j["l_quantity"].between(10, 40)
+        )
+        | (
+            (j["p_brand"] == "Brand#3")
+            & j["p_size"].between(10, 40)
+            & j["l_quantity"].between(20, 50)
+        )
+    )
+    hits = j[m]
+    out = _run("q213_disjunctive_revenue", spark, sf_dir).iloc[0]
+    assert out["n_items"] == len(hits)
+    assert (
+        abs(
+            out["revenue"]
+            - round(
+                (hits["l_extendedprice"] * (1 - hits["l_discount"])).sum(), 2
+            )
+        )
+        < 1e-6
+    )
+
+
+def test_top_supplier_with_ties(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    s = _t(sf_dir, "supplier")
+    w = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1997-04-01"))
+    ]
+    rev = (
+        (w["l_extendedprice"] * (1 - w["l_discount"]))
+        .groupby(w["l_suppkey"])
+        .sum()
+        .round(2)
+    )
+    winners = sorted(rev[rev == rev.max()].index)
+
+    out = _run("q215_top_supplier", spark, sf_dir)
+    assert list(out["suppkey"]) == winners
+    assert np.allclose(out["total"], rev.max())
+    assert set(out["name"]) == set(
+        s.set_index("s_suppkey").loc[winners, "s_name"]
+    )
+
+
+def test_returned_items_top20(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    n = _t(sf_dir, "nation")
+    j = (
+        li[li["l_returnflag"] == "R"]
+        .merge(
+            o[
+                (o["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+                & (o["o_orderdate"] < pd.Timestamp("1997-04-01"))
+            ],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    g = (
+        j.groupby(["c_custkey", "c_name", "c_acctbal", "n_name"])["rev"]
+        .sum()
+        .round(2)
+        .reset_index()
+        .sort_values(
+            ["rev", "c_custkey"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+    )
+    out = _run("qz210_returned_items", spark, sf_dir)
+    assert list(out["custkey"]) == list(g["c_custkey"])
+    assert np.allclose(out["revenue"], g["rev"])
+
+
+def test_order_count_histogram_zero_preserving(spark, sf_dir):
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    counted = (
+        o[o["o_orderpriority"] != "1-URGENT"].groupby("o_custkey").size()
+    )
+    per_cust = counted.reindex(c["c_custkey"], fill_value=0)
+    ref = per_cust.value_counts()  # n_orders -> n_customers
+
+    out = _run("qz216_order_count_histogram", spark, sf_dir).set_index(
+        "n_orders"
+    )
+    assert len(out) == len(ref)
+    for k, v in ref.items():
+        assert out.loc[k, "n_customers"] == v
+    # the zero bucket must exist iff some customer has no counted orders
+    assert (0 in out.index) == bool((per_cust == 0).any())
+
+
+def test_dormant_rich_customers(spark, sf_dir):
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    t = c.loc[c["c_acctbal"] > 0, "c_acctbal"].mean()
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    d = c[(c["c_acctbal"] > t) & (~c["c_custkey"].isin(urgent))]
+    ref = d.groupby("c_mktsegment")["c_acctbal"].agg(["size", "sum"])
+
+    out = _run("qz217_dormant_rich_customers", spark, sf_dir).set_index(
+        "segment"
+    )
+    assert set(out.index) == set(ref.index)
+    for seg, row in out.iterrows():
+        assert row["n_custs"] == ref.loc[seg, "size"]
+        assert abs(row["balance"] - round(ref.loc[seg, "sum"], 2)) < 1e-6
