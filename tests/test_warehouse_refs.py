@@ -140,7 +140,7 @@ def test_large_volume_orders_top20(spark, sf_dir):
 
     out = _run("q227_large_volume_orders", spark, sf_dir)
     assert list(out["orderkey"]) == list(ref["o_orderkey"])
-    assert np.allclose(out["totalprice"], ref["tp"])
+    assert np.allclose(out["totalprice"], ref["tp"], atol=0.011)
     assert list(out["total_qty"]) == [int(x) for x in ref["sq"]]
 
 
@@ -454,7 +454,7 @@ def test_top_supplier_with_ties(spark, sf_dir):
 
     out = _run("q215_top_supplier", spark, sf_dir)
     assert list(out["suppkey"]) == winners
-    assert np.allclose(out["total"], rev.max())
+    assert np.allclose(out["total"], rev.max(), atol=0.011)
     assert set(out["name"]) == set(
         s.set_index("s_suppkey").loc[winners, "s_name"]
     )
@@ -491,7 +491,7 @@ def test_returned_items_top20(spark, sf_dir):
     )
     out = _run("qz210_returned_items", spark, sf_dir)
     assert list(out["custkey"]) == list(g["c_custkey"])
-    assert np.allclose(out["revenue"], g["rev"])
+    assert np.allclose(out["revenue"], g["rev"], atol=0.011)
 
 
 def test_order_count_histogram_zero_preserving(spark, sf_dir):
@@ -528,3 +528,155 @@ def test_dormant_rich_customers(spark, sf_dir):
     for seg, row in out.iterrows():
         assert row["n_custs"] == ref.loc[seg, "size"]
         assert abs(row["balance"] - round(ref.loc[seg, "sum"], 2)) < 1e-6
+
+
+def test_ship_priority_top10(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    j = (
+        li[li["l_shipdate"] > pd.Timestamp("1999-01-01")]
+        .merge(
+            o[o["o_orderdate"] < pd.Timestamp("1999-01-01")],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .merge(
+            c[c["c_mktsegment"] == "BUILDING"],
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
+    )
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    g = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["rev"]
+        .sum()
+        .round(2)
+        .reset_index()
+        .sort_values(
+            ["rev", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(10)
+    )
+    out = _run("qz208_ship_priority", spark, sf_dir)
+    assert list(out["o_key"]) == list(g["l_orderkey"])
+    assert np.allclose(out["revenue"], g["rev"], atol=0.011)
+
+
+def test_local_supplier_volume_same_nation(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    r = _t(sf_dir, "region")
+    asia = n.merge(
+        r[r["r_name"] == "ASIA"], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )
+    j = (
+        li.merge(
+            o[
+                (o["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+                & (o["o_orderdate"] < pd.Timestamp("1997-01-01"))
+            ],
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+        )
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(asia, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    # the distinguishing Q5 edge: customer and supplier in the SAME nation
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    ref = (
+        (j["l_extendedprice"] * (1 - j["l_discount"]))
+        .groupby(j["n_name"])
+        .sum()
+        .round(2)
+    )
+    out = _run("q209_local_supplier_volume", spark, sf_dir).set_index(
+        "nation"
+    )
+    assert set(out.index) == set(ref.index)
+    for nat, row in out.iterrows():
+        assert abs(row["revenue"] - ref.loc[nat]) < 1e-6
+
+
+def test_late_order_priority_exists_once_per_order(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    w = o[
+        (o["o_orderdate"] >= pd.Timestamp("1997-01-01"))
+        & (o["o_orderdate"] < pd.Timestamp("1997-04-01"))
+    ]
+    j = li.merge(
+        w[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    late_orders = set(
+        j.loc[
+            j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=60),
+            "o_orderkey",
+        ]
+    )
+    # EXISTS semantics: each order counts ONCE no matter how many late lines
+    ref = (
+        w[w["o_orderkey"].isin(late_orders)]
+        .groupby("o_orderpriority")
+        .size()
+    )
+    out = _run("qz212_late_order_priority", spark, sf_dir).set_index(
+        "priority"
+    )
+    assert len(out) == len(ref)
+    for pr, v in ref.items():
+        assert out.loc[pr, "n_orders"] == v
+
+
+def test_two_nation_volume_symmetric_pairs(spark, sf_dir):
+    li = _t(sf_dir, "lineitem")
+    o = _t(sf_dir, "orders")
+    c = _t(sf_dir, "customer")
+    s = _t(sf_dir, "supplier")
+    n = _t(sf_dir, "nation")
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(
+            n.add_prefix("cn_"), left_on="c_nationkey",
+            right_on="cn_n_nationkey",
+        )
+        .merge(
+            n.add_prefix("sn_"), left_on="s_nationkey",
+            right_on="sn_n_nationkey",
+        )
+    )
+    m = (
+        (j["cn_n_name"] == "NATION_2") & (j["sn_n_name"] == "NATION_7")
+    ) | ((j["cn_n_name"] == "NATION_7") & (j["sn_n_name"] == "NATION_2"))
+    j = j[m]
+    j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+    j["yr"] = j["l_shipdate"].dt.year
+    # compare the engine's ROUND(2) against the UNROUNDED pandas sum
+    # with half-cent tolerance: a float sum landing exactly on a .xx5
+    # boundary rounds half-even in numpy but half-up in both SQL
+    # engines (observed at sf0.01: 765619.145 -> .14 vs .15)
+    ref = j.groupby(["cn_n_name", "sn_n_name", "yr"])["rev"].sum()
+    out = _run("qz214_two_nation_volume", spark, sf_dir)
+    assert len(out) == len(ref)
+    for _, row in out.iterrows():
+        assert (
+            abs(
+                row["revenue"]
+                - ref.loc[
+                    (row["cust_nation"], row["supp_nation"],
+                     row["ship_year"])
+                ]
+            )
+            <= 0.0051
+        )
