@@ -61,3 +61,45 @@ def write_parquet_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    *,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """XML export via Spark 4's built-in xml data source — the
+    interchange format half the SIS/ERP world the reference integrates
+    with still speaks (the reference's own Ed-Fi payloads are JSON, but
+    Banner-era extract feeds are XML; this closes the format without a
+    third-party package). Executors write in parallel, one <root_tag>
+    document per output file, so `num_files` is the same small-files
+    lever as the other writers."""
+    out = df.repartition(num_files) if num_files else df
+    (
+        out.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def read_xml(
+    spark,
+    path: str,
+    *,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
+    """XML ingest (built-in source, schema inference unless a schema is
+    pinned). Pin the schema in production: inference reads the data
+    twice, and at 100 TB the second pass is the whole job."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

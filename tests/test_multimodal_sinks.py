@@ -151,3 +151,41 @@ def test_resize_images_real_for_decodable_content(spark):
         assert np.abs(px.astype(int) - [10, 200, 60]).max() <= 3, i
     assert rows[3].meta.mime == "application/octet-stream"
     assert len(bytes(rows[3].content)) == 8 * 8 // 64
+
+
+def test_xml_roundtrip_preserves_rows_and_types(spark, tmp_path):
+    """Spark 4 built-in xml source: write with executor parallelism, read
+    back with a PINNED schema (inference-free), values and row count
+    intact — the Banner-era extract-feed format (sinks/files.py)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.files import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.range(50).selectExpr(
+        "id",
+        "concat('name_', id) AS name",
+        "CAST(id * 1.5 AS DOUBLE) AS score",
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(df, path, num_files=4)
+    back = read_xml(
+        spark, path, schema="id BIGINT, name STRING, score DOUBLE"
+    )
+    assert back.count() == 50
+    got = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert got[7] == ("name_7", 10.5)
+    assert set(back.columns) == {"id", "name", "score"}
+
+
+def test_xml_read_infers_without_schema(spark, tmp_path):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.files import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.range(5).selectExpr("id", "concat('v', id) AS v")
+    path = str(tmp_path / "xml_inf")
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec")
+    assert back.count() == 5 and set(back.columns) == {"id", "v"}
