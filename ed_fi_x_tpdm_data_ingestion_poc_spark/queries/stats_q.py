@@ -4172,9 +4172,13 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
                  SUM(CAST(c AS HUGEINT) * day) AS sdc
           FROM c GROUP BY 1),
     f AS (SELECT event_type,
-                 CAST(n * sdc - CAST(sd AS HUGEINT) * sc AS DOUBLE)
-                   / CAST(n * CAST(sdd AS HUGEINT)
-                          - CAST(sd AS HUGEINT) * sd AS DOUBLE) AS b,
+                 CASE WHEN n * CAST(sdd AS HUGEINT)
+                           - CAST(sd AS HUGEINT) * sd > 0
+                      THEN CAST(n * sdc - CAST(sd AS HUGEINT) * sc
+                                AS DOUBLE)
+                           / CAST(n * CAST(sdd AS HUGEINT)
+                                  - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+                      ELSE 0.0 END AS b,
                  CAST(sc AS DOUBLE) / n AS my,
                  CAST(sd AS DOUBLE) / n AS mx
           FROM g),
@@ -4194,7 +4198,8 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
                  COUNT(*) AS n
           FROM l GROUP BY 1)
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           ROUND(sdd2 / see, 6) AS dw
+           CASE WHEN see > 0 THEN ROUND(sdd2 / see, 6)
+                ELSE 0.0 END AS dw
     FROM s
     """,
     tags=("events", "stats", "analytics"),
@@ -4233,14 +4238,22 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("day") * F.col("day")).alias("sdd"),
         F.sum(F.col("c").cast(dec) * F.col("day")).alias("sdc"),
     )
-    b = (
-        F.col("n") * F.col("sdc") - F.col("sd").cast(dec) * F.col("sc")
-    ).cast("double") / (
+    # ADVICE r14: a single-day (or otherwise zero-x-variance) series makes
+    # den = n*sdd - sd*sd exactly 0; double 0/0 is NaN in Spark vs DuckDB's
+    # NULL-on-zero-divisor, a cross-engine hash break. The q237 convention:
+    # den > 0 guards the slope (flat fit, residual 0), and see = 0 (a
+    # perfectly-fit series) emits dw = 0 instead of 0/0.
+    den = (
         F.col("n") * F.col("sdd").cast(dec)
         - F.col("sd").cast(dec) * F.col("sd")
-    ).cast(
-        "double"
     )
+    b = F.when(
+        den > 0,
+        (
+            F.col("n") * F.col("sdc") - F.col("sd").cast(dec) * F.col("sc")
+        ).cast("double")
+        / den.cast("double"),
+    ).otherwise(F.lit(0.0))
     f = g.select(
         F.col("event_type").alias("ftype"),
         b.alias("b"),
@@ -4277,7 +4290,11 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(F.col("sdd2") / F.col("see"), 6).alias("dw"),
+        F.when(
+            F.col("see") > 0, F.round(F.col("sdd2") / F.col("see"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dw"),
     )
 
 
@@ -4515,7 +4532,9 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
                  SUM(x * y) AS sxy
           FROM p),
     f AS (SELECT n,
-                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+                 CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      ELSE 0.0 END AS beta,
                  (n * sxy - sx * sy) AS num,
                  (n * sxx - sx * sx) AS vx,
                  (n * syy - sy * sy) AS vy,
@@ -4523,8 +4542,11 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
           FROM s)
     SELECT CAST(n AS BIGINT) AS n_sources,
            ROUND(beta, 6) AS beta,
-           ROUND(EXP((sy - beta * sx) / n), 6) AS k,
-           ROUND(num * num / (vx * vy), 6) AS r2
+           CASE WHEN vx > 0 THEN ROUND(EXP((sy - beta * sx) / n), 6)
+                ELSE 0.0 END AS k,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN ROUND(num * num / (vx * vy), 6)
+                ELSE 0.0 END AS r2
     FROM f
     """,
     tags=("llm", "stats", "text"),
@@ -4582,14 +4604,27 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    beta = num / vx
+    # ADVICE r14: a single source (n = 1) or identical token counts
+    # across sources makes vx exactly 0 — the fit is undefined and
+    # double 0-division diverges cross-engine (Spark NULL-on-zero vs
+    # DuckDB IEEE inf). The den > 0 convention (q237/q238): report
+    # beta/k/r2 as 0 when the x-variance (and for r2 the y-variance)
+    # vanishes, on BOTH engines.
+    beta = F.when(vx > 0, num / vx).otherwise(F.lit(0.0))
     return s.select(
         F.col("n").cast("bigint").alias("n_sources"),
         F.round(beta, 6).alias("beta"),
-        F.round(
-            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
-        ).alias("k"),
-        F.round(num * num / (vx * vy), 6).alias("r2"),
+        F.when(
+            vx > 0,
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("k"),
+        F.when((vx > 0) & (vy > 0), F.round(num * num / (vx * vy), 6))
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
     )
 
 
@@ -4780,8 +4815,13 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
     "q251_friedman_ranks",
     oracle=f"""
     WITH {_DAILY_SQL},
-    o AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
-          FROM c GROUP BY 1, 2),
+    o0 AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
+           FROM c GROUP BY 1, 2),
+    o AS (SELECT t.event_type, d.dow, COALESCE(o0.o, 0) AS o
+          FROM (SELECT DISTINCT event_type FROM o0) t
+          CROSS JOIN (SELECT DISTINCT dow FROM o0) d
+          LEFT JOIN o0 ON o0.event_type = t.event_type
+                      AND o0.dow = d.dow),
     r AS (SELECT event_type, dow, o,
                  2 * (RANK() OVER (PARTITION BY dow ORDER BY o) - 1)
                  + COUNT(*) OVER (PARTITION BY dow, o) + 1 AS mr2
@@ -4821,11 +4861,29 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
 
     from .analysis_q import daily_type_counts
 
-    o = (
+    o0 = (
         daily_type_counts(spark, sf)
         .select("event_type", (F.col("day") % 7).alias("dow"), "c")
         .groupBy("event_type", "dow")
         .agg(F.sum("c").alias("o"))
+    )
+    # ADVICE r14: Friedman's statistic assumes a COMPLETE k x b design —
+    # a missing (event_type, dow) cell would make that block rank fewer
+    # than k entries while the statistic still uses the global k,
+    # silently biasing chi2 (both engines together, so the hash gate
+    # cannot catch it). Zero-fill the grid first (the q233 left-join
+    # pattern): a type absent on a weekday genuinely has volume 0 and
+    # ranks lowest, which is the intended semantics.
+    types = o0.select("event_type").distinct()
+    dows = o0.select("dow").distinct()
+    o = (
+        types.crossJoin(F.broadcast(dows))
+        .join(o0, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("o"), F.lit(0).cast("bigint")).alias("o"),
+        )
     )
     byval = Window.partitionBy("dow").orderBy("o")
     tie = Window.partitionBy("dow", "o")

@@ -1493,3 +1493,152 @@ def test_fulfillment_latency_matches_order_stats(spark, sf_dir):
         assert row["n_orders"] == n
         assert row["p50_days"] == v[(n + 1) // 2 - 1]
         assert row["p90_days"] == v[int(np.ceil(0.9 * n)) - 1]
+
+
+# ---------------------------------------------------------------------------
+# round-15 degenerate-input guards (ADVICE r14): q244 / q248 / q251
+# ---------------------------------------------------------------------------
+
+
+def _write_events(d, days_by_type: dict[str, list[int]]) -> str:
+    """Tiny events fixture: one event per (type, day) entry, ts at the
+    given day offset from 2024-01-01."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    types, ts = [], []
+    for et, days in days_by_type.items():
+        for day in days:
+            types.append(et)
+            ts.append(base + pd.Timedelta(days=day, minutes=1))
+    n = len(types)
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array([1] * n, type=pa.int64()),
+                "event_type": pa.array(types, type=pa.string()),
+                "value": pa.array([1.0] * n, type=pa.float64()),
+                "props": pa.array(["{}"] * n, type=pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def _hash_pair(name: str, spark, sf_dir: str):
+    from tools.oracle_check import duck_result, spark_result
+
+    spec = _SPECS[name]
+    return spark_result(spec, spark, sf_dir), duck_result(
+        spec.oracle, sf_dir
+    )
+
+
+def test_durbin_watson_degenerate_single_day(spark, tmp_path):
+    """ADVICE r14: a type observed on a SINGLE day has x-variance 0 —
+    the OLS slope's denominator is exactly 0 and unguarded 0/0 NaN
+    diverges cross-engine (Spark NULL-on-zero-divisor vs DuckDB IEEE).
+    The guard emits slope 0 (flat fit), residual 0, dw 0 for that
+    type, and must leave multi-day types untouched."""
+    sf = _write_events(
+        tmp_path / "dw",
+        {"solo": [5, 5, 5], "multi": [0, 1, 2, 3, 4, 5]},
+    )
+    got, want = _hash_pair("q244_durbin_watson", spark, sf)
+    assert got == want
+    out = _run("q244_durbin_watson", spark, sf).set_index("event_type")
+    assert out.loc["solo", "dw"] == 0.0
+    assert out.loc["solo", "n_days"] == 1
+    # the multi-day series still gets a real DW (perfect-fit flat
+    # series -> residuals 0 -> guarded 0 as well; constant counts of 1
+    # per day means e == 0 everywhere, so dw is the guarded 0)
+    assert out.loc["multi", "n_days"] == 6
+
+
+def test_durbin_watson_two_point_perfect_fit(spark, tmp_path):
+    """A 2-day series fits the OLS line EXACTLY: see = 0 and the dw
+    ratio is 0/0 without the see > 0 guard. Both engines must emit
+    dw = 0."""
+    sf = _write_events(tmp_path / "dw2", {"duo": [0, 3]})
+    got, want = _hash_pair("q244_durbin_watson", spark, sf)
+    assert got == want
+    out = _run("q244_durbin_watson", spark, sf).iloc[0]
+    assert out["dw"] == 0.0 and out["n_days"] == 2
+
+
+def test_heaps_single_source_guard(spark, tmp_path):
+    """ADVICE r14: one source gives a single regression point — vx = 0
+    and beta/k/r2 are undefined. The den > 0 convention reports all
+    three as 0 in BOTH engines instead of engine-specific 0-division
+    artifacts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "heaps"
+    d.mkdir()
+    texts = ["alpha beta gamma", "alpha beta", "delta epsilon zeta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 3, type=pa.string()),
+                "source": pa.array(["only"] * 3, type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got, want = _hash_pair("q248_heaps_law", spark, str(d))
+    assert got == want
+    out = _run("q248_heaps_law", spark, str(d)).iloc[0]
+    assert out["n_sources"] == 1
+    assert out["beta"] == 0.0 and out["k"] == 0.0 and out["r2"] == 0.0
+
+
+def test_friedman_incomplete_grid_zero_fills(spark, tmp_path):
+    """ADVICE r14: a missing (event_type, dow) cell used to shrink that
+    block's rank range while the statistic still used the global k —
+    a silent bias BOTH engines shared, invisible to the hash gate.
+    After the q233-style zero-fill the design is complete by
+    construction; the numpy reference ranks the zero-filled grid
+    (unstack(fill_value=0)) and must agree exactly."""
+    # 3 types x 3 observed dows, with ("c", dow 2) ABSENT
+    sf = _write_events(
+        tmp_path / "fried",
+        {
+            "a": [0, 1, 2, 0, 1, 2],   # dows 0,1,2 (doubled volume)
+            "b": [0, 1, 2],
+            "c": [0, 1],               # missing dow 2
+        },
+    )
+    got, want = _hash_pair("q251_friedman_ranks", spark, sf)
+    assert got == want
+    out = _run("q251_friedman_ranks", spark, sf).iloc[0]
+    assert out["k_types"] == 3 and out["b_blocks"] == 3
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    day = (
+        (ev["ts"] - pd.Timestamp("2024-01-01"))
+        // pd.Timedelta(microseconds=1)
+    ) // _DAY_US
+    grid = (
+        ev.assign(dow=day % 7)
+        .groupby(["event_type", "dow"])
+        .size()
+        .unstack(fill_value=0)
+    )
+    ranks = grid.rank(axis=0, method="average")
+    rj = ranks.sum(axis=1)
+    k, b = grid.shape
+    chi2_ref = float(
+        12.0 / (b * k * (k + 1)) * (rj**2).sum() - 3 * b * (k + 1)
+    )
+    assert abs(out["friedman_chi2"] - chi2_ref) < 1e-6
