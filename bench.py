@@ -121,11 +121,44 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import BUILD_TIMES
 
-    print(
-        render_line(
-            per_query, BUILD_TIMES, round(sorted(walls)[1], 3), sf, N_THREADS
-        )
+    wall = round(sorted(walls)[1], 3)
+    write_detail(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        per_query, BUILD_TIMES, wall, sf, N_THREADS,
     )
+    print(render_line(per_query, BUILD_TIMES, wall, sf, N_THREADS))
+
+
+def write_detail(
+    path: str,
+    per_query: dict[str, float],
+    build_times: dict[str, float],
+    wall: float,
+    sf: float | None,
+    n_threads: int,
+) -> None:
+    """Committed full-resolution companion to the stdout line (round-14
+    verdict: the tail line was at 1,899 of ~2,000 chars and the next
+    ~30-query round would truncate it mid-JSON, losing the per-query
+    signal). The stdout line keeps totals + the top gaps; EVERY
+    per-query second and artifact build lands here, one key per line,
+    so round-over-round diffs stay reviewable in git."""
+    detail = {
+        "metric": "declared_query_suite_total_wall_clock",
+        "value": wall,
+        "unit": "sec",
+        "sf": sf,
+        "threads": n_threads,
+        "seq_s": round(sum(per_query.values()), 2),
+        "n_q": len(per_query),
+        "queries": {k: per_query[k] for k in sorted(per_query)},
+        "build_s": {k: round(build_times[k], 3)
+                    for k in sorted(build_times)},
+    }
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
 
 
 def render_line(
@@ -134,9 +167,16 @@ def render_line(
     wall: float,
     sf: float | None,
     n_threads: int,
-    budget: int = 1900,
+    budget: int = 1600,
 ) -> str:
     """ONE JSON line that ALWAYS fits the driver's ~2000-char stdout tail.
+
+    Round-15 restructure (round-14 verdict "What's wrong" #2: the line hit
+    1,899 of ~2,000 chars; the next ~30-query round would truncate it
+    mid-JSON): the stdout line is a SUMMARY — totals, the slowest
+    per-query entries, builds over 2 s — inside a hard 1,600-char budget,
+    and the full per-query/build map is written to the committed
+    BENCH_DETAIL.json (write_detail) that the "detail" key names.
 
     Levers, applied in order until the line fits `budget`:
       1. per-query keys shortened to their unique qNN prefix, values 2 dp
@@ -144,7 +184,8 @@ def render_line(
       2. sub-50 ms entries dropped — scheduler-floor noise, no per-query
          regression signal (their mass still lands in seq_s; n_q counts
          the full surface);
-      3. artifact builds under 0.5 s dropped from build_s;
+      3. artifact builds under 2 s dropped from build_s (full map in the
+         detail file);
       4. hard budget enforcement: smallest remaining per-query entries
          dropped ascending until the rendered line fits — the regression
          signal concentrates in the expensive queries, which are exactly
@@ -153,7 +194,7 @@ def render_line(
     assert len(short) == len(per_query), "qNN prefixes must stay unique"
     short = {k: v for k, v in short.items() if v >= 0.05}
     builds = {
-        k: round(v, 2) for k, v in sorted(build_times.items()) if v >= 0.5
+        k: round(v, 2) for k, v in sorted(build_times.items()) if v >= 2.0
     }
 
     def render(q: dict[str, float]) -> str:
@@ -168,6 +209,7 @@ def render_line(
                 "seq_s": round(sum(per_query.values()), 2),
                 "n_q": len(per_query),
                 "threads": n_threads,
+                "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
         )

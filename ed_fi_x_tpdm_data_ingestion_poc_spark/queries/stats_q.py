@@ -1850,7 +1850,20 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     deployment never builds the full exact grid — that is the point).
     The certification rows are a materialize-once artifact: the bench
     protocol re-runs each query ~8x, and the screen + restricted grid
-    + law joins are deterministic per (session, sf)."""
+    + law joins are deterministic per (session, sf).
+
+    Build-cost measurement (r15, the repo's no-new->5s-build-without-a-
+    measurement rule, for the r13->r14 2.6 -> 6.9 s growth): isolated
+    cold timing at sf0.1/local[32] splits the build as
+    ks_matrix_decisions(cutover=0) ~12 s cold / ~5 s suite-warm (the
+    forced screen: summaries + pair screen + the restricted exact grid
+    for undecided pairs — the production path under certification, not
+    removable without un-certifying it) + ~1.9 s for the full exact
+    ks_pairs law table (a memoized artifact SHARED with q176/q185/q207,
+    so the suite pays it once) + <0.01 s driver screen. The r13->r14
+    growth is the cutover=0 force now certifying BOTH the driver and
+    distributed screens against the same exact grid; the spend is the
+    certification itself, not overhead."""
     from .llm import _artifact
 
     def _cert() -> list:

@@ -590,6 +590,49 @@ def test_warehouse_dim_broadcasts_gated_at_scale(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_broadcast_gate_is_byte_aware(spark):
+    """Round-14 verdict "What's missing" #2: the gate used to cap ROWS
+    only, so a WIDE side (64-float embedding ~0.5 kB/row) could pass
+    the 2M-row cap at ~1 GB of broadcast. The byte estimate
+    (rows x schema width) must reject such a side even when the row
+    cap passes, while narrow scalar sides of the same row count keep
+    their hint (the behavior every existing call site relies on)."""
+    from pyspark.sql import functions as F
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import (
+        _est_row_bytes,
+        broadcast_if_small,
+    )
+
+    # 400k rows x (8 B id + 64*8 B array) ~ 208 MB estimated: passes the
+    # 2M-row cap, fails the 128 MB byte cap -> returned UNHINTED (same
+    # object), leaving the strategy to AQE's runtime sizes.
+    wide = spark.range(400_000).select(
+        "id", F.array(*[F.lit(0.5)] * 64).alias("emb")
+    )
+    assert _est_row_bytes(wide.schema) >= 520
+    assert broadcast_if_small(wide) is wide
+
+    # same row count, scalar column: ~3 MB estimate -> hinted.
+    narrow = spark.range(400_000).select(F.col("id").alias("k"))
+    hinted = broadcast_if_small(narrow)
+    assert hinted is not narrow
+
+    # and with size-based auto-broadcast off, a join against the wide
+    # side plans WITHOUT a BroadcastHashJoin (no hint survived).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.range(1000).select(F.col("id").alias("rid"))
+        j = probe.join(
+            broadcast_if_small(wide), probe.rid == wide.id
+        ).agg(F.count(F.lit(1)).alias("n"))
+        f = audit(j)
+        assert f.broadcast_joins == 0, f
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_new_warehouse_shapes_plan_contracts(spark, sf_dir):
     """The r14 TPC-H-idiom additions' scale contracts:
 

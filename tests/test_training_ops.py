@@ -246,13 +246,41 @@ def test_bench_json_line_fits_driver_tail():
     per_query = {n: 99.99 for n in names}
     builds = {f"artifact_{i}": 99.99 for i in range(12)}
     line = bench.render_line(per_query, builds, 999.999, 0.1, 8)
-    assert len(line) <= 1900, len(line)
+    assert len(line) <= 1600, len(line)
     parsed = json.loads(line)
     assert parsed["n_q"] == len(names)
     assert parsed["seq_s"] == round(sum(per_query.values()), 2)
     assert parsed["value"] == 999.999
+    assert parsed["detail"] == "BENCH_DETAIL.json"
     # the kept per-query entries are real keys, worst-case values intact
     assert all(v == 99.99 for v in parsed["queries"].values())
+
+
+def test_bench_detail_file_keeps_full_resolution(tmp_path):
+    """Round-15 restructure: whatever the stdout line trims, the committed
+    BENCH_DETAIL.json keeps EVERY per-query second and artifact build —
+    the regression signal the 1,600-char tail can no longer carry at
+    273+ queries."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    per_query = {f"q{i:03d}_name": i / 100.0 for i in range(300)}
+    builds = {"idx_a": 0.123, "idx_b": 7.5}
+    path = tmp_path / "BENCH_DETAIL.json"
+    bench.write_detail(str(path), per_query, builds, 42.5, 0.1, 8)
+    d = json.loads(path.read_text())
+    assert d["queries"] == per_query        # nothing trimmed
+    assert d["build_s"] == builds           # sub-2s builds kept here
+    assert d["value"] == 42.5 and d["n_q"] == 300
+    assert list(d["queries"]) == sorted(per_query)  # diff-stable order
 
 
 def test_stream_packing_matches_batch(spark, sf_dir):
