@@ -1011,117 +1011,26 @@ _PSI_MON: dict[tuple, DataFrame] = {}
     tags=("streaming", "stats", "quantile"),
 )
 def q182(spark: SparkSession, sf: str) -> DataFrame:
-    """Live PSI drift monitor ON THE STREAM — the round-11 verdict's
-    composition ask: q177 computes PSI from batch snapshots, q162
-    maintains per-type summaries on the stream; this closes the loop
-    with a foreachBatch monitor that, per micro-batch, folds the
-    batch's (event_type, decile-bucket) counts into a running
-    contingency state and re-scores every type's PSI against the
-    'view' reference distribution, emitting a drift flag stream.
+    """Live PSI drift monitor ON THE STREAM — consolidated (r15, VERDICT
+    r14 #7) onto the ONE production PSI code path: q218's
+    applyInPandasWithState updater (psi_state_update). Until r14 this
+    name carried a separate foreachBatch driver-dict fold with
+    identical semantics; once the recoverable updater landed, the
+    driver-dict variant was a second production path to keep correct
+    for no additional coverage (its only distinguishing property —
+    cold restart — is a strict subset of the recoverable monitor's
+    behavior). The name (and its r11+ certification lineage against
+    the batch-PSI oracle) stays registered; the body now certifies the
+    stream-equals-batch law on the same state-store path q218 pins,
+    so a regression in the production updater fails BOTH entries.
 
-    The replayed thirds layout drives exactly 3 micro-batches
-    (asserted via the hash-checked `batches` column); after the final
-    batch the cumulative counts equal the batch table's, so the LAST
-    monitor emission must hash-equal the oracle's batch PSI — the
-    stream-equals-batch law every incremental monitor here certifies.
-
-    Bucket edges are exact reference deciles (exact_quantiles_via_
-    summary with integer rank arithmetic, rank_den=10 — the q177 fix);
-    bucketing is a map-side comparison against 9 broadcast literals.
-
-    Scale shape: each micro-batch reduces IN SPARK to <= types x 10
-    cells before the driver sees it (50 rows/batch at any corpus
-    size); the running state and the PSI rescore are types x buckets —
-    bounded by the schema, not the stream. Jeffreys smoothing
-    (c+0.5)/(n+5) keeps early micro-batches' empty bins finite, so the
-    monitor is well-defined from the first batch."""
-    import math
-
-    from ..operators.quantiles import exact_quantiles_via_summary
-    from ..streaming.replay import run_foreach_batch
-    from ..tables import table
-    from . import memo
-    from .quality_q import _CLIPS
-    from .stats_q import _PSI_PHIS
-
-    e_batch = table(spark, sf, "events")
-
-    def _edges() -> dict[float, float]:
-        return exact_quantiles_via_summary(
-            e_batch.where(F.col("event_type") == "view").select("value"),
-            "value",
-            _PSI_PHIS,
-            eps=0.01,
-            rank_den=10,
-        )
-
-    thr = memo(_CLIPS, ("psi_ev_edges", sf), _edges, label="psi_ev_edges")
-
-    def _monitor() -> DataFrame:
-        bucket = sum(
-            (F.col("value") >= F.lit(thr[phi])).cast("int")
-            for phi in _PSI_PHIS
-        )
-        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
-            "event_type", bucket.alias("bucket")
-        )
-        cum: dict[tuple, int] = {}
-        emissions: list[dict] = []
-
-        def _psi_now() -> dict:
-            types = sorted({k[0] for k in cum})
-            n = {
-                t: sum(cum.get((t, b), 0) for b in range(10)) for t in types
-            }
-            if n.get("view", 0) == 0:
-                return {}
-            pa = {
-                b: (cum.get(("view", b), 0) + 0.5) / (n["view"] + 5.0)
-                for b in range(10)
-            }
-            out = {}
-            for t in types:
-                if t == "view":
-                    continue
-                s = 0.0
-                for b in range(10):
-                    pb = (cum.get((t, b), 0) + 0.5) / (n[t] + 5.0)
-                    s += (pb - pa[b]) * math.log(pb / pa[b])
-                out[t] = s
-            return out
-
-        def on_batch(bdf, _bid):
-            rows = (
-                bdf.groupBy("event_type", "bucket")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            )
-            for r in rows:
-                key = (r.event_type, r.bucket)
-                cum[key] = cum.get(key, 0) + r.c
-            emissions.append(_psi_now())
-
-        run_foreach_batch(ev, on_batch)
-        if len(emissions) < 2:
-            raise RuntimeError(
-                "q182 replay mis-batched: PSI monitor saw "
-                f"{len(emissions)} micro-batches, expected 3"
-            )
-        final = emissions[-1]
-        rows = [
-            (
-                t,
-                round(p, 6),
-                1 if round(p, 6) > 0.2 else 0,
-                len(emissions),
-            )
-            for t, p in sorted(final.items())
-        ]
-        return spark.createDataFrame(
-            rows, "event_type string, psi double, drift int, batches int"
-        )
-
-    return memo(_PSI_MON, (id(spark), sf), _monitor, label="psi_stream")
+    Everything else is unchanged from the original contract: exact
+    reference-decile edges (integer rank arithmetic, rank_den=10),
+    map-side bucketing against 9 broadcast literals, Jeffreys-smoothed
+    PSI against the 'view' reference, 3-batch thirds replay with the
+    hash-checked `batches` column, final emission hash-equal to the
+    batch oracle."""
+    return _psi_recoverable_monitor(spark, sf)
 
 
 @query(
@@ -1182,7 +1091,17 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
     broadcast literals; state per key is one 10-long vector (bounded
     by the schema, not the stream); per-batch work is a vectorized
     bincount per type. The final PSI rescore walks types x 10 numbers
-    on the driver — same bounded-emission argument as qz182."""
+    on the driver — bounded emissions at any corpus size."""
+    return _psi_recoverable_monitor(spark, sf)
+
+
+def _psi_recoverable_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """The single production PSI monitor build (shared by q218 and
+    qz182, r15 consolidation): exact reference-decile bucketing on the
+    thirds replay, the psi_state_update applyInPandasWithState fold,
+    and the driver-side types x 10 final rescore. Memoized per
+    (session, sf): the suite certifies the path twice (two names, two
+    oracle comparisons) but runs the stream once."""
     import math
 
     from pyspark.sql.streaming.state import GroupStateTimeout

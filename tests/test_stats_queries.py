@@ -1642,3 +1642,79 @@ def test_friedman_incomplete_grid_zero_fills(spark, tmp_path):
         12.0 / (b * k * (k + 1)) * (rj**2).sum() - 3 * b * (k + 1)
     )
     assert abs(out["friedman_chi2"] - chi2_ref) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# round-15: third-engine numpy references for the STREAMING monitors
+# (VERDICT r14 #5 — the one family previously certified only
+# stream-equals-batch + DuckDB; the Friedman midrank catch showed a
+# shared-SQL-misconception can pass both engines)
+# ---------------------------------------------------------------------------
+
+
+def _psi_numpy_reference(ev: pd.DataFrame) -> dict[str, float]:
+    """Independent PSI computation straight off the events parquet:
+    exact 'view' decile edges by integer rank (rn = max(1,(i*n+9)//10),
+    1-indexed into the ascending sort — the same integer-rank
+    convention both engines use), map-side bucketing as
+    count(edges <= value), Jeffreys-smoothed (c+0.5)/(n+5) decile
+    vectors, PSI per non-reference type."""
+    view = np.sort(ev.loc[ev["event_type"] == "view", "value"].to_numpy())
+    n = len(view)
+    edges = np.array(
+        [view[max(1, (i * n + 9) // 10) - 1] for i in range(1, 10)]
+    )
+    bucket = (ev["value"].to_numpy()[:, None] >= edges[None, :]).sum(axis=1)
+    out = {}
+    counts = {}
+    for et, grp in pd.DataFrame(
+        {"et": ev["event_type"], "b": bucket}
+    ).groupby("et"):
+        c = np.bincount(grp["b"].to_numpy(), minlength=10).astype(float)
+        counts[et] = (c + 0.5) / (c.sum() + 5.0)
+    pa = counts["view"]
+    for et, pb in counts.items():
+        if et != "view":
+            out[et] = float(((pb - pa) * np.log(pb / pa)).sum())
+    return out
+
+
+def test_psi_monitor_final_emission_matches_numpy(spark, sf_dir):
+    """q218 (and qz182, consolidated onto the same production updater)
+    must reproduce the numpy PSI reference exactly at the final
+    emission — independent of BOTH SQL engines and of the streaming
+    machinery."""
+    ref = _psi_numpy_reference(_events(sf_dir))
+    for name in (
+        "q218_stream_psi_recoverable",
+        "qz182_stream_psi_monitor",
+    ):
+        out = _run(name, spark, sf_dir).set_index("event_type")
+        assert set(out.index) == set(ref), name
+        for et, psi in ref.items():
+            row = out.loc[et]
+            assert abs(row["psi"] - psi) < 1e-6, (name, et)
+            assert row["drift"] == int(round(psi, 6) > 0.2), (name, et)
+            assert row["batches"] == 3, name
+
+
+def test_sketch_ks_monitor_emission_matches_numpy(spark, sf_dir):
+    """qz192's hash-checked emission (exact two-sample KS D between the
+    monitored 'purchase' and reference 'view' feeds, plus the two
+    counts and the law flag) recomputed in numpy via pooled distinct
+    values and integer cumulative counts — the tie-correct D both
+    engines are supposed to agree on."""
+    ev = _events(sf_dir)
+    mon = ev.loc[ev["event_type"] == "purchase", "value"].to_numpy()
+    refv = ev.loc[ev["event_type"] == "view", "value"].to_numpy()
+    pool = np.unique(np.concatenate([mon, refv]))
+    c1 = np.searchsorted(np.sort(mon), pool, side="right")
+    c2 = np.searchsorted(np.sort(refv), pool, side="right")
+    n1, n2 = len(mon), len(refv)
+    dnum = np.abs(c1.astype(object) * n2 - c2.astype(object) * n1).max()
+    d_exact = float(dnum) / (n1 * n2)
+
+    out = _run("qz192_stream_sketch_ks", spark, sf_dir).iloc[0]
+    assert out["n_mon"] == n1 and out["n_ref"] == n2
+    assert abs(out["d_exact"] - d_exact) < 1e-6
+    assert out["ok"] == 1
