@@ -2270,7 +2270,19 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape at 100 TB: one custkey exchange + per-partition sort —
     identical cost to the ROWS frame; the range frame is evaluated by
     a sliding two-pointer over the sorted partition, O(n) per
-    customer."""
+    customer (adds/removes are incremental, NOT O(frame size) per
+    row — a hot key's giant frames cost rows, not rows x frame).
+
+    Measured (tools/scale_probe.py range_frame_skew, sf0.1, 10x
+    orders): uniform disjoint custkeys 0.19x the linear law
+    (0.67 -> 1.29 s); a HOT layout with one custkey owning ~10% of
+    all rows (its per-frame membership summing to 293M row-slots vs
+    1.7M uniform) costs only 1.44x the uniform leg (1.85 s) — the
+    straggler is bounded by the hot partition's ROW share through one
+    thread, confirming the incremental frame law. Day-bucket
+    pre-aggregation (collapse to (custkey, day) sums before the
+    window) is the documented escape hatch if a real feed ever puts a
+    double-digit share on one entity."""
     o = table(spark, sf, "orders")
     # orders loads as TIMESTAMP_NTZ: epoch micros via timestampdiff from
     # the NTZ epoch (the established events-us pattern), TZ-free

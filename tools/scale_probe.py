@@ -1094,6 +1094,83 @@ def main() -> None:
     )
     li_parts_big.unpersist()
 
+    # q230's RANGE-frame trailing window under a HOT-CUSTOMER layout
+    # (r14 verdict #6): `factor`x orders, once with disjoint custkeys per
+    # copy (clean scaling: more partitions, same per-key size) and once
+    # with ONE custkey owning ~10% of all rows (the skew case: the
+    # two-pointer frame is O(n) per partition but a single partition =
+    # a single task, so the hot key serializes ~factor x the base table
+    # through one thread). The uniform leg should track ~linear; the hot
+    # leg measures the straggler law the docstring documents — and is
+    # the quantified argument for day-bucket pre-aggregation if a real
+    # deployment ever shows one entity owning a double-digit share.
+    from pyspark.sql import Window as _W
+
+    def _range_frame(o):
+        day = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
+            " div 86400000000"
+        )
+        w = (
+            _W.partitionBy("o_custkey")
+            .orderBy("day")
+            .rangeBetween(-29, _W.currentRow)
+        )
+        prof = o.select(
+            "o_custkey", "o_totalprice", day.alias("day")
+        ).select(
+            F.sum("o_totalprice").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        return prof.agg(F.sum("s"), F.sum("n")).collect()[0][1]
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table as _table
+
+    o0 = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    o_uni = inflate(o0, factor, ["o_orderkey", "o_custkey"]).persist()
+    o_uni.count()
+    # hot layout: same volume, but copy 0's rows all collapse onto ONE
+    # custkey (~1/factor = 10% of the big table on a single window key)
+    o_hot = (
+        inflate(o0, factor, ["o_orderkey"])
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") < 10_000_000, F.lit(1).cast("bigint")
+            ).otherwise(F.col("o_custkey")),
+        )
+        .persist()
+    )
+    o_hot.count()
+    _range_frame(o0)  # warm
+    t0 = time.perf_counter()
+    _range_frame(o0)
+    t_rb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _range_frame(o_uni)
+    t_ru = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _range_frame(o_hot)
+    t_rh = time.perf_counter() - t0
+    o_uni.unpersist()
+    o_hot.unpersist()
+    print(
+        json.dumps(
+            {
+                "probe": "range_frame_skew",
+                "factor": factor,
+                "sec_base": round(t_rb, 2),
+                "sec_big_uniform": round(t_ru, 2),
+                "sec_big_hot": round(t_rh, 2),
+                "uniform_vs_linear": round(t_ru / (t_rb * factor), 2),
+                "hot_vs_uniform": round(t_rh / t_ru, 2),
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
