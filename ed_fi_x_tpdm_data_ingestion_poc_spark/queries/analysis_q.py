@@ -2191,7 +2191,7 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q203_session_lift",
+    "qz203_session_lift",
     oracle=f"""
     WITH x AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -2406,7 +2406,7 @@ _US_SQL = """
 
 
 @query(
-    "q239_kaplan_meier",
+    "qz239_kaplan_meier",
     oracle=f"""
     WITH {_US_SQL},
     u AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us,
@@ -2524,7 +2524,7 @@ def q239(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q240_position_attribution",
+    "qz240_position_attribution",
     oracle=f"""
     WITH {_US_SQL},
     fp AS (SELECT user_id, us, event_id FROM (
@@ -2631,7 +2631,7 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q247_repeat_purchase",
+    "qz247_repeat_purchase",
     oracle=f"""
     WITH {_US_SQL},
     p AS (SELECT user_id, us,

@@ -755,7 +755,7 @@ def q53b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q112_semdedup_ok",
+    "qz112_semdedup_ok",
     oracle="SELECT CAST(1 AS INT) AS ok",
     tags=("llm", "dedup", "embedding", "similarity"),
 )

@@ -113,7 +113,7 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q07_is_null",
+    "qz07_is_null",
     oracle="""
     SELECT e.event_id FROM events e
     LEFT JOIN (SELECT DISTINCT event_type AS et FROM events
@@ -268,7 +268,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q14_anti_join",
+    "qz14_anti_join",
     oracle="""
     SELECT c_custkey FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -742,7 +742,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q33_except",
+    "qz33_except",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
@@ -1548,7 +1548,7 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q219_forecast_revenue",
+    "qz219_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
            CAST(COUNT(*) AS BIGINT) AS n_lines
@@ -1589,7 +1589,7 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q220_min_cost_supplier",
+    "qz220_min_cost_supplier",
     oracle="""
     WITH eu AS (SELECT s.s_suppkey, s.s_name FROM supplier s
                 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1678,7 +1678,7 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q221_market_share",
+    "qz221_market_share",
     oracle="""
     WITH sales AS (
       SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
@@ -1775,7 +1775,7 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q222_product_profit",
+    "qz222_product_profit",
     oracle="""
     SELECT n.n_name AS nation,
            CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
@@ -1825,7 +1825,7 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q223_important_parts",
+    "qz223_important_parts",
     oracle="""
     WITH v AS (SELECT l.l_partkey AS partkey, SUM(l.l_quantity) AS vol
                FROM lineitem l
@@ -1881,7 +1881,7 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q224_priority_lines",
+    "qz224_priority_lines",
     oracle="""
     SELECT l.l_returnflag AS rflag,
            CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -1928,7 +1928,7 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q225_supplier_variety",
+    "qz225_supplier_variety",
     oracle="""
     SELECT p.p_brand AS brand, CAST(p.p_size AS INT) AS size,
            CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -1986,7 +1986,7 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q226_small_qty_revenue",
+    "qz226_small_qty_revenue",
     oracle="""
     WITH pa AS (SELECT l_partkey, COUNT(*) AS cnt, SUM(l_quantity) AS sq
                 FROM lineitem GROUP BY 1)
@@ -2042,7 +2042,7 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q227_large_volume_orders",
+    "qz227_large_volume_orders",
     oracle="""
     WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sq
                  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150)
@@ -2093,7 +2093,7 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q228_promo_suppliers",
+    "qz228_promo_suppliers",
     oracle="""
     SELECT s.s_suppkey AS suppkey, s.s_name AS name
     FROM supplier s
@@ -2157,7 +2157,7 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q229_waiting_suppliers",
+    "qz229_waiting_suppliers",
     oracle="""
     WITH ll AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
                        CAST(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -2308,7 +2308,7 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q231_relational_division",
+    "qz231_relational_division",
     oracle="""
     WITH cov AS (SELECT l.l_suppkey AS suppkey,
                         COUNT(DISTINCT r.r_regionkey) AS n_regions
@@ -2372,7 +2372,7 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q232_universal_priority",
+    "qz232_universal_priority",
     oracle="""
     SELECT o_custkey AS custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2415,7 +2415,7 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q241_pareto_share",
+    "qz241_pareto_share",
     oracle="""
     WITH r AS (SELECT l_partkey,
                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
@@ -2516,7 +2516,7 @@ def q241(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q255_fulfillment_latency",
+    "qz255_fulfillment_latency",
     oracle="""
     WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderdate
                FROM orders),

@@ -1911,7 +1911,7 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q207_ks_screen_distributed",
+    "qz207_ks_screen_distributed",
     oracle="""
     WITH g AS (SELECT source, n_chars, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -3060,7 +3060,7 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q197_benford_digits",
+    "qz197_benford_digits",
     oracle="""
     WITH v AS (SELECT event_type,
                       CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
@@ -3442,7 +3442,7 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q233_chi_square_independence",
+    "qz233_chi_square_independence",
     oracle=f"""
     WITH {_DAILY_SQL},
     o AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
@@ -3543,7 +3543,7 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q234_anova_f",
+    "qz234_anova_f",
     oracle="""
     WITH e AS (SELECT event_type,
                       CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
@@ -3619,7 +3619,7 @@ def q234(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q235_welch_ttest",
+    "qz235_welch_ttest",
     oracle="""
     WITH e AS (SELECT event_type,
                       CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS iv
@@ -3716,7 +3716,7 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q236_cohens_kappa",
+    "qz236_cohens_kappa",
     oracle="""
     WITH d AS (SELECT CAST(n_chars >= 300 AS INT) AS a,
                       CAST(len(string_split(text, ' ')) >= 50 AS INT) AS b
@@ -3792,7 +3792,7 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q237_ols_trend",
+    "qz237_ols_trend",
     oracle=f"""
     WITH {_DAILY_SQL},
     g AS (SELECT event_type, COUNT(*) AS n, SUM(day) AS sd, SUM(c) AS sc,
@@ -3896,7 +3896,7 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q238_cross_correlation",
+    "qz238_cross_correlation",
     oracle=f"""
     WITH {_DAILY_SQL},
     a AS (SELECT day, c AS x FROM c WHERE event_type = 'click'),
@@ -3988,7 +3988,7 @@ def q238(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q242_ewma_smoothing",
+    "qz242_ewma_smoothing",
     oracle=f"""
     WITH {_DAILY_SQL},
     p AS (SELECT a.event_type, a.day,
@@ -4066,7 +4066,7 @@ def q242(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q243_partial_correlation",
+    "qz243_partial_correlation",
     oracle=f"""
     WITH {_DAILY_SQL},
     j AS (SELECT x.c AS x, y.c AS y, z.c AS z
@@ -4312,7 +4312,7 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q245_runs_test",
+    "qz245_runs_test",
     oracle=f"""
     WITH {_DAILY_SQL},
     l AS (SELECT event_type, day, c,
@@ -4414,7 +4414,7 @@ def q245(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q246_mann_kendall",
+    "qz246_mann_kendall",
     oracle=f"""
     WITH {_DAILY_SQL},
     p AS (SELECT a.event_type,
@@ -4642,7 +4642,7 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q249_label_separation",
+    "qz249_label_separation",
     oracle="""
     WITH x AS (SELECT vec_id, label, u.val AS v, u.idx AS i
                FROM (SELECT vec_id, label,
@@ -4767,7 +4767,7 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q250_mcnemar_gates",
+    "qz250_mcnemar_gates",
     oracle="""
     WITH d AS (SELECT CAST(n_chars >= 300 AS INT) AS a,
                       CAST(len(string_split(text, ' ')) >= 50 AS INT) AS b
@@ -4929,7 +4929,7 @@ def q251(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q252_weekday_seasonality",
+    "qz252_weekday_seasonality",
     oracle=f"""
     WITH {_DAILY_SQL},
     g AS (SELECT event_type, day % 7 AS dow, COUNT(*) AS nd,
@@ -5003,7 +5003,7 @@ def q252(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q253_burstiness",
+    "qz253_burstiness",
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -5085,7 +5085,7 @@ def q253(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q254_stickiness",
+    "qz254_stickiness",
     oracle="""
     WITH e AS (SELECT DISTINCT
                  date_diff('microsecond',

@@ -975,7 +975,7 @@ _PSI_MON: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "qz182_stream_psi_monitor",
+    "q182_stream_psi_monitor",
     oracle="""
     WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
     rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,

@@ -96,7 +96,7 @@ def test_semi_anti_joins_do_not_materialize(spark, sf_dir):
     """EXISTS/NOT EXISTS compile to semi/anti joins (no full join output)."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    for name in ("qz13_semi_join", "q14_anti_join"):
+    for name in ("qz13_semi_join", "qz14_anti_join"):
         text = plan_string(_build(spark, sf_dir, name))
         assert "LeftSemi" in text or "LeftAnti" in text, name
 
@@ -119,7 +119,7 @@ def test_trivial_queries_have_no_exchange(spark, sf_dir):
     # distinct; the 10k-row (100 TB-proportional) fact side must NOT
     # shuffle — the join stays broadcast. One physical Exchange == 2
     # formatted-dump hits (tree line + detail header).
-    f = audit(_build(spark, sf_dir, "q07_is_null"))
+    f = audit(_build(spark, sf_dir, "qz07_is_null"))
     assert f.broadcast_joins >= 1, f
     assert f.exchanges <= 2, f
     assert f.sortmerge_joins == 0 and f.shuffled_hash_joins == 0, f
@@ -649,30 +649,30 @@ def test_new_warehouse_shapes_plan_contracts(spark, sf_dir):
       row-Python node."""
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
 
-    f = audit(_build(spark, sf_dir, "q219_forecast_revenue"))
+    f = audit(_build(spark, sf_dir, "qz219_forecast_revenue"))
     assert f.joins == 0, f
     pushed = " ".join(f.pushed_filters)
     assert "l_discount" in pushed and "l_quantity" in pushed, pushed
     assert "l_shipdate" in pushed, pushed
     assert f.exchanges <= 2, f  # 1 physical node == 2 formatted hits
 
-    for name in ("q227_large_volume_orders", "q229_waiting_suppliers"):
+    for name in ("qz227_large_volume_orders", "qz229_waiting_suppliers"):
         assert "TakeOrderedAndProject" in plan_string(
             _build(spark, sf_dir, name)
         ), name
 
     for name in (
-        "q219_forecast_revenue",
-        "q220_min_cost_supplier",
-        "q221_market_share",
-        "q222_product_profit",
-        "q223_important_parts",
-        "q224_priority_lines",
-        "q225_supplier_variety",
-        "q226_small_qty_revenue",
-        "q227_large_volume_orders",
-        "q228_promo_suppliers",
-        "q229_waiting_suppliers",
+        "qz219_forecast_revenue",
+        "qz220_min_cost_supplier",
+        "qz221_market_share",
+        "qz222_product_profit",
+        "qz223_important_parts",
+        "qz224_priority_lines",
+        "qz225_supplier_variety",
+        "qz226_small_qty_revenue",
+        "qz227_large_volume_orders",
+        "qz228_promo_suppliers",
+        "qz229_waiting_suppliers",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.cartesian_products == 0, name
@@ -686,28 +686,28 @@ def test_round14_inference_plans_clean(spark, sf_dir):
     4 literal lags, a 1-row stats row — which the audit counts as
     broadcast joins, not cartesians)."""
     for name in (
-        "q233_chi_square_independence",
-        "q234_anova_f",
-        "q235_welch_ttest",
-        "q236_cohens_kappa",
-        "q237_ols_trend",
-        "q238_cross_correlation",
-        "q239_kaplan_meier",
-        "q240_position_attribution",
-        "q242_ewma_smoothing",
-        "q243_partial_correlation",
+        "qz233_chi_square_independence",
+        "qz234_anova_f",
+        "qz235_welch_ttest",
+        "qz236_cohens_kappa",
+        "qz237_ols_trend",
+        "qz238_cross_correlation",
+        "qz239_kaplan_meier",
+        "qz240_position_attribution",
+        "qz242_ewma_smoothing",
+        "qz243_partial_correlation",
         "q244_durbin_watson",
-        "q245_runs_test",
-        "q246_mann_kendall",
-        "q247_repeat_purchase",
+        "qz245_runs_test",
+        "qz246_mann_kendall",
+        "qz247_repeat_purchase",
         "q248_heaps_law",
-        "q249_label_separation",
-        "q250_mcnemar_gates",
+        "qz249_label_separation",
+        "qz250_mcnemar_gates",
         "q251_friedman_ranks",
-        "q252_weekday_seasonality",
-        "q253_burstiness",
-        "q254_stickiness",
-        "q255_fulfillment_latency",
+        "qz252_weekday_seasonality",
+        "qz253_burstiness",
+        "qz254_stickiness",
+        "qz255_fulfillment_latency",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.cartesian_products == 0, name
@@ -719,7 +719,7 @@ def test_ewma_band_join_is_keyed(spark, sf_dir):
     as a real join key (hash or sort-merge with the band as a post-
     condition) — a nested-loop over the daily table would be days^2 x
     types^2 at a long date range."""
-    df = _build(spark, sf_dir, "q242_ewma_smoothing")
+    df = _build(spark, sf_dir, "qz242_ewma_smoothing")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert (
         "SortMergeJoin" in plan
@@ -733,9 +733,9 @@ def test_pareto_warm_query_reads_cached_artifact(spark, sf_dir):
     query must be an InMemoryTableScan read, not a rebuild of the
     groupBy + two prefix-sum passes (whose mapInPandas nodes would
     otherwise show up in every evaluation)."""
-    _build(spark, sf_dir, "q241_pareto_share").collect()  # builds artifact
+    _build(spark, sf_dir, "qz241_pareto_share").collect()  # builds artifact
     plan = (
-        _build(spark, sf_dir, "q241_pareto_share")
+        _build(spark, sf_dir, "qz241_pareto_share")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -466,7 +466,7 @@ def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
             b[sum(v >= e for e in edges)] += 1
         counts[t] = b
     pa = (counts["view"] + 0.5) / (counts["view"].sum() + 5.0)
-    out = _run("qz182_stream_psi_monitor", spark, sf_dir)
+    out = _run("q182_stream_psi_monitor", spark, sf_dir)
     assert set(out["batches"]) == {3}
     for r in out.itertuples():
         pb = (counts[r.event_type] + 0.5) / (counts[r.event_type].sum() + 5.0)
@@ -684,7 +684,7 @@ def test_benford_digits_match_string_reference(spark, sf_dir):
     )
     tot = ref.groupby("event_type")["n"].transform("sum")
     ref["share"] = ref["n"] / tot
-    out = _run("q197_benford_digits", spark, sf_dir)
+    out = _run("qz197_benford_digits", spark, sf_dir)
     assert len(out) == len(ref)
     m = out.merge(ref, on=["event_type", "digit"], suffixes=("", "_ref"))
     assert (m["n"] == m["n_ref"]).all()
@@ -821,7 +821,7 @@ def test_session_lift_matches_reference(spark, sf_dir):
         for i, ta in enumerate(ts_sorted):
             for tb in ts_sorted[i + 1:]:
                 co[(ta, tb)] = co.get((ta, tb), 0) + 1
-    out = _run("q203_session_lift", spark, sf_dir)
+    out = _run("qz203_session_lift", spark, sf_dir)
     assert len(out) == len(co)
     for r in out.itertuples():
         n_co = co[(r.type_a, r.type_b)]
@@ -983,7 +983,7 @@ def test_benford_filters_subresolution_values(spark, tmp_path):
         ),
         str(d / "events.parquet"),
     )
-    spec = all_queries()["q197_benford_digits"]
+    spec = all_queries()["qz197_benford_digits"]
     df = spec.build(spark, str(d))
     rows = [tuple(r) for r in df.collect()]
     digits = {r[1] for r in rows}
@@ -1026,7 +1026,7 @@ def test_chi_square_matches_contingency_reference(spark, sf_dir):
     r, cc = tab.shape
     v_ref = float(np.sqrt(chi2_ref / (n * min(r - 1, cc - 1))))
 
-    out = _run("q233_chi_square_independence", spark, sf_dir).iloc[0]
+    out = _run("qz233_chi_square_independence", spark, sf_dir).iloc[0]
     assert out["n_events"] == int(n)
     assert out["df"] == (r - 1) * (cc - 1)
     assert abs(out["chi2"] - chi2_ref) < 1e-4
@@ -1046,7 +1046,7 @@ def test_anova_f_matches_groupwise_reference(spark, sf_dir):
     f_ref = (ssb / (k - 1)) / (ssw / (nn - k))
     eta_ref = ssb / (sst - st**2 / nn)
 
-    out = _run("q234_anova_f", spark, sf_dir).iloc[0]
+    out = _run("qz234_anova_f", spark, sf_dir).iloc[0]
     assert out["n_events"] == nn and out["k_groups"] == k
     assert abs(out["f_stat"] - f_ref) < 1e-4
     assert abs(out["eta_sq"] - eta_ref) < 1e-6
@@ -1063,7 +1063,7 @@ def test_welch_t_matches_two_sample_reference(spark, sf_dir):
         qa**2 / (len(a) - 1) + qb**2 / (len(b) - 1)
     )
 
-    out = _run("q235_welch_ttest", spark, sf_dir).iloc[0]
+    out = _run("qz235_welch_ttest", spark, sf_dir).iloc[0]
     assert out["n_a"] == len(a) and out["n_b"] == len(b)
     assert abs(out["mean_diff"] - (ma - mb) / 1e6) < 1e-6
     assert abs(out["t_stat"] - t_ref) < 1e-4
@@ -1081,7 +1081,7 @@ def test_cohens_kappa_matches_confusion_reference(spark, sf_dir):
     )
     kappa_ref = (po - pe) / (1 - pe)
 
-    out = _run("q236_cohens_kappa", spark, sf_dir).iloc[0]
+    out = _run("qz236_cohens_kappa", spark, sf_dir).iloc[0]
     assert out["n_docs"] == n
     assert abs(out["po"] - po) < 1e-6
     assert abs(out["pe"] - pe) < 1e-6
@@ -1090,7 +1090,7 @@ def test_cohens_kappa_matches_confusion_reference(spark, sf_dir):
 
 def test_ols_matches_polyfit_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q237_ols_trend", spark, sf_dir).set_index("event_type")
+    out = _run("qz237_ols_trend", spark, sf_dir).set_index("event_type")
     for et, grp in c.groupby("event_type"):
         x = grp["day"].to_numpy(dtype=float)
         y = grp["c"].to_numpy(dtype=float)
@@ -1110,7 +1110,7 @@ def test_cross_correlation_matches_shifted_pearson(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
     a = c[c["event_type"] == "click"].set_index("day")["c"]
     b = c[c["event_type"] == "purchase"].set_index("day")["c"]
-    out = _run("q238_cross_correlation", spark, sf_dir).set_index("lag")
+    out = _run("qz238_cross_correlation", spark, sf_dir).set_index("lag")
     for lag in range(4):
         shifted = pd.DataFrame(
             {"x": a, "y": b.rename(lambda d: d - lag)}
@@ -1142,7 +1142,7 @@ def test_kaplan_meier_matches_product_limit_reference(spark, sf_dir):
     ).astype(int)
     obs = u["fp_us"].notna().to_numpy()
 
-    out = _run("q239_kaplan_meier", spark, sf_dir).set_index("day")
+    out = _run("qz239_kaplan_meier", spark, sf_dir).set_index("day")
     # product-limit over distinct death days
     n_at_risk = len(u)
     surv = 1.0
@@ -1185,7 +1185,7 @@ def test_position_attribution_credit_conserved(spark, sf_dir):
         touches.groupby("user_id").size().shape[0]
     )
 
-    out = _run("q240_position_attribution", spark, sf_dir)
+    out = _run("qz240_position_attribution", spark, sf_dir)
     # credit is conserved: one unit per converting user that HAS touches
     assert out["n_touches"].sum() == len(touches)
     assert (
@@ -1222,14 +1222,14 @@ def test_pareto_share_matches_sorted_reference(spark, sf_dir):
     top_n = int(np.ceil(0.2 * n))
     share_ref = rev.iloc[:top_n].sum() / rev.sum()
 
-    out = _run("q241_pareto_share", spark, sf_dir).iloc[0]
+    out = _run("qz241_pareto_share", spark, sf_dir).iloc[0]
     assert out["n_parts"] == n and out["top_n"] == top_n
     assert abs(out["top_share"] - share_ref) < 1e-6
 
 
 def test_ewma_matches_weighted_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q242_ewma_smoothing", spark, sf_dir)
+    out = _run("qz242_ewma_smoothing", spark, sf_dir)
     # spot-check every row of one type plus global term-count sanity
     one = c[c["event_type"] == "click"].set_index("day")["c"]
     got = out[out["event_type"] == "click"].set_index("day")
@@ -1250,7 +1250,7 @@ def test_partial_correlation_matches_formula(spark, sf_dir):
     rxy, rxz, ryz = x.corr(y), x.corr(z), y.corr(z)
     pr_ref = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
 
-    out = _run("q243_partial_correlation", spark, sf_dir).iloc[0]
+    out = _run("qz243_partial_correlation", spark, sf_dir).iloc[0]
     assert out["n_days"] == len(piv)
     assert abs(out["r_xy"] - rxy) < 1e-6
     assert abs(out["partial_r"] - pr_ref) < 1e-6
@@ -1271,7 +1271,7 @@ def test_durbin_watson_matches_residual_reference(spark, sf_dir):
 
 def test_runs_test_matches_sign_sequence_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q245_runs_test", spark, sf_dir).set_index("event_type")
+    out = _run("qz245_runs_test", spark, sf_dir).set_index("event_type")
     for et, grp in c.groupby("event_type"):
         g = grp.sort_values("day")
         diffs = g["c"].diff().dropna()
@@ -1291,7 +1291,7 @@ def test_runs_test_matches_sign_sequence_reference(spark, sf_dir):
 
 def test_mann_kendall_matches_pairwise_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q246_mann_kendall", spark, sf_dir).set_index("event_type")
+    out = _run("qz246_mann_kendall", spark, sf_dir).set_index("event_type")
     for et, grp in c.groupby("event_type"):
         y = grp.sort_values("day")["c"].to_numpy()
         n = len(y)
@@ -1333,7 +1333,7 @@ def test_repeat_purchase_matches_reference(spark, sf_dir):
     gaps = ((rep["us2"] - rep["us1"]) // _DAY_US).astype(int).sort_values()
     median_ref = int(gaps.iloc[(len(gaps) + 1) // 2 - 1])
 
-    out = _run("q247_repeat_purchase", spark, sf_dir).iloc[0]
+    out = _run("qz247_repeat_purchase", spark, sf_dir).iloc[0]
     assert out["n_buyers"] == n_buyers
     assert out["n_repeat"] == len(rep)
     assert abs(out["repeat_rate"] - len(rep) / n_buyers) < 1e-6
@@ -1368,7 +1368,7 @@ def test_label_separation_matches_centroid_reference(spark, sf_dir):
     labels = emb["label"].to_numpy()
     gcent = M.mean(axis=0)
 
-    out = _run("q249_label_separation", spark, sf_dir).set_index("label")
+    out = _run("qz249_label_separation", spark, sf_dir).set_index("label")
     for lab in np.unique(labels):
         rows = M[labels == lab]
         cent = rows.mean(axis=0)
@@ -1394,7 +1394,7 @@ def test_mcnemar_matches_discordant_reference(spark, sf_dir):
     n10 = int((a & ~b).sum())
     n01 = int((~a & b).sum())
 
-    out = _run("q250_mcnemar_gates", spark, sf_dir).iloc[0]
+    out = _run("qz250_mcnemar_gates", spark, sf_dir).iloc[0]
     assert out["n10"] == n10 and out["n01"] == n01
     assert abs(out["chi2_mcnemar"] - (n10 - n01) ** 2 / (n10 + n01)) < 1e-6
     assert (
@@ -1421,7 +1421,7 @@ def test_friedman_matches_rank_reference(spark, sf_dir):
 
 def test_weekday_seasonality_matches_anova_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir)).assign(dow=lambda d: d["day"] % 7)
-    out = _run("q252_weekday_seasonality", spark, sf_dir).set_index(
+    out = _run("qz252_weekday_seasonality", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in c.groupby("event_type"):
@@ -1446,7 +1446,7 @@ def test_burstiness_matches_gap_reference(spark, sf_dir):
     ev["nxt"] = ev.groupby("user_id")["us"].shift(-1)
     g = ev.dropna(subset=["nxt"]).assign(gap=lambda d: d["nxt"] - d["us"])
 
-    out = _run("q253_burstiness", spark, sf_dir).set_index("event_type")
+    out = _run("qz253_burstiness", spark, sf_dir).set_index("event_type")
     for et, grp in g.groupby("event_type"):
         gap = grp["gap"].to_numpy(dtype=float)
         mu, sigma = gap.mean(), gap.std(ddof=0)
@@ -1467,7 +1467,7 @@ def test_stickiness_matches_distinct_reference(spark, sf_dir):
     dau = pairs.groupby("day").size()
     mau = pairs["user_id"].nunique()
 
-    out = _run("q254_stickiness", spark, sf_dir).iloc[0]
+    out = _run("qz254_stickiness", spark, sf_dir).iloc[0]
     assert out["n_days"] == len(dau)
     assert abs(out["avg_dau"] - dau.mean()) < 1e-6
     assert out["mau"] == mau
@@ -1483,7 +1483,7 @@ def test_fulfillment_latency_matches_order_stats(spark, sf_dir):
         j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize()
     ).dt.days
 
-    out = _run("q255_fulfillment_latency", spark, sf_dir).set_index(
+    out = _run("qz255_fulfillment_latency", spark, sf_dir).set_index(
         "priority"
     )
     for pr, grp in days.groupby(j["o_orderpriority"]):
@@ -1687,7 +1687,7 @@ def test_psi_monitor_final_emission_matches_numpy(spark, sf_dir):
     ref = _psi_numpy_reference(_events(sf_dir))
     for name in (
         "q218_stream_psi_recoverable",
-        "qz182_stream_psi_monitor",
+        "q182_stream_psi_monitor",
     ):
         out = _run(name, spark, sf_dir).set_index("event_type")
         assert set(out.index) == set(ref), name

@@ -67,7 +67,7 @@ def test_relational_division_covers_all_regions(spark, sf_dir):
     cov = j.groupby("l_suppkey")["r_regionkey"].nunique()
     expected = set(cov[cov == r["r_regionkey"].nunique()].index)
 
-    out = _run("q231_relational_division", spark, sf_dir)
+    out = _run("qz231_relational_division", spark, sf_dir)
     assert set(out["suppkey"]) == expected
 
 
@@ -80,7 +80,7 @@ def test_universal_priority_quantifier(spark, sf_dir):
     nhi = o[hi].groupby("o_custkey").size().reindex(g.index, fill_value=0)
     expected = g[(g["n"] >= 2) & (g["n"] == nhi)]
 
-    out = _run("q232_universal_priority", spark, sf_dir).set_index("custkey")
+    out = _run("qz232_universal_priority", spark, sf_dir).set_index("custkey")
     assert set(out.index) == set(expected.index)
     for ck, row in out.iterrows():
         assert row["n_orders"] == expected.loc[ck, "n"]
@@ -111,7 +111,7 @@ def test_min_cost_supplier_keeps_ties(spark, sf_dir):
     best = ec.groupby("l_partkey")["uc"].transform("min")
     winners = ec[ec["uc"] == best]
 
-    out = _run("q220_min_cost_supplier", spark, sf_dir)
+    out = _run("qz220_min_cost_supplier", spark, sf_dir)
     got = set(zip(out["partkey"], out["suppkey"]))
     ref = set(zip(winners["l_partkey"], winners["l_suppkey"]))
     assert got == ref
@@ -138,7 +138,7 @@ def test_large_volume_orders_top20(spark, sf_dir):
         ["tp", "o_orderkey"], ascending=[False, True], kind="mergesort"
     ).head(20)
 
-    out = _run("q227_large_volume_orders", spark, sf_dir)
+    out = _run("qz227_large_volume_orders", spark, sf_dir)
     assert list(out["orderkey"]) == list(ref["o_orderkey"])
     assert np.allclose(out["totalprice"], ref["tp"], atol=0.011)
     assert list(out["total_qty"]) == [int(x) for x in ref["sq"]]
@@ -174,7 +174,7 @@ def test_waiting_suppliers_sole_late_multi_supplier(spark, sf_dir):
         .head(25)
     )
 
-    out = _run("q229_waiting_suppliers", spark, sf_dir)
+    out = _run("qz229_waiting_suppliers", spark, sf_dir)
     assert list(out["name"]) == list(counts["s_name"])
     assert list(out["numwait"]) == list(counts["numwait"])
 
@@ -222,7 +222,7 @@ def test_market_share_conditional_ratio(spark, sf_dir):
     j["vol"] = j["l_extendedprice"] * (1 - j["l_discount"])
     j["yr"] = j["o_orderdate"].dt.year
 
-    out = _run("q221_market_share", spark, sf_dir).set_index("yr")
+    out = _run("qz221_market_share", spark, sf_dir).set_index("yr")
     for yr, grp in j.groupby("yr"):
         nat = grp.loc[grp["sn_n_name"] == "NATION_3", "vol"].sum()
         row = out.loc[yr]
@@ -242,7 +242,7 @@ def test_important_parts_group_share_threshold(spark, sf_dir):
     v = j.groupby("l_partkey")["l_quantity"].sum()
     ref = v[v > v.sum() * 0.002]
 
-    out = _run("q223_important_parts", spark, sf_dir).set_index("partkey")
+    out = _run("qz223_important_parts", spark, sf_dir).set_index("partkey")
     assert set(out.index) == set(ref.index)
     for pk, row in out.iterrows():
         assert row["vol"] == int(ref.loc[pk])
@@ -260,7 +260,7 @@ def test_small_qty_revenue_correlated_avg(spark, sf_dir):
     # l_quantity < 0.2 * avg == qty * 5 * cnt < sum (integer-safe form)
     hits = j[j["l_quantity"] * 5.0 * j["count"] < j["sum"]]
 
-    out = _run("q226_small_qty_revenue", spark, sf_dir).iloc[0]
+    out = _run("qz226_small_qty_revenue", spark, sf_dir).iloc[0]
     assert out["n_lines"] == len(hits)
     assert (
         abs(out["avg_weekly"] - round(hits["l_extendedprice"].sum() / 7.0, 2))
@@ -291,7 +291,7 @@ def test_promo_suppliers_semi_join_chain(spark, sf_dir):
     )
     expected = sorted(set(eu["s_suppkey"]) & qualified)
 
-    out = _run("q228_promo_suppliers", spark, sf_dir)
+    out = _run("qz228_promo_suppliers", spark, sf_dir)
     assert list(out["suppkey"]) == expected
 
 
@@ -304,7 +304,7 @@ def test_forecast_revenue_band_filter(spark, sf_dir):
         & (li["l_discount"] <= 0.07)
         & (li["l_quantity"] < 24)
     ]
-    out = _run("q219_forecast_revenue", spark, sf_dir).iloc[0]
+    out = _run("qz219_forecast_revenue", spark, sf_dir).iloc[0]
     assert out["n_lines"] == len(hits)
     assert (
         abs(
@@ -339,7 +339,7 @@ def test_product_profit_nation_year(spark, sf_dir):
     j["yr"] = j["o_orderdate"].dt.year
     ref = j.groupby(["n_name", "yr"])["profit"].sum().round(2)
 
-    out = _run("q222_product_profit", spark, sf_dir)
+    out = _run("qz222_product_profit", spark, sf_dir)
     assert len(out) == len(ref)
     for _, row in out.iterrows():
         assert abs(row["profit"] - ref.loc[(row["nation"], row["yr"])]) < 1e-6
@@ -353,7 +353,7 @@ def test_priority_lines_two_way_counts(spark, sf_dir):
         & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
     ].merge(o, left_on="l_orderkey", right_on="o_orderkey")
     hi = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
-    out = _run("q224_priority_lines", spark, sf_dir).set_index("rflag")
+    out = _run("qz224_priority_lines", spark, sf_dir).set_index("rflag")
     for rf, grp in j.groupby("l_returnflag"):
         h = int(hi[grp.index].sum())
         assert out.loc[rf, "high_lines"] == h
@@ -376,7 +376,7 @@ def test_supplier_variety_distinct_under_anti_join(spark, sf_dir):
     )
     ref = j.groupby(["p_brand", "p_size"])["l_suppkey"].nunique()
 
-    out = _run("q225_supplier_variety", spark, sf_dir)
+    out = _run("qz225_supplier_variety", spark, sf_dir)
     assert len(out) == len(ref)
     for _, row in out.iterrows():
         assert row["supplier_cnt"] == ref.loc[(row["brand"], row["size"])]
