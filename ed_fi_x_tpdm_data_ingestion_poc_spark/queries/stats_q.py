@@ -5147,3 +5147,745 @@ def q254(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q256-q263 — round-15 time-series diagnostics layer over the daily
+# artifact: multi-lag autocorrelation, portmanteau whiteness, normality,
+# outlier and dispersion screens, and the weekday/weekend split test.
+# All follow the family rule: exact integer moments from the memoized
+# types x days collapse, ONE closed-form double expression per
+# statistic, den>0 guards in BOTH engines.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_SQL = f"""
+    t AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS ss
+          FROM c GROUP BY 1),
+    lg AS (SELECT i AS lag FROM UNNEST(generate_series(1, {_ACF_MAX_LAG}))
+           AS g(i)),
+    p AS (SELECT a.event_type, lg.lag, COUNT(*) AS m,
+                 SUM(CAST(a.c AS HUGEINT) * b.c) AS pp,
+                 SUM(a.c) AS sh, SUM(b.c) AS st
+          FROM c a JOIN lg ON TRUE
+          JOIN c b ON b.event_type = a.event_type
+                  AND b.day = a.day + lg.lag
+          GROUP BY 1, 2),
+    acf AS (SELECT p.event_type, p.lag, p.m, t.n,
+                   CASE WHEN t.n * (t.n * t.ss
+                                    - CAST(t.s AS HUGEINT) * t.s) > 0
+                        THEN CAST(t.n * t.n * p.pp
+                                  - t.n * CAST(t.s AS HUGEINT)
+                                    * (p.sh + p.st)
+                                  + p.m * CAST(t.s AS HUGEINT) * t.s
+                                  AS DOUBLE)
+                             / CAST(t.n * (t.n * t.ss
+                                    - CAST(t.s AS HUGEINT) * t.s)
+                                    AS DOUBLE)
+                        ELSE 0.0 END AS r
+            FROM p JOIN t ON t.event_type = p.event_type)
+"""
+
+
+@query(
+    "q256_acf_profile",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    {_ACF_SQL}
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(m AS BIGINT) AS n_pairs, ROUND(r, 6) AS acf
+    FROM acf
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation profile at lags 1..7 of per-type daily volumes —
+    qz173's lag-1 check widened to the full weekly window, which is
+    what separates TRENDING persistence (slowly decaying r_L) from
+    weekly SEASONALITY (a lone spike at L=7) — two causes qz252's
+    eta-squared aggregates together and a lag-1 test cannot tell
+    apart. Pairs are gap-aware (the qz173 convention): lag-L terms
+    join on day+L exactly, so a sparse type's missing days never fake
+    correlation across gaps.
+
+    Exactness: per-(type, lag) pair sums (m, Sum x*y, head/tail sums)
+    and per-type totals (n, S, SS) are exact decimal(38,0)/HUGEINT
+    integers; the ACF is the single all-integer ratio
+    [n^2*P - n*S*(sh+st) + m*S^2] / [n*(n*SS - S^2)] evaluated once
+    in double (identical IEEE cross-engine) and ROUNDed at 1e-6;
+    den>0 guards the constant-series case. At the 100 TB design point
+    daily counts ~1e9 put n^2*P ~ 1e26, inside decimal(38,0).
+
+    Scale shape: seven day-shifted self-joins of the types x days
+    artifact (each types x days sized), one aggregate per lag, one
+    types-sized totals join. No corpus contact after the memoized
+    collapse."""
+    comp = _acf_components(spark, sf)
+    return comp.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round(F.col("r"), 6).alias("acf"),
+    )
+
+
+def _acf_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared (event_type, lag, m, n, r) frame for q256/q257: exact
+    integer pair components and the all-integer-ratio ACF (un-rounded;
+    consumers round). Cheap (types x 7 rows off the memoized daily
+    artifact), so not persisted."""
+    from .analysis_q import daily_type_counts
+
+    dec = "decimal(38,0)"
+    c = daily_type_counts(spark, sf)
+    t = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("ss"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = c.select(
+        F.col("event_type").alias("aet"),
+        F.col("day").alias("aday"),
+        F.col("c").alias("ac"),
+    ).crossJoin(F.broadcast(lags))
+    b = c.select(
+        F.col("event_type").alias("bet"),
+        F.col("day").alias("bday"),
+        F.col("c").alias("bc"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("bet") == F.col("aet"))
+            & (F.col("bday") == F.col("aday") + F.col("lag")),
+        )
+        .groupBy(F.col("aet").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("ac").cast(dec) * F.col("bc")).alias("pp"),
+            F.sum("ac").alias("sh"),
+            F.sum("bc").alias("st"),
+        )
+    )
+    j = p.join(t, "event_type")
+    num = (
+        F.col("n").cast(dec) * F.col("n") * F.col("pp")
+        - F.col("n").cast(dec) * F.col("s").cast(dec)
+          * (F.col("sh").cast(dec) + F.col("st"))
+        + F.col("m").cast(dec) * F.col("s").cast(dec) * F.col("s")
+    )
+    den = F.col("n").cast(dec) * (
+        F.col("n") * F.col("ss") - F.col("s").cast(dec) * F.col("s")
+    )
+    return j.select(
+        "event_type",
+        "lag",
+        "m",
+        "n",
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    )
+
+
+@query(
+    "q257_ljung_box",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    {_ACF_SQL}
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS INT) AS df,
+           ROUND(MAX(n) * (MAX(n) + 2.0)
+                 * SUM(r * r / m), 6) AS q_lb
+    FROM acf
+    WHERE m > 0
+    GROUP BY 1
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per event type over lags
+    1..7: Q = n(n+2) Sum_L r_L^2 / m_L (Ljung & Box 1978), the ONE
+    number that says whether a type's daily series is white noise at
+    the weekly horizon — the joint test q256's per-lag profile feeds
+    (7 individually-insignificant r_L's can be jointly damning). The
+    gap-aware convention substitutes the matched-pair count m_L for
+    the textbook n-L (they coincide on gapless series); df counts the
+    lags that actually had pairs, so sparse types keep a well-defined
+    statistic.
+
+    Exactness: r_L is q256's all-integer ratio; the 7-term Q fold and
+    the final scale are doubles over those exact ratios, ROUNDed at
+    1e-6 (qz186 rule).
+
+    Scale shape: identical to q256 (same shared components) plus one
+    types-sized aggregate."""
+    comp = _acf_components(spark, sf)
+    return (
+        comp.where(F.col("m") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.count(F.lit(1)).cast("int").alias("df"),
+            F.round(
+                F.max("n")
+                * (F.max("n") + F.lit(2.0))
+                * F.sum(
+                    F.col("r") * F.col("r") / F.col("m")
+                ),
+                6,
+            ).alias("q_lb"),
+        )
+    )
+
+
+@query(
+    "q258_jarque_bera",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s1,
+                 SUM(CAST(c AS HUGEINT) * c) AS s2,
+                 SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+                 SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+          FROM c GROUP BY 1),
+    mo AS (SELECT event_type, n,
+                  CAST(s1 AS DOUBLE) / n AS xb,
+                  CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+                  CAST(s4 AS DOUBLE) AS d4
+           FROM g),
+    ce AS (SELECT event_type, n,
+                  (d2 - n * xb * xb) / n AS m2,
+                  (d3 - 3 * xb * d2 + 2 * n * xb * xb * xb) / n AS m3,
+                  (d4 - 4 * xb * d3 + 6 * xb * xb * d2
+                   - 3 * n * xb * xb * xb * xb) / n AS m4
+           FROM mo)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN m2 > 0 THEN ROUND(m3 / POWER(m2, 1.5), 6)
+                ELSE 0.0 END AS skewness,
+           CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6)
+                ELSE 0.0 END AS ex_kurtosis,
+           CASE WHEN m2 > 0
+                THEN ROUND(n / 6.0
+                     * (POWER(m3 / POWER(m2, 1.5), 2)
+                        + POWER(m4 / (m2 * m2) - 3.0, 2) / 4.0), 6)
+                ELSE 0.0 END AS jb
+    FROM ce
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    """Jarque-Bera normality screen on per-type daily volumes (skewness,
+    excess kurtosis, and the JB omnibus n/6*(g1^2 + g2^2/4), Jarque &
+    Bera 1980) — the gate in front of every Gaussian-assuming monitor
+    in this layer: qz235's Welch t and qz237's OLS bands quietly assume
+    near-normal daily noise; a type with jb >> 9.21 (chi2_2 at 1%)
+    needs the robust q163/qz172 path instead. Skew and kurtosis are
+    reported separately because their failure modes differ (burst
+    days -> right skew; mixture-of-regimes -> heavy tails at zero
+    skew).
+
+    Exactness: raw power sums s1..s4 are exact decimal(38,0)/HUGEINT
+    integers (c^4 at 1e9-count days is ~1e36 — inside 38 digits, noted
+    at the design point); central moments and the statistic are the
+    closed-form double expressions over them, identical IEEE
+    cross-engine, ROUNDed at 1e-6; m2>0 guards constant series.
+
+    Scale shape: ONE aggregate of the memoized types x days artifact,
+    then types-sized arithmetic. No corpus contact."""
+    from .analysis_q import daily_type_counts
+
+    dec = "decimal(38,0)"
+    c = daily_type_counts(spark, sf)
+    cd = F.col("c").cast(dec)
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(cd * F.col("c")).alias("s2"),
+        F.sum(cd * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(cd * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    xb = F.col("s1").cast("double") / F.col("n")
+    d2, d3, d4 = (
+        F.col("s2").cast("double"),
+        F.col("s3").cast("double"),
+        F.col("s4").cast("double"),
+    )
+    m2 = (d2 - F.col("n") * xb * xb) / F.col("n")
+    m3 = (d3 - 3 * xb * d2 + 2 * F.col("n") * xb * xb * xb) / F.col("n")
+    m4 = (
+        d4 - 4 * xb * d3 + 6 * xb * xb * d2
+        - 3 * F.col("n") * xb * xb * xb * xb
+    ) / F.col("n")
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    g2 = m4 / (m2 * m2) - 3.0
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(m2 > 0, F.round(g1, 6)).otherwise(F.lit(0.0))
+        .alias("skewness"),
+        F.when(m2 > 0, F.round(g2, 6)).otherwise(F.lit(0.0))
+        .alias("ex_kurtosis"),
+        F.when(
+            m2 > 0,
+            F.round(
+                F.col("n") / 6.0
+                * (g1 * g1 + g2 * g2 / 4.0),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jb"),
+    )
+
+
+@query(
+    "q259_weekend_proportion_z",
+    oracle="""
+    WITH e AS (SELECT date_diff('microsecond',
+                               TIMESTAMP '2024-01-01 00:00:00', ts)
+                 // 86400000000 % 7 AS dow,
+                      CAST(event_type = 'purchase' AS INT) AS y
+               FROM events),
+    g AS (SELECT COUNT(*) FILTER (dow < 5) AS n1,
+                 SUM(y) FILTER (dow < 5) AS x1,
+                 COUNT(*) FILTER (dow >= 5) AS n2,
+                 SUM(y) FILTER (dow >= 5) AS x2
+          FROM e),
+    s AS (SELECT n1, x1, n2, x2,
+                 CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+          FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n_weekday,
+           CAST(n2 AS BIGINT) AS n_weekend,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_weekday,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p_weekend,
+           CASE WHEN pp > 0 AND pp < 1
+                THEN ROUND((CAST(x1 AS DOUBLE) / n1
+                            - CAST(x2 AS DOUBLE) / n2)
+                     / SQRT(pp * (1 - pp)
+                            * (1.0 / n1 + 1.0 / n2)), 6)
+                ELSE 0.0 END AS z
+    FROM s
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test of purchase share, weekday vs weekend —
+    the pooled-variance test behind every is-the-conversion-rate-
+    different-on-the-weekend question (and the template for any A/B
+    split over an event predicate): z = (p1-p2)/sqrt(pp(1-pp)(1/n1+
+    1/n2)) with pp the pooled proportion. Complements qz233 (which
+    asks whether the whole TYPE MIX depends on weekday) with the
+    focused single-proportion contrast that has a one-tailed action
+    threshold. The day key is the integer epoch-day (dow = day % 7,
+    days 5-6 the 'weekend' — an arbitrary but fixed split; the test
+    statistic is split-invariant in form).
+
+    Exactness: four exact conditional counts from one corpus pass;
+    the statistic is one closed-form double, ROUNDed at 1e-6; the
+    pp in (0,1) guard covers all-purchase / no-purchase corpora on
+    both engines.
+
+    Scale shape: ONE map-side-combined corpus aggregate to a single
+    row — the qz250 plan class."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = table(spark, sf, "events").select(
+        (F.floor(us / 86_400_000_000) % 7).alias("dow"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    wd = F.col("dow") < 5
+    g = e.agg(
+        F.count(F.when(wd, 1)).alias("n1"),
+        F.sum(F.when(wd, F.col("y"))).alias("x1"),
+        F.count(F.when(~wd, 1)).alias("n2"),
+        F.sum(F.when(~wd, F.col("y"))).alias("x2"),
+    )
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    return g.select(
+        F.col("n1").cast("bigint").alias("n_weekday"),
+        F.col("n2").cast("bigint").alias("n_weekend"),
+        F.round(p1, 6).alias("p_weekday"),
+        F.round(p2, 6).alias("p_weekend"),
+        F.when(
+            (pp > 0) & (pp < 1),
+            F.round(
+                (p1 - p2)
+                / F.sqrt(
+                    pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+@query(
+    "q260_grubbs_outlier",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS ss
+          FROM c GROUP BY 1),
+    d AS (SELECT c.event_type, c.day,
+                 ABS(CAST(c.c AS HUGEINT) * g.n - g.s) AS dev,
+                 g.n, g.s, g.ss
+          FROM c JOIN g ON g.event_type = c.event_type),
+    mx AS (SELECT event_type, MAX(dev) AS maxdev FROM d GROUP BY 1),
+    pk AS (SELECT d.event_type, MIN(d.day) AS peak_day
+           FROM d JOIN mx ON mx.event_type = d.event_type
+                         AND mx.maxdev = d.dev
+           GROUP BY 1)
+    SELECT g.event_type, CAST(g.n AS BIGINT) AS n_days,
+           CAST(pk.peak_day AS BIGINT) AS peak_day,
+           CASE WHEN g.n > 1
+                     AND g.n * g.ss - CAST(g.s AS HUGEINT) * g.s > 0
+                THEN ROUND(CAST(mx.maxdev AS DOUBLE) / g.n
+                     / SQRT(CAST(g.n * g.ss
+                                 - CAST(g.s AS HUGEINT) * g.s AS DOUBLE)
+                            / g.n / (g.n - 1)), 6)
+                ELSE 0.0 END AS g_stat
+    FROM g JOIN mx ON mx.event_type = g.event_type
+    JOIN pk ON pk.event_type = g.event_type
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs max-outlier statistic per event type on daily volumes:
+    G = max|c - mean| / sd (Grubbs 1950), plus the day achieving it —
+    the single-most-anomalous-day screen that complements q163's MAD
+    ladder: MAD flags EVERY day beyond a robust band, Grubbs asks the
+    sharper parametric question 'is the single worst day surprising
+    even under normality?', which is the right test when the series
+    is known near-Gaussian (q258 gates that assumption). Ties on the
+    max deviation resolve to the EARLIEST day (MIN), keeping the
+    emitted row deterministic cross-engine.
+
+    Exactness: the deviation |c*n - S| is an exact decimal(38,0)/
+    HUGEINT integer per day (scaled by n to avoid a float mean), its
+    MAX is exact, and G divides out the scale once in double with the
+    n>1 and variance>0 guards; ROUND 1e-6.
+
+    Scale shape: two aggregates and one types-sized join over the
+    memoized daily artifact; the argmax re-join is types x days.
+    No corpus contact."""
+    from .analysis_q import daily_type_counts
+
+    dec = "decimal(38,0)"
+    c = daily_type_counts(spark, sf)
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("ss"),
+    )
+    d = c.join(g, "event_type").select(
+        "event_type",
+        "day",
+        F.abs(
+            F.col("c").cast(dec) * F.col("n") - F.col("s").cast(dec)
+        ).alias("dev"),
+    )
+    mx = d.groupBy("event_type").agg(F.max("dev").alias("maxdev"))
+    pk = (
+        d.join(mx, "event_type")
+        .where(F.col("dev") == F.col("maxdev"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("peak_day"))
+    )
+    var_num = (
+        F.col("n") * F.col("ss") - F.col("s").cast(dec) * F.col("s")
+    )
+    return (
+        g.join(mx, "event_type")
+        .join(pk, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("peak_day").cast("bigint").alias("peak_day"),
+            F.when(
+                (F.col("n") > 1) & (var_num > 0),
+                F.round(
+                    F.col("maxdev").cast("double")
+                    / F.col("n")
+                    / F.sqrt(
+                        var_num.cast("double")
+                        / F.col("n")
+                        / (F.col("n") - 1)
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("g_stat"),
+        )
+    )
+
+
+@query(
+    "q263_dispersion_index",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS ss
+          FROM c GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n > 1 AND s > 0
+                THEN ROUND(CAST(n * ss - CAST(s AS HUGEINT) * s
+                                AS DOUBLE)
+                     / (n - 1) / s, 6)
+                ELSE 0.0 END AS fano,
+           CASE WHEN n > 1 AND s > 0
+                THEN CAST(CAST(n * ss - CAST(s AS HUGEINT) * s
+                               AS DOUBLE) / (n - 1) / s > 1.0 AS INT)
+                ELSE 0 END AS overdispersed
+    FROM g
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    """Index of dispersion (Fano factor, variance-to-mean ratio) of
+    daily volumes per event type — the Poisson-ness screen: a feed
+    whose daily count were a homogeneous Poisson process would sit at
+    fano ~ 1; overdispersion (fano >> 1) means burst/campaign
+    structure and invalidates sqrt(n) error bars on daily forecasts,
+    underdispersion (fano < 1) usually means rate limiting or
+    quota-capped emission upstream. The corpus-level companion to
+    qz253's per-user burstiness.
+
+    Exactness: fano = (n*SS - S^2) / ((n-1) * S) is a single ratio of
+    exact decimal(38,0)/HUGEINT integers, evaluated once in double
+    and ROUNDed at 1e-6; n>1 and S>0 guard degenerate types in both
+    engines.
+
+    Scale shape: ONE aggregate of the memoized daily artifact to
+    types-sized output."""
+    from .analysis_q import daily_type_counts
+
+    dec = "decimal(38,0)"
+    c = daily_type_counts(spark, sf)
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("ss"),
+    )
+    fano = (
+        F.col("n") * F.col("ss") - F.col("s").cast(dec) * F.col("s")
+    ).cast("double") / (F.col("n") - 1) / F.col("s")
+    ok = (F.col("n") > 1) & (F.col("s") > 0)
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.when(ok, F.round(fano, 6)).otherwise(F.lit(0.0)).alias("fano"),
+        F.when(ok, (fano > 1.0).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("overdispersed"),
+    )
+
+
+@query(
+    "q261_source_diversity",
+    oracle="""
+    WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    g AS (SELECT source, w, COUNT(*) AS cw FROM u GROUP BY 1, 2),
+    s AS (SELECT source, SUM(cw) AS n, COUNT(*) AS v,
+                 SUM(cw * LN(CAST(cw AS DOUBLE))) AS slc,
+                 SUM(CAST(cw AS HUGEINT) * (cw - 1)) AS s2
+          FROM g GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab,
+           ROUND(LN(CAST(n AS DOUBLE)) - slc / n, 6) AS shannon,
+           CASE WHEN v > 1
+                THEN ROUND((LN(CAST(n AS DOUBLE)) - slc / n)
+                           / LN(CAST(v AS DOUBLE)), 6)
+                ELSE 0.0 END AS evenness,
+           CASE WHEN n > 1
+                THEN ROUND(CAST(s2 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)), 6)
+                ELSE 0.0 END AS simpson
+    FROM s
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-diversity datasheet per source: Shannon entropy of the
+    word distribution (in the numerically-stable ln N - Sum c*ln c / N
+    form), Pielou evenness (H / ln V), and the UNBIASED Simpson
+    concentration Sum c(c-1) / (N(N-1)) — the three numbers a corpus
+    curator reads together: entropy says how many effective word
+    types a source uses, evenness separates small-vocabulary from
+    skewed-vocabulary causes, Simpson (a collision probability) is
+    the dedup-pressure predictor. Complements qz134 (Zipf decay),
+    q248 (Heaps growth) and qz205 (coverage) with the per-source
+    concentration axis.
+
+    Exactness: word counts are exact integers from the same ONE
+    (source, word) grouped collapse q248 uses; Simpson's numerator is
+    exact decimal(38,0)/HUGEINT; Shannon's Sum c*ln(c) is the one
+    float fold (vocab-sized, magnitude ~N*ln c, absolute error orders
+    below the 1e-6 ROUND — the q249 precedent for float reduces of
+    this size).
+
+    Scale shape: explode -> ONE map-side-combined (source, word)
+    count -> one per-source aggregate. The grouped table is
+    vocabulary x sources bounded (the q248/qz205 scale class); no
+    corpus-wide distinct."""
+    u = table(spark, sf, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    dec = "decimal(38,0)"
+    g = u.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cw"))
+    s = g.groupBy("source").agg(
+        F.sum("cw").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.col("cw") * F.log(F.col("cw").cast("double"))).alias(
+            "slc"
+        ),
+        F.sum(F.col("cw").cast(dec) * (F.col("cw") - 1)).alias("s2"),
+    )
+    shannon = F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("vocab"),
+        F.round(shannon, 6).alias("shannon"),
+        F.when(
+            F.col("v") > 1,
+            F.round(shannon / F.log(F.col("v").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("evenness"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.col("s2").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson"),
+    )
+
+
+@query(
+    "q262_hill_tail_index",
+    oracle="""
+    WITH g AS (SELECT source, n_chars AS len, COUNT(*) AS k
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, SUM(k) AS n FROM g GROUP BY 1),
+    w AS (SELECT g.source, g.len, g.k, t.n,
+                 SUM(g.k) OVER (PARTITION BY g.source ORDER BY g.len
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g JOIN t ON t.source = g.source),
+    xm AS (SELECT source, MIN(len) AS xmin
+           FROM w WHERE cum >= (9 * n + 9) // 10
+           GROUP BY 1),
+    tail AS (SELECT w.source, xm.xmin, SUM(w.k) AS kt,
+                    SUM(w.k * LN(CAST(w.len AS DOUBLE) / xm.xmin))
+                      AS sl
+             FROM w JOIN xm ON xm.source = w.source
+             WHERE w.len > xm.xmin
+             GROUP BY 1, 2)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_docs,
+           CAST(xm.xmin AS BIGINT) AS xmin,
+           CAST(COALESCE(tail.kt, 0) AS BIGINT) AS k_tail,
+           CASE WHEN COALESCE(tail.sl, 0) > 0
+                THEN ROUND(tail.kt / tail.sl, 6)
+                ELSE 0.0 END AS alpha
+    FROM t JOIN xm ON xm.source = t.source
+    LEFT JOIN tail ON tail.source = t.source
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill tail-index estimate of the document-length distribution per
+    source: alpha = k / Sum ln(x_i / xmin) over the lengths above the
+    per-source 90th percentile (Hill 1975) — the heavy-tail exponent
+    that decides shard packing and truncation policy (alpha < 2 means
+    the length distribution has infinite variance: a handful of giant
+    documents dominates token mass and a mean-based packer misplans;
+    alpha > 3 licenses Gaussian capacity math). xmin is the exact
+    integer-rank 90th percentile (rank ceil(0.9 n) over cumulative
+    grouped counts — the qz255 integer-percentile convention), so the
+    estimator is fully determined by integer counts plus one float
+    log-fold over DISTINCT lengths.
+
+    Exactness: (source, length) counts, the cumulative rank, xmin and
+    the tail count are exact integers; Sum k*ln(len/xmin) is a float
+    fold over the bounded distinct-length table, and alpha is one
+    division ROUNDed at 1e-6; empty-tail sources report alpha 0.
+
+    Scale shape: one (source, length) grouped collapse (bounded by
+    sources x distinct lengths, NOT documents), a per-source
+    cumulative window over that bounded table, and two bounded
+    aggregates. The corpus is scanned once."""
+    from pyspark.sql import Window
+
+    g = (
+        table(spark, sf, "documents")
+        .select("source", F.col("n_chars").alias("len"))
+        .groupBy("source", "len")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    t = g.groupBy("source").agg(F.sum("k").alias("n"))
+    w = g.join(t, "source").select(
+        "source",
+        "len",
+        "k",
+        "n",
+        F.sum("k")
+        .over(
+            Window.partitionBy("source")
+            .orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    xm = (
+        w.where(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
+        .groupBy("source")
+        .agg(F.min("len").alias("xmin"))
+    )
+    tail = (
+        w.join(xm, "source")
+        .where(F.col("len") > F.col("xmin"))
+        .groupBy("source", "xmin")
+        .agg(
+            F.sum("k").alias("kt"),
+            F.sum(
+                F.col("k")
+                * F.log(F.col("len").cast("double") / F.col("xmin"))
+            ).alias("sl"),
+        )
+    )
+    return (
+        t.join(xm, "source")
+        .join(tail, ["source", "xmin"], "left")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("xmin").cast("bigint").alias("xmin"),
+            F.coalesce(F.col("kt"), F.lit(0))
+            .cast("bigint")
+            .alias("k_tail"),
+            F.when(
+                F.coalesce(F.col("sl"), F.lit(0.0)) > 0,
+                F.round(F.col("kt") / F.col("sl"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("alpha"),
+        )
+    )

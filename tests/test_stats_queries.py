@@ -1718,3 +1718,166 @@ def test_sketch_ks_monitor_emission_matches_numpy(spark, sf_dir):
     assert out["n_mon"] == n1 and out["n_ref"] == n2
     assert abs(out["d_exact"] - d_exact) < 1e-6
     assert out["ok"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-15 time-series diagnostics + corpus concentration (q256-q263)
+# ---------------------------------------------------------------------------
+
+
+def test_acf_profile_matches_pairwise_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q256_acf_profile", spark, sf_dir).set_index(
+        ["event_type", "lag"]
+    )
+    for et, grp in c.groupby("event_type"):
+        s = grp.set_index("day")["c"].astype(float)
+        xbar = s.mean()
+        den = ((s - xbar) ** 2).sum()
+        for lag in range(1, 8):
+            a = s
+            b = s.copy()
+            b.index = b.index - lag
+            pair = pd.concat([a, b], axis=1, join="inner")
+            if len(pair) == 0:
+                assert (et, lag) not in out.index
+                continue
+            num = (
+                (pair.iloc[:, 0] - xbar) * (pair.iloc[:, 1] - xbar)
+            ).sum()
+            row = out.loc[(et, lag)]
+            assert row["n_pairs"] == len(pair)
+            assert abs(row["acf"] - num / den) < 1e-6, (et, lag)
+
+
+def test_ljung_box_matches_acf_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    acf = _run("q256_acf_profile", spark, sf_dir)
+    out = _run("q257_ljung_box", spark, sf_dir).set_index("event_type")
+    for et, grp in acf.groupby("event_type"):
+        n = len(c[c["event_type"] == et])
+        # recompute r at full precision from the raw series (the q256
+        # output is rounded; Q must match the unrounded fold)
+        s = c[c["event_type"] == et].set_index("day")["c"].astype(float)
+        xbar = s.mean()
+        den = ((s - xbar) ** 2).sum()
+        q_ref, df = 0.0, 0
+        for lag in range(1, 8):
+            b = s.copy()
+            b.index = b.index - lag
+            pair = pd.concat([s, b], axis=1, join="inner")
+            if len(pair) == 0:
+                continue
+            r = (
+                (pair.iloc[:, 0] - xbar) * (pair.iloc[:, 1] - xbar)
+            ).sum() / den
+            q_ref += r * r / len(pair)
+            df += 1
+        q_ref *= n * (n + 2.0)
+        row = out.loc[et]
+        assert row["n_days"] == n and row["df"] == df
+        assert abs(row["q_lb"] - q_ref) < 1e-5, et
+
+
+def test_jarque_bera_matches_moment_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q258_jarque_bera", spark, sf_dir).set_index("event_type")
+    for et, grp in c.groupby("event_type"):
+        x = grp["c"].to_numpy(dtype=float)
+        n = len(x)
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        g1, g2 = m3 / m2**1.5, m4 / m2**2 - 3
+        row = out.loc[et]
+        assert row["n_days"] == n
+        assert abs(row["skewness"] - g1) < 1e-6
+        assert abs(row["ex_kurtosis"] - g2) < 1e-6
+        assert abs(row["jb"] - n / 6 * (g1**2 + g2**2 / 4)) < 1e-5
+
+
+def test_weekend_proportion_matches_pooled_z(spark, sf_dir):
+    ev = _events(sf_dir)
+    day = (
+        (ev["ts"] - pd.Timestamp("2024-01-01"))
+        // pd.Timedelta(microseconds=1)
+    ) // _DAY_US
+    wd = (day % 7) < 5
+    y = (ev["event_type"] == "purchase").to_numpy()
+    n1, x1 = int(wd.sum()), int(y[wd].sum())
+    n2, x2 = int((~wd).sum()), int(y[~wd].sum())
+    pp = (x1 + x2) / (n1 + n2)
+    z_ref = (x1 / n1 - x2 / n2) / np.sqrt(
+        pp * (1 - pp) * (1 / n1 + 1 / n2)
+    )
+    out = _run("q259_weekend_proportion_z", spark, sf_dir).iloc[0]
+    assert out["n_weekday"] == n1 and out["n_weekend"] == n2
+    assert abs(out["p_weekday"] - x1 / n1) < 1e-6
+    assert abs(out["p_weekend"] - x2 / n2) < 1e-6
+    assert abs(out["z"] - z_ref) < 1e-6
+
+
+def test_grubbs_matches_max_deviation_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q260_grubbs_outlier", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in c.groupby("event_type"):
+        x = grp["c"].to_numpy(dtype=float)
+        dev = np.abs(x - x.mean())
+        g_ref = dev.max() / x.std(ddof=1)
+        peak = int(grp["day"].to_numpy()[dev == dev.max()].min())
+        row = out.loc[et]
+        assert row["n_days"] == len(x)
+        assert row["peak_day"] == peak
+        assert abs(row["g_stat"] - g_ref) < 1e-6
+
+
+def test_dispersion_index_matches_variance_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q263_dispersion_index", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in c.groupby("event_type"):
+        x = grp["c"].to_numpy(dtype=float)
+        fano = x.var(ddof=1) / x.mean()
+        row = out.loc[et]
+        assert row["n_days"] == len(x)
+        assert abs(row["fano"] - fano) < 1e-6
+        assert row["overdispersed"] == int(fano > 1)
+
+
+def test_source_diversity_matches_counter_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q261_source_diversity", spark, sf_dir).set_index("source")
+    for src, grp in d.groupby("source"):
+        from collections import Counter
+
+        cnt = Counter(w for t in grp["text"] for w in t.split(" "))
+        c = np.array(list(cnt.values()), dtype=float)
+        n, v = c.sum(), len(c)
+        h = np.log(n) - (c * np.log(c)).sum() / n
+        simpson = (c * (c - 1)).sum() / (n * (n - 1))
+        row = out.loc[src]
+        assert row["n_tokens"] == int(n) and row["vocab"] == v
+        assert abs(row["shannon"] - h) < 1e-6
+        assert abs(row["evenness"] - h / np.log(v)) < 1e-6
+        assert abs(row["simpson"] - simpson) < 1e-6
+
+
+def test_hill_tail_matches_order_statistic_reference(spark, sf_dir):
+    d = _docs(sf_dir)
+    out = _run("q262_hill_tail_index", spark, sf_dir).set_index("source")
+    for src, grp in d.groupby("source"):
+        lens = np.sort(grp["n_chars"].to_numpy())
+        n = len(lens)
+        xmin = int(lens[(9 * n + 9) // 10 - 1])
+        tail = lens[lens > xmin].astype(float)
+        row = out.loc[src]
+        assert row["n_docs"] == n and row["xmin"] == xmin
+        assert row["k_tail"] == len(tail)
+        if len(tail) and np.log(tail / xmin).sum() > 0:
+            alpha = len(tail) / np.log(tail / xmin).sum()
+            assert abs(row["alpha"] - alpha) < 1e-6
+        else:
+            assert row["alpha"] == 0.0
