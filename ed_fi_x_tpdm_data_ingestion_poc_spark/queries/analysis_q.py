@@ -2725,3 +2725,285 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("repeat_rate"),
         F.col("m").cast("bigint").alias("median_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264-q266 — round-15 sequence-analytics additions over user_seq / the
+# first-touch collapses: exact gap percentiles, Markov transition
+# entropy, and view-to-purchase conversion latency.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q264_interevent_percentiles",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    g AS (SELECT event_type,
+                 (LEAD(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) - us)
+                   // 1000000 AS gap_s
+          FROM e),
+    v AS (SELECT event_type, gap_s, COUNT(*) AS k
+          FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(k) AS n FROM v GROUP BY 1),
+    w AS (SELECT v.event_type, v.gap_s, t.n,
+                 SUM(v.k) OVER (PARTITION BY v.event_type
+                                ORDER BY v.gap_s
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM v JOIN t ON t.event_type = v.event_type)
+    SELECT t.event_type, CAST(t.n AS BIGINT) AS n_gaps,
+           CAST((SELECT MIN(gap_s) FROM w
+                 WHERE w.event_type = t.event_type
+                   AND w.cum >= (t.n + 1) // 2) AS BIGINT) AS p50_s,
+           CAST((SELECT MIN(gap_s) FROM w
+                 WHERE w.event_type = t.event_type
+                   AND w.cum >= (9 * t.n + 9) // 10) AS BIGINT) AS p90_s
+    FROM t
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90 inter-event gap per opening event type, in whole
+    seconds — the location summary qz202's fixed-horizon survival
+    curve cannot give (S(h) answers 'what share exceeds h'; capacity
+    and timeout tuning want 'what h does the median/90th user sit
+    at'). Percentiles are EXACT integer order statistics (rank
+    (n+1)//2 and ceil(0.9n) over cumulative grouped counts — the
+    qz255/q262 convention), never approximate sketches, because this
+    is a certification query; the sketch path for the same question
+    is qz162's streaming MRL summaries.
+
+    Exactness: gaps are integer microseconds off the shared
+    totally-tiebroken user_seq window, floored to whole seconds to
+    bound the grouped domain; ranks and counts are exact integers end
+    to end — no float appears anywhere.
+
+    Scale shape: gaps from the materialize-once user_seq artifact;
+    ONE (type, gap_s) grouped count (bounded by types x distinct
+    seconds, not events); a per-type cumulative window over that
+    bounded table; two rank probes. The corpus is never re-sorted."""
+    from pyspark.sql import Window
+
+    g = (
+        user_seq(spark, sf)
+        .select(
+            "event_type",
+            F.expr("(next_us - us) div 1000000").alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    v = g.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    t = v.groupBy("event_type").agg(F.sum("k").alias("n"))
+    w = v.join(t, "event_type").select(
+        "event_type",
+        "gap_s",
+        "n",
+        F.sum("k")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("gap_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    p50 = (
+        w.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p50_s"))
+    )
+    p90 = (
+        w.where(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p90_s"))
+    )
+    return (
+        t.join(p50, "event_type")
+        .join(p90, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.col("p50_s").cast("bigint").alias("p50_s"),
+            F.col("p90_s").cast("bigint").alias("p90_s"),
+        )
+    )
+
+
+@query(
+    "q265_transition_entropy",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    tr AS (SELECT event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) AS nxt
+           FROM e),
+    c AS (SELECT event_type, nxt, COUNT(*) AS k
+          FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    s AS (SELECT event_type, SUM(k) AS n,
+                 SUM(k * LN(CAST(k AS DOUBLE))) AS slk
+          FROM c GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt FROM s)
+    SELECT s.event_type, CAST(s.n AS BIGINT) AS n_trans,
+           ROUND(LN(CAST(s.n AS DOUBLE)) - s.slk / s.n, 6) AS h_next,
+           ROUND(CAST(s.n AS DOUBLE) / tot.nt, 6) AS pi,
+           ROUND((LN(CAST(s.n AS DOUBLE)) - s.slk / s.n)
+                 * s.n / tot.nt, 6) AS rate_term
+    FROM s CROSS JOIN tot
+    """,
+    tags=("events", "analytics", "stats"),
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-state Markov transition entropy H(next | state) over the
+    user event chain, with the empirical stationary weight pi and the
+    per-state term of the chain's entropy rate Sum pi_s * H_s — the
+    predictability datasheet for qz147/qz198's transition matrix: a
+    state with H near 0 has a deterministic next step (automation or
+    forced funnel), one near ln(k) is maximally surprising, and the
+    summed rate_term is the compression floor for storing user
+    journeys (Shannon 1948's source-coding bound applied to the
+    session alphabet).
+
+    Exactness: transition counts come off the shared user_seq
+    totally-tiebroken window; the entropy uses the same stable
+    ln n - Sum k ln k / n fold as q261 (types^2-bounded float sum);
+    ROUND 1e-6 everywhere.
+
+    Scale shape: transitions reduce to a types^2 count table in one
+    grouped aggregate over the artifact; everything after is
+    types-sized arithmetic plus one 1-row broadcast total."""
+    tr = (
+        user_seq(spark, sf)
+        .select("event_type", F.col("next_type").alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    c = tr.groupBy("event_type", "nxt").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    s = c.groupBy("event_type").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * F.log(F.col("k").cast("double"))).alias(
+            "slk"
+        ),
+    )
+    tot = s.agg(F.sum("n").alias("nt"))
+    h = F.log(F.col("n").cast("double")) - F.col("slk") / F.col("n")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_trans"),
+        F.round(h, 6).alias("h_next"),
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("pi"),
+        F.round(h * F.col("n") / F.col("nt"), 6).alias("rate_term"),
+    )
+
+
+@query(
+    "q266_time_to_convert",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      date_diff('microsecond',
+                                TIMESTAMP '2024-01-01 00:00:00', ts) AS us
+               FROM events),
+    v AS (SELECT user_id, MIN(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id,
+                 (MIN(e.us) - v.v_us) // 86400000000 AS lat_d
+          FROM e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.us > v.v_us
+          GROUP BY e.user_id, v.v_us),
+    lc AS (SELECT lat_d, COUNT(*) AS k FROM p GROUP BY 1),
+    t AS (SELECT SUM(k) AS nc FROM lc),
+    w AS (SELECT lat_d, SUM(k) OVER (ORDER BY lat_d
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM lc)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(t.nc AS BIGINT) AS n_converted,
+           ROUND(CAST(t.nc AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS conv_rate,
+           CAST((SELECT MIN(lat_d) FROM w, t
+                 WHERE w.cum >= (t.nc + 1) // 2) AS BIGINT)
+             AS median_latency_days
+    FROM t
+    """,
+    tags=("events", "analytics"),
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    """View-to-purchase conversion funnel with latency: of the users
+    who ever viewed, how many purchased STRICTLY AFTER their first
+    view, and the exact median days from first view to that first
+    subsequent purchase — the single number a growth team tracks
+    weekly, and the attribution-window justification qz240's U-shaped
+    credit model assumes (a median latency of 2 days indicts a
+    1-day attribution window). Purchases BEFORE the first view do not
+    count as conversions (the strict us > v_us guard), which is what
+    separates this from qz141's unordered funnel.
+
+    Exactness: first-touch timestamps are exact integer microseconds
+    (MIN over the corpus per user); latency floors to whole days; the
+    median is the exact (n+1)//2 integer order statistic over grouped
+    day counts (qz247 convention); one float division for the rate.
+
+    Scale shape: two user-keyed grouped aggregates (the corpus
+    shuffles on user_id once per side), one users-sized join, then a
+    days-bounded grouped count and rank probe. No window over the
+    corpus."""
+    from pyspark.sql import Window
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = table(spark, sf, "events").select(
+        "user_id", "event_type", us.alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("us").alias("p_us"))
+        .select(
+            F.expr("(p_us - v_us) div 86400000000").alias("lat_d")
+        )
+    )
+    lc = p.groupBy("lat_d").agg(F.count(F.lit(1)).alias("k"))
+    t = lc.agg(F.sum("k").alias("nc"))
+    w = lc.select(
+        "lat_d",
+        F.sum("k")
+        .over(
+            Window.orderBy("lat_d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    med = (
+        w.crossJoin(F.broadcast(t))
+        .where(F.col("cum") >= F.expr("(nc + 1) div 2"))
+        .agg(F.min("lat_d").alias("m"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("nvw"))
+    return (
+        t.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("nvw").cast("bigint").alias("n_viewers"),
+            F.col("nc").cast("bigint").alias("n_converted"),
+            F.round(
+                F.col("nc").cast("double") / F.col("nvw"), 6
+            ).alias("conv_rate"),
+            F.col("m").cast("bigint").alias("median_latency_days"),
+        )
+    )

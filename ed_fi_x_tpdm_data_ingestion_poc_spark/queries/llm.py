@@ -939,3 +939,139 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("rk") == 1) & (F.col("cosine") >= _SEM_TAU))
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q273/q274 — round-15 corpus datasheet additions: tokenizer fertility
+# and embedding isotropy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_token_fertility",
+    oracle="""
+    WITH d AS (SELECT lang, n_chars,
+                      len(string_split(text, ' ')) AS toks
+               FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           ROUND(SUM(toks) * 1.0 / COUNT(*), 6) AS tokens_per_doc,
+           ROUND(SUM(n_chars) * 1.0 / SUM(toks), 6) AS chars_per_token
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("llm", "text"),
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fertility datasheet per language: documents, total
+    whitespace tokens, tokens per document and characters per token —
+    the per-language compression profile that drives token-budget
+    planning (a corpus mix priced in documents misprices languages
+    whose chars/token differ 2x; qz160's token-budget sampler consumes
+    exactly this ratio) and the drift base rate for qz74's learned BPE
+    fertility. Whitespace tokens, not BPE, by design: the datasheet
+    must be computable in one cheap map-only pass at ingest time,
+    BEFORE any tokenizer exists to measure.
+
+    Exactness: token and char counts are exact integers from one
+    corpus pass (size of split — no explode needed); the two ratios
+    are single rational divisions ROUNDed at 1e-6.
+
+    Scale shape: ONE map-side-combined aggregate, languages-sized
+    output, no shuffle beyond the k-group exchange."""
+    d = table(spark, sf, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("toks") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("tokens_per_doc"),
+            F.round(
+                F.sum("n_chars") * 1.0 / F.sum("toks"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q274_embedding_isotropy",
+    oracle="""
+    WITH nv AS (SELECT vec_id,
+                       SQRT(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))) AS nrm,
+                       embedding
+                FROM embeddings),
+    x AS (SELECT u.idx AS i, CAST(u.val AS DOUBLE) / nv.nrm AS v
+          FROM nv, (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS idx,
+                           vec_id AS vid
+                    FROM embeddings) u
+          WHERE u.vid = nv.vec_id),
+    s AS (SELECT i, SUM(v) AS si FROM x GROUP BY 1),
+    t AS (SELECT SUM(si * si) AS s2 FROM s),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT CAST(n.n AS BIGINT) AS n_vecs,
+           ROUND((t.s2 - n.n) / (CAST(n.n AS DOUBLE) * (n.n - 1)), 6)
+             AS mean_pairwise_cos,
+           ROUND(SQRT(t.s2) / n.n, 6) AS mean_vector_norm
+    FROM t CROSS JOIN n
+    """,
+    tags=("llm", "stats", "embedding"),
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space isotropy probe: the mean pairwise cosine between
+    all unit-normalized vectors and the norm of their mean — computed
+    WITHOUT any pairwise work via the Gram identity
+    Sum_{i != j} v_i . v_j = ||Sum v||^2 - n (each v unit-norm), so
+    the n^2 pairwise mean collapses to one corpus pass plus a
+    d-bounded reduce. The anisotropy monitor from Ethayarajh (2019)
+    and Mu & Viswanath (2018)'s common-mean observation: mean cosine
+    near 0 is an isotropic (healthy, separable) space; a drift toward
+    1 means representation collapse and silently degrades EVERY
+    cosine consumer in this registry (qz102 ANN recall, qz112
+    SemDeDup thresholds, qz249 label coherence).
+
+    Exactness: normalization and the per-dim sums are float folds
+    (the q249 precedent — absolute error orders below the 1e-6
+    ROUND); the identity itself is algebraically exact, so both
+    engines compute the same d + 1 numbers.
+
+    Scale shape: one scan computing v / ||v||, ONE d-bounded
+    (dimension-keyed) aggregate — 64 groups regardless of corpus
+    size — then driver-sized arithmetic. Never materializes a pair."""
+    e = table(spark, sf, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    x = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: v.cast("double") / nrm,
+            )
+        ).alias("i", "v")
+    )
+    s = x.groupBy("i").agg(F.sum("v").alias("si"))
+    t = s.agg(F.sum(F.col("si") * F.col("si")).alias("s2"))
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    return t.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.round(
+            (F.col("s2") - F.col("n"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("mean_pairwise_cos"),
+        F.round(F.sqrt(F.col("s2")) / F.col("n"), 6).alias(
+            "mean_vector_norm"
+        ),
+    )

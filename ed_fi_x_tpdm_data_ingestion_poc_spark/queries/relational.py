@@ -2613,3 +2613,478 @@ def q255(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267-q272 — round-15 warehouse idioms: market-basket lift, YoY growth,
+# gaps-and-islands streaks, intra-customer concentration, SLA ladders,
+# exact grouped medians.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q267_brand_basket_lift",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    ba AS (SELECT brand, COUNT(*) AS na FROM ob GROUP BY 1),
+    pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  COUNT(*) AS n_ab
+           FROM ob a JOIN ob b ON b.ok = a.ok AND b.brand > a.brand
+           GROUP BY 1, 2)
+    SELECT pr.brand_a, pr.brand_b,
+           CAST(pr.n_ab AS BIGINT) AS support,
+           ROUND(CAST(pr.n_ab AS DOUBLE) * n.n_orders
+                 / (x.na * y.na), 6) AS lift
+    FROM pr JOIN ba x ON x.brand = pr.brand_a
+    JOIN ba y ON y.brand = pr.brand_b
+    CROSS JOIN n
+    WHERE pr.n_ab >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+    tags=("relational", "join", "agg", "analytics"),
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association lift between part BRANDS co-ordered in
+    the same order: lift(a,b) = P(a,b)/(P(a)P(b)) with a support
+    floor, top 15 — the classic co-occurrence screen (Agrawal et al.
+    1993's support/lift, applied at brand granularity where TPC-H
+    orders actually repeat). Brand-level, not part-level, is the
+    scale-honest choice: the pair fan-out per order is bounded by
+    (distinct brands/order choose 2) <= C(25,2), independent of order
+    width, while raw partkey pairs would be support-starved AND
+    unbounded.
+
+    Exactness: all three counts (pair co-orders, per-brand orders,
+    total orders) are exact integers off ONE distinct (order, brand)
+    collapse; lift is a single double ratio, ROUNDed 1e-6; the LIMIT
+    rides a total ORDER BY (lift, brand_a, brand_b).
+
+    Plan shape at 100 TB: part is a gated broadcast; the distinct
+    collapse shuffles the fact ONCE on orderkey; the pair self-join
+    re-uses that orderkey partitioning (no second fact exchange);
+    margins and the 1-row total are broadcast back onto a
+    brands^2-bounded pair table; top-15 is TakeOrderedAndProject."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    ob = (
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("ok").alias("n_orders"))
+    ba = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("na"))
+    a = ob.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("brand_b"))
+    pr = (
+        a.join(
+            b,
+            (F.col("ok2") == F.col("ok"))
+            & (F.col("brand_b") > F.col("brand_a")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    return (
+        pr.join(
+            F.broadcast(ba.select(F.col("brand").alias("brand_a"),
+                                  F.col("na").alias("na_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(ba.select(F.col("brand").alias("brand_b"),
+                                  F.col("na").alias("na_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("na_a") * F.col("na_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+@query(
+    "q268_yoy_nation_growth",
+    oracle="""
+    WITH r AS (SELECT n.n_name AS nation,
+                      CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+                        AS yr,
+                      SUM(CAST(ROUND(l.l_extendedprice
+                               * (1 - l.l_discount) * 100.0, 0)
+                          AS HUGEINT)) AS cents
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+               JOIN nation n ON n.n_nationkey = c.c_nationkey
+               GROUP BY 1, 2)
+    SELECT cur.nation AS nation, cur.yr AS year,
+           ROUND(CAST(cur.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(cur.cents - prv.cents AS DOUBLE)
+                 / prv.cents, 6) AS yoy
+    FROM r cur JOIN r prv ON prv.nation = cur.nation
+                         AND prv.yr = cur.yr - 1
+    WHERE prv.cents > 0
+    ORDER BY nation, year
+    """,
+    tags=("relational", "join", "agg", "analytics"),
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    board-slide number and the canonical self-join-on-shifted-key
+    idiom (the TIME dimension analog of q256's day-lag join): revenue
+    collapses to a nations x years table once, then the YoY ratio is
+    a tiny equi-join of that table against itself at yr-1. Years with
+    no predecessor drop (inner join), a zero-revenue predecessor is
+    guarded out.
+
+    Exactness: revenue accumulates in exact integer cents
+    (decimal(38,0)/HUGEINT — the q241 money rule) so the grouped sums
+    are order-independent cross-engine; the YoY ratio and the /100
+    display conversion are the only float steps, ROUNDed at 1e-6/1e-2.
+    The year key is EXTRACT/year() on a TIMESTAMP_NTZ — both engines
+    read the same calendar field of the same wall-clock value (the
+    qz35 date-literal class, no TZ hazard).
+
+    Plan shape at 100 TB: one fact shuffle on orderkey, customer join
+    on custkey, nation broadcast; the YoY self-join runs on the
+    nations x years aggregate (25 x ~7 rows)."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    dec = "decimal(38,0)"
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast(dec)
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    cur = r.select("nation", "yr", F.col("cents").alias("cc"))
+    prv = r.select(
+        F.col("nation").alias("pn"),
+        (F.col("yr") + 1).alias("py"),
+        F.col("cents").alias("pc"),
+    )
+    return (
+        cur.join(
+            prv,
+            (F.col("pn") == F.col("nation"))
+            & (F.col("py") == F.col("yr")),
+        )
+        .where(F.col("pc") > 0)
+        .select(
+            "nation",
+            F.col("yr").alias("year"),
+            F.round(F.col("cc").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                (F.col("cc") - F.col("pc")).cast("double") / F.col("pc"),
+                6,
+            ).alias("yoy"),
+        )
+        .orderBy("nation", "year")
+    )
+
+
+@query(
+    "q269_order_day_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_custkey,
+                      date_diff('microsecond',
+                                TIMESTAMP '1970-01-01 00:00:00',
+                                o_orderdate) // 86400000000 AS day
+               FROM orders),
+    r AS (SELECT o_custkey, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY day) AS grp
+          FROM d),
+    s AS (SELECT o_custkey, grp, COUNT(*) AS len
+          FROM r GROUP BY 1, 2)
+    SELECT CAST(len AS BIGINT) AS streak_len,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "window", "analytics"),
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: the distribution of CONSECUTIVE-day ordering
+    streaks across customers — the canonical day - ROW_NUMBER()
+    islands idiom (each maximal run of consecutive distinct order
+    days shares a constant difference), reduced to how many streaks
+    of each length exist. The engagement-cadence histogram behind
+    retention features ('ordered 3+ days in a row') that qz143's
+    cohort offsets and qz254's DAU/MAU both blur over.
+
+    Exactness: epoch-day keys are integer microsecond div (the q230
+    convention, TZ-free); the islands key, streak lengths and the
+    histogram are exact integers end to end — no floats at all.
+
+    Plan shape at 100 TB: one distinct collapse of orders to
+    (custkey, day), one custkey-partitioned window (same exchange
+    class as q230), two bounded aggregates; output is
+    max-streak-length rows."""
+    d = (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    r = d.select(
+        "o_custkey",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy("day")
+            )
+        ).alias("grp"),
+    )
+    s = r.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        s.groupBy(F.col("len").cast("bigint").alias("streak_len"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_streaks"))
+        .orderBy("streak_len")
+    )
+
+
+@query(
+    "q270_top_order_share",
+    oracle="""
+    WITH oc AS (SELECT o_custkey,
+                       CAST(ROUND(o_totalprice * 100.0, 0) AS HUGEINT)
+                         AS cents
+                FROM orders),
+    g AS (SELECT o_custkey, MAX(cents) AS mx, SUM(cents) AS tot,
+                 COUNT(*) AS n
+          FROM oc GROUP BY 1),
+    j AS (SELECT c.c_mktsegment AS segment,
+                 CAST(g.mx AS DOUBLE) / g.tot AS share, g.n
+          FROM g JOIN customer c ON c.c_custkey = g.o_custkey)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(share), 6) AS avg_top_share,
+           ROUND(AVG(CASE WHEN n >= 2 THEN share END), 6)
+             AS avg_top_share_multi
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "agg", "analytics"),
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-customer revenue concentration by market segment: the
+    average share a customer's single LARGEST order takes of their
+    lifetime spend — the whale-dependence metric (a segment whose
+    customers put ~1.0 of spend in one order is transactional; ~0.2
+    means steady repeat business), reported both over all customers
+    and restricted to multi-order customers (single-order customers
+    contribute an uninformative share of exactly 1).
+
+    Exactness: per-customer max and total are exact integer cents
+    (the q241 money rule), so each share is one exact-integer double
+    ratio; the per-segment AVG is a customers-sized float fold
+    ROUNDed at 1e-6 (q249 precedent).
+
+    Plan shape at 100 TB: one custkey-grouped aggregate of orders
+    (map-side combined), a customer-dimension join (gated broadcast),
+    one segments-sized aggregate. No window, no fact self-join."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    dec = "decimal(38,0)"
+    g = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast(dec)
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("cents").alias("mx"),
+            F.sum("cents").alias("tot"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = g.join(
+        broadcast_if_small(c), g.o_custkey == c.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("mx").cast("double") / F.col("tot").cast("double")).alias(
+            "share"
+        ),
+        "n",
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.avg("share"), 6).alias("avg_top_share"),
+            F.round(
+                F.avg(F.when(F.col("n") >= 2, F.col("share"))), 6
+            ).alias("avg_top_share_multi"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q271_sla_attainment",
+    oracle="""
+    WITH d AS (SELECT o.o_orderpriority AS priority,
+                      date_diff('microsecond', o.o_orderdate,
+                                l.l_shipdate) // 86400000000 AS days
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS within_30d,
+           ROUND(SUM(CASE WHEN days <= 60 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS within_60d,
+           ROUND(SUM(CASE WHEN days <= 90 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS within_90d
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "join", "agg", "analytics"),
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    """Ship-SLA attainment ladder by order priority: the share of line
+    items shipped within 30/60/90 days of order placement — the
+    operational CDF-at-fixed-horizons companion to qz255's exact
+    percentiles (ops teams commit to 'X% within 30 days', which reads
+    off THIS table, not a percentile). Day latency is the integer
+    microsecond difference div day (whole-day floor on both engines).
+
+    Exactness: three conditional integer counts per priority with one
+    rational division each, ROUNDed at 1e-6.
+
+    Plan shape at 100 TB: the one orderkey fact-fact shuffle shared
+    with qz255's plan class, then a 5-group map-side-combined
+    aggregate. No window."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    days = F.expr(
+        "timestampdiff(MICROSECOND, o_orderdate, l_shipdate)"
+        " div 86400000000"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"), days.alias("days")
+    )
+    n = F.count(F.lit(1))
+
+    def within(h: int):
+        return F.round(
+            F.sum(F.when(F.col("days") <= h, 1).otherwise(0)) * 1.0 / n,
+            6,
+        )
+
+    return (
+        d.groupBy("priority")
+        .agg(
+            n.cast("bigint").alias("n_lines"),
+            within(30).alias("within_30d"),
+            within(60).alias("within_60d"),
+            within(90).alias("within_90d"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q272_brand_median_discount",
+    oracle="""
+    WITH d AS (SELECT p.p_brand AS brand,
+                      CAST(ROUND(l.l_discount * 100.0, 0) AS INT)
+                        AS pct
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    g AS (SELECT brand, pct, COUNT(*) AS k FROM d GROUP BY 1, 2),
+    t AS (SELECT brand, SUM(k) AS n FROM g GROUP BY 1),
+    w AS (SELECT g.brand, g.pct, t.n,
+                 SUM(g.k) OVER (PARTITION BY g.brand ORDER BY g.pct
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g JOIN t ON t.brand = g.brand)
+    SELECT t.brand, CAST(t.n AS BIGINT) AS n_lines,
+           CAST((SELECT MIN(pct) FROM w
+                 WHERE w.brand = t.brand
+                   AND w.cum >= (t.n + 1) // 2) AS INT)
+             AS median_disc_pct
+    FROM t ORDER BY brand
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median discount percentage per part brand — the grouped-
+    median idiom done the scale-correct way: discounts live on an
+    11-value integer-percent grid, so the median is an exact
+    (n+1)//2 order statistic over GROUPED counts (the qz255/q264
+    integer-rank convention), never a per-group sort of the fact
+    table and never an engine-specific percentile function (DuckDB
+    and Spark interpolate differently; grouped ranks are bit-equal).
+
+    Exactness: integer percent buckets, integer counts, integer rank
+    probe — no floats anywhere.
+
+    Plan shape at 100 TB: part is a gated broadcast onto the fact
+    scan; ONE (brand, pct) map-side-combined count (brands x 11
+    rows); the cumulative window and rank probe run on that bounded
+    table."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    d = li.join(
+        broadcast_if_small(p), li.l_partkey == p.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100.0, 0).cast("int").alias("pct"),
+    )
+    g = d.groupBy("brand", "pct").agg(F.count(F.lit(1)).alias("k"))
+    t = g.groupBy("brand").agg(F.sum("k").alias("n"))
+    w = g.join(t, "brand").select(
+        "brand",
+        "pct",
+        "n",
+        F.sum("k")
+        .over(
+            Window.partitionBy("brand")
+            .orderBy("pct")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    med = (
+        w.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("brand")
+        .agg(F.min("pct").alias("median_disc_pct"))
+    )
+    return (
+        t.join(med, "brand")
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("median_disc_pct").cast("int").alias(
+                "median_disc_pct"
+            ),
+        )
+        .orderBy("brand")
+    )

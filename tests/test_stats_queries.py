@@ -1881,3 +1881,115 @@ def test_hill_tail_matches_order_statistic_reference(spark, sf_dir):
             assert abs(row["alpha"] - alpha) < 1e-6
         else:
             assert row["alpha"] == 0.0
+
+
+def test_interevent_percentiles_match_order_stats(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    ev["gap_s"] = (
+        ev.groupby("user_id")["us"].shift(-1) - ev["us"]
+    ) // 1_000_000
+    g = ev.dropna(subset=["gap_s"])
+    out = _run("q264_interevent_percentiles", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in g.groupby("event_type"):
+        v = np.sort(grp["gap_s"].to_numpy(dtype=np.int64))
+        n = len(v)
+        row = out.loc[et]
+        assert row["n_gaps"] == n
+        assert row["p50_s"] == v[(n + 1) // 2 - 1]
+        assert row["p90_s"] == v[(9 * n + 9) // 10 - 1]
+
+
+def test_transition_entropy_matches_counter_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["nxt"])
+    nt = len(tr)
+    out = _run("q265_transition_entropy", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in tr.groupby("event_type"):
+        k = grp["nxt"].value_counts().to_numpy(dtype=float)
+        n = k.sum()
+        h = np.log(n) - (k * np.log(k)).sum() / n
+        row = out.loc[et]
+        assert row["n_trans"] == int(n)
+        assert abs(row["h_next"] - h) < 1e-6
+        assert abs(row["pi"] - n / nt) < 1e-6
+        assert abs(row["rate_term"] - h * n / nt) < 1e-6
+
+
+def test_time_to_convert_matches_first_touch_reference(spark, sf_dir):
+    ev = _events(sf_dir).copy()
+    ev["us"] = (ev["ts"] - pd.Timestamp("2024-01-01")) // pd.Timedelta(
+        microseconds=1
+    )
+    v = (
+        ev[ev["event_type"] == "view"].groupby("user_id")["us"].min()
+    )
+    pu = ev[ev["event_type"] == "purchase"].merge(
+        v.rename("v_us"), left_on="user_id", right_index=True
+    )
+    pu = pu[pu["us"] > pu["v_us"]]
+    first = pu.groupby("user_id").agg(
+        p_us=("us", "min"), v_us=("v_us", "first")
+    )
+    lat = ((first["p_us"] - first["v_us"]) // _DAY_US).astype(int)
+    lat_sorted = np.sort(lat.to_numpy())
+
+    out = _run("q266_time_to_convert", spark, sf_dir).iloc[0]
+    assert out["n_viewers"] == len(v)
+    assert out["n_converted"] == len(lat)
+    assert abs(out["conv_rate"] - len(lat) / len(v)) < 1e-6
+    assert (
+        out["median_latency_days"]
+        == lat_sorted[(len(lat_sorted) + 1) // 2 - 1]
+    )
+
+
+def test_token_fertility_matches_pandas(spark, sf_dir):
+    d = _docs(sf_dir)
+    toks = d["text"].str.split(" ").str.len()
+    out = _run("q273_token_fertility", spark, sf_dir).set_index("lang")
+    for lang, grp in d.groupby("lang"):
+        t = toks[grp.index]
+        row = out.loc[lang]
+        assert row["n_docs"] == len(grp)
+        assert row["n_tokens"] == t.sum()
+        assert abs(row["tokens_per_doc"] - t.sum() / len(grp)) < 1e-6
+        assert (
+            abs(row["chars_per_token"] - grp["n_chars"].sum() / t.sum())
+            < 1e-6
+        )
+
+
+def test_embedding_isotropy_matches_gram_identity(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    n = len(Mn)
+    s = Mn.sum(axis=0)
+    s2 = float(s @ s)
+    mean_cos_ref = (s2 - n) / (n * (n - 1))
+    # brute-force cross-check of the Gram identity on a subsample so
+    # the test pins the IDENTITY too, not just the folded sums
+    sub = Mn[:500]
+    G = sub @ sub.T
+    brute = (G.sum() - np.trace(G)) / (len(sub) * (len(sub) - 1))
+    ssub = sub.sum(axis=0)
+    ident = (float(ssub @ ssub) - len(sub)) / (len(sub) * (len(sub) - 1))
+    assert abs(brute - ident) < 1e-9
+
+    out = _run("q274_embedding_isotropy", spark, sf_dir).iloc[0]
+    assert out["n_vecs"] == n
+    assert abs(out["mean_pairwise_cos"] - mean_cos_ref) < 1e-6
+    assert abs(out["mean_vector_norm"] - np.sqrt(s2) / n) < 1e-6

@@ -680,3 +680,138 @@ def test_two_nation_volume_symmetric_pairs(spark, sf_dir):
             )
             <= 0.0051
         )
+
+
+# ---------------------------------------------------------------------------
+# round-15 warehouse idioms (q267-q272)
+# ---------------------------------------------------------------------------
+
+
+def test_brand_basket_lift_matches_pandas(spark, sf_dir):
+    li, p = _t(sf_dir, "lineitem"), _t(sf_dir, "part")
+    ob = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"l_orderkey": "ok", "p_brand": "brand"})
+    )
+    n_orders = ob["ok"].nunique()
+    na = ob.groupby("brand").size()
+    pairs = ob.merge(ob, on="ok")
+    pairs = pairs[pairs["brand_y"] > pairs["brand_x"]]
+    nab = pairs.groupby(["brand_x", "brand_y"]).size()
+    nab = nab[nab >= 20]
+    lift = (nab * n_orders / (na.loc[nab.index.get_level_values(0)].values
+                              * na.loc[nab.index.get_level_values(1)].values))
+    ref = (
+        pd.DataFrame({"support": nab, "lift": lift})
+        .reset_index()
+        .sort_values(["lift", "brand_x", "brand_y"],
+                     ascending=[False, True, True])
+        .head(15)
+    )
+    out = _run("q267_brand_basket_lift", spark, sf_dir)
+    assert len(out) == len(ref)
+    for (_, g), (_, r) in zip(ref.iterrows(), out.iterrows()):
+        assert (g["brand_x"], g["brand_y"]) == (r["brand_a"], r["brand_b"])
+        assert r["support"] == g["support"]
+        assert abs(r["lift"] - g["lift"]) < 1e-5
+
+
+def test_yoy_growth_matches_pandas(spark, sf_dir):
+    li, o = _t(sf_dir, "lineitem"), _t(sf_dir, "orders")
+    c, n = _t(sf_dir, "customer"), _t(sf_dir, "nation")
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    # half-UP rounding to match both engines' ROUND (pandas .round is
+    # banker's half-even and drifts a cent on exact .5 boundaries)
+    j["cents"] = np.floor(
+        j["l_extendedprice"] * (1 - j["l_discount"]) * 100.0 + 0.5
+    ).astype("int64")
+    j["yr"] = j["o_orderdate"].dt.year
+    r = j.groupby(["n_name", "yr"])["cents"].sum()
+    out = _run("q268_yoy_nation_growth", spark, sf_dir).set_index(
+        ["nation", "year"]
+    )
+    checked = 0
+    for (nat, yr), cents in r.items():
+        if (nat, yr - 1) in r.index and r[(nat, yr - 1)] > 0:
+            row = out.loc[(nat, yr)]
+            assert abs(row["revenue"] - round(cents / 100.0, 2)) < 1e-6
+            assert (
+                abs(row["yoy"] - (cents - r[(nat, yr - 1)]) / r[(nat, yr - 1)])
+                < 1e-6
+            )
+            checked += 1
+    assert checked == len(out)
+
+
+def test_order_day_streaks_match_islands_reference(spark, sf_dir):
+    o = _t(sf_dir, "orders").copy()
+    o["day"] = (
+        o["o_orderdate"] - pd.Timestamp("1970-01-01")
+    ) // pd.Timedelta(days=1)
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for _, days in o.groupby("o_custkey")["day"]:
+        d = np.sort(days.unique())
+        runs = np.split(d, np.where(np.diff(d) != 1)[0] + 1)
+        hist.update(len(r) for r in runs)
+    out = _run("q269_order_day_streaks", spark, sf_dir).set_index(
+        "streak_len"
+    )
+    assert len(out) == len(hist)
+    for ln, k in hist.items():
+        assert out.loc[ln, "n_streaks"] == k
+
+
+def test_top_order_share_matches_pandas(spark, sf_dir):
+    o, c = _t(sf_dir, "orders").copy(), _t(sf_dir, "customer")
+    o["cents"] = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype("int64")
+    g = o.groupby("o_custkey")["cents"].agg(["max", "sum", "count"])
+    g["share"] = g["max"] / g["sum"]
+    j = g.merge(c, left_index=True, right_on="c_custkey")
+    out = _run("q270_top_order_share", spark, sf_dir).set_index("segment")
+    for seg, grp in j.groupby("c_mktsegment"):
+        row = out.loc[seg]
+        assert row["n_customers"] == len(grp)
+        assert abs(row["avg_top_share"] - grp["share"].mean()) < 1e-6
+        multi = grp[grp["count"] >= 2]
+        assert (
+            abs(row["avg_top_share_multi"] - multi["share"].mean()) < 1e-6
+        )
+
+
+def test_sla_attainment_matches_pandas(spark, sf_dir):
+    li, o = _t(sf_dir, "lineitem"), _t(sf_dir, "orders")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    days = (
+        (j["l_shipdate"] - j["o_orderdate"])
+        // pd.Timedelta(microseconds=1)
+    ) // 86_400_000_000
+    out = _run("q271_sla_attainment", spark, sf_dir).set_index("priority")
+    for pr, d in days.groupby(j["o_orderpriority"]):
+        row = out.loc[pr]
+        assert row["n_lines"] == len(d)
+        for h, col in ((30, "within_30d"), (60, "within_60d"),
+                       (90, "within_90d")):
+            assert abs(row[col] - (d <= h).mean()) < 1e-6
+
+
+def test_brand_median_discount_matches_order_stats(spark, sf_dir):
+    li, p = _t(sf_dir, "lineitem"), _t(sf_dir, "part")
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    pct = np.floor(j["l_discount"] * 100.0 + 0.5).astype(int)
+    out = _run("q272_brand_median_discount", spark, sf_dir).set_index(
+        "brand"
+    )
+    for br, v in pct.groupby(j["p_brand"]):
+        s = np.sort(v.to_numpy())
+        row = out.loc[br]
+        assert row["n_lines"] == len(s)
+        assert row["median_disc_pct"] == s[(len(s) + 1) // 2 - 1]
