@@ -3088,3 +3088,243 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "q275_customer_theil",
+    oracle="""
+    WITH g AS (SELECT o_custkey,
+                      SUM(CAST(ROUND(o_totalprice * 100.0, 0)
+                          AS HUGEINT)) AS c
+               FROM orders GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n, SUM(c) AS x FROM g)
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           ROUND(CAST(t.x AS DOUBLE) / 100.0 / t.n, 2) AS mean_spend,
+           ROUND(SUM((CAST(g.c AS DOUBLE) / t.x)
+                     * LN(t.n * CAST(g.c AS DOUBLE) / t.x)), 6)
+             AS theil
+    FROM g CROSS JOIN t GROUP BY t.n, t.x
+    """,
+    tags=("relational", "agg", "analytics", "stats"),
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil T index of lifetime-spend inequality across customers
+    (Theil 1967): T = Sum (x_i/X) ln(n x_i / X) — 0 when every
+    customer spends equally, ln(n) at total concentration. The
+    decomposable inequality measure (unlike Gini it splits exactly
+    into between-segment + within-segment terms, so this is the base
+    number a per-segment drill-down subtracts from); complements
+    qz167's token Gini (corpus axis) and qz201's daily HHI (mix
+    axis) with the REVENUE concentration axis.
+
+    Exactness: per-customer spend totals are exact integer cents
+    (q241 money rule); the entropy-style fold is one customers-sized
+    float sum of identical per-row expressions (q261 precedent),
+    ROUNDed at 1e-6. Spend is strictly positive, so ln is total.
+
+    Plan shape at 100 TB: one custkey-grouped map-side-combined
+    aggregate of orders, a 1-row broadcast total, one final fold.
+    No window, no join against the fact."""
+    dec = "decimal(38,0)"
+    g = (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast(dec)
+            .alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("c"))
+    )
+    t = g.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("x"))
+    share = F.col("c").cast("double") / F.col("x").cast("double")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .groupBy("n", "x")
+        .agg(
+            F.round(
+                F.sum(share * F.log(F.col("n") * share)), 6
+            ).alias("theil")
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("x").cast("double") / 100.0 / F.col("n"), 2
+            ).alias("mean_spend"),
+            "theil",
+        )
+    )
+
+
+@query(
+    "q276_cohort_ltv",
+    oracle="""
+    WITH o AS (SELECT o_custkey,
+                      CAST(EXTRACT(year FROM o_orderdate) * 12
+                           + EXTRACT(month FROM o_orderdate) - 1
+                        AS BIGINT) AS m,
+                      CAST(ROUND(o_totalprice * 100.0, 0) AS HUGEINT)
+                        AS cents
+               FROM orders),
+    f AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+    r AS (SELECT f.cm, o.m - f.cm AS off, SUM(o.cents) AS cents
+          FROM o JOIN f ON f.o_custkey = o.o_custkey
+          WHERE o.m - f.cm <= 5
+          GROUP BY 1, 2),
+    w AS (SELECT cm, off,
+                 SUM(cents) OVER (PARTITION BY cm ORDER BY off
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM r),
+    n AS (SELECT cm, COUNT(*) AS nc FROM f GROUP BY 1)
+    SELECT CAST(w.cm AS INT) AS cohort_month,
+           CAST(w.off AS INT) AS month_offset,
+           CAST(n.nc AS BIGINT) AS cohort_size,
+           ROUND(CAST(w.cum AS DOUBLE) / 100.0 / n.nc, 2)
+             AS ltv_per_customer
+    FROM w JOIN n ON n.cm = w.cm
+    ORDER BY 1, 2
+    """,
+    tags=("relational", "window", "agg", "analytics"),
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime value: customers cohorted by FIRST-order month,
+    cumulative revenue per customer at month offsets 0..5 — the LTV
+    curve whose level differences across cohorts are the earliest
+    honest signal of acquisition-quality drift (qz143 counts retained
+    USERS per offset; this weights them by money, which is what the
+    payback model actually consumes). The month key is the integer
+    year*12+month index (calendar-field arithmetic on TIMESTAMP_NTZ,
+    no TZ hazard), offsets capped at 5 to bound the output.
+
+    Exactness: revenue accumulates in exact integer cents through the
+    grouped sums AND the cumulative window (all integer); the /100
+    per-customer display division is the only float, ROUNDed 1e-2.
+
+    Plan shape at 100 TB: one custkey-grouped first-order collapse,
+    one custkey join back onto orders (both sides shuffle on the same
+    key once), a months^2-bounded aggregate, and the cumulative
+    window over that bounded table."""
+    dec = "decimal(38,0)"
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("bigint").alias("m"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast(dec).alias(
+            "cents"
+        ),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    r = (
+        o.join(f, "o_custkey")
+        .where(F.col("m") - F.col("cm") <= 5)
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("off"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = r.select(
+        "cm",
+        "off",
+        F.sum("cents")
+        .over(
+            Window.partitionBy("cm")
+            .orderBy("off")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    n = f.groupBy("cm").agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        w.join(n, "cm")
+        .select(
+            F.col("cm").cast("int").alias("cohort_month"),
+            F.col("off").cast("int").alias("month_offset"),
+            F.col("nc").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("cum").cast("double") / 100.0 / F.col("nc"), 2
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+@query(
+    "q277_discount_quantity_corr",
+    oracle="""
+    WITH d AS (SELECT p.p_brand AS brand,
+                      CAST(ROUND(l.l_discount * 100.0, 0) AS BIGINT)
+                        AS dc,
+                      CAST(l.l_quantity AS BIGINT) AS q
+               FROM lineitem l
+               JOIN part p ON p.p_partkey = l.l_partkey),
+    g AS (SELECT brand, COUNT(*) AS n, SUM(dc) AS sd, SUM(q) AS sq,
+                 SUM(CAST(dc AS HUGEINT) * dc) AS sdd,
+                 SUM(CAST(q AS HUGEINT) * q) AS sqq,
+                 SUM(CAST(dc AS HUGEINT) * q) AS sdq
+          FROM d GROUP BY 1)
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           CASE WHEN (n * sdd - CAST(sd AS HUGEINT) * sd) > 0
+                     AND (n * sqq - CAST(sq AS HUGEINT) * sq) > 0
+                THEN ROUND(CAST(n * sdq - CAST(sd AS HUGEINT) * sq
+                                AS DOUBLE)
+                     / SQRT(CAST(n * sdd - CAST(sd AS HUGEINT) * sd
+                                 AS DOUBLE)
+                            * CAST(n * sqq - CAST(sq AS HUGEINT) * sq
+                                   AS DOUBLE)), 6)
+                ELSE 0.0 END AS r
+    FROM g ORDER BY brand
+    """,
+    tags=("relational", "join", "agg", "stats"),
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation between discount percentage and quantity per
+    part brand — the micro-elasticity screen (a strongly positive r
+    says bigger discounts move bigger volumes for that brand; r ~ 0
+    says discounting is noise and the margin giveaway buys nothing).
+    The qz243 integer-moment Pearson machinery applied to a
+    fact-table pair of bounded-domain columns.
+
+    Exactness: discount lives on the integer percent grid, quantity
+    is integer; all five moments are exact decimal(38,0)/HUGEINT;
+    r is one closed-form double with both variance guards (the
+    q244/q248 den>0 convention), ROUNDed at 1e-6.
+
+    Plan shape at 100 TB: part broadcast-gated onto the fact scan,
+    ONE map-side-combined brands-sized aggregate. No second pass."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    dec = "decimal(38,0)"
+    d = li.join(
+        broadcast_if_small(p), li.l_partkey == p.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100.0, 0)
+        .cast("bigint")
+        .alias("dc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = d.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dc").alias("sd"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("dc").cast(dec) * F.col("dc")).alias("sdd"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("sqq"),
+        F.sum(F.col("dc").cast(dec) * F.col("q")).alias("sdq"),
+    )
+    vx = F.col("n") * F.col("sdd") - F.col("sd").cast(dec) * F.col("sd")
+    vy = F.col("n") * F.col("sqq") - F.col("sq").cast(dec) * F.col("sq")
+    cov = F.col("n") * F.col("sdq") - F.col("sd").cast(dec) * F.col("sq")
+    return g.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r"),
+    ).orderBy("brand")

@@ -1593,3 +1593,169 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
 
     out = memo(_SLT, (id(spark), sf), _build, label="last_touch_stream")
     return out
+
+
+# ---------------------------------------------------------------------------
+# q278 — recoverable streaming moments monitor (the third stateful
+# updater family: PSI contingency vectors, MRL summaries, and now raw
+# numeric moments)
+# ---------------------------------------------------------------------------
+
+_MOM_MON: dict[tuple, DataFrame] = {}
+
+# the per-key moments-state contract: shared by q278 and
+# tests/test_monitor_recovery.py (the PSI/MRL DDL rationale — a state
+# schema change that breaks checkpoint recovery must fail CI)
+MOM_MONITOR_OUT_DDL = (
+    "event_type string, n long, s decimal(38,0), ssq decimal(38,0), b long"
+)
+MOM_MONITOR_STATE_DDL = "n long, s decimal(38,0), ssq decimal(38,0), b long"
+
+
+def moments_state_update():
+    """Builder for q278's applyInPandasWithState updater: state is one
+    event type's exact micro-unit value moments (count, sum, sum of
+    squares) plus the batch counter. Sums are COMMUTATIVE over disjoint
+    row sets, so the state after any prefix of batches equals the batch
+    table's moments over that prefix — the same recoverability argument
+    as psi_state_update, with decimal(38,0) state columns because
+    micro-unit squares overflow int64 after ~10 corpus-scale rows
+    (Python ints are arbitrary-precision in the fold; Decimal only at
+    the state/Arrow boundary). Module-level so the recovery test drives
+    the PRODUCTION updater."""
+
+    def upd(key, pdf_iter, state):
+        from decimal import Decimal
+
+        import pandas as pd
+
+        if state.exists:
+            n, s, ssq, b = state.get
+            s, ssq = int(s), int(ssq)
+        else:
+            n, s, ssq, b = 0, 0, 0, 0
+        for pdf in pdf_iter:
+            iv = pdf["iv"].to_numpy(dtype="int64")
+            n += len(iv)
+            s += int(iv.sum())
+            ssq += int((iv.astype(object) ** 2).sum())
+        b += 1
+        state.update((n, Decimal(s), Decimal(ssq), b))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "s": [Decimal(s)],
+                "ssq": [Decimal(ssq)],
+                "b": [b],
+            }
+        )
+
+    return upd
+
+
+@query(
+    "q278_stream_moments_recoverable",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(ROUND(value * 1000000.0, 0) AS HUGEINT)
+                        AS iv
+               FROM events),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(iv) AS s,
+                 SUM(iv * iv) AS ssq
+          FROM e GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean_value,
+           CASE WHEN n > 1
+                THEN ROUND(CAST(n * ssq - s * s AS DOUBLE)
+                     / n / (n - 1) / 1000000000000.0, 6)
+                ELSE 0.0 END AS var_value,
+           CAST(3 AS INT) AS batches
+    FROM g
+    """,
+    tags=("streaming", "stats"),
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-recoverable streaming VALUE-moments monitor per event
+    type — the third recoverable stateful family after q218's PSI
+    contingency vectors and qz192's MRL summaries: exact micro-unit
+    (count, sum, sum-of-squares) state in applyInPandasWithState,
+    emitting running mean and sample variance per type. This is the
+    monitor a revenue/latency feed actually runs first (PSI needs
+    binning policy, KS needs a reference feed; mean/variance need
+    nothing) and the live source for q263's Fano screen.
+
+    Certifies the stream-equals-batch law on the recoverable path:
+    after the 3-batch thirds replay the cumulative moments equal the
+    batch table's exactly (integer sums are commutative over disjoint
+    batches), so mean/var hash-equal the batch oracle; the batches
+    column pins that state actually carried across micro-batches.
+    Kill/restart recovery of the PRODUCTION updater is pinned in
+    tests/test_monitor_recovery.py.
+
+    Scale shape: per-batch work is a vectorized numpy fold per type;
+    state per key is four numbers; the emission is types-sized. The
+    micro-unit squares ride decimal(38,0) state (int64 would wrap
+    after ~10 corpus-scale rows); variance divides the all-integer
+    n*ssq - s^2 once in double (q234 convention)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.replay import run_to_memory
+    from . import memo
+
+    def _monitor() -> DataFrame:
+        ev = _events_stream(spark, sf, layout="thirds", shuffle_n=4).select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000.0, 0)
+            .cast("long")
+            .alias("iv"),
+        )
+        updates = ev.groupBy("event_type").applyInPandasWithState(
+            moments_state_update(),
+            outputStructType=MOM_MONITOR_OUT_DDL,
+            stateStructType=MOM_MONITOR_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        res = run_to_memory(updates, output_mode="update").collect()
+        final: dict[str, object] = {}
+        for r in res:
+            if r.event_type not in final or r.b > final[r.event_type].b:
+                final[r.event_type] = r
+        batches = max(int(r.b) for r in final.values())
+        if batches < 2:
+            raise RuntimeError(
+                "q278 replay mis-batched: moments monitor saw "
+                f"{batches} micro-batches, expected 3"
+            )
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _r6(x: float) -> float:
+            # HALF_UP to match both engines' ROUND (python round() is
+            # banker's and would flip a .5e-6 boundary cross-engine)
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+
+        rows = []
+        for t in sorted(final):
+            r = final[t]
+            n, s, ssq = int(r.n), int(r.s), int(r.ssq)
+            mean = _r6(s / n / 1e6)
+            var = (
+                _r6((n * ssq - s * s) / n / (n - 1) / 1e12)
+                if n > 1
+                else 0.0
+            )
+            rows.append((t, n, mean, var, batches))
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_events bigint, mean_value double,"
+            " var_value double, batches int",
+        )
+
+    return memo(
+        _MOM_MON, (id(spark), sf), _monitor, label="moments_stream"
+    )

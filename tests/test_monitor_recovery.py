@@ -394,3 +394,80 @@ def test_psi_monitor_state_survives_restart(spark, tmp_path):
     for k in ref:
         assert (list(merged[k].counts), merged[k].n, merged[k].b) == (
             list(ref[k].counts), ref[k].n, ref[k].b), k
+
+
+# ----------------------------------------------------------- moments --
+
+
+def _mom_stream(spark, src: str):
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.streaming_q import (
+        MOM_MONITOR_OUT_DDL,
+        MOM_MONITOR_STATE_DDL,
+        moments_state_update,
+    )
+
+    ev = (
+        spark.readStream.schema("event_type string, iv long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        moments_state_update(),
+        outputStructType=MOM_MONITOR_OUT_DDL,
+        stateStructType=MOM_MONITOR_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _mom_batch(spec: dict[str, list[int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "event_type": [t for t, vs in sorted(spec.items())
+                           for _ in vs],
+            "iv": pd.array(
+                [v for _, vs in sorted(spec.items()) for v in vs],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+_MOM_A = _mom_batch({"a": [5, 7, 11], "b": [100]})
+_MOM_B = _mom_batch({"a": [2], "b": [300, 500]})
+_MOM_C = _mom_batch({"a": [13, 17], "b": [700]})
+
+
+def test_moments_monitor_state_survives_restart(spark, tmp_path):
+    """q278's decimal(38,0) moment state: kill after two files, restart
+    on a third — the restored (n, s, ssq) must count pre-restart mass
+    exactly (integer sums are commutative over disjoint batches) and
+    equal the uninterrupted run, proving the decimal state columns
+    round-trip the checkpoint."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src, "0000.parquet", _MOM_A)
+    _write(src, "0001.parquet", _MOM_B)
+    phase1 = _final_by(_run_monitor(spark, _mom_stream(spark, src), ckpt),
+                       "event_type")
+    assert phase1["a"].n == 4 and int(phase1["a"].s) == 25
+    assert int(phase1["a"].ssq) == 25 + 49 + 121 + 4
+    assert phase1["b"].n == 3 and int(phase1["b"].s) == 900
+    assert phase1["a"].b == 2 and phase1["b"].b == 2
+
+    _write(src, "0002.parquet", _MOM_C)
+    rows2 = _run_monitor(spark, _mom_stream(spark, src), ckpt)
+    assert sorted(r.event_type for r in rows2) == ["a", "b"]
+    got = _final_by(rows2, "event_type")
+    assert got["a"].n == 6 and int(got["a"].s) == 55 and got["a"].b == 3
+    assert int(got["a"].ssq) == 25 + 49 + 121 + 4 + 169 + 289
+    assert got["b"].n == 4 and int(got["b"].s) == 1600 and got["b"].b == 3
+
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    for name, pdf in [("0000.parquet", _MOM_A), ("0001.parquet", _MOM_B),
+                      ("0002.parquet", _MOM_C)]:
+        _write(src2, name, pdf)
+    ref = _final_by(_run_monitor(spark, _mom_stream(spark, src2), ckpt2),
+                    "event_type")
+    for k in ("a", "b"):
+        assert (got[k].n, int(got[k].s), int(got[k].ssq), got[k].b) == (
+            ref[k].n, int(ref[k].s), int(ref[k].ssq), ref[k].b)

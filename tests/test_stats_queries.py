@@ -1993,3 +1993,26 @@ def test_embedding_isotropy_matches_gram_identity(spark, sf_dir):
     assert out["n_vecs"] == n
     assert abs(out["mean_pairwise_cos"] - mean_cos_ref) < 1e-6
     assert abs(out["mean_vector_norm"] - np.sqrt(s2) / n) < 1e-6
+
+
+def test_stream_moments_final_emission_matches_numpy(spark, sf_dir):
+    """q278's final emission (the recoverable moments monitor) against
+    a direct numpy recomputation from the parquet — mean/variance of
+    the exact micro-unit values per type."""
+    ev = _events(sf_dir)
+    iv = np.floor(np.abs(ev["value"]) * 1e6 + 0.5) * np.sign(ev["value"])
+    out = _run(
+        "q278_stream_moments_recoverable", spark, sf_dir
+    ).set_index("event_type")
+    for et, grp in iv.groupby(ev["event_type"]):
+        v = grp.to_numpy(dtype=np.int64).astype(object)
+        n = len(v)
+        s, ssq = int(v.sum()), int((v**2).sum())
+        row = out.loc[et]
+        assert row["n_events"] == n
+        assert row["batches"] == 3
+        assert abs(row["mean_value"] - s / n / 1e6) < 1e-6
+        assert (
+            abs(row["var_value"] - (n * ssq - s * s) / n / (n - 1) / 1e12)
+            < 1e-6
+        )

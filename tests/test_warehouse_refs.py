@@ -815,3 +815,61 @@ def test_brand_median_discount_matches_order_stats(spark, sf_dir):
         row = out.loc[br]
         assert row["n_lines"] == len(s)
         assert row["median_disc_pct"] == s[(len(s) + 1) // 2 - 1]
+
+
+def test_customer_theil_matches_inequality_reference(spark, sf_dir):
+    o = _t(sf_dir, "orders")
+    cents = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype("int64")
+    x = cents.groupby(o["o_custkey"]).sum().to_numpy(dtype=float)
+    n, X = len(x), x.sum()
+    theil = float(((x / X) * np.log(n * x / X)).sum())
+    out = _run("q275_customer_theil", spark, sf_dir).iloc[0]
+    assert out["n_customers"] == n
+    assert (
+        abs(out["mean_spend"] - np.floor(X / n + 0.5) / 100.0) < 0.011
+    )
+    assert abs(out["theil"] - theil) < 1e-6
+
+
+def test_cohort_ltv_matches_pandas(spark, sf_dir):
+    o = _t(sf_dir, "orders").copy()
+    o["m"] = (
+        o["o_orderdate"].dt.year * 12 + o["o_orderdate"].dt.month - 1
+    )
+    o["cents"] = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype(
+        "int64"
+    )
+    cm = o.groupby("o_custkey")["m"].min().rename("cm")
+    j = o.merge(cm, left_on="o_custkey", right_index=True)
+    j["off"] = j["m"] - j["cm"]
+    j = j[j["off"] <= 5]
+    r = j.groupby(["cm", "off"])["cents"].sum().sort_index()
+    cum = r.groupby(level=0).cumsum()
+    size = cm.groupby(cm).size()
+    out = _run("q276_cohort_ltv", spark, sf_dir).set_index(
+        ["cohort_month", "month_offset"]
+    )
+    assert len(out) == len(cum)
+    for (cmv, off), c in cum.items():
+        row = out.loc[(cmv, off)]
+        assert row["cohort_size"] == size[cmv]
+        # half-up at 2dp (engine ROUND semantics; python round() is
+        # banker's and drifts a cent on exact half-cent boundaries)
+        assert (
+            abs(row["ltv_per_customer"] - c / 100.0 / size[cmv]) < 0.006
+        )
+
+
+def test_discount_quantity_corr_matches_pearson(spark, sf_dir):
+    li, p = _t(sf_dir, "lineitem"), _t(sf_dir, "part")
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    dc = np.floor(j["l_discount"] * 100.0 + 0.5)
+    q = j["l_quantity"]
+    out = _run("q277_discount_quantity_corr", spark, sf_dir).set_index(
+        "brand"
+    )
+    for br, idx in j.groupby("p_brand").groups.items():
+        r_ref = np.corrcoef(dc[idx], q[idx])[0, 1]
+        row = out.loc[br]
+        assert row["n_lines"] == len(idx)
+        assert abs(row["r"] - r_ref) < 1e-6
