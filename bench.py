@@ -220,6 +220,14 @@ def render_line(
             break
         short.pop(k)
         line = render(short)
+    # final lever: a long >=2s build list can alone overflow the budget
+    # (21 builds did at 273 queries) — drop smallest builds ascending;
+    # the full map is in BENCH_DETAIL.json either way.
+    for k in sorted(builds, key=lambda k: builds[k]):
+        if len(line) <= budget:
+            break
+        builds.pop(k)
+        line = render(short)
     return line
 
 

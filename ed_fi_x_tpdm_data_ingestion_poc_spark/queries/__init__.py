@@ -39,20 +39,42 @@ _BUILD_LOCK = threading.RLock()
 BUILD_TIMES: dict[str, float] = {}
 
 
+# nesting accumulator for memo(): each in-flight build tracks how much
+# of its wall-clock was already attributed to LABELED child builds, so
+# BUILD_TIMES is additive (exclusive per label). Without this, whichever
+# query happens to build first under the current alphabetical order
+# absorbs its dependencies' cold builds into its own label — the r15
+# name rotation made q196's label jump 6.9 -> 19.7 s purely because it
+# now sorted before the ks_pairs/summaries consumers that used to pay
+# those builds. Guarded by _BUILD_LOCK, so a plain list works.
+_BUILD_STACK: list[float] = []
+
+
 def memo(cache: dict, key, build, label: str | None = None):
     """Thread-safe build-once memoization: cache[key] = build() exactly once.
-    With `label`, the (cold) build's wall-clock is accumulated into
-    BUILD_TIMES under that name."""
+    With `label`, the (cold) build's wall-clock EXCLUSIVE of nested
+    labeled builds is accumulated into BUILD_TIMES under that name
+    (nested artifact builds report under their own labels; unlabeled
+    children stay in the parent)."""
     import time
 
     with _BUILD_LOCK:
         if key not in cache:
+            _BUILD_STACK.append(0.0)
             t0 = time.perf_counter()
             cache[key] = build()
+            elapsed = time.perf_counter() - t0
+            child_labeled = _BUILD_STACK.pop()
             if label is not None:
                 BUILD_TIMES[label] = round(
-                    BUILD_TIMES.get(label, 0.0) + time.perf_counter() - t0, 3
+                    BUILD_TIMES.get(label, 0.0) + elapsed - child_labeled,
+                    3,
                 )
+                contrib = elapsed  # whole subtree now under some label
+            else:
+                contrib = child_labeled  # only labeled descendants
+            if _BUILD_STACK:
+                _BUILD_STACK[-1] += contrib
         return cache[key]
 
 

@@ -337,3 +337,72 @@ def test_interval_join_hash_form_equals_sortmerge(spark):
         ).collect()
     }
     assert smj == shj and len(smj) > 200
+
+
+def test_memo_build_times_are_exclusive_of_nested_labels():
+    """r15: BUILD_TIMES must be ADDITIVE — a labeled build that builds
+    another labeled artifact inside reports only its own time, so the
+    bench's build_s no longer depends on which query happens to build
+    first under the current alphabetical order (the name rotation made
+    q196's label absorb its dependencies' cold builds)."""
+    import time
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark import queries as Q
+
+    cache: dict = {}
+    saved = dict(Q.BUILD_TIMES)
+    try:
+        Q.BUILD_TIMES.clear()
+
+        def child():
+            time.sleep(0.05)
+            return "c"
+
+        def unlabeled_mid():
+            # unlabeled: its own 0.02 s stays with the PARENT, but its
+            # labeled child's time must not
+            Q.memo(cache, "child", child, label="t_child")
+            time.sleep(0.02)
+            return "m"
+
+        def parent():
+            Q.memo(cache, "mid", unlabeled_mid)  # no label
+            time.sleep(0.03)
+            return "p"
+
+        Q.memo(cache, "parent", parent, label="t_parent")
+        assert 0.04 <= Q.BUILD_TIMES["t_child"] <= 0.2
+        # parent keeps its 0.03 + the unlabeled 0.02, NOT the child 0.05
+        assert 0.04 <= Q.BUILD_TIMES["t_parent"] <= 0.2
+        assert (
+            Q.BUILD_TIMES["t_parent"] + Q.BUILD_TIMES["t_child"]
+            <= 0.25
+        )
+    finally:
+        Q.BUILD_TIMES.clear()
+        Q.BUILD_TIMES.update(saved)
+
+
+def test_bench_line_trims_builds_as_final_lever():
+    """Even a pathological >=2s build list (60 heavy artifacts) must not
+    push the line past the budget — smallest builds drop; the detail
+    file keeps them all."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    per_query = {f"q{i:03d}_x": 99.99 for i in range(300)}
+    builds = {f"very_long_artifact_name_{i:02d}": 2.0 + i for i in range(60)}
+    line = bench.render_line(per_query, builds, 9.9, 0.1, 8)
+    assert len(line) <= 1600, len(line)
+    parsed = json.loads(line)
+    kept = parsed["build_s"]
+    # the kept builds are the LARGEST ones
+    assert all(v >= max(builds.values()) - len(builds) for v in kept.values())
