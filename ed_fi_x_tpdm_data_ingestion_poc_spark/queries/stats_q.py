@@ -5889,3 +5889,383 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
             .alias("alpha"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q279-q286 — round-15 second wave: re-identification risk, the Lorenz
+# curve, the seasonal-naive forecast baseline, corpus independence, and
+# the embedding variance profile.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_kanonymity_risk",
+    oracle=f"""
+    WITH {_DAILY_SQL.replace("event_type,", "user_id, event_type,").replace("GROUP BY 1, 2", "GROUP BY 1, 2, 3").replace("SELECT event_type", "SELECT user_id, event_type")},
+    u AS (SELECT user_id, MIN(day) AS f_day,
+                 COUNT(DISTINCT day) AS act, SUM(c) AS n_ev
+          FROM c GROUP BY 1),
+    cls AS (SELECT f_day, act, n_ev, COUNT(*) AS k
+            FROM u GROUP BY 1, 2, 3),
+    t AS (SELECT SUM(k) AS n,
+                 SUM(CASE WHEN k = 1 THEN k ELSE 0 END) AS uniq,
+                 SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS lt5
+          FROM cls)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(uniq AS BIGINT) AS n_unique,
+           CAST(lt5 AS BIGINT) AS n_below_k5,
+           ROUND(CAST(uniq AS DOUBLE) / n, 6) AS share_unique,
+           ROUND(CAST(lt5 AS DOUBLE) / n, 6) AS share_below_k5
+    FROM t
+    """,
+    tags=("events", "stats", "quality"),
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity re-identification screen on the behavioral
+    quasi-identifier (first-activity day, active-day count, event
+    count): how many users are UNIQUE on that triple, and how many sit
+    in equivalence classes smaller than k=5 (Sweeney 2002) — the
+    release gate a pseudonymized event export must pass, because a
+    unique behavioral fingerprint re-identifies without any stored ID
+    (the operational companion to the PII scrub in operators/text.py:
+    scrubbing strings does nothing about fingerprint uniqueness).
+
+    Exactness: the quasi-identifier triple, class sizes and both risk
+    counts are exact integers; two rational divisions ROUNDed 1e-6.
+
+    Scale shape: one (user, day) collapse (the daily artifact keyed by
+    user), one user-grouped reduce, one QI-grouped count — three
+    map-side-combinable aggregates, output is one row. At 100 TB the
+    QI table is bounded by distinct triples, far below users."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " timestamp_ntz'2024-01-01 00:00:00', ts)"
+    )
+    e = table(spark, sf, "events").select(
+        "user_id", F.floor(us / 86_400_000_000).alias("day")
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("day").alias("f_day"),
+        F.countDistinct("day").alias("act"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    cls = u.groupBy("f_day", "act", "n_ev").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    t = cls.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.when(F.col("k") == 1, F.col("k")).otherwise(0)).alias(
+            "uniq"
+        ),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+            "lt5"
+        ),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("uniq").cast("bigint").alias("n_unique"),
+        F.col("lt5").cast("bigint").alias("n_below_k5"),
+        F.round(F.col("uniq").cast("double") / F.col("n"), 6).alias(
+            "share_unique"
+        ),
+        F.round(F.col("lt5").cast("double") / F.col("n"), 6).alias(
+            "share_below_k5"
+        ),
+    )
+
+
+@query(
+    "q280_lorenz_deciles",
+    oracle="""
+    WITH g AS (SELECT o_custkey,
+                      SUM(CAST(ROUND(o_totalprice * 100.0, 0)
+                          AS HUGEINT)) AS cents
+               FROM orders GROUP BY 1),
+    r AS (SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM g),
+    d AS (SELECT (10 * rk + n - 1) // n AS decile, cents FROM r),
+    s AS (SELECT decile, COUNT(*) AS nc, SUM(cents) AS c
+          FROM d GROUP BY 1),
+    t AS (SELECT SUM(c) AS tot FROM s)
+    SELECT CAST(s.decile AS INT) AS decile,
+           CAST(s.nc AS BIGINT) AS n_customers,
+           ROUND(CAST(s.c AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(s.c AS DOUBLE) / t.tot, 6) AS share
+    FROM s CROSS JOIN t ORDER BY decile
+    """,
+    tags=("relational", "stats", "analytics"),
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz curve in decile form: customers ranked ascending by
+    lifetime spend, each decile's revenue share — the CURVE whose
+    scalar summaries this registry already carries (q275 Theil,
+    qz167-style Gini): 'the bottom half of customers contributes 9%
+    of revenue' reads off THIS table, and the decile grid is what a
+    pricing deck actually plots. Decile assignment is the exact
+    integer ceil(10*rk/n) on a totally-tiebroken (cents, custkey)
+    rank, so equal-spend customers split deterministically
+    cross-engine.
+
+    Exactness: spend is integer cents; rank, decile and counts are
+    exact integers; the /100 display and the share are the only float
+    divisions, ROUNDed 1e-2/1e-6.
+
+    Scale shape: one custkey-grouped collapse of orders, then a
+    customers-sized global rank. The rank rides ROW_NUMBER over the
+    AGGREGATED (customers-sized) table — acceptable at dimension
+    scale; the corpus-scale variant is the global_running_sums
+    two-pass prefix sum qz241 uses, and this query would switch to it
+    the day the customer dimension stops fitting a sort."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    g = (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast(dec)
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    r = g.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    d = r.select(
+        F.expr("(10 * rk + n - 1) div n").alias("decile"), "cents"
+    )
+    s = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("cents").alias("c")
+    )
+    t = s.agg(F.sum("c").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("nc").cast("bigint").alias("n_customers"),
+            F.round(F.col("c").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("c").cast("double") / F.col("tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q283_seasonal_naive_mape",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    j AS (SELECT a.event_type,
+                 ABS(a.c - b.c) * 1.0 / a.c AS ape
+          FROM c a JOIN c b ON b.event_type = a.event_type
+                           AND b.day = a.day - 7)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(AVG(ape), 6) AS mape
+    FROM j GROUP BY 1
+    """,
+    tags=("events", "stats", "analytics"),
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast baseline: MAPE of predicting each day's
+    per-type volume with the SAME WEEKDAY LAST WEEK — the skill floor
+    every fancier forecaster must beat (Hyndman's M-competition
+    lesson: report model error RELATIVE to the naive baseline, or a
+    'good' MAPE is just an easy series). Pairs are gap-aware (join on
+    day-7 exactly, the q256 convention); daily counts are strictly
+    positive so the percentage is total.
+
+    Exactness: counts exact; each APE term is one rational of
+    integers; the per-type AVG folds ~days terms in double, ROUNDed
+    1e-6.
+
+    Scale shape: one day-shifted self-join of the memoized daily
+    artifact (types x days), one aggregate."""
+    from .analysis_q import daily_type_counts
+
+    c = daily_type_counts(spark, sf)
+    a = c.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("aday"),
+        F.col("c").alias("ac"),
+    )
+    b = c.select(
+        F.col("event_type").alias("bet"),
+        F.col("day").alias("bday"),
+        F.col("c").alias("bc"),
+    )
+    j = a.join(
+        b,
+        (F.col("bet") == F.col("et"))
+        & (F.col("bday") == F.col("aday") - 7),
+    ).select(
+        "et",
+        (
+            F.abs(F.col("ac") - F.col("bc")) * 1.0 / F.col("ac")
+        ).alias("ape"),
+    )
+    return j.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.avg("ape"), 6).alias("mape"),
+    )
+
+
+@query(
+    "q285_lang_source_independence",
+    oracle="""
+    WITH o AS (SELECT lang, source, COUNT(*) AS o
+               FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, SUM(o) AS rt FROM o GROUP BY 1),
+    ct AS (SELECT source, SUM(o) AS ct FROM o GROUP BY 1),
+    st AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r,
+                  COUNT(DISTINCT source) AS cc
+           FROM o),
+    cell AS (SELECT rt.rt, ct.ct, COALESCE(o.o, 0) AS o
+             FROM rt CROSS JOIN ct
+             LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+    t AS (SELECT SUM(POWER(CAST(CAST(o AS HUGEINT) * st.n
+                                - CAST(rt AS HUGEINT) * ct AS DOUBLE), 2)
+                     / (CAST(rt AS DOUBLE) * ct * st.n)) AS chi2,
+                 MAX(st.n) AS n, MAX(st.r) AS r, MAX(st.cc) AS cc
+          FROM cell CROSS JOIN st)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST((r - 1) * (cc - 1) AS INT) AS df,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, cc - 1))), 6)
+             AS cramers_v
+    FROM t
+    """,
+    tags=("llm", "stats", "text"),
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence of language and source in the document
+    corpus, with Cramér's V — qz233's contingency machinery pointed at
+    the CORPUS mix: a high V means language is concentrated in a few
+    sources, so any source-level dedup/filter decision silently
+    reweights languages (the mixture-shift failure mode qz128's
+    temperature sampler then amplifies). The zero-filled margin grid
+    and decimal(38,0) operand-first numerator are the qz233
+    conventions verbatim.
+
+    Scale shape: one (lang, source) grouped count — langs x sources
+    bounded — then margin joins on that bounded grid."""
+    o = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = o.groupBy("lang").agg(F.sum("o").alias("rt"))
+    ct = o.groupBy("source").agg(F.sum("o").alias("ct"))
+    st = o.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("cc"),
+    )
+    cell = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["lang", "source"], "left")
+        .select("rt", "ct", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(st))
+    )
+    dec = "decimal(38,0)"
+    diff = F.col("o").cast(dec) * F.col("n") - F.col("rt").cast(
+        dec
+    ) * F.col("ct")
+    term = F.pow(diff.cast("double"), F.lit(2.0)) / (
+        F.col("rt").cast("double") * F.col("ct") * F.col("n")
+    )
+    t = cell.agg(
+        F.sum(term).alias("chi2"),
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("cc").alias("cc"),
+    )
+    return t.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        ((F.col("r") - 1) * (F.col("cc") - 1)).cast("int").alias("df"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q286_embedding_dim_variance",
+    oracle="""
+    WITH x AS (SELECT u.idx - 1 AS i, CAST(u.val AS DOUBLE) AS v
+               FROM (SELECT unnest(embedding) AS val,
+                            generate_subscripts(embedding, 1) AS idx
+                     FROM embeddings) u),
+    s AS (SELECT i, COUNT(*) AS n, SUM(v) AS sv,
+                 SUM(v * v) AS svv
+          FROM x GROUP BY 1),
+    vv AS (SELECT i, (svv - sv * sv / n) / n AS var FROM s),
+    t AS (SELECT SUM(var) AS tot FROM vv)
+    SELECT CAST(vv.i AS INT) AS dim,
+           ROUND(vv.var, 6) AS variance,
+           ROUND(vv.var / t.tot, 6) AS var_share
+    FROM vv CROSS JOIN t ORDER BY dim
+    """,
+    tags=("llm", "stats", "embedding"),
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding table with each
+    dimension's share of total variance — the cheap PCA-lite screen
+    run BEFORE qz127's actual PCA: a handful of dimensions carrying
+    most of the variance means rogue feature scaling or a collapsed
+    encoder (and directly degrades qz103's PQ codebooks, which assume
+    roughly balanced sub-spaces). Population variance (the
+    trace-of-covariance decomposition) per dimension, one pass.
+
+    Exactness: per-dim count/sum/sum-of-squares are float folds of
+    identical per-row expressions (q249/q274 precedent; absolute
+    error orders below 1e-6 ROUND); variance and share are closed
+    forms over them.
+
+    Scale shape: posexplode to (dim, value), ONE d-bounded (64-group)
+    map-side-combined aggregate, then d-sized arithmetic. Same plan
+    class as q274."""
+    e = table(spark, sf, "embeddings")
+    x = e.select(
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("i", "v")
+    )
+    s = x.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    vv = s.select(
+        "i",
+        (
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / F.col("n")
+        ).alias("var"),
+    )
+    t = vv.agg(F.sum("var").alias("tot"))
+    return (
+        vv.crossJoin(F.broadcast(t))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round(F.col("var"), 6).alias("variance"),
+            F.round(F.col("var") / F.col("tot"), 6).alias("var_share"),
+        )
+        .orderBy("dim")
+    )

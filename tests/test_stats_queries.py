@@ -2016,3 +2016,99 @@ def test_stream_moments_final_emission_matches_numpy(spark, sf_dir):
             abs(row["var_value"] - (n * ssq - s * s) / n / (n - 1) / 1e12)
             < 1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# round-15 second wave (q279/q280/q283/q285/q286)
+# ---------------------------------------------------------------------------
+
+
+def test_kanonymity_matches_fingerprint_reference(spark, sf_dir):
+    ev = _events(sf_dir)
+    day = (
+        (ev["ts"] - pd.Timestamp("2024-01-01"))
+        // pd.Timedelta(microseconds=1)
+    ) // _DAY_US
+    u = pd.DataFrame({"u": ev["user_id"], "day": day}).groupby("u").agg(
+        f_day=("day", "min"), act=("day", "nunique"), n_ev=("day", "size")
+    )
+    k = u.groupby(["f_day", "act", "n_ev"]).size()
+    qi = u.merge(
+        k.rename("k"), left_on=["f_day", "act", "n_ev"], right_index=True
+    )["k"]
+    out = _run("q279_kanonymity_risk", spark, sf_dir).iloc[0]
+    assert out["n_users"] == len(u)
+    assert out["n_unique"] == int((qi == 1).sum())
+    assert out["n_below_k5"] == int((qi < 5).sum())
+    assert abs(out["share_unique"] - (qi == 1).mean()) < 1e-6
+    assert abs(out["share_below_k5"] - (qi < 5).mean()) < 1e-6
+
+
+def test_lorenz_deciles_match_rank_reference(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.floor(o["o_totalprice"] * 100.0 + 0.5).astype("int64")
+    g = cents.groupby(o["o_custkey"]).sum().reset_index(name="c")
+    g = g.sort_values(["c", "o_custkey"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(g)
+    g["decile"] = (10 * (g.index + 1) + n - 1) // n
+    ref = g.groupby("decile")["c"].agg(["size", "sum"])
+    tot = g["c"].sum()
+    out = _run("q280_lorenz_deciles", spark, sf_dir).set_index("decile")
+    assert len(out) == len(ref)
+    for dec_i, r in ref.iterrows():
+        row = out.loc[dec_i]
+        assert row["n_customers"] == r["size"]
+        assert abs(row["share"] - r["sum"] / tot) < 1e-6
+    # Lorenz monotonicity: shares ascend with the decile
+    assert (out["share"].diff().dropna() >= -1e-12).all()
+
+
+def test_seasonal_naive_mape_matches_reference(spark, sf_dir):
+    c = _day_counts(_events(sf_dir))
+    out = _run("q283_seasonal_naive_mape", spark, sf_dir).set_index(
+        "event_type"
+    )
+    for et, grp in c.groupby("event_type"):
+        s = grp.set_index("day")["c"]
+        prev = s.copy()
+        prev.index = prev.index + 7
+        pair = pd.concat(
+            [s.rename("a"), prev.rename("p")], axis=1, join="inner"
+        )
+        ape = (pair["a"] - pair["p"]).abs() / pair["a"]
+        row = out.loc[et]
+        assert row["n_terms"] == len(pair)
+        assert abs(row["mape"] - ape.mean()) < 1e-6
+
+
+def test_lang_source_independence_matches_chi2(spark, sf_dir):
+    d = _docs(sf_dir)
+    tab = d.groupby(["lang", "source"]).size().unstack(fill_value=0)
+    obs = tab.to_numpy(dtype=float)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    r, cc = obs.shape
+    out = _run("q285_lang_source_independence", spark, sf_dir).iloc[0]
+    assert out["n_docs"] == int(n)
+    assert out["df"] == (r - 1) * (cc - 1)
+    assert abs(out["chi2"] - chi2) < 1e-5
+    assert (
+        abs(out["cramers_v"] - np.sqrt(chi2 / (n * min(r - 1, cc - 1))))
+        < 1e-6
+    )
+
+
+def test_embedding_dim_variance_matches_numpy(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    var = M.var(axis=0)
+    out = _run("q286_embedding_dim_variance", spark, sf_dir).set_index(
+        "dim"
+    )
+    assert len(out) == M.shape[1]
+    for i in range(M.shape[1]):
+        assert abs(out.loc[i, "variance"] - var[i]) < 1e-6
+        assert abs(out.loc[i, "var_share"] - var[i] / var.sum()) < 1e-6
