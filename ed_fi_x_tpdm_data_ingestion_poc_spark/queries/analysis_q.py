@@ -2784,7 +2784,10 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: gaps from the materialize-once user_seq artifact;
     ONE (type, gap_s) grouped count (bounded by types x distinct
     seconds, not events); a per-type cumulative window over that
-    bounded table; two rank probes. The corpus is never re-sorted."""
+    bounded table; two rank probes. The corpus is never re-sorted.
+    Measured (tools/scale_probe.py interevent_percentiles, sf0.1, 10x
+    events with DISJOINT users so the gap domain itself grows):
+    1.24 -> 2.54 s — 0.21x the linear law."""
     from pyspark.sql import Window
 
     g = (

@@ -2666,7 +2666,11 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
     collapse shuffles the fact ONCE on orderkey; the pair self-join
     re-uses that orderkey partitioning (no second fact exchange);
     margins and the 1-row total are broadcast back onto a
-    brands^2-bounded pair table; top-15 is TakeOrderedAndProject."""
+    brands^2-bounded pair table; top-15 is TakeOrderedAndProject.
+    Measured (tools/scale_probe.py basket_pair_lift, sf0.1, 10x
+    lineitem with disjoint orderkeys — the pair table grows linearly
+    with orders while pairs-per-order stays bounded): 1.27 -> 7.38 s,
+    0.58x the linear law."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part")
     ob = (

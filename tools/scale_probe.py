@@ -1171,6 +1171,96 @@ def main() -> None:
         )
     )
 
+    # q264's exact gap percentiles under `factor`x events with DISJOINT
+    # users: the (type, gap_s) grouped domain grows with the data (new
+    # users mint new gap values), so this measures the grouped-count +
+    # bounded-window rank probe against the worst growth direction.
+    def _gap_pct(e):
+        from pyspark.sql import Window as _W2
+
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'2024-01-01 00:00:00', ts)"
+        )
+        w = _W2.partitionBy("user_id").orderBy("us", "event_id")
+        g = (
+            e.select("user_id", "event_id", "event_type", us.alias("us"))
+            .select(
+                "event_type",
+                F.expr(
+                    "(lead(us) over (partition by user_id"
+                    " order by us, event_id) - us) div 1000000"
+                ).alias("gap_s"),
+            )
+            .where(F.col("gap_s").isNotNull())
+            .groupBy("event_type", "gap_s")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        t = g.groupBy("event_type").agg(F.sum("k").alias("n"))
+        w2 = g.join(t, "event_type").select(
+            "event_type", "gap_s", "n",
+            F.sum("k").over(
+                _W2.partitionBy("event_type").orderBy("gap_s")
+                .rowsBetween(_W2.unboundedPreceding, _W2.currentRow)
+            ).alias("cum"),
+        )
+        return (
+            w2.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min("gap_s").alias("p50"))
+            .count()
+        )
+
+    ev0 = table(spark, sf_dir, "events")
+    ev_big = inflate(ev0, factor, ["event_id", "user_id"]).persist()
+    ev_big.count()
+    _gap_pct(ev0)  # warm
+    t0 = time.perf_counter(); _gap_pct(ev0); t_gb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _gap_pct(ev_big); t_gg = time.perf_counter() - t0
+    ev_big.unpersist()
+    print(json.dumps({
+        "probe": "interevent_percentiles",
+        "factor": factor,
+        "sec_base": round(t_gb, 2),
+        "sec_big": round(t_gg, 2),
+        "growth_vs_linear": round(t_gg / (t_gb * factor), 2),
+    }))
+
+    # q267's basket-pair fan-out under `factor`x lineitem with DISJOINT
+    # orderkeys: pairs-per-order stays bounded (<= C(brands,2)), so the
+    # pair table grows linearly with orders — the law that makes
+    # brand-level (not partkey-level) pairing the scale-honest choice.
+    def _basket(li, p):
+        ob = (
+            li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("p_brand").alias("brand"))
+            .distinct()
+        )
+        a = ob.select("ok", F.col("brand").alias("ba"))
+        b = ob.select(F.col("ok").alias("ok2"), F.col("brand").alias("bb"))
+        return (
+            a.join(b, (F.col("ok2") == F.col("ok"))
+                   & (F.col("bb") > F.col("ba")))
+            .groupBy("ba", "bb").agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    p0 = table(spark, sf_dir, "part")
+    li_ord_big = inflate(li0, factor, ["l_orderkey"]).persist()
+    li_ord_big.count()
+    _basket(li0, p0)  # warm
+    t0 = time.perf_counter(); _basket(li0, p0); t_bb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _basket(li_ord_big, p0); t_bg = time.perf_counter() - t0
+    li_ord_big.unpersist()
+    print(json.dumps({
+        "probe": "basket_pair_lift",
+        "factor": factor,
+        "sec_base": round(t_bb, 2),
+        "sec_big": round(t_bg, 2),
+        "growth_vs_linear": round(t_bg / (t_bb * factor), 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
