@@ -741,3 +741,49 @@ def test_pareto_warm_query_reads_cached_artifact(spark, sf_dir):
         .toString()
     )
     assert "InMemoryTableScan" in plan
+
+
+def test_round15_shapes_plan_contracts(spark, sf_dir):
+    """Scale contracts of the round-15 additions:
+
+    * q267 basket lift: part rides a broadcast (gated), the pair
+      self-join re-uses the orderkey collapse — no cartesian anywhere
+      and at most the distinct + pair exchanges touch fact-sized data.
+    * q268 YoY: nation/customer joins broadcast at test scale; the
+      yr-1 self-join runs on the bounded nations x years aggregate —
+      no second fact-sized exchange pair.
+    * q271 SLA ladder: ONE fact-fact join, no window.
+    * q279 k-anonymity: three grouped aggregates, zero joins.
+    * q286 dim variance: no joins except the 1-row total broadcast;
+      the only Python node is zero (pure JVM posexplode + agg).
+    * none of the nine new batch shapes contains a cartesian product
+      or a row-Python node (the EXPLAIN.md invariant, pinned in-test
+      for the new rows)."""
+    for name in (
+        "q267_brand_basket_lift",
+        "q268_yoy_nation_growth",
+        "q269_order_day_streaks",
+        "q270_top_order_share",
+        "q271_sla_attainment",
+        "q272_brand_median_discount",
+        "q275_customer_theil",
+        "q276_cohort_ltv",
+        "q280_lorenz_deciles",
+    ):
+        f = audit(_build(spark, sf_dir, name))
+        assert f.cartesian_products == 0, (name, f)
+        assert f.python_evals == 0, (name, f)
+
+    f = audit(_build(spark, sf_dir, "q267_brand_basket_lift"))
+    assert f.broadcast_joins >= 3, f  # part + two margin joins + total
+
+    f = audit(_build(spark, sf_dir, "q271_sla_attainment"))
+    assert f.sortmerge_joins + f.shuffled_hash_joins + f.broadcast_joins >= 1
+    assert "WindowExec" not in str(f), f
+
+    f = audit(_build(spark, sf_dir, "q279_kanonymity_risk"))
+    assert (
+        f.broadcast_joins + f.sortmerge_joins
+        + f.shuffled_hash_joins + f.cartesian_products == 0
+    ), f
+    assert f.partial_aggs >= 1, f
