@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Open-ended lower bound for base-snapshot versions: predates any change ts.
+# All interval endpoints are TIMESTAMP_NTZ (calendar-pure wall clocks,
+# the repo's TZ-free convention): a TZ-ful TimestampType here round-trips
+# through the session zone's HISTORICAL rules, and pre-1920 LMT offsets
+# (e.g. Asia/Kathmandu 1900 = +5:41:16) shift the 1900 base epoch by
+# seconds between engines — caught by the r15 hostile-TZ full sweep.
 BASE_EPOCH = "1900-01-01 00:00:00"
 
 
@@ -54,19 +59,19 @@ def merge_scd2(
     versions = changes.select(
         *keys,
         *attrs,
-        F.col(ts_col).cast("timestamp").alias("valid_from"),
-        F.lead(F.col(ts_col).cast("timestamp")).over(w).alias("valid_to"),
+        F.col(ts_col).cast("timestamp_ntz").alias("valid_from"),
+        F.lead(F.col(ts_col).cast("timestamp_ntz")).over(w).alias("valid_to"),
     )
 
     first_change = changes.groupBy(*keys).agg(
-        F.min(F.col(ts_col).cast("timestamp")).alias("valid_to")
+        F.min(F.col(ts_col).cast("timestamp_ntz")).alias("valid_to")
     )
     base_rows = base.select(*keys, *attrs).join(
         first_change, on=keys, how="left"
     ).select(
         *keys,
         *attrs,
-        F.lit(BASE_EPOCH).cast("timestamp").alias("valid_from"),
+        F.lit(BASE_EPOCH).cast("timestamp_ntz").alias("valid_from"),
         F.col("valid_to"),
     )
 
@@ -110,13 +115,13 @@ def apply_scd2_batch(
     newv = batch.select(
         *keys,
         *attrs,
-        F.col(ts_col).cast("timestamp").alias("valid_from"),
-        F.lead(F.col(ts_col).cast("timestamp")).over(w).alias("valid_to"),
+        F.col(ts_col).cast("timestamp_ntz").alias("valid_from"),
+        F.lead(F.col(ts_col).cast("timestamp_ntz")).over(w).alias("valid_to"),
     ).withColumn(
         "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
     )
     firstb = batch.groupBy(*keys).agg(
-        F.min(F.col(ts_col).cast("timestamp")).alias("__new_first__")
+        F.min(F.col(ts_col).cast("timestamp_ntz")).alias("__new_first__")
     )
     closed = (
         history.join(F.broadcast(firstb), on=keys, how="left")
@@ -163,8 +168,8 @@ class Scd2Store:
         seed = base.select(
             *self._keys,
             *self._attrs,
-            F.lit(BASE_EPOCH).cast("timestamp").alias("valid_from"),
-            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(BASE_EPOCH).cast("timestamp_ntz").alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
             F.lit(1).alias("is_current"),
         )
         self._hist = seed.localCheckpoint(eager=True)
@@ -197,7 +202,7 @@ def asof_snapshot(
     by partition/file stats on valid_from when the history is written
     sorted or Z-ordered on it (sinks/layout.py). Keys inserted after
     `ts` simply have no matching interval and drop out."""
-    t = F.lit(ts).cast("timestamp")
+    t = F.lit(ts).cast("timestamp_ntz")
     return history.filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

@@ -355,7 +355,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz49c_stream_session",
+    "q49c_stream_session",
     oracle="""
     WITH w AS (SELECT user_id, ts, value,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -391,10 +391,25 @@ def q49c(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.replay import run_to_memory
 
     res = run_to_memory(sess, output_mode="append")
+
+    # The replay's TimestampType carries the file's NAIVE micros as
+    # internal UTC micros (the parquet reader does not rebase), so the
+    # TZ-free wall clock is the UTC rendering — but a plain collect()
+    # renders in the SESSION zone and shifts under a non-UTC driver
+    # (r15 hostile-TZ sweep caught +5:45 under Asia/Kathmandu).
+    # cast->NTZ snapshots the session-zone wall clock; convert_timezone
+    # back to UTC restores the file's naive value, identically on any
+    # session TZ (identity under UTC, so certified hashes are unmoved).
+    def _ntz(c: str):
+        return F.expr(
+            "convert_timezone(current_timezone(), 'UTC',"
+            f" cast({c} as timestamp_ntz))"
+        )
+
     return res.filter(F.col("user_id") >= 0).select(
         "user_id",
-        F.col("session_window.start").alias("session_start"),
-        F.col("session_window.end").alias("session_end"),
+        _ntz("session_window.start").alias("session_start"),
+        _ntz("session_window.end").alias("session_end"),
         "n_events",
         "sum_value",
     )
@@ -538,7 +553,7 @@ def q49g(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "qz49i_stream_cdc_scd2",
+    "q49i_stream_cdc_scd2",
     oracle="""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),

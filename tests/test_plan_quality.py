@@ -216,7 +216,7 @@ def test_scd2_no_nested_loop_single_feed_window(spark, sf_dir):
     """q49b: history merge is window + join + union — no nested-loop/
     cartesian anywhere, and the base join may be broadcast or shuffled
     but must be an equi join."""
-    f = audit(_build(spark, sf_dir, "qz49b_scd2_history"))
+    f = audit(_build(spark, sf_dir, "q49b_scd2_history"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
     assert f.joins >= 1
 

@@ -102,3 +102,36 @@ def test_empty_batch_is_identity(spark):
         )
     )
     assert before == after
+
+
+def test_scd2_intervals_are_tz_free(spark):
+    """r15 hostile-TZ sweep regression: merge_scd2's interval endpoints
+    must be TIMESTAMP_NTZ — a TZ-ful TimestampType round-trips the
+    1900 base epoch through the session zone's HISTORICAL rules (e.g.
+    Asia/Kathmandu 1900 = LMT +5:41:16) and shifts endpoints by
+    seconds relative to any naive-timestamp engine. Pin the type and
+    the exact base-epoch wall clock."""
+    import datetime
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scd import (
+        asof_snapshot,
+        merge_scd2,
+    )
+
+    base = spark.createDataFrame([(1, 10.0)], "key bigint, val double")
+    ch = spark.createDataFrame(
+        [(1, 11.0, datetime.datetime(2024, 1, 2, 3, 4, 5), 1)],
+        "key bigint, val double, ts timestamp_ntz, event_id bigint",
+    )
+    hist = merge_scd2(
+        base, ch, keys=["key"], ts_col="ts", attr_cols=["val"],
+        tiebreak=["event_id"],
+    )
+    types = dict(hist.dtypes)
+    assert types["valid_from"] == "timestamp_ntz", types
+    assert types["valid_to"] == "timestamp_ntz", types
+    rows = {(r.val): r for r in hist.collect()}
+    assert rows[10.0].valid_from == datetime.datetime(1900, 1, 1)
+    assert rows[10.0].valid_to == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    snap = asof_snapshot(hist, "2024-01-01 00:00:00").collect()
+    assert len(snap) == 1 and snap[0].val == 10.0
