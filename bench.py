@@ -185,17 +185,27 @@ def render_line(
          regression signal (their mass still lands in seq_s; n_q counts
          the full surface);
       3. artifact builds under 2 s dropped from build_s (full map in the
-         detail file);
+         detail file), and the REMAINING build list trimmed ascending to
+         a ~400-char sub-budget — before any per-query entry is touched,
+         so an oversized build list can never drain the per-query map
+         (the primary regression signal) on its own (ADVICE r15);
       4. hard budget enforcement: smallest remaining per-query entries
          dropped ascending until the rendered line fits — the regression
          signal concentrates in the expensive queries, which are exactly
-         the ones kept."""
+         the ones kept — with a final build-drop backstop."""
     short = {n.split("_")[0]: round(v, 2) for n, v in per_query.items()}
     assert len(short) == len(per_query), "qNN prefixes must stay unique"
     short = {k: v for k, v in short.items() if v >= 0.05}
     builds = {
         k: round(v, 2) for k, v in sorted(build_times.items()) if v >= 2.0
     }
+    # lever 3 second half: trim builds to a sub-budget FIRST, so a long
+    # >=2s build list can't exhaust the per-query drop loop below and
+    # drain the slowest-query signal before the build lever fires.
+    for k in sorted(builds, key=lambda k: builds[k]):
+        if len(json.dumps(builds, separators=(",", ":"))) <= budget // 4:
+            break
+        builds.pop(k)
 
     def render(q: dict[str, float]) -> str:
         return json.dumps(

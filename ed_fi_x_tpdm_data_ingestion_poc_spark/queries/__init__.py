@@ -62,19 +62,24 @@ def memo(cache: dict, key, build, label: str | None = None):
         if key not in cache:
             _BUILD_STACK.append(0.0)
             t0 = time.perf_counter()
-            cache[key] = build()
-            elapsed = time.perf_counter() - t0
-            child_labeled = _BUILD_STACK.pop()
-            if label is not None:
-                BUILD_TIMES[label] = round(
-                    BUILD_TIMES.get(label, 0.0) + elapsed - child_labeled,
-                    3,
-                )
-                contrib = elapsed  # whole subtree now under some label
-            else:
-                contrib = child_labeled  # only labeled descendants
-            if _BUILD_STACK:
-                _BUILD_STACK[-1] += contrib
+            try:
+                cache[key] = build()
+            finally:
+                # pop even when build() raises, else the stale frame
+                # silently absorbs every later labeled build's time and
+                # BUILD_TIMES attribution is skewed for the whole run
+                elapsed = time.perf_counter() - t0
+                child_labeled = _BUILD_STACK.pop()
+                if label is not None:
+                    BUILD_TIMES[label] = round(
+                        BUILD_TIMES.get(label, 0.0) + elapsed - child_labeled,
+                        3,
+                    )
+                    contrib = elapsed  # whole subtree now under some label
+                else:
+                    contrib = child_labeled  # only labeled descendants
+                if _BUILD_STACK:
+                    _BUILD_STACK[-1] += contrib
         return cache[key]
 
 

@@ -2784,10 +2784,17 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: gaps from the materialize-once user_seq artifact;
     ONE (type, gap_s) grouped count (bounded by types x distinct
     seconds, not events); a per-type cumulative window over that
-    bounded table; two rank probes. The corpus is never re-sorted.
+    bounded table; then BOTH rank probes fused into one conditional
+    aggregate — min(when(cum >= rank, gap_s)) for each rank in a
+    single groupBy (the qz195 single-pass pattern, VERDICT r15 #1) —
+    so the plan after the artifact is exactly two exchanges
+    ((type, gap_s) partial agg + the per-type window; the closing
+    groupBy reuses the window's hash partitioning) instead of the
+    former two probe-joins. The corpus is never re-sorted.
     Measured (tools/scale_probe.py interevent_percentiles, sf0.1, 10x
     events with DISJOINT users so the gap domain itself grows):
-    1.24 -> 2.54 s — 0.21x the linear law."""
+    0.95 -> 1.54 s — 0.16x the linear law (pre-fuse two-probe shape:
+    1.24 -> 2.54 s, 0.21x)."""
     from pyspark.sql import Window
 
     g = (
@@ -2801,38 +2808,33 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
     v = g.groupBy("event_type", "gap_s").agg(
         F.count(F.lit(1)).alias("k")
     )
-    t = v.groupBy("event_type").agg(F.sum("k").alias("n"))
-    w = v.join(t, "event_type").select(
+    by_type = Window.partitionBy("event_type")
+    w = v.select(
         "event_type",
         "gap_s",
-        "n",
+        F.sum("k").over(by_type).alias("n"),
         F.sum("k")
         .over(
-            Window.partitionBy("event_type")
-            .orderBy("gap_s")
+            by_type.orderBy("gap_s")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         .alias("cum"),
     )
-    p50 = (
-        w.where(F.col("cum") >= F.expr("(n + 1) div 2"))
-        .groupBy("event_type")
-        .agg(F.min("gap_s").alias("p50_s"))
-    )
-    p90 = (
-        w.where(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
-        .groupBy("event_type")
-        .agg(F.min("gap_s").alias("p90_s"))
-    )
-    return (
-        t.join(p50, "event_type")
-        .join(p90, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("bigint").alias("n_gaps"),
-            F.col("p50_s").cast("bigint").alias("p50_s"),
-            F.col("p90_s").cast("bigint").alias("p90_s"),
+    return w.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("gap_s"))
         )
+        .cast("bigint")
+        .alias("p50_s"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n + 9) div 10"),
+                F.col("gap_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_s"),
     )
 
 

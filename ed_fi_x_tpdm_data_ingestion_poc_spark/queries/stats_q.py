@@ -890,6 +890,21 @@ _DAILY_SQL = """
     c AS (SELECT event_type, day, COUNT(*) AS c FROM e GROUP BY 1, 2)
 """
 
+# q279's user-keyed variant of the daily artifact — a dedicated literal
+# rather than string surgery on _DAILY_SQL (chained .replace() calls
+# would silently mis-rewrite if _DAILY_SQL were ever edited, with no
+# syntax error to catch it). Keyed by (user_id, event_type, day), so
+# SUM(c) per user recovers the total event count.
+_USER_DAILY_SQL = """
+    e AS (SELECT user_id, event_type,
+                 date_diff('microsecond',
+                           TIMESTAMP '2024-01-01 00:00:00', ts)
+                   // 86400000000 AS day
+          FROM events),
+    c AS (SELECT user_id, event_type, day, COUNT(*) AS c
+          FROM e GROUP BY 1, 2, 3)
+"""
+
 
 @query(
     "qz172_theil_sen_trend",
@@ -5390,10 +5405,17 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
     skew).
 
     Exactness: raw power sums s1..s4 are exact decimal(38,0)/HUGEINT
-    integers (c^4 at 1e9-count days is ~1e36 — inside 38 digits, noted
-    at the design point); central moments and the statistic are the
-    closed-form double expressions over them, identical IEEE
-    cross-engine, ROUNDed at 1e-6; m2>0 guards constant series.
+    integers while SUM(c^4) stays inside 38 digits — true up to
+    ~2.3e8-count days over a 366-day year (366 * c^4 <= 1e38), NOT at
+    a full 1e9-count day (366 * 1e36 ~ 3.7e38 overflows: Spark's
+    non-ANSI decimal sum would go NULL while DuckDB errors). The 100 TB
+    mitigation is unit scaling: feed c in kilo-events (c DIV 1000),
+    which buys 4 more digits per power and keeps s4 exact past
+    1e11-count days; skew/kurtosis are scale-invariant so the statistic
+    is unchanged up to the <=999-event truncation noise (~1e-6 relative
+    at that volume). Central moments and the statistic are closed-form
+    double expressions over the sums, identical IEEE cross-engine,
+    ROUNDed at 1e-6; m2>0 guards constant series.
 
     Scale shape: ONE aggregate of the memoized types x days artifact,
     then types-sized arithmetic. No corpus contact."""
@@ -5461,9 +5483,13 @@ def q258(spark: SparkSession, sf: str) -> DataFrame:
           FROM g)
     SELECT CAST(n1 AS BIGINT) AS n_weekday,
            CAST(n2 AS BIGINT) AS n_weekend,
-           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_weekday,
-           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p_weekend,
-           CASE WHEN pp > 0 AND pp < 1
+           CASE WHEN n1 > 0
+                THEN ROUND(CAST(x1 AS DOUBLE) / n1, 6)
+                ELSE 0.0 END AS p_weekday,
+           CASE WHEN n2 > 0
+                THEN ROUND(CAST(x2 AS DOUBLE) / n2, 6)
+                ELSE 0.0 END AS p_weekend,
+           CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
                 THEN ROUND((CAST(x1 AS DOUBLE) / n1
                             - CAST(x2 AS DOUBLE) / n2)
                      / SQRT(pp * (1 - pp)
@@ -5487,8 +5513,10 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
 
     Exactness: four exact conditional counts from one corpus pass;
     the statistic is one closed-form double, ROUNDed at 1e-6; the
-    pp in (0,1) guard covers all-purchase / no-purchase corpora on
-    both engines.
+    pp in (0,1) guard covers all-purchase / no-purchase corpora, and
+    the n1>0 AND n2>0 guards on p1/p2/z (q244/q248/q251 convention,
+    emitting 0.0) cover a corpus entirely on one side of the split —
+    without them x/0 diverges cross-engine (Spark NULL, DuckDB IEEE).
 
     Scale shape: ONE map-side-combined corpus aggregate to a single
     row — the qz250 plan class."""
@@ -5512,13 +5540,16 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
     )
     p1 = F.col("x1").cast("double") / F.col("n1")
     p2 = F.col("x2").cast("double") / F.col("n2")
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
     return g.select(
         F.col("n1").cast("bigint").alias("n_weekday"),
         F.col("n2").cast("bigint").alias("n_weekend"),
-        F.round(p1, 6).alias("p_weekday"),
-        F.round(p2, 6).alias("p_weekend"),
+        F.when(F.col("n1") > 0, F.round(p1, 6))
+        .otherwise(F.lit(0.0)).alias("p_weekday"),
+        F.when(F.col("n2") > 0, F.round(p2, 6))
+        .otherwise(F.lit(0.0)).alias("p_weekend"),
         F.when(
-            (pp > 0) & (pp < 1),
+            ok & (pp > 0) & (pp < 1),
             F.round(
                 (p1 - p2)
                 / F.sqrt(
@@ -5901,7 +5932,7 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q279_kanonymity_risk",
     oracle=f"""
-    WITH {_DAILY_SQL.replace("event_type,", "user_id, event_type,").replace("GROUP BY 1, 2", "GROUP BY 1, 2, 3").replace("SELECT event_type", "SELECT user_id, event_type")},
+    WITH {_USER_DAILY_SQL},
     u AS (SELECT user_id, MIN(day) AS f_day,
                  COUNT(DISTINCT day) AS act, SUM(c) AS n_ev
           FROM c GROUP BY 1),

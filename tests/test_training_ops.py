@@ -406,3 +406,37 @@ def test_bench_line_trims_builds_as_final_lever():
     kept = parsed["build_s"]
     # the kept builds are the LARGEST ones
     assert all(v >= max(builds.values()) - len(builds) for v in kept.values())
+
+
+def test_bench_build_list_cannot_drain_per_query_signal():
+    """ADVICE r15 (bench.py render_line lever order): an oversized >=2s
+    build list used to run the per-query drop loop to EXHAUSTION before
+    the build lever fired, erasing the slowest-query regression signal.
+    The build sub-budget trim must now fire first: with 60 heavy builds
+    and a handful of slow queries, the slowest queries SURVIVE."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # few queries (a trimmed map would be cheap to drain) + a build list
+    # that alone would blow the 1600-char budget
+    per_query = {f"q{i:03d}_x": 5.0 + i for i in range(10)}
+    builds = {f"very_long_artifact_build_label_{i:02d}": 2.0 + i
+              for i in range(80)}
+    line = bench.render_line(per_query, builds, 9.9, 0.1, 8)
+    assert len(line) <= 1600, len(line)
+    parsed = json.loads(line)
+    # the primary regression signal survives: ALL per-query entries kept
+    assert len(parsed["queries"]) == len(per_query)
+    # and the rendered build map fits its sub-budget (largest kept)
+    assert len(json.dumps(parsed["build_s"],
+                          separators=(",", ":"))) <= 400
+    if parsed["build_s"]:
+        assert max(parsed["build_s"].values()) == max(builds.values())

@@ -1196,18 +1196,31 @@ def main() -> None:
             .groupBy("event_type", "gap_s")
             .agg(F.count(F.lit(1)).alias("k"))
         )
-        t = g.groupBy("event_type").agg(F.sum("k").alias("n"))
-        w2 = g.join(t, "event_type").select(
-            "event_type", "gap_s", "n",
+        by_type = _W2.partitionBy("event_type")
+        w2 = g.select(
+            "event_type", "gap_s",
+            F.sum("k").over(by_type).alias("n"),
             F.sum("k").over(
-                _W2.partitionBy("event_type").orderBy("gap_s")
+                by_type.orderBy("gap_s")
                 .rowsBetween(_W2.unboundedPreceding, _W2.currentRow)
             ).alias("cum"),
         )
         return (
-            w2.where(F.col("cum") >= F.expr("(n + 1) div 2"))
-            .groupBy("event_type")
-            .agg(F.min("gap_s").alias("p50"))
+            w2.groupBy("event_type")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) div 2"),
+                        F.col("gap_s"),
+                    )
+                ).alias("p50"),
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(9 * n + 9) div 10"),
+                        F.col("gap_s"),
+                    )
+                ).alias("p90"),
+            )
             .count()
         )
 
