@@ -776,6 +776,19 @@ def test_round15_shapes_plan_contracts(spark, sf_dir):
 
     f = audit(_build(spark, sf_dir, "q267_brand_basket_lift"))
     assert f.broadcast_joins >= 3, f  # part + two margin joins + total
+    # r16 (VERDICT r15 #5): the (ok, brand) collapse must ride the
+    # explicit hash(ok) repartition — ONE fact exchange whose keys are
+    # orderkey alone; a distinct that re-partitions on (ok, brand)
+    # would force the pair self-join to shuffle the collapse again.
+    import re as _re
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    plan267 = plan_string(_build(spark, sf_dir, "q267_brand_basket_lift"))
+    assert "REPARTITION_BY_COL" in plan267
+    assert not _re.search(
+        r"Exchange hashpartitioning\(ok#\d+L?,\s*brand", plan267
+    ), "collapse re-partitioned on (ok, brand)"
 
     f = audit(_build(spark, sf_dir, "q271_sla_attainment"))
     assert f.sortmerge_joins + f.shuffled_hash_joins + f.broadcast_joins >= 1
