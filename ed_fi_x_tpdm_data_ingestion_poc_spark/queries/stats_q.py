@@ -6300,3 +6300,157 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — hash-seeded distributed Poisson bootstrap CI (round-16 addition)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), truncated at
+# w=4 (tail mass 0.37% folded into 4 — a fixed rule, identical in both
+# engines, so truncation is a shared definition rather than an error)
+_POIS = (0.3678794411714423, 0.7357588823428847,
+         0.9196986029286058, 0.9810118431238463)
+
+
+def _q290_oracle() -> str:
+    from ..operators.sampling import mul_hash32_sql
+
+    mask = mul_hash32_sql("b + 2654435769")
+    m1 = mul_hash32_sql(f"xor(o_orderkey, {mask})")
+    x1 = f"xor({m1}, ({m1}) >> 16)"
+    m2 = mul_hash32_sql(x1)
+    key = f"xor({m2}, ({m2}) >> 16)"
+    w = (
+        f"CASE WHEN u < {_POIS[0]} THEN 0 WHEN u < {_POIS[1]} THEN 1"
+        f" WHEN u < {_POIS[2]} THEN 2 WHEN u < {_POIS[3]} THEN 3"
+        f" ELSE 4 END"
+    )
+    return f"""
+    WITH e AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100.0, 0) AS HUGEINT)
+                        AS cents,
+                      r.b,
+                      (({key}) + 0.5) / 4294967296.0 AS u
+               FROM orders
+               CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) r),
+    m AS (SELECT b,
+                 SUM({w} * cents) AS ws,
+                 SUM({w}) AS wn
+          FROM e GROUP BY 1),
+    s AS (SELECT b, CAST(ws AS DOUBLE) / wn AS mean_b,
+                 ROW_NUMBER() OVER (ORDER BY CAST(ws AS DOUBLE) / wn, b)
+                   AS rk
+          FROM m WHERE wn > 0),
+    pt AS (SELECT COUNT(*) AS n,
+                  SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS HUGEINT))
+                    AS tot
+           FROM orders)
+    SELECT CAST(pt.n AS BIGINT) AS n_orders,
+           ROUND(CAST(pt.tot AS DOUBLE) / pt.n / 100.0, 6) AS mean_price,
+           ROUND(MIN(CASE WHEN s.rk = {_BOOT_B // 40 + 1} THEN s.mean_b
+                     END) / 100.0, 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN s.rk = {_BOOT_B - _BOOT_B // 40} THEN
+                     s.mean_b END) / 100.0, 6) AS ci_hi
+    FROM s CROSS JOIN pt
+    GROUP BY pt.n, pt.tot
+    """
+
+
+@query(
+    "q290_bootstrap_ci",
+    oracle=_q290_oracle(),
+    tags=("stats", "relational", "analytics"),
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean order price
+    (Efron 1979 percentile interval; Poisson(1) resampling weights in
+    place of multinomial draws — the classical big-data bootstrap
+    trick, e.g. Chamandy et al. 2012, because independent per-row
+    weights need NO coordination: each row draws w ~ Poisson(1) per
+    resample and every resample's weighted mean is one map-side-
+    combined aggregate). The per-(row, resample) uniform reuses the
+    q287 epoch-key mix — two multiply+xorshift rounds over the
+    xor-masked orderkey with the resample index hashed into the mask —
+    so all B=100 resamples are decorrelated AND the whole procedure is
+    engine-portable (the oracle replays the identical integer
+    arithmetic; no rand() anywhere, so task retries cannot change the
+    draw). Truncation at w=4 (0.37% tail) is part of the shared
+    definition.
+
+    Exactness: weights are exact integers from exact hash arithmetic;
+    per-resample sums are exact decimal(38,0)/HUGEINT; each mean_b is
+    ONE double division, identical IEEE; the percentile ranks (3rd and
+    98th of 100, ceil convention) are exact order statistics with a
+    b tiebreak; ROUND 1e-6.
+
+    Scale shape: one corpus pass exploded x B with map-side combine
+    straight down to B partial rows per task (the aggregate keys on b
+    alone), one B-row window, one 1-row broadcast of the point
+    estimate. At 100 TB the explode never materializes: it feeds the
+    partial aggregate inside the same whole-stage-codegen pipeline."""
+    dec = "decimal(38,0)"
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast(dec).alias("cents"),
+    )
+    e = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    from ..operators.sampling import mul_hash32
+
+    mask = mul_hash32(F.col("b") + F.lit(2654435769))
+    m1 = mul_hash32(F.col("o_orderkey").bitwiseXOR(mask))
+    x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
+    m2 = mul_hash32(x1)
+    key = m2.bitwiseXOR(F.shiftright(m2, 16))
+    u = (key + F.lit(0.5)) / F.lit(4294967296.0)
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .otherwise(4)
+    )
+    m = e.groupBy("b").agg(
+        F.sum(w.cast(dec) * F.col("cents")).alias("ws"),
+        F.sum(w).alias("wn"),
+    )
+    from pyspark.sql.window import Window
+
+    mean_b = F.col("ws").cast("double") / F.col("wn")
+    s = m.where(F.col("wn") > 0).select(
+        "b",
+        mean_b.alias("mean_b"),
+        F.row_number()
+        .over(Window.orderBy(mean_b, F.col("b")))
+        .alias("rk"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+    )
+    lo_rk, hi_rk = _BOOT_B // 40 + 1, _BOOT_B - _BOOT_B // 40
+    return (
+        s.crossJoin(F.broadcast(pt))
+        .groupBy("n", "tot")
+        .agg(
+            F.min(
+                F.when(F.col("rk") == lo_rk, F.col("mean_b"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("rk") == hi_rk, F.col("mean_b"))
+            ).alias("hi"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(
+                F.col("tot").cast("double") / F.col("n") / 100.0, 6
+            ).alias("mean_price"),
+            F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
+            F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+        )
+    )

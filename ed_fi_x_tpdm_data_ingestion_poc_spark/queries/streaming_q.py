@@ -1774,3 +1774,108 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
     return memo(
         _MOM_MON, (id(spark), sf), _monitor, label="moments_stream"
     )
+
+
+@query(
+    "q288_stream_outer_join",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    b AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    j AS (SELECT a.event_id AS a_id, b.event_id AS b_id
+          FROM a LEFT JOIN b
+            ON b.user_id = a.user_id
+           AND b.ts >= a.ts - INTERVAL 5 MINUTE
+           AND b.ts <= a.ts)
+    SELECT (b_id IS NOT NULL) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_purchases
+    FROM j GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the watermark capability qz49f's
+    inner interval join does NOT exercise: unmatched left rows must be
+    HELD in state until the watermark proves no future right row can
+    match, then emitted exactly once with nulls. Purchases left-join
+    preceding same-user clicks within 5 minutes; the batch oracle is
+    the identical LEFT JOIN. Null emission is the part that goes wrong
+    in naive streaming joins (emit-on-arrival double-counts; never-emit
+    drops the unmatched side), so the certified result counts BOTH
+    populations: matched pair rows and unmatched purchases.
+
+    Mechanics pinned here: equality key (user_id) + event-time range
+    ON BOTH join columns + watermarks on both sides gives Spark the
+    state eviction bound; the thirds_flush layout's far-future sentinel
+    advances the final watermark so trailing unmatched purchases flush
+    (the availableNow no-data final batch emits them). The sentinel is
+    deliberately INCLUDED in both type filters and dropped only on the
+    BATCH side of the memory sink: Catalyst pushes every deterministic
+    stream-side filter below the event-time node into the scans (a
+    type filter caps each side's watermark at its own type's max; even
+    a post-join user_id != -1 lands in PushedFilters of both scans),
+    and any of those strands the trailing purchases in state
+    (measured twice; see inline comments).
+
+    Scale shape: stream-stream joins shuffle both sides on the equality
+    key once; state per key is bounded by the 5-minute range + the
+    watermark delay, independent of stream length — the property that
+    makes this runnable forever at 100 TB/day."""
+    from ..streaming.replay import (
+        events_replay_dir,
+        read_replay_stream,
+        run_to_memory,
+    )
+
+    d = events_replay_dir(spark, sf, layout="thirds_flush")
+    # The __flush__ sentinel MUST flow through both withWatermark nodes:
+    # the watermark value is computed from rows reaching the event-time
+    # node, and Catalyst pushes a plain type filter BELOW it, so
+    # where(type == 'purchase') would silently reduce each side's
+    # watermark to that type's own max (measured: wm lagged the stream
+    # by hours = min(max purchase ts, max click ts) per batch, and the
+    # trailing unmatched purchases never flushed). Keeping the sentinel
+    # in BOTH filters lets it advance the final watermark wherever the
+    # filter lands; its own join output (user -1, matches nothing) is
+    # dropped after the join.
+    a = (
+        read_replay_stream(spark, d)
+        .where(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "0 seconds")
+    )
+    b = (
+        read_replay_stream(spark, d)
+        .where(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "0 seconds")
+    )
+    cond = (
+        (F.col("b_user") == F.col("a_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 300 SECOND"))
+        & (F.col("b_ts") <= F.col("a_ts"))
+    )
+    joined = a.join(b, cond, "leftOuter").select("a_id", "b_id")
+    res = run_to_memory(joined, output_mode="append")
+    # The sentinel's own output row (it matches the b-side sentinel at
+    # equal ts) is dropped HERE, on the batch side of the memory sink —
+    # a stream-side where() on user/id gets predicate-pushed below the
+    # EventTimeWatermark node into both scans (observed PushedFilters:
+    # Not(EqualTo(user_id,-1))), which re-kills the sentinel before it
+    # can advance the watermark.
+    return res.where(F.col("a_id") != -1).groupBy(
+        F.col("b_id").isNotNull().alias("matched")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("a_id").cast("bigint").alias("n_purchases"),
+    )

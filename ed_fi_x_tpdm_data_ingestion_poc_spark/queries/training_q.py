@@ -798,3 +798,58 @@ def q287(spark: SparkSession, sf: str) -> DataFrame:
             F.col("epoch_key").cast("bigint").alias("epoch_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 — stratified k-fold assignment (round-16 addition)
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@query(
+    "q289_kfold_assignment",
+    oracle=f"""
+    WITH r AS (SELECT lang, doc_id,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY lang
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ) AS rn
+               FROM documents)
+    SELECT lang, CAST((rn - 1) % {_KFOLDS} AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("training", "sampling", "llm"),
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified 5-fold cross-validation assignment over
+    the document corpus, certified by the per-(lang, fold) manifest
+    (count + id range — the id range makes exact fold MEMBERSHIP, not
+    just sizes, hash-checkable). The CV primitive the split family
+    lacked: qz119 is one train/eval split, qz120 a leakage-safe split;
+    model selection needs every row in exactly one of k folds with the
+    per-stratum fold sizes exactly balanced (within one), so each CV
+    iteration sees the same language mix — fold = (rank-1) % k over
+    the portable md5(id) within-stratum order
+    (operators/sampling.py::kfold_assign; balance and partition laws
+    in tests/test_sampling.py). A hash-mod fold would be shuffle-free
+    but only balanced in expectation — at small strata that skews
+    per-fold class mixes, which is the whole point of stratifying.
+
+    Scale shape: one window shuffle on the strata key (the
+    stratified_sample_exact plan class), then a (lang, fold)-bounded
+    aggregate reusing the same partitioning."""
+    from ..operators.sampling import kfold_assign
+
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        kfold_assign(d, ["lang"], _KFOLDS, id_col="doc_id", order="md5")
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -183,3 +183,47 @@ def test_epoch_shuffle_plan_is_one_range_exchange(spark, sf_dir):
     assert facts.exchanges == 2, facts
     assert facts.joins == 0
     assert facts.python_evals == 0 and facts.arrow_evals == 0
+
+
+def test_kfold_assign_laws(spark, sf_dir):
+    """k-fold laws: (1) partition — every row in exactly one fold, ids
+    preserved; (2) exact per-stratum balance — within each stratum the
+    fold sizes differ by at most one; (3) determinism — same assignment
+    across two builds."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    k = 4
+    out = kfold_assign(d, ["lang"], k, id_col="doc_id")
+    rows = out.collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in d.collect()
+    )
+    assert all(0 <= r.fold < k for r in rows)
+    from collections import Counter
+
+    per = Counter((r.lang, r.fold) for r in rows)
+    langs = {r.lang for r in rows}
+    for lang in langs:
+        sizes = [per.get((lang, f), 0) for f in range(k)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    again = {(r.doc_id, r.fold) for r in kfold_assign(
+        d, ["lang"], k, id_col="doc_id").collect()}
+    assert again == {(r.doc_id, r.fold) for r in rows}
+
+
+def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
+    """q290 sanity: the percentile interval is ordered (lo < hi), both
+    ends sit near the point estimate (within a loose 20% band at test
+    scale), and re-evaluation is identical (hash-seeded, no rand())."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    q = all_queries()["q290_bootstrap_ci"]
+    r1 = q.build(spark, sf_dir).collect()[0]
+    assert r1.ci_lo < r1.ci_hi
+    assert abs(r1.ci_lo - r1.mean_price) / r1.mean_price < 0.2
+    assert abs(r1.ci_hi - r1.mean_price) / r1.mean_price < 0.2
+    r2 = q.build(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
