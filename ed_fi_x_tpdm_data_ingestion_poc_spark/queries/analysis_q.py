@@ -2839,7 +2839,7 @@ def q264(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q265_transition_entropy",
+    "qz265_transition_entropy",
     oracle="""
     WITH e AS (SELECT user_id, event_id, event_type,
                       date_diff('microsecond',
@@ -2909,7 +2909,7 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q266_time_to_convert",
+    "qz266_time_to_convert",
     oracle="""
     WITH e AS (SELECT user_id, event_type,
                       date_diff('microsecond',

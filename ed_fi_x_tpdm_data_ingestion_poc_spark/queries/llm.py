@@ -948,7 +948,7 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q273_token_fertility",
+    "qz273_token_fertility",
     oracle="""
     WITH d AS (SELECT lang, n_chars,
                       len(string_split(text, ' ')) AS toks
@@ -1000,7 +1000,7 @@ def q273(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q274_embedding_isotropy",
+    "qz274_embedding_isotropy",
     oracle="""
     WITH nv AS (SELECT vec_id,
                        SQRT(list_sum(list_transform(embedding,

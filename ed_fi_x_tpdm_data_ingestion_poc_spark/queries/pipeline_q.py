@@ -329,7 +329,7 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49b_scd2_history",
+    "qz49b_scd2_history",
     oracle="""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),

@@ -223,7 +223,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q87_scd2_asof",
+    "qz87_scd2_asof",
     oracle=f"""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),

@@ -1003,7 +1003,7 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q209_local_supplier_volume",
+    "qz209_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
@@ -1143,7 +1143,7 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q211_promo_revenue_share",
+    "qz211_promo_revenue_share",
     oracle="""
     SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice
@@ -1249,7 +1249,7 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q213_disjunctive_revenue",
+    "qz213_disjunctive_revenue",
     oracle="""
     SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
              AS revenue,
@@ -1381,7 +1381,7 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q215_top_supplier",
+    "qz215_top_supplier",
     oracle="""
     WITH rev AS (SELECT l.l_suppkey AS suppkey,
                         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)),
@@ -2236,7 +2236,7 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q230_trailing_window_spend",
+    "qz230_trailing_window_spend",
     oracle="""
     WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
                       CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
@@ -2828,7 +2828,7 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q269_order_day_streaks",
+    "qz269_order_day_streaks",
     oracle="""
     WITH d AS (SELECT DISTINCT o_custkey,
                       date_diff('microsecond',
@@ -2895,7 +2895,7 @@ def q269(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q270_top_order_share",
+    "qz270_top_order_share",
     oracle="""
     WITH oc AS (SELECT o_custkey,
                        CAST(ROUND(o_totalprice * 100.0, 0) AS HUGEINT)
@@ -2972,7 +2972,7 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q271_sla_attainment",
+    "qz271_sla_attainment",
     oracle="""
     WITH d AS (SELECT o.o_orderpriority AS priority,
                       date_diff('microsecond', o.o_orderdate,
@@ -3034,7 +3034,7 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q272_brand_median_discount",
+    "qz272_brand_median_discount",
     oracle="""
     WITH d AS (SELECT p.p_brand AS brand,
                       CAST(ROUND(l.l_discount * 100.0, 0) AS INT)
@@ -3112,7 +3112,7 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q275_customer_theil",
+    "qz275_customer_theil",
     oracle="""
     WITH g AS (SELECT o_custkey,
                       SUM(CAST(ROUND(o_totalprice * 100.0, 0)
@@ -3179,7 +3179,7 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q276_cohort_ltv",
+    "qz276_cohort_ltv",
     oracle="""
     WITH o AS (SELECT o_custkey,
                       CAST(EXTRACT(year FROM o_orderdate) * 12
@@ -3270,7 +3270,7 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q277_discount_quantity_corr",
+    "qz277_discount_quantity_corr",
     oracle="""
     WITH d AS (SELECT p.p_brand AS brand,
                       CAST(ROUND(l.l_discount * 100.0, 0) AS BIGINT)

@@ -1808,7 +1808,7 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q196_ks_sketch_screen",
+    "qz196_ks_sketch_screen",
     oracle="""
     WITH g AS (SELECT source, n_chars, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -4192,7 +4192,7 @@ def q243(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q244_durbin_watson",
+    "qz244_durbin_watson",
     oracle=f"""
     WITH {_DAILY_SQL},
     g AS (SELECT event_type, COUNT(*) AS n, SUM(day) AS sd, SUM(c) AS sc,
@@ -4545,7 +4545,7 @@ def q246(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q248_heaps_law",
+    "qz248_heaps_law",
     oracle="""
     WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
                FROM documents),
@@ -4840,7 +4840,7 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q251_friedman_ranks",
+    "qz251_friedman_ranks",
     oracle=f"""
     WITH {_DAILY_SQL},
     o0 AS (SELECT event_type, day % 7 AS dow, SUM(c) AS o
@@ -5205,7 +5205,7 @@ _ACF_SQL = f"""
 
 
 @query(
-    "q256_acf_profile",
+    "qz256_acf_profile",
     oracle=f"""
     WITH {_DAILY_SQL},
     {_ACF_SQL}
@@ -5309,7 +5309,7 @@ def _acf_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q257_ljung_box",
+    "qz257_ljung_box",
     oracle=f"""
     WITH {_DAILY_SQL},
     {_ACF_SQL}
@@ -5564,7 +5564,7 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q260_grubbs_outlier",
+    "qz260_grubbs_outlier",
     oracle=f"""
     WITH {_DAILY_SQL},
     g AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
@@ -5665,7 +5665,7 @@ def q260(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q263_dispersion_index",
+    "qz263_dispersion_index",
     oracle=f"""
     WITH {_DAILY_SQL},
     g AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
@@ -5726,7 +5726,7 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q261_source_diversity",
+    "qz261_source_diversity",
     oracle="""
     WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w
                FROM documents),
@@ -5812,7 +5812,7 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q262_hill_tail_index",
+    "qz262_hill_tail_index",
     oracle="""
     WITH g AS (SELECT source, n_chars AS len, COUNT(*) AS k
                FROM documents GROUP BY 1, 2),
@@ -6006,7 +6006,7 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q280_lorenz_deciles",
+    "qz280_lorenz_deciles",
     oracle="""
     WITH g AS (SELECT o_custkey,
                       SUM(CAST(ROUND(o_totalprice * 100.0, 0)
@@ -6095,7 +6095,7 @@ def q280(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q283_seasonal_naive_mape",
+    "qz283_seasonal_naive_mape",
     oracle=f"""
     WITH {_DAILY_SQL},
     j AS (SELECT a.event_type,
@@ -6153,7 +6153,7 @@ def q283(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q285_lang_source_independence",
+    "qz285_lang_source_independence",
     oracle="""
     WITH o AS (SELECT lang, source, COUNT(*) AS o
                FROM documents GROUP BY 1, 2),
@@ -6237,7 +6237,7 @@ def q285(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q286_embedding_dim_variance",
+    "qz286_embedding_dim_variance",
     oracle="""
     WITH x AS (SELECT u.idx - 1 AS i, CAST(u.val AS DOUBLE) AS v
                FROM (SELECT unnest(embedding) AS val,

@@ -355,7 +355,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49c_stream_session",
+    "qz49c_stream_session",
     oracle="""
     WITH w AS (SELECT user_id, ts, value,
             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -553,7 +553,7 @@ def q49g(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q49i_stream_cdc_scd2",
+    "qz49i_stream_cdc_scd2",
     oracle="""
     WITH ch AS (SELECT user_id AS key, ts, ROUND(value, 2) AS val, event_id
                 FROM events),
@@ -990,7 +990,7 @@ _PSI_MON: dict[tuple, DataFrame] = {}
 
 
 @query(
-    "q182_stream_psi_monitor",
+    "qz182_stream_psi_monitor",
     oracle="""
     WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
     rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
@@ -1049,7 +1049,7 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q218_stream_psi_recoverable",
+    "qz218_stream_psi_recoverable",
     oracle="""
     WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
     rr AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn,
@@ -1670,7 +1670,7 @@ def moments_state_update():
 
 
 @query(
-    "q278_stream_moments_recoverable",
+    "qz278_stream_moments_recoverable",
     oracle="""
     WITH e AS (SELECT event_type,
                       CAST(ROUND(value * 1000000.0, 0) AS HUGEINT)

@@ -216,7 +216,7 @@ def test_scd2_no_nested_loop_single_feed_window(spark, sf_dir):
     """q49b: history merge is window + join + union — no nested-loop/
     cartesian anywhere, and the base join may be broadcast or shuffled
     but must be an equi join."""
-    f = audit(_build(spark, sf_dir, "q49b_scd2_history"))
+    f = audit(_build(spark, sf_dir, "qz49b_scd2_history"))
     assert f.nested_loop_joins == 0 and f.cartesian_products == 0
     assert f.joins >= 1
 
@@ -533,7 +533,7 @@ def test_disjunctive_predicate_decomposes_to_both_scans(spark, sf_dir):
     scan (the quantity-range union to lineitem, the brand+size union to
     part) — losing this decomposition means scanning both tables in
     full at 100 TB and filtering after the join."""
-    f = audit(_build(spark, sf_dir, "q213_disjunctive_revenue"))
+    f = audit(_build(spark, sf_dir, "qz213_disjunctive_revenue"))
     pushed = " ".join(f.pushed_filters)
     assert "l_quantity" in pushed and "Or(" in pushed
     assert "p_brand" in pushed and "p_size" in pushed
@@ -562,10 +562,10 @@ def test_warehouse_dim_broadcasts_gated_at_scale(spark, sf_dir):
 
     # contract 1: the gate passes at test scale -> broadcast plan
     for name in (
-        "q211_promo_revenue_share",
-        "q213_disjunctive_revenue",
-        "q215_top_supplier",
-        "q209_local_supplier_volume",
+        "qz211_promo_revenue_share",
+        "qz213_disjunctive_revenue",
+        "qz215_top_supplier",
+        "qz209_local_supplier_volume",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.broadcast_joins >= 1, (name, f)
@@ -696,14 +696,14 @@ def test_round14_inference_plans_clean(spark, sf_dir):
         "qz240_position_attribution",
         "qz242_ewma_smoothing",
         "qz243_partial_correlation",
-        "q244_durbin_watson",
+        "qz244_durbin_watson",
         "qz245_runs_test",
         "qz246_mann_kendall",
         "qz247_repeat_purchase",
-        "q248_heaps_law",
+        "qz248_heaps_law",
         "qz249_label_separation",
         "qz250_mcnemar_gates",
-        "q251_friedman_ranks",
+        "qz251_friedman_ranks",
         "qz252_weekday_seasonality",
         "qz253_burstiness",
         "qz254_stickiness",
@@ -762,13 +762,13 @@ def test_round15_shapes_plan_contracts(spark, sf_dir):
     for name in (
         "q267_brand_basket_lift",
         "q268_yoy_nation_growth",
-        "q269_order_day_streaks",
-        "q270_top_order_share",
-        "q271_sla_attainment",
-        "q272_brand_median_discount",
-        "q275_customer_theil",
-        "q276_cohort_ltv",
-        "q280_lorenz_deciles",
+        "qz269_order_day_streaks",
+        "qz270_top_order_share",
+        "qz271_sla_attainment",
+        "qz272_brand_median_discount",
+        "qz275_customer_theil",
+        "qz276_cohort_ltv",
+        "qz280_lorenz_deciles",
     ):
         f = audit(_build(spark, sf_dir, name))
         assert f.cartesian_products == 0, (name, f)
@@ -790,7 +790,7 @@ def test_round15_shapes_plan_contracts(spark, sf_dir):
         r"Exchange hashpartitioning\(ok#\d+L?,\s*brand", plan267
     ), "collapse re-partitioned on (ok, brand)"
 
-    f = audit(_build(spark, sf_dir, "q271_sla_attainment"))
+    f = audit(_build(spark, sf_dir, "qz271_sla_attainment"))
     assert f.sortmerge_joins + f.shuffled_hash_joins + f.broadcast_joins >= 1
     assert "WindowExec" not in str(f), f
 

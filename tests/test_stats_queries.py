@@ -466,7 +466,7 @@ def test_stream_psi_monitor_matches_batch_reference(spark, sf_dir):
             b[sum(v >= e for e in edges)] += 1
         counts[t] = b
     pa = (counts["view"] + 0.5) / (counts["view"].sum() + 5.0)
-    out = _run("q182_stream_psi_monitor", spark, sf_dir)
+    out = _run("qz182_stream_psi_monitor", spark, sf_dir)
     assert set(out["batches"]) == {3}
     for r in out.itertuples():
         pb = (counts[r.event_type] + 0.5) / (counts[r.event_type].sum() + 5.0)
@@ -1258,7 +1258,7 @@ def test_partial_correlation_matches_formula(spark, sf_dir):
 
 def test_durbin_watson_matches_residual_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q244_durbin_watson", spark, sf_dir).set_index("event_type")
+    out = _run("qz244_durbin_watson", spark, sf_dir).set_index("event_type")
     for et, grp in c.groupby("event_type"):
         x = grp["day"].to_numpy(dtype=float)
         y = grp["c"].to_numpy(dtype=float)
@@ -1355,7 +1355,7 @@ def test_heaps_law_matches_loglog_fit(spark, sf_dir):
     beta, lnk = np.polyfit(x, y, 1)
     r = np.corrcoef(x, y)[0, 1]
 
-    out = _run("q248_heaps_law", spark, sf_dir).iloc[0]
+    out = _run("qz248_heaps_law", spark, sf_dir).iloc[0]
     assert out["n_sources"] == len(g)
     assert abs(out["beta"] - beta) < 1e-4
     assert abs(out["k"] - np.exp(lnk)) < 1e-3
@@ -1414,7 +1414,7 @@ def test_friedman_matches_rank_reference(spark, sf_dir):
     k, b = o.shape
     chi2_ref = float(12.0 / (b * k * (k + 1)) * (rj**2).sum() - 3 * b * (k + 1))
 
-    out = _run("q251_friedman_ranks", spark, sf_dir).iloc[0]
+    out = _run("qz251_friedman_ranks", spark, sf_dir).iloc[0]
     assert out["k_types"] == k and out["b_blocks"] == b
     assert abs(out["friedman_chi2"] - chi2_ref) < 1e-6
 
@@ -1549,9 +1549,9 @@ def test_durbin_watson_degenerate_single_day(spark, tmp_path):
         tmp_path / "dw",
         {"solo": [5, 5, 5], "multi": [0, 1, 2, 3, 4, 5]},
     )
-    got, want = _hash_pair("q244_durbin_watson", spark, sf)
+    got, want = _hash_pair("qz244_durbin_watson", spark, sf)
     assert got == want
-    out = _run("q244_durbin_watson", spark, sf).set_index("event_type")
+    out = _run("qz244_durbin_watson", spark, sf).set_index("event_type")
     assert out.loc["solo", "dw"] == 0.0
     assert out.loc["solo", "n_days"] == 1
     # the multi-day series still gets a real DW (perfect-fit flat
@@ -1565,9 +1565,9 @@ def test_durbin_watson_two_point_perfect_fit(spark, tmp_path):
     ratio is 0/0 without the see > 0 guard. Both engines must emit
     dw = 0."""
     sf = _write_events(tmp_path / "dw2", {"duo": [0, 3]})
-    got, want = _hash_pair("q244_durbin_watson", spark, sf)
+    got, want = _hash_pair("qz244_durbin_watson", spark, sf)
     assert got == want
-    out = _run("q244_durbin_watson", spark, sf).iloc[0]
+    out = _run("qz244_durbin_watson", spark, sf).iloc[0]
     assert out["dw"] == 0.0 and out["n_days"] == 2
 
 
@@ -1596,9 +1596,9 @@ def test_heaps_single_source_guard(spark, tmp_path):
         ),
         str(d / "documents.parquet"),
     )
-    got, want = _hash_pair("q248_heaps_law", spark, str(d))
+    got, want = _hash_pair("qz248_heaps_law", spark, str(d))
     assert got == want
-    out = _run("q248_heaps_law", spark, str(d)).iloc[0]
+    out = _run("qz248_heaps_law", spark, str(d)).iloc[0]
     assert out["n_sources"] == 1
     assert out["beta"] == 0.0 and out["k"] == 0.0 and out["r2"] == 0.0
 
@@ -1619,9 +1619,9 @@ def test_friedman_incomplete_grid_zero_fills(spark, tmp_path):
             "c": [0, 1],               # missing dow 2
         },
     )
-    got, want = _hash_pair("q251_friedman_ranks", spark, sf)
+    got, want = _hash_pair("qz251_friedman_ranks", spark, sf)
     assert got == want
-    out = _run("q251_friedman_ranks", spark, sf).iloc[0]
+    out = _run("qz251_friedman_ranks", spark, sf).iloc[0]
     assert out["k_types"] == 3 and out["b_blocks"] == 3
 
     ev = pd.read_parquet(f"{sf}/events.parquet")
@@ -1686,8 +1686,8 @@ def test_psi_monitor_final_emission_matches_numpy(spark, sf_dir):
     machinery."""
     ref = _psi_numpy_reference(_events(sf_dir))
     for name in (
-        "q218_stream_psi_recoverable",
-        "q182_stream_psi_monitor",
+        "qz218_stream_psi_recoverable",
+        "qz182_stream_psi_monitor",
     ):
         out = _run(name, spark, sf_dir).set_index("event_type")
         assert set(out.index) == set(ref), name
@@ -1727,7 +1727,7 @@ def test_sketch_ks_monitor_emission_matches_numpy(spark, sf_dir):
 
 def test_acf_profile_matches_pairwise_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q256_acf_profile", spark, sf_dir).set_index(
+    out = _run("qz256_acf_profile", spark, sf_dir).set_index(
         ["event_type", "lag"]
     )
     for et, grp in c.groupby("event_type"):
@@ -1752,8 +1752,8 @@ def test_acf_profile_matches_pairwise_reference(spark, sf_dir):
 
 def test_ljung_box_matches_acf_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    acf = _run("q256_acf_profile", spark, sf_dir)
-    out = _run("q257_ljung_box", spark, sf_dir).set_index("event_type")
+    acf = _run("qz256_acf_profile", spark, sf_dir)
+    out = _run("qz257_ljung_box", spark, sf_dir).set_index("event_type")
     for et, grp in acf.groupby("event_type"):
         n = len(c[c["event_type"] == et])
         # recompute r at full precision from the raw series (the q256
@@ -1819,7 +1819,7 @@ def test_weekend_proportion_matches_pooled_z(spark, sf_dir):
 
 def test_grubbs_matches_max_deviation_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q260_grubbs_outlier", spark, sf_dir).set_index(
+    out = _run("qz260_grubbs_outlier", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in c.groupby("event_type"):
@@ -1835,7 +1835,7 @@ def test_grubbs_matches_max_deviation_reference(spark, sf_dir):
 
 def test_dispersion_index_matches_variance_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q263_dispersion_index", spark, sf_dir).set_index(
+    out = _run("qz263_dispersion_index", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in c.groupby("event_type"):
@@ -1849,7 +1849,7 @@ def test_dispersion_index_matches_variance_reference(spark, sf_dir):
 
 def test_source_diversity_matches_counter_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q261_source_diversity", spark, sf_dir).set_index("source")
+    out = _run("qz261_source_diversity", spark, sf_dir).set_index("source")
     for src, grp in d.groupby("source"):
         from collections import Counter
 
@@ -1867,7 +1867,7 @@ def test_source_diversity_matches_counter_reference(spark, sf_dir):
 
 def test_hill_tail_matches_order_statistic_reference(spark, sf_dir):
     d = _docs(sf_dir)
-    out = _run("q262_hill_tail_index", spark, sf_dir).set_index("source")
+    out = _run("qz262_hill_tail_index", spark, sf_dir).set_index("source")
     for src, grp in d.groupby("source"):
         lens = np.sort(grp["n_chars"].to_numpy())
         n = len(lens)
@@ -1914,7 +1914,7 @@ def test_transition_entropy_matches_counter_reference(spark, sf_dir):
     ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
     tr = ev.dropna(subset=["nxt"])
     nt = len(tr)
-    out = _run("q265_transition_entropy", spark, sf_dir).set_index(
+    out = _run("qz265_transition_entropy", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in tr.groupby("event_type"):
@@ -1946,7 +1946,7 @@ def test_time_to_convert_matches_first_touch_reference(spark, sf_dir):
     lat = ((first["p_us"] - first["v_us"]) // _DAY_US).astype(int)
     lat_sorted = np.sort(lat.to_numpy())
 
-    out = _run("q266_time_to_convert", spark, sf_dir).iloc[0]
+    out = _run("qz266_time_to_convert", spark, sf_dir).iloc[0]
     assert out["n_viewers"] == len(v)
     assert out["n_converted"] == len(lat)
     assert abs(out["conv_rate"] - len(lat) / len(v)) < 1e-6
@@ -1959,7 +1959,7 @@ def test_time_to_convert_matches_first_touch_reference(spark, sf_dir):
 def test_token_fertility_matches_pandas(spark, sf_dir):
     d = _docs(sf_dir)
     toks = d["text"].str.split(" ").str.len()
-    out = _run("q273_token_fertility", spark, sf_dir).set_index("lang")
+    out = _run("qz273_token_fertility", spark, sf_dir).set_index("lang")
     for lang, grp in d.groupby("lang"):
         t = toks[grp.index]
         row = out.loc[lang]
@@ -1989,7 +1989,7 @@ def test_embedding_isotropy_matches_gram_identity(spark, sf_dir):
     ident = (float(ssub @ ssub) - len(sub)) / (len(sub) * (len(sub) - 1))
     assert abs(brute - ident) < 1e-9
 
-    out = _run("q274_embedding_isotropy", spark, sf_dir).iloc[0]
+    out = _run("qz274_embedding_isotropy", spark, sf_dir).iloc[0]
     assert out["n_vecs"] == n
     assert abs(out["mean_pairwise_cos"] - mean_cos_ref) < 1e-6
     assert abs(out["mean_vector_norm"] - np.sqrt(s2) / n) < 1e-6
@@ -2002,7 +2002,7 @@ def test_stream_moments_final_emission_matches_numpy(spark, sf_dir):
     ev = _events(sf_dir)
     iv = np.floor(np.abs(ev["value"]) * 1e6 + 0.5) * np.sign(ev["value"])
     out = _run(
-        "q278_stream_moments_recoverable", spark, sf_dir
+        "qz278_stream_moments_recoverable", spark, sf_dir
     ).set_index("event_type")
     for et, grp in iv.groupby(ev["event_type"]):
         v = grp.to_numpy(dtype=np.int64).astype(object)
@@ -2055,7 +2055,7 @@ def test_lorenz_deciles_match_rank_reference(spark, sf_dir):
     g["decile"] = (10 * (g.index + 1) + n - 1) // n
     ref = g.groupby("decile")["c"].agg(["size", "sum"])
     tot = g["c"].sum()
-    out = _run("q280_lorenz_deciles", spark, sf_dir).set_index("decile")
+    out = _run("qz280_lorenz_deciles", spark, sf_dir).set_index("decile")
     assert len(out) == len(ref)
     for dec_i, r in ref.iterrows():
         row = out.loc[dec_i]
@@ -2067,7 +2067,7 @@ def test_lorenz_deciles_match_rank_reference(spark, sf_dir):
 
 def test_seasonal_naive_mape_matches_reference(spark, sf_dir):
     c = _day_counts(_events(sf_dir))
-    out = _run("q283_seasonal_naive_mape", spark, sf_dir).set_index(
+    out = _run("qz283_seasonal_naive_mape", spark, sf_dir).set_index(
         "event_type"
     )
     for et, grp in c.groupby("event_type"):
@@ -2091,7 +2091,7 @@ def test_lang_source_independence_matches_chi2(spark, sf_dir):
     exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
     chi2 = float(((obs - exp) ** 2 / exp).sum())
     r, cc = obs.shape
-    out = _run("q285_lang_source_independence", spark, sf_dir).iloc[0]
+    out = _run("qz285_lang_source_independence", spark, sf_dir).iloc[0]
     assert out["n_docs"] == int(n)
     assert out["df"] == (r - 1) * (cc - 1)
     assert abs(out["chi2"] - chi2) < 1e-5
@@ -2105,7 +2105,7 @@ def test_embedding_dim_variance_matches_numpy(spark, sf_dir):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     var = M.var(axis=0)
-    out = _run("q286_embedding_dim_variance", spark, sf_dir).set_index(
+    out = _run("qz286_embedding_dim_variance", spark, sf_dir).set_index(
         "dim"
     )
     assert len(out) == M.shape[1]

@@ -29,7 +29,7 @@ def test_trailing_window_spend_matches_range_frame(spark, sf_dir):
     o["day"] = (
         o["o_orderdate"] - pd.Timestamp("1970-01-01")
     ) // pd.Timedelta(days=1)
-    out = _run("q230_trailing_window_spend", spark, sf_dir).set_index(
+    out = _run("qz230_trailing_window_spend", spark, sf_dir).set_index(
         "orderkey"
     )
     assert len(out) == len(o)
@@ -393,7 +393,7 @@ def test_promo_revenue_share_gated(spark, sf_dir):
     rev = j["l_extendedprice"] * (1 - j["l_discount"])
     promo = rev[j["p_type"].str.startswith("PROMO")].sum()
 
-    out = _run("q211_promo_revenue_share", spark, sf_dir).iloc[0]
+    out = _run("qz211_promo_revenue_share", spark, sf_dir).iloc[0]
     assert out["n_items"] == len(j)
     assert abs(out["promo_pct"] - round(100.0 * promo / rev.sum(), 4)) < 1e-6
 
@@ -424,7 +424,7 @@ def test_disjunctive_revenue_gated(spark, sf_dir):
         )
     )
     hits = j[m]
-    out = _run("q213_disjunctive_revenue", spark, sf_dir).iloc[0]
+    out = _run("qz213_disjunctive_revenue", spark, sf_dir).iloc[0]
     assert out["n_items"] == len(hits)
     assert (
         abs(
@@ -452,7 +452,7 @@ def test_top_supplier_with_ties(spark, sf_dir):
     )
     winners = sorted(rev[rev == rev.max()].index)
 
-    out = _run("q215_top_supplier", spark, sf_dir)
+    out = _run("qz215_top_supplier", spark, sf_dir)
     assert list(out["suppkey"]) == winners
     assert np.allclose(out["total"], rev.max(), atol=0.011)
     assert set(out["name"]) == set(
@@ -597,7 +597,7 @@ def test_local_supplier_volume_same_nation(spark, sf_dir):
         .sum()
         .round(2)
     )
-    out = _run("q209_local_supplier_volume", spark, sf_dir).set_index(
+    out = _run("qz209_local_supplier_volume", spark, sf_dir).set_index(
         "nation"
     )
     assert set(out.index) == set(ref.index)
@@ -762,7 +762,7 @@ def test_order_day_streaks_match_islands_reference(spark, sf_dir):
         d = np.sort(days.unique())
         runs = np.split(d, np.where(np.diff(d) != 1)[0] + 1)
         hist.update(len(r) for r in runs)
-    out = _run("q269_order_day_streaks", spark, sf_dir).set_index(
+    out = _run("qz269_order_day_streaks", spark, sf_dir).set_index(
         "streak_len"
     )
     assert len(out) == len(hist)
@@ -776,7 +776,7 @@ def test_top_order_share_matches_pandas(spark, sf_dir):
     g = o.groupby("o_custkey")["cents"].agg(["max", "sum", "count"])
     g["share"] = g["max"] / g["sum"]
     j = g.merge(c, left_index=True, right_on="c_custkey")
-    out = _run("q270_top_order_share", spark, sf_dir).set_index("segment")
+    out = _run("qz270_top_order_share", spark, sf_dir).set_index("segment")
     for seg, grp in j.groupby("c_mktsegment"):
         row = out.loc[seg]
         assert row["n_customers"] == len(grp)
@@ -794,7 +794,7 @@ def test_sla_attainment_matches_pandas(spark, sf_dir):
         (j["l_shipdate"] - j["o_orderdate"])
         // pd.Timedelta(microseconds=1)
     ) // 86_400_000_000
-    out = _run("q271_sla_attainment", spark, sf_dir).set_index("priority")
+    out = _run("qz271_sla_attainment", spark, sf_dir).set_index("priority")
     for pr, d in days.groupby(j["o_orderpriority"]):
         row = out.loc[pr]
         assert row["n_lines"] == len(d)
@@ -807,7 +807,7 @@ def test_brand_median_discount_matches_order_stats(spark, sf_dir):
     li, p = _t(sf_dir, "lineitem"), _t(sf_dir, "part")
     j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
     pct = np.floor(j["l_discount"] * 100.0 + 0.5).astype(int)
-    out = _run("q272_brand_median_discount", spark, sf_dir).set_index(
+    out = _run("qz272_brand_median_discount", spark, sf_dir).set_index(
         "brand"
     )
     for br, v in pct.groupby(j["p_brand"]):
@@ -823,7 +823,7 @@ def test_customer_theil_matches_inequality_reference(spark, sf_dir):
     x = cents.groupby(o["o_custkey"]).sum().to_numpy(dtype=float)
     n, X = len(x), x.sum()
     theil = float(((x / X) * np.log(n * x / X)).sum())
-    out = _run("q275_customer_theil", spark, sf_dir).iloc[0]
+    out = _run("qz275_customer_theil", spark, sf_dir).iloc[0]
     assert out["n_customers"] == n
     assert (
         abs(out["mean_spend"] - np.floor(X / n + 0.5) / 100.0) < 0.011
@@ -846,7 +846,7 @@ def test_cohort_ltv_matches_pandas(spark, sf_dir):
     r = j.groupby(["cm", "off"])["cents"].sum().sort_index()
     cum = r.groupby(level=0).cumsum()
     size = cm.groupby(cm).size()
-    out = _run("q276_cohort_ltv", spark, sf_dir).set_index(
+    out = _run("qz276_cohort_ltv", spark, sf_dir).set_index(
         ["cohort_month", "month_offset"]
     )
     assert len(out) == len(cum)
@@ -865,7 +865,7 @@ def test_discount_quantity_corr_matches_pearson(spark, sf_dir):
     j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
     dc = np.floor(j["l_discount"] * 100.0 + 0.5)
     q = j["l_quantity"]
-    out = _run("q277_discount_quantity_corr", spark, sf_dir).set_index(
+    out = _run("qz277_discount_quantity_corr", spark, sf_dir).set_index(
         "brand"
     )
     for br, idx in j.groupby("p_brand").groups.items():
