@@ -1248,6 +1248,7 @@ def main() -> None:
             li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .select(F.col("l_orderkey").alias("ok"),
                     F.col("p_brand").alias("brand"))
+            .repartition("ok")  # r16: one fact exchange (q267 shape)
             .distinct()
         )
         a = ob.select("ok", F.col("brand").alias("ba"))
@@ -1272,6 +1273,84 @@ def main() -> None:
         "sec_base": round(t_bb, 2),
         "sec_big": round(t_bg, 2),
         "growth_vs_linear": round(t_bg / (t_bb * factor), 2),
+    }))
+
+    # q287's epoch shuffle under `factor`x documents with DISJOINT ids:
+    # one range exchange + local sorts, so wall-clock must track the
+    # data linearly (the law that makes per-epoch reshuffling affordable
+    # as a routine pre-training step rather than a batch-job event).
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    def _eposh(d, nparts):
+        return epoch_shuffle(
+            d, "doc_id", epoch=3, shards=16, n_partitions=nparts
+        ).count()
+
+    d0 = table(spark, sf_dir, "documents").select("doc_id")
+    d_big = inflate(d0, factor, ["doc_id"]).persist()
+    d_big.count()
+    _eposh(d0, 32)  # warm
+    t0 = time.perf_counter(); _eposh(d0, 32); t_eb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _eposh(d_big, 32); t_eg = time.perf_counter() - t0
+    d_big.unpersist()
+    print(json.dumps({
+        "probe": "epoch_shuffle",
+        "factor": factor,
+        "sec_base": round(t_eb, 2),
+        "sec_big": round(t_eg, 2),
+        "growth_vs_linear": round(t_eg / (t_eb * factor), 2),
+    }))
+
+    # q290's Poisson bootstrap under `factor`x orders with DISJOINT
+    # orderkeys: the explode-by-B feeds a map-side combine keyed on b
+    # alone, so the resample aggregate must stay linear in the corpus
+    # (B is constant) — a super-linear reading would mean the explode
+    # is materializing instead of fusing into the partial aggregate.
+    def _boot(o):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+            mul_hash32,
+        )
+
+        dec = "decimal(38,0)"
+        e = o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100.0, 0).cast(dec)
+            .alias("cents"),
+            F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        )
+        mask = mul_hash32(F.col("b") + F.lit(2654435769))
+        m1 = mul_hash32(F.col("o_orderkey").bitwiseXOR(mask))
+        x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
+        m2 = mul_hash32(x1)
+        key = m2.bitwiseXOR(F.shiftright(m2, 16))
+        u = (key + F.lit(0.5)) / F.lit(4294967296.0)
+        w = (
+            F.when(u < 0.3678794411714423, 0)
+            .when(u < 0.7357588823428847, 1)
+            .when(u < 0.9196986029286058, 2)
+            .when(u < 0.9810118431238463, 3)
+            .otherwise(4)
+        )
+        return e.groupBy("b").agg(
+            F.sum(w.cast(dec) * F.col("cents")).alias("ws"),
+            F.sum(w).alias("wn"),
+        ).count()
+
+    o0 = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o_big2 = inflate(o0, factor, ["o_orderkey"]).persist()
+    o_big2.count()
+    _boot(o0)  # warm
+    t0 = time.perf_counter(); _boot(o0); t_ob = time.perf_counter() - t0
+    t0 = time.perf_counter(); _boot(o_big2); t_og = time.perf_counter() - t0
+    o_big2.unpersist()
+    print(json.dumps({
+        "probe": "bootstrap_resample",
+        "factor": factor,
+        "sec_base": round(t_ob, 2),
+        "sec_big": round(t_og, 2),
+        "growth_vs_linear": round(t_og / (t_ob * factor), 2),
     }))
 
 
