@@ -853,3 +853,212 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 — epoch curriculum: annealed temperature-mixture schedule
+# ---------------------------------------------------------------------------
+
+_CURR_EPOCHS = 4
+_CURR_BUDGET = 0.4
+
+
+def _q291_oracle() -> str:
+    from ..operators.sampling import mul_hash32_sql
+
+    mask = mul_hash32_sql("e + 2654435769")
+    m1 = mul_hash32_sql(f"xor(doc_id, {mask})")
+    x1 = f"xor({m1}, ({m1}) >> 16)"
+    m2 = mul_hash32_sql(x1)
+    key = f"xor({m2}, ({m2}) >> 16)"
+    return f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+               FROM documents GROUP BY source),
+    ep AS (SELECT unnest(range({_CURR_EPOCHS})) AS e),
+    w AS (SELECT c.source, c.n, ep.e,
+                 pow(c.n, 0.3 + 0.2 * ep.e) AS wn
+          FROM c CROSS JOIN ep),
+    t AS (SELECT e, SUM(n) AS tot, SUM(wn) AS wtot FROM w GROUP BY 1),
+    r AS (SELECT w.source, w.e,
+                 ROUND(LEAST(1.0, {_CURR_BUDGET} * t.tot
+                             * (w.wn / t.wtot) / w.n), 6) AS rate
+          FROM w JOIN t ON t.e = w.e),
+    sel AS (SELECT d.source, r.e, r.rate
+            FROM documents d
+            JOIN r ON r.source = d.source
+            WHERE (({key}) + 0.5) / 4294967296.0 < r.rate)
+    SELECT CAST(e AS INT) AS epoch, source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           MIN(rate) AS rate
+    FROM sel GROUP BY 1, 2
+    """
+
+
+@query(
+    "q291_epoch_curriculum",
+    oracle=_q291_oracle(),
+    tags=("training", "sampling", "llm"),
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    """Annealed temperature-mixture CURRICULUM: qz128's single-epoch
+    alpha=0.5 mixture generalized to a per-epoch schedule alpha_e =
+    0.3 + 0.2e for epochs 0..3 — early epochs flatten the source mix
+    (small curated sources up-weighted against the bulk crawl), later
+    epochs anneal toward the natural distribution, the standard
+    data-scheduling recipe for multi-source pretraining (the mBERT/
+    XLM-R temperature rule made epoch-dependent). Emits the executable
+    schedule: per (epoch, source), the keep rate and the EXACT count
+    of selected documents.
+
+    Selection is the q287/q290 two-round hash mix keyed on (doc_id,
+    epoch), so (a) each epoch's sample is decorrelated from the others
+    (the measured near-rotation failure of additive salts is exactly
+    what a curriculum must avoid — consecutive epochs would otherwise
+    sample nearly identical subsets at equal rates), (b) a document's
+    fate is reproducible across runs, task retries, and engines (no
+    rand()), and (c) rates ROUND to 6 dp on both sides so the
+    threshold compare is engine-exact.
+
+    Scale shape: one tiny per-source count (broadcast), epochs x
+    sources rate grid (bounded), then ONE corpus pass x 4 epochs that
+    fuses the hash draw + filter + grouped count with map-side combine
+    — the corpus never shuffles; output is epochs x sources rows."""
+    from ..operators.sampling import mul_hash32
+
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    ep = spark.range(_CURR_EPOCHS).select(F.col("id").alias("e"))
+    w = c.crossJoin(F.broadcast(ep)).select(
+        "source",
+        "n",
+        "e",
+        F.pow("n", F.lit(0.3) + F.lit(0.2) * F.col("e")).alias("wn"),
+    )
+    t = w.groupBy("e").agg(
+        F.sum("n").alias("tot"), F.sum("wn").alias("wtot")
+    )
+    r = w.join(F.broadcast(t), "e").select(
+        "source",
+        "e",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_CURR_BUDGET) * F.col("tot")
+                * (F.col("wn") / F.col("wtot")) / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    mask = mul_hash32(F.col("e") + F.lit(2654435769))
+    m1 = mul_hash32(F.col("doc_id").bitwiseXOR(mask))
+    x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
+    m2 = mul_hash32(x1)
+    key = m2.bitwiseXOR(F.shiftright(m2, 16))
+    u = (key + F.lit(0.5)) / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(r), "source")
+        .where(u < F.col("rate"))
+        .groupBy(F.col("e").cast("int").alias("epoch"), "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.min("rate").alias("rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — cross-source quantile normalization (pooled-reference mapping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q292_quantile_normalization",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n FROM documents),
+    v AS (SELECT n_chars AS l, COUNT(*) AS k FROM documents GROUP BY 1),
+    cum AS (SELECT l, SUM(k) OVER (ORDER BY l
+                                   ROWS UNBOUNDED PRECEDING) AS cm
+            FROM v),
+    pr AS (SELECT c.source, c.ns, q.q,
+                  (q.q * c.ns + 3) // 4 AS rq
+           FROM c CROSS JOIN (SELECT unnest([1, 2, 3]) AS q) q),
+    tr AS (SELECT pr.source, pr.q,
+                  (pr.rq * t.n + pr.ns - 1) // pr.ns AS tr
+           FROM pr CROSS JOIN t)
+    SELECT tr.source, CAST(25 * tr.q AS INT) AS pct,
+           CAST(MIN(CASE WHEN cum.cm >= tr.tr THEN cum.l END)
+                AS BIGINT) AS norm_chars
+    FROM tr CROSS JOIN cum
+    GROUP BY 1, 2
+    """,
+    tags=("training", "quality", "llm"),
+)
+def q292(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source quantile normalization of document length onto the
+    POOLED reference distribution (the microarray quantile-
+    normalization rule, Bolstad et al. 2003, applied to corpus
+    rebalancing): a doc at within-source rank r of n_s maps to the
+    pooled value at rank ceil(r*N/n_s), so after mapping every source
+    has the SAME length distribution — the preprocessing that stops a
+    long-document source from dominating a token-budgeted mix purely
+    through length. Certified through the per-source quartile probes
+    (p25/p50/p75 of the normalized value): if normalization is right,
+    these columns are near-constant across sources by construction,
+    and their exact values pin the whole mapping.
+
+    Exactness: every step is integer — within-source quartile ranks
+    ceil(q*n_s/4), target pooled ranks ceil(r*N/n_s), and the pooled
+    value reconstruction min{l : cum(l) >= tr} over the grouped
+    length-count cumulative table (the qz158/q264 rank machinery);
+    no float appears anywhere.
+
+    Scale shape: a per-source count (bounded), ONE (length, count)
+    grouped collapse of the corpus (bounded by distinct lengths, not
+    docs), one cumulative window over that bounded table, and a
+    (sources x 3)-row probe grid folded against it with a conditional
+    aggregate — the corpus itself is never sorted or shuffled beyond
+    the grouped count."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    v = d.groupBy(F.col("n_chars").alias("l")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cum = v.select(
+        "l",
+        F.sum("k")
+        .over(
+            Window.orderBy("l").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cm"),
+    )
+    qs = spark.range(1, 4).select(F.col("id").alias("q"))
+    pr = c.crossJoin(F.broadcast(qs)).select(
+        "source",
+        "ns",
+        "q",
+        F.expr("(q * ns + 3) div 4").alias("rq"),
+    )
+    tr = pr.crossJoin(F.broadcast(t)).select(
+        "source",
+        "q",
+        F.expr("(rq * n + ns - 1) div ns").alias("tr"),
+    )
+    return (
+        tr.crossJoin(cum)
+        .groupBy(
+            "source", (F.col("q") * 25).cast("int").alias("pct")
+        )
+        .agg(
+            F.min(F.when(F.col("cm") >= F.col("tr"), F.col("l")))
+            .cast("bigint")
+            .alias("norm_chars")
+        )
+    )

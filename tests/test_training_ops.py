@@ -440,3 +440,60 @@ def test_bench_build_list_cannot_drain_per_query_signal():
                           separators=(",", ":"))) <= 400
     if parsed["build_s"]:
         assert max(parsed["build_s"].values()) == max(builds.values())
+
+
+def test_epoch_curriculum_schedule_laws(spark, sf_dir):
+    """q291 laws: every (epoch, source) selection is within the source
+    size; rates are in (0, 1]; and the schedule ANNEALS — the small-
+    source up-weighting shrinks as alpha rises, so for the smallest
+    source the keep rate is non-increasing across epochs (and strictly
+    falls somewhere unless it saturates at 1 throughout)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+    from pyspark.sql import functions as F
+
+    out = all_queries()["q291_epoch_curriculum"].build(spark, sf_dir)
+    rows = out.collect()
+    sizes = {
+        r.source: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert 0 < r.rate <= 1.0, r
+        assert 0 < r.n_selected <= sizes[r.source], r
+    smallest = min(sizes, key=sizes.get)
+    sched = [r.rate for r in sorted(rows, key=lambda r: r.epoch)
+             if r.source == smallest]
+    assert len(sched) == 4
+    assert all(a >= b - 1e-12 for a, b in zip(sched, sched[1:])), sched
+
+
+def test_quantile_normalization_aligns_sources(spark, sf_dir):
+    """q292 law: after mapping onto the pooled reference, the per-source
+    quartile values are near-identical across sources — adjacent target
+    ranks land within a tight band of the pooled distribution (exact
+    equality is not guaranteed: ceil rank arithmetic differs by one
+    pooled position between sources of different sizes)."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
+
+    out = all_queries()["q292_quantile_normalization"].build(spark, sf_dir)
+    rows = out.collect()
+    by_pct = {}
+    for r in rows:
+        by_pct.setdefault(r.pct, []).append(r.norm_chars)
+    assert set(by_pct) == {25, 50, 75}
+    for pct, vals in by_pct.items():
+        lo, hi = min(vals), max(vals)
+        # sources' mapped quartiles straddle at most a narrow band of
+        # the pooled distribution (rank-off-by-one effects only)
+        assert (hi - lo) / max(hi, 1) < 0.1, (pct, vals)
+    # and quartiles are ordered per source
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.pct] = r.norm_chars
+    for src, d in per_src.items():
+        assert d[25] <= d[50] <= d[75], (src, d)
