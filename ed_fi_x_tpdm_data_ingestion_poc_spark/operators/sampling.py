@@ -313,3 +313,37 @@ def kfold_assign(
         )
     )
     return df.withColumn("fold", ((rn - 1) % k).cast("int"))
+
+
+def zorder_key(x_col: Column | str, y_col: Column | str,
+               bits: int = 16) -> Column:
+    """Z-order (Morton) key of two non-negative integer dimensions: the
+    bit-interleave z = sum_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1) — the
+    space-filling-curve layout key behind multi-dimensional data
+    skipping in lakehouse tables (Delta/Iceberg OPTIMIZE ZORDER):
+    sorting files by z clusters BOTH dimensions at once, so min/max
+    file statistics prune selective predicates on either column, where
+    a lexicographic sort only ever prunes its leading column. Pure
+    integer JVM expressions (2*bits shift/mask terms, no UDF), exact
+    and engine-portable (zorder_key_sql is the DuckDB twin); inputs
+    are truncated to `bits` low bits — callers quantize wider domains
+    first (the locality law only needs rank-preserving buckets)."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("bigint")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of zorder_key — the identical interleave generated
+    from the same loop, so the arithmetic cannot drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

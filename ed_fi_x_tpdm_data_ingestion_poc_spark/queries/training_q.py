@@ -1062,3 +1062,160 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
             .alias("norm_chars")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — Z-order layout manifest (multi-dimensional data-skipping key)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # quantize both dims to 8 bits -> 16-bit z, 64 z-buckets
+_Z_BUCKETS = 64
+
+
+def _q293_oracle() -> str:
+    from ..operators.sampling import zorder_key_sql
+
+    z = zorder_key_sql("xq", "yq", _Z_BITS)
+    return f"""
+    WITH b AS (SELECT l_orderkey, l_partkey,
+                      CAST(l_partkey % 256 AS BIGINT) AS xq,
+                      CAST(l_suppkey % 256 AS BIGINT) AS yq
+               FROM lineitem),
+    z AS (SELECT xq, yq, {z} AS zv FROM b),
+    g AS (SELECT zv * {_Z_BUCKETS} // 65536 AS zbucket, xq, yq FROM z)
+    SELECT CAST(zbucket AS INT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xq) AS BIGINT) AS x_min,
+           CAST(MAX(xq) AS BIGINT) AS x_max,
+           CAST(MIN(yq) AS BIGINT) AS y_min,
+           CAST(MAX(yq) AS BIGINT) AS y_max
+    FROM g GROUP BY 1
+    """
+
+
+@query(
+    "q293_zorder_layout",
+    oracle=_q293_oracle(),
+    tags=("relational", "scale", "layout"),
+)
+def q293(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton curve) layout manifest over lineitem's
+    (partkey, suppkey) — the space-filling-curve file-layout key behind
+    multi-dimensional data skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    quantize both dims to 8 bits, interleave into a 16-bit z-value
+    (operators/sampling.py::zorder_key — pure shift/mask JVM
+    expressions, no UDF), and report per z-bucket (the file boundary a
+    writer would cut) the row count and BOTH dims' min/max. Those
+    min/max columns ARE the payoff being certified: under z-order each
+    bucket spans at most ~1/sqrt(buckets) of EACH dimension (the
+    locality law, tested), so file-level statistics prune selective
+    predicates on EITHER column — a lexicographic sort by (x, y) gives
+    x-ranges this tight but leaves every bucket's y-range at full
+    width. The law test quantifies exactly that contrast.
+
+    Exactness: quantization, interleave, bucketing, counts, and
+    min/max are all integers; the oracle replays the identical
+    bit arithmetic (zorder_key_sql is generated from the same loop).
+
+    Scale shape: map-only key computation + ONE grouped aggregate
+    bounded by the bucket count; the writer-side application is
+    repartitionByRange(zv) + sortWithinPartitions — the q287 export
+    plan with z as the sort key."""
+    from ..operators.sampling import zorder_key
+
+    li = table(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % 256).cast("bigint").alias("xq"),
+        (F.col("l_suppkey") % 256).cast("bigint").alias("yq"),
+    )
+    z = li.select(
+        "xq", "yq", zorder_key("xq", "yq", _Z_BITS).alias("zv")
+    )
+    g = z.select(
+        F.expr(f"zv * {_Z_BUCKETS} div 65536").alias("zbucket"),
+        "xq",
+        "yq",
+    )
+    return g.groupBy(F.col("zbucket").cast("int").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("xq").cast("bigint").alias("x_min"),
+        F.max("xq").cast("bigint").alias("x_max"),
+        F.min("yq").cast("bigint").alias("y_min"),
+        F.max("yq").cast("bigint").alias("y_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q294 — A/B assignment + sample-ratio-mismatch guard
+# ---------------------------------------------------------------------------
+
+
+def _q294_oracle() -> str:
+    from ..operators.sampling import mul_hash32_sql
+
+    h = mul_hash32_sql("user_id + 4242")
+    return f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (SELECT user_id, ({h}) % 2 AS arm FROM u),
+    g AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+                 CAST(SUM(arm) AS BIGINT) AS n_b
+          FROM a)
+    SELECT n_a, n_b,
+           ROUND(POWER(n_a - (n_a + n_b) / 2.0, 2)
+                 / ((n_a + n_b) / 2.0)
+                 + POWER(n_b - (n_a + n_b) / 2.0, 2)
+                 / ((n_a + n_b) / 2.0), 6) AS chi2,
+           CAST(POWER(n_a - (n_a + n_b) / 2.0, 2)
+                / ((n_a + n_b) / 2.0)
+                + POWER(n_b - (n_a + n_b) / 2.0, 2)
+                / ((n_a + n_b) / 2.0) > 3.841 AS INT) AS srm_flag
+    FROM g
+    """
+
+
+@query(
+    "q294_ab_srm_guard",
+    oracle=_q294_oracle(),
+    tags=("events", "stats", "quality"),
+)
+def q294(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 50/50 A/B assignment over users plus the
+    sample-ratio-mismatch guard — the FIRST check any experiment
+    readout must pass (Kohavi's trustworthy-experiments rule: if the
+    arm sizes are not statistically compatible with the intended
+    split, the assignment or logging pipeline is broken and every
+    downstream metric is untrustworthy). Assignment is
+    mul_hash32(user_id + salt) % 2 — the same portable hash as every
+    sampling site, so arms are reproducible across runs, engines, and
+    task retries (a rand() assignment re-randomizes under retry and
+    guarantees eventual SRM); the guard is the 1-df chi-square of the
+    observed counts against the 50/50 expectation with the 3.841
+    (alpha=0.05) threshold, rounded-6dp exact in both engines.
+
+    Scale shape: one DISTINCT user collapse (the qz254 plan class),
+    map-only arm assignment, one 2-cell aggregate to a single row."""
+    from ..operators.sampling import mul_hash32
+
+    u = table(spark, sf, "events").select("user_id").distinct()
+    a = u.select(
+        F.pmod(mul_hash32(F.col("user_id") + F.lit(4242)), F.lit(2)).alias(
+            "arm"
+        )
+    )
+    g = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum("arm").cast("bigint").alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - exp, 2) / exp
+        + F.pow(F.col("n_b") - exp, 2) / exp
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).cast("int").alias("srm_flag"),
+    )

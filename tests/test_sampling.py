@@ -227,3 +227,61 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
     assert abs(r1.ci_hi - r1.mean_price) / r1.mean_price < 0.2
     r2 = q.build(spark, sf_dir).collect()[0]
     assert tuple(r1) == tuple(r2)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The z-order payoff, quantified: bucket a 2-D keyspace 64 ways by
+    (a) the Morton key and (b) the lexicographic (x, y) sort. Under
+    z-order EVERY bucket spans a narrow range of BOTH dims (so file
+    stats prune predicates on either column); under lex sort the
+    y-range of a typical bucket is the full domain. Also pins the
+    interleave arithmetic against a pure-Python reference."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        zorder_key,
+    )
+
+    # dense 128 x 128 grid (a sparse real table hides the contrast: if
+    # each lex bucket holds only ~1 distinct x, y is trivially bounded)
+    grid = spark.range(128 * 128).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("bigint").alias("y"),
+    )
+    z = grid.select(
+        "x", "y", zorder_key("x", "y", 8).alias("zv")
+    ).collect()
+
+    def ref(x, y):
+        out = 0
+        for i in range(8):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    for r in z[:300]:
+        assert r.zv == ref(r.x, r.y), (r.x, r.y, r.zv)
+
+    # per-bucket spans: z-order bounds both dims; lex bounds only x
+    from collections import defaultdict
+
+    zspan_x, zspan_y = defaultdict(set), defaultdict(set)
+    for r in z:
+        b = r.zv * 64 // 65536
+        zspan_x[b].add(r.x)
+        zspan_y[b].add(r.y)
+    lex = sorted((r.x, r.y) for r in z)
+    n = len(lex)
+    lspan_y = defaultdict(set)
+    for i, (x, y) in enumerate(lex):
+        lspan_y[min(i * 64 // n, 63)].add(y)
+
+    def avg_span(d):
+        return sum(max(s) - min(s) for s in d.values()) / len(d)
+
+    zx, zy = avg_span(zspan_x), avg_span(zspan_y)
+    ly = avg_span(lspan_y)
+    # 64 z-buckets tile the 128x128 grid into 16x32 rectangles: both
+    # dims bounded far below the 127-wide domain
+    assert zx <= 32 and zy <= 32, (zx, zy)
+    # lexicographic buckets (2 full x-columns each) leave y at full width
+    assert ly >= 120, ly
+    assert ly > 3 * zy, (ly, zy)
