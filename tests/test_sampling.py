@@ -285,3 +285,31 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     # lexicographic buckets (2 full x-columns each) leave y at full width
     assert ly >= 120, ly
     assert ly > 3 * zy, (ly, zy)
+
+
+def test_epoch_shuffle_write_roundtrip_preserves_order(spark, sf_dir,
+                                                       tmp_path):
+    """The export contract end-to-end: epoch_shuffle -> parquet write
+    partitioned by shard -> read back. Within every shard directory,
+    rows sorted by (epoch_key, id) reproduce exactly the operator's
+    in-memory epoch order, and shard membership matches the stable
+    assignment — i.e. the thing a training loader reads off disk IS the
+    epoch permutation."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_shuffle(d, "doc_id", epoch=2, shards=4, n_partitions=4)
+    want = [
+        (r.shard, r.doc_id)
+        for r in out.orderBy("shard", "epoch_key", "doc_id").collect()
+    ]
+    path = str(tmp_path / "epoch2")
+    out.write.partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    got = [
+        (r.shard, r.doc_id)
+        for r in back.orderBy("shard", "epoch_key", "doc_id").collect()
+    ]
+    assert got == want
