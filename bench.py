@@ -185,10 +185,12 @@ def render_line(
          regression signal (their mass still lands in seq_s; n_q counts
          the full surface);
       3. artifact builds under 2 s dropped from build_s (full map in the
-         detail file), and the REMAINING build list trimmed ascending to
-         a ~400-char sub-budget — before any per-query entry is touched,
-         so an oversized build list can never drain the per-query map
-         (the primary regression signal) on its own (ADVICE r15);
+         detail file), and — ONLY if the full rendered line overflows —
+         the remaining build list trimmed ascending to a ~400-char
+         sub-budget before any per-query entry is touched, so an
+         oversized build list can never drain the per-query map (the
+         primary regression signal) on its own, while a line that fits
+         keeps full build signal (ADVICE r15/r16);
       4. hard budget enforcement: smallest remaining per-query entries
          dropped ascending until the rendered line fits — the regression
          signal concentrates in the expensive queries, which are exactly
@@ -199,13 +201,6 @@ def render_line(
     builds = {
         k: round(v, 2) for k, v in sorted(build_times.items()) if v >= 2.0
     }
-    # lever 3 second half: trim builds to a sub-budget FIRST, so a long
-    # >=2s build list can't exhaust the per-query drop loop below and
-    # drain the slowest-query signal before the build lever fires.
-    for k in sorted(builds, key=lambda k: builds[k]):
-        if len(json.dumps(builds, separators=(",", ":"))) <= budget // 4:
-            break
-        builds.pop(k)
 
     def render(q: dict[str, float]) -> str:
         return json.dumps(
@@ -223,6 +218,17 @@ def render_line(
             },
             separators=(",", ":"),
         )
+
+    # lever 3 second half: trim builds to a sub-budget BEFORE touching
+    # per-query entries, so a long >=2s build list can't drain the
+    # slowest-query signal — but only when the fully-rendered line
+    # actually overflows; in the common small-line case the full build
+    # list fits and carries signal, so keep it (ADVICE r16).
+    if len(render(short)) > budget:
+        for k in sorted(builds, key=lambda k: builds[k]):
+            if len(json.dumps(builds, separators=(",", ":"))) <= budget // 4:
+                break
+            builds.pop(k)
 
     line = render(short)
     for k in sorted(short, key=lambda k: short[k]):

@@ -1659,13 +1659,23 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("unit_cost")
         )
     )
-    best = ec.groupBy("partkey").agg(F.min("unit_cost").alias("mc"))
+    # `best` derives from `ec`, so joining on ec.partkey == best.partkey
+    # hands Spark a same-lineage attribute pair (the "trivially true
+    # equals predicate" warning); alias best's output columns so the
+    # join condition names two DISTINCT attributes and the plan never
+    # leans on the lineage-dedup heuristic.
+    best = (
+        ec.groupBy("partkey")
+        .agg(F.min("unit_cost").alias("mc"))
+        .select(F.col("partkey").alias("bk"), "mc")
+    )
     return (
         ec.join(
             best,
-            (ec.partkey == best.partkey) & (ec.unit_cost == best.mc),
+            (F.col("partkey") == F.col("bk"))
+            & (F.col("unit_cost") == F.col("mc")),
         )
-        .drop(best.partkey)
+        .drop("bk", "mc")
         .join(broadcast_if_small(eu), F.col("suppkey") == eu.s_suppkey)
         .select(
             "partkey",

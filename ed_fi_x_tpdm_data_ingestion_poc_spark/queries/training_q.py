@@ -917,7 +917,13 @@ def q291(spark: SparkSession, sf: str) -> DataFrame:
     sample nearly identical subsets at equal rates), (b) a document's
     fate is reproducible across runs, task retries, and engines (no
     rand()), and (c) rates ROUND to 6 dp on both sides so the
-    threshold compare is engine-exact.
+    threshold compare is engine-exact. Accepted residual risk (the
+    qz128 class): the rate itself is pow() over a float SUM(wn), so if
+    JVM Math.pow and libm pow ever disagree by an ulp AND the rate
+    lands within 1 ulp of a 0.5e-6 rounding boundary, the u < rate
+    compare could flip for the handful of docs whose u falls in that
+    1e-6 gap — never observed across 3-zone sweeps; quantizing wn to a
+    fixed decimal grid would remove it at the cost of an extra round.
 
     Scale shape: one tiny per-source count (broadcast), epochs x
     sources rate grid (bounded), then ONE corpus pass x 4 epochs that
@@ -986,7 +992,8 @@ def q291(spark: SparkSession, sf: str) -> DataFrame:
                   (q.q * c.ns + 3) // 4 AS rq
            FROM c CROSS JOIN (SELECT unnest([1, 2, 3]) AS q) q),
     tr AS (SELECT pr.source, pr.q,
-                  (pr.rq * t.n + pr.ns - 1) // pr.ns AS tr
+                  pr.rq * (t.n // pr.ns)
+                  + (pr.rq * (t.n % pr.ns) + pr.ns - 1) // pr.ns AS tr
            FROM pr CROSS JOIN t)
     SELECT tr.source, CAST(25 * tr.q AS INT) AS pct,
            CAST(MIN(CASE WHEN cum.cm >= tr.tr THEN cum.l END)
@@ -1013,7 +1020,11 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
     ceil(q*n_s/4), target pooled ranks ceil(r*N/n_s), and the pooled
     value reconstruction min{l : cum(l) >= tr} over the grouped
     length-count cumulative table (the qz158/q264 rank machinery);
-    no float appears anywhere.
+    no float appears anywhere. The target rank uses the split form
+    rq*(N div n_s) + ceil(rq*(N mod n_s)/n_s) so the widest
+    intermediate is < n_s^2 rather than ~n_s*N — safe in BIGINT until
+    a single SOURCE exceeds ~3e9 docs (the naive product dies, loudly
+    under ANSI, once the whole corpus tops that).
 
     Scale shape: a per-source count (bounded), ONE (length, count)
     grouped collapse of the corpus (bounded by distinct lengths, not
@@ -1046,10 +1057,17 @@ def q292(spark: SparkSession, sf: str) -> DataFrame:
         "q",
         F.expr("(q * ns + 3) div 4").alias("rq"),
     )
+    # ceil(rq*n/ns) computed as rq*(n div ns) + ceil(rq*(n mod ns)/ns):
+    # algebraically identical, but the largest intermediate is
+    # rq*(n mod ns) < ns^2 instead of rq*n ~ ns*N — the naive product
+    # overflows BIGINT once the corpus tops ~3e9 docs (ADVICE r16); the
+    # split form only overflows if a SINGLE source exceeds ~3e9 docs.
     tr = pr.crossJoin(F.broadcast(t)).select(
         "source",
         "q",
-        F.expr("(rq * n + ns - 1) div ns").alias("tr"),
+        F.expr(
+            "rq * (n div ns) + (rq * (n % ns) + ns - 1) div ns"
+        ).alias("tr"),
     )
     return (
         tr.crossJoin(cum)

@@ -5,12 +5,22 @@ parquet tables, then compares row count, column names, and an
 order-insensitive value hash (floats rounded to 9 significant-ish digits,
 columns sorted by name). Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes a driver-style artifact — one
+{rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}
+object per query under its CURRENT registry name — so a full-surface
+sweep can be committed as a single-file certification (VERDICT r16 #1:
+the q->qz rotation broke the per-name traceability chain across the
+driver's historical CORRECTNESS_r*.json samples; this closes it).
+Queries without an oracle record the weaker rows-only check as
+{rows_match: spark_rows >= 0, oracle_rows: null, mode: "rows_only"}.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -71,8 +81,14 @@ def duck_result(sql: str, sf_dir: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import all_queries
     from ed_fi_x_tpdm_data_ingestion_poc_spark.session import get_spark
@@ -89,6 +105,7 @@ def main() -> int:
 
     spark = get_spark()
     failures = []
+    report: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
@@ -97,6 +114,11 @@ def main() -> int:
             sn, scols, shash = spark_result(spec, spark, sf_dir)
         except Exception as e:
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if spec.oracle is None:
@@ -104,21 +126,40 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             if sn < 0:
                 failures.append(name)
+            report[name] = {
+                "rows_match": sn >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": sn,
+                "oracle_rows": None, "err": None, "mode": "rows_only",
+            }
             continue
         try:
             dn, dcols, dhash = duck_result(spec.oracle, sf_dir)
         except Exception as e:
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": sn,
+                "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+            }
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         status = "OK  " if (sn, scols, shash) == (dn, dcols, dhash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        report[name] = {
+            "rows_match": sn == dn, "schema_match": scols == dcols,
+            "hash_match": shash == dhash, "spark_rows": sn,
+            "oracle_rows": dn, "err": None,
+        }
         print(
             f"{status}  {name}: spark({sn},{shash}) duck({dn},{dhash})"
             + ("" if scols == dcols else f" COLS spark={scols} duck={dcols}")
             + f" [{time.time()-t0:.1f}s]"
         )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
