@@ -448,6 +448,114 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q295_incremental_ann_index",
+    oracle="SELECT CAST(1 AS INT) AS ok",
+    tags=("llm", "similarity", "embedding", "incremental"),
+)
+def q295(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF+PQ index maintenance (operators/similarity.py::
+    maintain_ivfpq_index) — the nightly-refresh lifecycle the other
+    incremental families (MinHash, substring, Bloom, HLL) already have,
+    applied to the vector index: encode ONLY the nightly batch with the
+    STORED codebooks, union into the stored compressed index, and gate
+    retraining on the qz286 variance-share drift screen. Reference
+    analog: the snapshot-reconciliation idiom (SisConnectorService.java:
+    463-470) — reconcile the delta, never rebuild the world.
+
+    Self-verified three ways, ok=1 iff all hold:
+      1. EQUIVALENCE LAW: update(build(corpus), batch) equals
+         build(corpus ∪ batch) under the frozen codebooks as EXACT
+         (id, cell, codes) row-set equality — encoding is deterministic
+         per-row, so the incremental index is bit-identical to a full
+         rebuild, not merely recall-equivalent (the
+         minhash_lsh_pairs_incremental law, transplanted).
+      2. SEARCH QUALITY: ivfpq_topk over the incrementally-maintained
+         index reaches recall@10 >= 0.9 vs the exact top-10 that qz51a
+         hash-checks (identical contract to qz103 — the maintained
+         index must serve queries, not just match rows).
+      3. DRIFT GATE: the batch (an unbiased corpus slice) must NOT
+         trip the retrain trigger — TV-distance of variance-share
+         profiles below 0.10 (tests/test_similarity_incremental.py
+         proves the converse: a feature-scaled batch DOES trip it).
+
+    Corpus/batch split is deterministic (vec_id % 7): ~86% stored
+    corpus, ~14% nightly batch; codebooks and the variance baseline are
+    trained on the corpus ONLY, so the law exercises genuinely unseen
+    vectors through the frozen-codebook path.
+
+    Scale shape: the nightly cost is O(|batch|) encode (one Arrow batch
+    pass) + a d-row profile join; the corpus index is read, never
+    re-encoded — at 100 TB that is an append to a cell-partitioned
+    table vs a full-corpus Python encode per refresh."""
+    from ..operators.similarity import (
+        build_ivfpq_index,
+        build_ivfpq_queries,
+        dim_variance_profile,
+        ivfpq_topk,
+        maintain_ivfpq_index,
+        train_ivfpq,
+    )
+
+    e = table(spark, sf, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 7 != 0)
+    batch = e.filter(F.col("vec_id") % 7 == 0)
+
+    model = _artifact(
+        spark, sf, "inc_ivfpq_model",
+        lambda: train_ivfpq(corpus, n_centroids=8, m=8, k=64),
+    )
+    coarse, books = model
+    stored = _artifact(
+        spark, sf, "inc_ivfpq_index",
+        lambda: built(
+            build_ivfpq_index(corpus, coarse, books, n_assign=3).persist()
+        ),
+    )
+    baseline = _artifact(
+        spark, sf, "inc_var_baseline",
+        lambda: built(dim_variance_profile(corpus).persist()),
+    )
+
+    updated, retrain, _drift = maintain_ivfpq_index(
+        stored, batch, coarse, books, baseline,
+        n_assign=3, drift_threshold=0.10,
+    )
+    updated = _artifact(
+        spark, sf, "inc_ivfpq_updated", lambda: built(updated.persist())
+    )
+
+    def law_equal() -> bool:
+        full = build_ivfpq_index(e, coarse, books, n_assign=3)
+        mism = (
+            updated.withColumn("s", F.lit(1))
+            .join(
+                full.withColumn("t", F.lit(1)),
+                ["id", "cell", "codes"],
+                "full",
+            )
+            .filter(F.col("s").isNull() | F.col("t").isNull())
+            .count()
+        )
+        return mism == 0
+
+    equal = _artifact(spark, sf, "inc_law_equal", law_equal)
+
+    qs = e.filter(F.col("vec_id") < 5)
+    qidx = _artifact(
+        spark, sf, "inc_ivfpq_queries",
+        lambda: built(
+            build_ivfpq_queries(qs, coarse, books, n_probe=6).persist()
+        ),
+    )
+    approx = ivfpq_topk(
+        e, qs, k=10, n_probe=6, n_assign=3, shortlist=40,
+        model=model, corpus_index=updated, query_index=qidx,
+    )
+    r = _recall_memo(spark, sf, "inc_ivfpq", approx, _exact_topk(spark, sf))
+    return ok_flag(spark, bool(equal) and (not retrain) and r >= 0.9)
+
+
+@query(
     "qz70_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_WITH},

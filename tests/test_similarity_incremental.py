@@ -1,0 +1,117 @@
+"""Incremental ANN index maintenance laws (VERDICT r16 #4).
+
+The law set mirrors tests/test_incremental_dedup.py's treatment of
+minhash_lsh_pairs_incremental, transplanted to the IVF+PQ index:
+
+1. EQUIVALENCE — update(build(corpus), batch) == build(corpus ∪ batch)
+   under frozen codebooks, as exact (id, cell, codes) row-set equality.
+2. DRIFT GATE, negative — an unbiased corpus slice must NOT trip the
+   variance-share retrain trigger.
+3. DRIFT GATE, positive — a feature-scaled batch (one dimension blown
+   up 10x, the rogue-scaling failure qz286 screens for) MUST trip it.
+4. SCALE SHAPE — the update path's plan contains exactly ONE Arrow
+   encoder node when the stored index is a materialized table: only the
+   batch is encoded; the corpus is read, never re-encoded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+    build_ivfpq_index,
+    dim_variance_profile,
+    ivfpq_index_update,
+    maintain_ivfpq_index,
+    train_ivfpq,
+    variance_drift,
+)
+from ed_fi_x_tpdm_data_ingestion_poc_spark.plans.audit import audit
+from ed_fi_x_tpdm_data_ingestion_poc_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def split(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    model = train_ivfpq(corpus, n_centroids=4, m=8, k=16, train_sample=512)
+    return e, corpus, batch, model
+
+
+def _rows(df):
+    return sorted(
+        (r["id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+    )
+
+
+def test_update_equals_full_rebuild(spark, split):
+    """Law 1: exact row-set equality, different params than q295 (4
+    cells, 16 codes, mod-5 split) so the law holds beyond one config."""
+    e, corpus, batch, (coarse, books) = split
+    stored = build_ivfpq_index(corpus, coarse, books, n_assign=2)
+    updated = ivfpq_index_update(stored, batch, coarse, books, n_assign=2)
+    full = build_ivfpq_index(e, coarse, books, n_assign=2)
+    assert _rows(updated) == _rows(full)
+
+
+def test_unbiased_batch_does_not_trip_drift(spark, split):
+    e, corpus, batch, (coarse, books) = split
+    baseline = dim_variance_profile(corpus)
+    _, retrain, drift = maintain_ivfpq_index(
+        build_ivfpq_index(corpus, coarse, books, n_assign=2),
+        batch, coarse, books, baseline,
+        n_assign=2, drift_threshold=0.10,
+    )
+    assert not retrain, drift
+    assert 0.0 <= drift < 0.10
+
+
+def test_scaled_batch_trips_drift(spark, split):
+    """A 10x blow-up of dimension 0 concentrates variance share there —
+    exactly the rogue-feature-scaling / collapsed-encoder shift the
+    qz286 screen exists to catch — and must demand a retrain."""
+    _, corpus, batch, (coarse, books) = split
+    skewed = batch.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda v, i: F.when(i == 0, v * 10.0).otherwise(v),
+        ),
+    )
+    baseline = dim_variance_profile(corpus)
+    _, retrain, drift = maintain_ivfpq_index(
+        build_ivfpq_index(corpus, coarse, books, n_assign=2),
+        skewed, coarse, books, baseline,
+        n_assign=2, drift_threshold=0.10,
+    )
+    assert retrain, drift
+    assert drift > 0.10
+
+
+def test_drift_is_symmetric_zero_on_self(spark, split):
+    _, corpus, _, _ = split
+    p = dim_variance_profile(corpus)
+    assert variance_drift(p, p) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_update_encodes_only_the_batch(spark, split, tmp_path):
+    """Law 4: with the stored index materialized (parquet, as a real
+    deployment would hold it), the update plan has exactly one Arrow
+    encoder node — the batch's — and scans the stored index as data."""
+    _, corpus, batch, (coarse, books) = split
+    p = str(tmp_path / "stored_index")
+    build_ivfpq_index(corpus, coarse, books, n_assign=2).write.parquet(p)
+    stored = spark.read.parquet(p)
+    updated = ivfpq_index_update(stored, batch, coarse, books, n_assign=2)
+    # count unique Arrow-encoder NODE IDs (formatted explain lists each
+    # node in the tree and again in the details section)
+    import re
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import plan_string
+
+    text = plan_string(updated)
+    encoder_ids = set(re.findall(r"\((\d+)\) MapInPandas", text))
+    assert len(encoder_ids) == 1, text
+    assert audit(updated).python_evals == 0
