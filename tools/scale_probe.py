@@ -1353,6 +1353,166 @@ def main() -> None:
         "growth_vs_linear": round(t_og / (t_ob * factor), 2),
     }))
 
+    # ---- round-17 second-wave probes (VERDICT r16 #6) --------------------
+
+    # q292 quantile normalization under a SKEWED source mix: 90% of the
+    # inflated copies collapse into one bulk source AND n_chars gets a
+    # per-copy offset, so the per-source count table stays tiny while the
+    # (length, count) grouped collapse — the one corpus-sized shuffle —
+    # genuinely grows ~factor x in distinct keys. Super-linear growth
+    # would flag the cumulative window or the probe-grid fold scaling
+    # with docs instead of with distinct lengths.
+    def _qnorm(d):
+        from pyspark.sql import Window as W
+
+        c = d.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+        t = d.agg(F.count(F.lit(1)).alias("n"))
+        v = d.groupBy(F.col("n_chars").alias("l")).agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        cum = v.select(
+            "l",
+            F.sum("k").over(
+                W.orderBy("l").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).alias("cm"),
+        )
+        qs = spark.range(1, 4).select(F.col("id").alias("q"))
+        pr = c.crossJoin(F.broadcast(qs)).select(
+            "source", "ns", "q", F.expr("(q * ns + 3) div 4").alias("rq")
+        )
+        tr = pr.crossJoin(F.broadcast(t)).select(
+            "source", "q",
+            F.expr(
+                "rq * (n div ns) + (rq * (n % ns) + ns - 1) div ns"
+            ).alias("tr"),
+        )
+        return (
+            tr.crossJoin(cum)
+            .groupBy("source", (F.col("q") * 25).cast("int").alias("pct"))
+            .agg(F.min(F.when(F.col("cm") >= F.col("tr"), F.col("l")))
+                 .alias("norm_chars"))
+            .count()
+        )
+
+    dq = table(spark, sf_dir, "documents").select("source", "n_chars")
+    copies = spark.range(factor).select(F.col("id").alias("__copy"))
+    dq_big = (
+        dq.crossJoin(F.broadcast(copies))
+        .select(
+            F.when(F.col("__copy") > 0, F.lit("bulk_crawl"))
+            .otherwise(F.col("source")).alias("source"),
+            (F.col("n_chars") + F.col("__copy") * 100_000).alias("n_chars"),
+        )
+        .persist()
+    )
+    dq_big.count()
+    _qnorm(dq)  # warm
+    t0 = time.perf_counter(); _qnorm(dq); t_qb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _qnorm(dq_big); t_qg = time.perf_counter() - t0
+    dq_big.unpersist()
+    print(json.dumps({
+        "probe": "quantile_norm_skewed_source",
+        "factor": factor,
+        "sec_base": round(t_qb, 2),
+        "sec_big": round(t_qg, 2),
+        "growth_vs_linear": round(t_qg / (t_qb * factor), 2),
+    }))
+
+    # q293 Z-order layout key under a HOT key range: 90% of inflated rows
+    # collapse onto a single (xq, yq) point, so one z-bucket holds ~90%
+    # of the corpus. The manifest is a 64-group aggregate with map-side
+    # combine — partial aggregation must absorb the hot bucket (each
+    # task emits at most 64 rows regardless of skew); super-linear
+    # growth would flag the bucket reducer inheriting the skew.
+    def _zmanifest(li):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+            zorder_key,
+        )
+
+        b = li.select(
+            (F.col("l_partkey") % 256).cast("bigint").alias("xq"),
+            (F.col("l_suppkey") % 256).cast("bigint").alias("yq"),
+        )
+        z = b.select("xq", "yq", zorder_key("xq", "yq", 8).alias("zv"))
+        return (
+            z.select((F.col("zv") * 64 / 65536).cast("int").alias("zb"),
+                     "xq", "yq")
+            .groupBy("zb")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("xq"), F.max("xq"), F.min("yq"), F.max("yq"))
+            .count()
+        )
+
+    lz = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    lz_big = (
+        lz.crossJoin(F.broadcast(copies))
+        .select(
+            F.when(F.col("__copy") > 0, F.lit(7)).otherwise(
+                F.col("l_partkey")
+            ).alias("l_partkey"),
+            F.when(F.col("__copy") > 0, F.lit(11)).otherwise(
+                F.col("l_suppkey")
+            ).alias("l_suppkey"),
+        )
+        .persist()
+    )
+    lz_big.count()
+    _zmanifest(lz)  # warm
+    t0 = time.perf_counter(); _zmanifest(lz); t_zb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _zmanifest(lz_big); t_zg = time.perf_counter() - t0
+    lz_big.unpersist()
+    print(json.dumps({
+        "probe": "zorder_hot_key_range",
+        "factor": factor,
+        "sec_base": round(t_zb, 2),
+        "sec_big": round(t_zg, 2),
+        "growth_vs_linear": round(t_zg / (t_zb * factor), 2),
+    }))
+
+    # q294 SRM guard under 99:1 user skew: inflation maps 99% of copies'
+    # events onto ONE hot user_id. The plan is DISTINCT -> map-side arm
+    # hash -> 2-cell aggregate; partial distinct must collapse the hot
+    # key map-side (each task emits the hot user once), so wall-clock
+    # tracks raw event volume, never the hot key's row count landing on
+    # one reducer.
+    def _srm(e):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+            mul_hash32,
+        )
+
+        u = e.select("user_id").distinct()
+        a = u.select(
+            F.pmod(mul_hash32(F.col("user_id") + F.lit(4242)), F.lit(2))
+            .alias("arm")
+        )
+        return a.agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum("arm").alias("n_b"),
+        ).count()
+
+    ev0 = table(spark, sf_dir, "events").select("user_id")
+    ev_big = (
+        ev0.crossJoin(F.broadcast(copies))
+        .select(
+            F.when(F.col("__copy") > 0, F.lit(424242)).otherwise(
+                F.col("user_id")
+            ).alias("user_id")
+        )
+        .persist()
+    )
+    ev_big.count()
+    _srm(ev0)  # warm
+    t0 = time.perf_counter(); _srm(ev0); t_sb = time.perf_counter() - t0
+    t0 = time.perf_counter(); _srm(ev_big); t_sg = time.perf_counter() - t0
+    ev_big.unpersist()
+    print(json.dumps({
+        "probe": "srm_user_skew",
+        "factor": factor,
+        "sec_base": round(t_sb, 2),
+        "sec_big": round(t_sg, 2),
+        "growth_vs_linear": round(t_sg / (t_sb * factor), 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
