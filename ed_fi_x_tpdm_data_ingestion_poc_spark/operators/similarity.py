@@ -984,6 +984,53 @@ def semantic_dedup_survivors(
 # the same law minhash_lsh_pairs_incremental pins for sketch dedup.
 
 
+def hyperplane_index_update(
+    stored_index: DataFrame,
+    new_batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 8,
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Nightly LSH index refresh: bucket only the new batch under the SAME
+    (dim, tables, bits, seed) plane family and union with the stored
+    index. The plane family is deterministic and data-oblivious, so
+    update(build(C), B) == build(C ∪ B) exactly — and there is no drift
+    trigger to gate: hyperplanes never go stale (the trade vs the
+    trained IVF/PQ paths). Same caller contract as ivfpq_index_update:
+    batch ids disjoint from the stored index."""
+    return stored_index.unionByName(
+        build_hyperplane_index(
+            new_batch, id_col=id_col, vec_col=vec_col,
+            dim=dim, tables=tables, bits=bits, seed=seed,
+        )
+    )
+
+
+def ivf_index_update(
+    stored_index: DataFrame,
+    new_batch: DataFrame,
+    codebook: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 2,
+) -> DataFrame:
+    """Nightly IVF index refresh under the STORED codebook — cell-assign
+    and append only the batch; same equivalence law and drift posture as
+    ivfpq_index_update (gate retrains with variance_drift against the
+    baseline stored at train time)."""
+    return stored_index.unionByName(
+        build_ivf_index(
+            new_batch, codebook,
+            id_col=id_col, vec_col=vec_col, n_assign=n_assign,
+        )
+    )
+
+
 def ivfpq_index_update(
     stored_index: DataFrame,
     new_batch: DataFrame,

@@ -2006,3 +2006,53 @@ def q297(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("b_id").cast("bigint").alias("n_clicks"),
         )
     )
+
+
+@query(
+    "q299_stream_semi_join",
+    oracle="""
+    WITH a AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    b AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_qualified,
+           CAST(MIN(a.event_id) AS BIGINT) AS first_id,
+           CAST(MAX(a.event_id) AS BIGINT) AS last_id
+    FROM a
+    WHERE EXISTS (SELECT 1 FROM b
+                  WHERE b.user_id = a.user_id
+                    AND b.ts >= a.ts - INTERVAL 5 MINUTE
+                    AND b.ts <= a.ts)
+    """,
+    tags=("streaming",),
+)
+def q299(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join with watermark — with q288/q296/
+    q297 this covers every stream-stream join mode Spark supports
+    (inner via qz49f, left/right/full outer, semi): purchases that HAD
+    a same-user click in the preceding 5 minutes, emitted once per
+    left row regardless of how many clicks matched — the existence
+    test the outer modes can only express through a post-join distinct
+    that re-shuffles the matched pairs. State discipline is the
+    outer-join one (left rows buffer until the watermark bounds the
+    match window; matched rows emit once), and the batch oracle is the
+    equivalent EXISTS subquery. Certified by the qualified count plus
+    the min/max qualified event ids (endpoints pin the membership, not
+    just its size). The flush sentinel rides both sides
+    (_stream_join_sides); its self-match emits one a_id=-1 row,
+    dropped batch-side like its siblings.
+
+    Scale shape: same one equality-key shuffle per side and bounded
+    per-key state as q288 — semi joins additionally DROP right-side
+    rows from the emitted stream entirely, so output volume is capped
+    by the left side alone (the cheapest of the join modes at scale)."""
+    from ..streaming.replay import run_to_memory
+
+    a, b, cond = _stream_join_sides(spark, sf)
+    joined = a.join(b, cond, "leftSemi").select("a_id")
+    res = run_to_memory(joined, output_mode="append")
+    return res.where(F.col("a_id") != -1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_qualified"),
+        F.min("a_id").cast("bigint").alias("first_id"),
+        F.max("a_id").cast("bigint").alias("last_id"),
+    )

@@ -115,3 +115,34 @@ def test_update_encodes_only_the_batch(spark, split, tmp_path):
     encoder_ids = set(re.findall(r"\((\d+)\) MapInPandas", text))
     assert len(encoder_ids) == 1, text
     assert audit(updated).python_evals == 0
+
+
+def test_hyperplane_and_ivf_updates_equal_full_rebuild(spark, sf_dir):
+    """The equivalence law holds for the whole index family: hyperplane
+    LSH (data-oblivious planes — no drift gate exists or is needed) and
+    plain IVF (stored codebook) behave exactly like the IVF+PQ path."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        build_hyperplane_index,
+        build_ivf_index,
+        hyperplane_index_update,
+        ivf_index_update,
+        train_ivf_codebook,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+
+    def rows(df, key_cols):
+        return sorted(tuple(r[c] for c in key_cols) for r in df.collect())
+
+    h_stored = build_hyperplane_index(corpus, tables=4, bits=4)
+    h_upd = hyperplane_index_update(h_stored, batch, tables=4, bits=4)
+    h_full = build_hyperplane_index(e, tables=4, bits=4)
+    assert rows(h_upd, ["id", "bk"]) == rows(h_full, ["id", "bk"])
+
+    cb = train_ivf_codebook(corpus, n_centroids=4, train_sample=512)
+    i_stored = build_ivf_index(corpus, cb, n_assign=2)
+    i_upd = ivf_index_update(i_stored, batch, cb, n_assign=2)
+    i_full = build_ivf_index(e, cb, n_assign=2)
+    assert rows(i_upd, ["id", "cell"]) == rows(i_full, ["id", "cell"])

@@ -44,7 +44,10 @@ def _batch_join(spark, sf_dir, how: str):
         & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 300 SECOND"))
         & (F.col("b_ts") <= F.col("a_ts"))
     )
-    return a.join(b, cond, how).select("a_id", "b_id")
+    joined = a.join(b, cond, how)
+    # semi/anti joins emit only the left side's columns
+    cols = ["a_id"] if how in ("leftSemi", "leftAnti") else ["a_id", "b_id"]
+    return joined.select(*cols)
 
 
 def test_full_outer_matches_batch_and_covers_all_populations(spark, sf_dir):
@@ -113,3 +116,24 @@ def test_side_builder_keeps_sentinel_in_both_filters(spark, sf_dir):
         plan = side._jdf.queryExecution().analyzed().toString()
         assert "__flush__" in plan, plan
         assert typ in plan, plan
+
+
+def test_semi_join_matches_batch_exists(spark, sf_dir):
+    """q299: the streamed semi join equals the batch EXISTS — count and
+    membership endpoints — and emits each qualified purchase once."""
+    out = _run("q299_stream_semi_join", spark, sf_dir)
+    assert len(out) == 1
+    ref = (
+        _batch_join(spark, sf_dir, "leftSemi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a_id").alias("lo"),
+            F.max("a_id").alias("hi"),
+        )
+        .first()
+    )
+    row = out.iloc[0]
+    assert (int(row.n_qualified), int(row.first_id), int(row.last_id)) == (
+        int(ref["n"]), int(ref["lo"]), int(ref["hi"])
+    )
+    assert int(row.n_qualified) > 0
