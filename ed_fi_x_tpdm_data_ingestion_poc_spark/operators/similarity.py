@@ -1058,6 +1058,46 @@ def ivfpq_index_update(
     return stored_index.unionByName(batch_idx)
 
 
+def ivfpq_index_reconcile(
+    stored_index: DataFrame,
+    upsert_batch: DataFrame,
+    delete_ids: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 2,
+) -> DataFrame:
+    """The full snapshot-reconciliation triple for the vector index —
+    upserts AND deletes, completing ivfpq_index_update's append-only
+    contract (reference idiom: SisConnectorService.java:463-470 /
+    operators/relational.py::reconcile_snapshot, R21): drop every
+    stored row whose id is deleted or re-submitted (one anti-join on
+    the id — broadcast when the delta is nightly-sized), then append
+    the freshly-encoded upsert batch under the stored codebooks.
+
+    Law (tests/test_similarity_incremental.py): reconcile(build(C), U,
+    D) == build((C \\ ids(U) \\ D) ∪ U) — exact row-set equality, same
+    frozen-codebook argument as the append law. Cost at 100 TB:
+    O(|delta|) encode + an id-keyed anti-join against the
+    cell-partitioned index; the corpus is never re-encoded."""
+    gone = (
+        delete_ids.select(F.col(delete_ids.columns[0]).alias("id"))
+        .unionByName(
+            upsert_batch.select(F.col(id_col).cast("long").alias("id"))
+        )
+        .distinct()
+    )
+    kept = stored_index.join(F.broadcast(gone), "id", "left_anti")
+    return kept.unionByName(
+        build_ivfpq_index(
+            upsert_batch, coarse, books,
+            id_col=id_col, vec_col=vec_col, n_assign=n_assign,
+        )
+    )
+
+
 def dim_variance_profile(
     emb: DataFrame, *, vec_col: str = "embedding"
 ) -> DataFrame:

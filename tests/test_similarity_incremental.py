@@ -146,3 +146,47 @@ def test_hyperplane_and_ivf_updates_equal_full_rebuild(spark, sf_dir):
     i_upd = ivf_index_update(i_stored, batch, cb, n_assign=2)
     i_full = build_ivf_index(e, cb, n_assign=2)
     assert rows(i_upd, ["id", "cell"]) == rows(i_full, ["id", "cell"])
+
+
+def test_reconcile_equals_rebuild_of_reconciled_corpus(spark, split):
+    """Upsert + delete law: reconcile(build(C), U, D) equals
+    build((C \\ ids(U) \\ D) ∪ U) — U re-encodes vectors already in C
+    (with changed values) plus brand-new ids, D deletes others."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        ivfpq_index_reconcile,
+    )
+
+    e, corpus, batch, (coarse, books) = split
+    # upserts: mod-5 batch vectors, PERTURBED (so stale stored rows for
+    # overlapping ids would be detectably wrong) ... plus they are new
+    # ids relative to corpus; also re-submit 10 corpus ids with changed
+    # vectors to exercise the replace path.
+    resubmit = corpus.filter(F.col("vec_id") < 60).withColumn(
+        "embedding", F.transform("embedding", lambda v: v * 2.0 + 0.1)
+    )
+    upserts = batch.unionByName(resubmit)
+    deletes = corpus.filter(
+        (F.col("vec_id") >= 60) & (F.col("vec_id") < 80)
+    ).select("vec_id")
+
+    stored = build_ivfpq_index(corpus, coarse, books, n_assign=2)
+    rec = ivfpq_index_reconcile(
+        stored, upserts, deletes, coarse, books, n_assign=2
+    )
+
+    surviving = corpus.join(
+        upserts.select("vec_id"), "vec_id", "left_anti"
+    ).join(deletes, "vec_id", "left_anti")
+    target = surviving.unionByName(upserts)
+    full = build_ivfpq_index(target, coarse, books, n_assign=2)
+    assert _rows(rec) == _rows(full)
+    # the replace path really replaced: no stale codes for resubmitted
+    # ids (stale == codes of the unperturbed vectors)
+    stale = build_ivfpq_index(
+        corpus.filter(F.col("vec_id") < 60), coarse, books, n_assign=2
+    )
+    rec_sub = rec.join(
+        resubmit.select(F.col("vec_id").alias("id")), "id"
+    )
+    both = rec_sub.join(stale, ["id", "cell", "codes"], "inner").count()
+    assert both < stale.count()  # perturbation moved codes for some rows
