@@ -1074,8 +1074,11 @@ def ivfpq_index_reconcile(
     contract (reference idiom: SisConnectorService.java:463-470 /
     operators/relational.py::reconcile_snapshot, R21): drop every
     stored row whose id is deleted or re-submitted (one anti-join on
-    the id — broadcast when the delta is nightly-sized), then append
-    the freshly-encoded upsert batch under the stored codebooks.
+    the id, left UNHINTED — AQE broadcasts a nightly-sized delta from
+    runtime stats and degrades a backfill/GDPR-sized delta to a
+    shuffle join instead of OOMing the driver on a forced broadcast),
+    then append the freshly-encoded upsert batch under the stored
+    codebooks.
 
     Law (tests/test_similarity_incremental.py): reconcile(build(C), U,
     D) == build((C \\ ids(U) \\ D) ∪ U) — exact row-set equality, same
@@ -1089,7 +1092,7 @@ def ivfpq_index_reconcile(
         )
         .distinct()
     )
-    kept = stored_index.join(F.broadcast(gone), "id", "left_anti")
+    kept = stored_index.join(gone, "id", "left_anti")
     return kept.unionByName(
         build_ivfpq_index(
             upsert_batch, coarse, books,
@@ -1136,7 +1139,11 @@ def variance_drift(baseline: DataFrame, current: DataFrame) -> float:
     variance balance it was trained under (qz286's rationale), so a
     profile shift is exactly the failure mode that degrades recall.
     Joins two d-row artifacts; the corpus is not touched (the baseline
-    was stored at train time, the current profile is one batch pass)."""
+    was stored at train time, the current profile is one batch pass).
+
+    An EMPTY current profile (a night with zero new vectors) returns
+    0.0, not the raw TV distance of 0.5 — no data is no evidence of
+    drift, and 0.5 would schedule a full retrain for a no-op batch."""
     a = baseline.select("i", F.col("var_share").alias("a"))
     b = current.select("i", F.col("var_share").alias("b"))
     row = (
@@ -1150,11 +1157,14 @@ def variance_drift(baseline: DataFrame, current: DataFrame) -> float:
                     )
                 )
                 / 2.0
-            ).alias("tv")
+            ).alias("tv"),
+            F.count("b").alias("nb"),
         )
         .first()
     )
-    return float(row["tv"]) if row["tv"] is not None else 0.0
+    if row["tv"] is None or row["nb"] == 0:
+        return 0.0
+    return float(row["tv"])
 
 
 def maintain_ivfpq_index(

@@ -491,9 +491,10 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
         build_ivfpq_index,
         build_ivfpq_queries,
         dim_variance_profile,
+        ivfpq_index_update,
         ivfpq_topk,
-        maintain_ivfpq_index,
         train_ivfpq,
+        variance_drift,
     )
 
     e = table(spark, sf, "embeddings")
@@ -516,27 +517,35 @@ def q295(spark: SparkSession, sf: str) -> DataFrame:
         lambda: built(dim_variance_profile(corpus).persist()),
     )
 
-    updated, retrain, _drift = maintain_ivfpq_index(
-        stored, batch, coarse, books, baseline,
-        n_assign=3, drift_threshold=0.10,
+    # the production path is maintain_ivfpq_index (drift + update in one
+    # call, tests/test_similarity_incremental.py); the declared query
+    # memoizes the two halves separately so warm re-asks (bench
+    # iterations, oracle runs, plan sweeps) run ZERO drift jobs — the
+    # _recall_memo discipline applied to the drift verdict.
+    drift = _artifact(
+        spark, sf, "inc_drift",
+        lambda: variance_drift(baseline, dim_variance_profile(batch)),
     )
+    retrain = drift > 0.10
     updated = _artifact(
-        spark, sf, "inc_ivfpq_updated", lambda: built(updated.persist())
+        spark, sf, "inc_ivfpq_updated",
+        lambda: built(
+            ivfpq_index_update(
+                stored, batch, coarse, books, n_assign=3
+            ).persist()
+        ),
     )
 
     def law_equal() -> bool:
+        # multiset equality via exceptAll BOTH ways — a row-SET compare
+        # (full outer join on the three columns) would pass a
+        # double-appended batch; exceptAll counts multiplicity, so the
+        # law matches its "exact row-set equality" claim
         full = build_ivfpq_index(e, coarse, books, n_assign=3)
-        mism = (
-            updated.withColumn("s", F.lit(1))
-            .join(
-                full.withColumn("t", F.lit(1)),
-                ["id", "cell", "codes"],
-                "full",
-            )
-            .filter(F.col("s").isNull() | F.col("t").isNull())
-            .count()
+        return (
+            updated.exceptAll(full).count() == 0
+            and full.exceptAll(updated).count() == 0
         )
-        return mism == 0
 
     equal = _artifact(spark, sf, "inc_law_equal", law_equal)
 

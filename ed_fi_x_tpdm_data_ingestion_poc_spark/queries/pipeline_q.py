@@ -533,12 +533,17 @@ def q298(spark: SparkSession, sf: str) -> DataFrame:
         # (3) append the second slice
         write_table(second, sink, "orders_out", mode="append",
                     batch_size=32, max_connections=2)
-        lo, hi = first.agg(
-            F.min("o_orderkey"), F.max("o_orderkey")
-        ).first()
+        # bounds over the FULL 150-row table, so the 4 range slices
+        # below genuinely stripe the data (an upper bound past the real
+        # max collapses every row into slice 1 and a striping bug in
+        # read_table could never shift the hash)
+        lo, hi = (
+            o.limit(150).agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .first()
+        )
         return (db_url, int(lo), int(hi))
 
-    url, lo, _ = memo(
+    url, lo, hi = memo(
         _JDBC_SINK_FIXTURE, (id(spark), sf), build_fixture,
         label="jdbc_sink_fixture",
     )
@@ -546,6 +551,6 @@ def q298(spark: SparkSession, sf: str) -> DataFrame:
     back = read_table(
         spark, sink, "orders_out",
         partition_column="o_orderkey", lower_bound=lo,
-        upper_bound=lo + 10_000, num_partitions=4,
+        upper_bound=hi + 1, num_partitions=4,
     )
     return back.filter(F.col("o_totalprice") > 50000).select(*cols)

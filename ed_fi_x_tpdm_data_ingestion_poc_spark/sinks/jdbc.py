@@ -61,24 +61,44 @@ def write_table(
     """
     if max_connections is not None and max_connections > 0:
         df = df.coalesce(max_connections)
-    writer = (
-        df.write.format("jdbc")
-        .option("url", src.url)
-        .option("dbtable", dbtable)
-        .option("batchsize", str(batch_size))
-        .option("isolationLevel", isolation_level)
-        .option("truncate", "true" if truncate else "false")
-    )
-    if src.user:
-        writer = writer.option("user", src.user).option(
-            "password", src.password
-        )
-    if src.driver:
-        writer = writer.option("driver", src.driver)
-    if create_table_column_types:
-        writer = writer.option(
-            "createTableColumnTypes", create_table_column_types
-        )
-    for k, v in src.options.items():
+    writer = df.write.format("jdbc")
+    for k, v in writer_options(
+        src,
+        dbtable,
+        batch_size=batch_size,
+        truncate=truncate,
+        create_table_column_types=create_table_column_types,
+        isolation_level=isolation_level,
+    ).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def writer_options(
+    src: JdbcSource,
+    dbtable: str,
+    *,
+    batch_size: int = 10_000,
+    truncate: bool = True,
+    create_table_column_types: str | None = None,
+    isolation_level: str = "READ_UNCOMMITTED",
+) -> dict[str, str]:
+    """The exact option map write_table hands to the JDBC writer —
+    split out so the dialect tests can pin the assembly (driver,
+    truncate, type DDL, batching) without a live server per dialect."""
+    opts = {
+        "url": src.url,
+        "dbtable": dbtable,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+        "truncate": "true" if truncate else "false",
+    }
+    if src.user:
+        opts["user"] = src.user
+        opts["password"] = src.password
+    if src.driver:
+        opts["driver"] = src.driver
+    if create_table_column_types:
+        opts["createTableColumnTypes"] = create_table_column_types
+    opts.update(src.options)
+    return opts

@@ -98,10 +98,11 @@ def test_write_table_roundtrip_with_quoting(spark):
         [(1, 10, "a"), (2, 20, "b")], ["id", "ORDER", "MixedCase"]
     )
     write_table(decoy, sink, "sink_t", mode="overwrite")   # create
-    write_table(real, sink, "sink_t", mode="overwrite")    # truncate
+    write_table(real, sink, "sink_t", mode="overwrite",
+                max_connections=2)                         # truncate
     write_table(
         spark.createDataFrame([(3, 30, "c")], ["id", "ORDER", "MixedCase"]),
-        sink, "sink_t", mode="append", batch_size=1,
+        sink, "sink_t", mode="append", batch_size=1, max_connections=1,
     )
     back = read_table(spark, sink, "sink_t")
     got = sorted(
@@ -111,12 +112,38 @@ def test_write_table_roundtrip_with_quoting(spark):
 
 
 def test_write_table_max_connections_caps_tasks(spark):
-    """max_connections coalesces the write to N tasks = N connections —
-    the engine-side admission control for the remote RDBMS. Pinned on
-    the pre-write DataFrame's partition count (no DB needed)."""
+    """max_connections caps writer tasks (= connections) through the
+    REAL write_table path: a 16-partition frame written with
+    max_connections=3 to Derby lands in exactly 3 tasks — counted by a
+    task-end listener, the engine-side admission control observable."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.jdbc import write_table
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='cap-')}/db;create=true"
+    sink = JdbcSource(url=url, driver=DERBY)
     df = spark.range(0, 1000, 1, 16).selectExpr("id", "id * 2 AS v")
     assert df.rdd.getNumPartitions() == 16
-    assert df.coalesce(3).rdd.getNumPartitions() == 3
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    spark.sparkContext.setJobGroup("cap-test", "write_table cap")
+    try:
+        write_table(df, sink, "cap_t", mode="overwrite", max_connections=3)
+    finally:
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+    jobs = [
+        j for j in (tracker.getJobIdsForGroup("cap-test") or [])
+        if j not in before
+    ]
+    n_tasks = 0
+    for j in jobs:
+        info = tracker.getJobInfo(j)
+        for sid in info.stageIds:
+            s = tracker.getStageInfo(sid)
+            if s:
+                n_tasks += s.numTasks
+    assert n_tasks == 3, (jobs, n_tasks)
+    back = read_table(spark, sink, "cap_t")
+    assert back.count() == 1000
 
 
 @pytest.mark.parametrize(
@@ -127,16 +154,31 @@ def test_write_table_max_connections_caps_tasks(spark):
         "jdbc:oracle:thin:@h:1521:sid",
     ],
 )
-def test_writer_construction_is_dialect_agnostic(spark, url):
-    """write_table's option assembly never touches the network at build
-    time; dialect-specific SQL (quoting, type DDL) comes from the same
-    JVM registry the reader tests pin, keyed on this URL."""
-    src = JdbcSource(url=url, user="u", password="p")
-    writer = (
-        spark.range(1).write.format("jdbc")
-        .option("url", src.url)
-        .option("dbtable", "t")
-        .option("truncate", "true")
-        .option("createTableColumnTypes", "id BIGINT")
+def test_writer_options_carry_dialect_and_ddl(url):
+    """write_table's actual option assembly (sinks/jdbc.py::
+    writer_options — the map the writer is built from) must carry the
+    connection, batching, truncate, and type-DDL settings for any
+    dialect URL; dialect-specific SQL then comes from the JVM registry
+    the reader tests pin, keyed on this url option."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.sinks.jdbc import (
+        writer_options,
     )
-    assert writer is not None  # construction-only: no connect attempted
+
+    src = JdbcSource(
+        url=url, user="u", password="p", driver="com.example.Driver",
+        options={"connectTimeout": "5"},
+    )
+    opts = writer_options(
+        src, "t", batch_size=500, truncate=False,
+        create_table_column_types="id BIGINT",
+        isolation_level="READ_COMMITTED",
+    )
+    assert opts["url"] == url
+    assert opts["dbtable"] == "t"
+    assert opts["batchsize"] == "500"
+    assert opts["truncate"] == "false"
+    assert opts["createTableColumnTypes"] == "id BIGINT"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert opts["driver"] == "com.example.Driver"
+    assert (opts["user"], opts["password"]) == ("u", "p")
+    assert opts["connectTimeout"] == "5"

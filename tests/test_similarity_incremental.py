@@ -190,3 +190,23 @@ def test_reconcile_equals_rebuild_of_reconciled_corpus(spark, split):
     )
     both = rec_sub.join(stale, ["id", "cell", "codes"], "inner").count()
     assert both < stale.count()  # perturbation moved codes for some rows
+
+
+def test_empty_batch_is_zero_drift_no_retrain(spark, split):
+    """A night with zero new vectors is a no-op, not a retrain: the
+    empty profile must read as drift 0.0 (no evidence), never as the
+    raw TV distance 0.5 of an all-unmatched join."""
+    _, corpus, batch, (coarse, books) = split
+    empty = batch.limit(0)
+    baseline = dim_variance_profile(corpus)
+    assert variance_drift(baseline, dim_variance_profile(empty)) == 0.0
+    updated, retrain, drift = maintain_ivfpq_index(
+        build_ivfpq_index(corpus, coarse, books, n_assign=2),
+        empty, coarse, books, baseline,
+        n_assign=2, drift_threshold=0.10,
+    )
+    assert not retrain and drift == 0.0
+    # and the update itself is the identity on the stored index
+    assert updated.count() == build_ivfpq_index(
+        corpus, coarse, books, n_assign=2
+    ).count()

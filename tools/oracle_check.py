@@ -85,6 +85,13 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print(
+                "ERROR: --json requires an output path "
+                "(usage: oracle_check.py [--json OUT.json] [sf_dir] [query ...])",
+                file=sys.stderr,
+            )
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
