@@ -1513,6 +1513,58 @@ def main() -> None:
         "growth_vs_linear": round(t_sg / (t_sb * factor), 2),
     }))
 
+    # q295 incremental ANN maintenance: the nightly batch is FIXED-size
+    # while the stored corpus index grows `factor`x — the refresh cost
+    # must track the BATCH (flat, growth_vs_linear ~ 1/factor), because
+    # only the batch is encoded and the stored index is read as data.
+    # A growth reading near 1.0 would mean the corpus is being
+    # re-encoded per refresh — the exact failure the operator exists to
+    # avoid. (The denominator convention is shared with every probe:
+    # growth_vs_linear = t_big / (t_base * factor).)
+    def _inc_update(stored_idx, batch_df, coarse, books):
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+            ivfpq_index_update,
+        )
+
+        return ivfpq_index_update(
+            stored_idx, batch_df, coarse, books, n_assign=2
+        ).count()
+
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.similarity import (
+        build_ivfpq_index,
+        train_ivfpq,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    batch_df = emb.filter(F.col("doc_id") % 97 == 0) if "doc_id" in (
+        emb.columns
+    ) else emb.filter(F.col("vec_id") % 97 == 0)
+    corpus0 = emb.subtract(batch_df)
+    corpus_big = inflate(corpus0, factor, ["vec_id"]).persist()
+    corpus_big.count()
+    coarse, books = train_ivfpq(corpus0, n_centroids=8, m=8, k=16)
+    idx0 = build_ivfpq_index(corpus0, coarse, books, n_assign=2).persist()
+    idx0.count()
+    idx_big = build_ivfpq_index(
+        corpus_big, coarse, books, n_assign=2
+    ).persist()
+    idx_big.count()
+    _inc_update(idx0, batch_df, coarse, books)  # warm
+    t0 = time.perf_counter()
+    _inc_update(idx0, batch_df, coarse, books)
+    t_ib = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _inc_update(idx_big, batch_df, coarse, books)
+    t_ig = time.perf_counter() - t0
+    idx0.unpersist(); idx_big.unpersist(); corpus_big.unpersist()
+    print(json.dumps({
+        "probe": "incremental_ann_update",
+        "factor": factor,
+        "sec_base": round(t_ib, 2),
+        "sec_big": round(t_ig, 2),
+        "growth_vs_linear": round(t_ig / (t_ib * factor), 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
