@@ -2766,12 +2766,12 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q268(spark: SparkSession, sf: str) -> DataFrame:
     """Year-over-year revenue growth per customer nation — the
-    board-slide number and the canonical self-join-on-shifted-key
-    idiom (the TIME dimension analog of q256's day-lag join): revenue
-    collapses to a nations x years table once, then the YoY ratio is
-    a tiny equi-join of that table against itself at yr-1. Years with
-    no predecessor drop (inner join), a zero-revenue predecessor is
-    guarded out.
+    board-slide number (the TIME dimension analog of q256's day-lag
+    join): revenue collapses to a nations x years table once, then
+    the YoY ratio reads the yr-1 row via lag() guarded on calendar
+    adjacency (equivalent to the shifted-key self-join because
+    (nation, yr) is unique — see the plan note below). Years with no
+    predecessor drop, a zero-revenue predecessor is guarded out.
 
     Exactness: revenue accumulates in exact integer cents
     (decimal(38,0)/HUGEINT — the q241 money rule) so the grouped sums
@@ -2781,47 +2781,68 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
     read the same calendar field of the same wall-clock value (the
     qz35 date-literal class, no TZ hazard).
 
-    Plan shape at 100 TB: one fact shuffle on orderkey, customer join
-    on custkey, nation broadcast; the YoY self-join runs on the
-    nations x years aggregate (25 x ~7 rows). VERDICT r15 #5 probe
-    note: unlike q267 there is no second fact-sized exchange to
-    eliminate here — the collapse IS the aggregate (bounded at
-    nations x years), AQE broadcasts it for the yr-1 self-join
-    (verified post-execution: the only SortMergeJoin in the executed
-    plan is the unavoidable lineitem-orders fact join; the self-join
-    is a BroadcastHashJoin), and its join key (nation, yr-1) cannot
-    reuse (nation, yr) partitioning for any pre-repartition choice."""
+    Plan shape at 100 TB: one fact shuffle on orderkey (the
+    unavoidable lineitem-orders SortMergeJoin), customer join on
+    custkey, nation broadcast; the YoY step runs on the nations x years
+    aggregate (25 x ~7 rows). VERDICT r15 #5 probe note: unlike q267
+    there is no second fact-sized exchange to eliminate here — the
+    collapse IS the aggregate (bounded at nations x years).
+
+    Round-17 restructure (guide §1.2 per-task work; the q290
+    finding): revenue cents accumulate as LONG per
+    (nation, yr, salt=orderkey%64) sub-sums — the per-row value is
+    exact in long (cents <= ~2^24 per line) — then an exact
+    decimal(38,0) finish over the (nation x yr x 64)-row table, so
+    the q241 money rule (exact integer cents, order-independent
+    cross-engine) still holds at any scale while the fact-row pass
+    never touches the BigDecimal path. Measured variants (noop,
+    sf0.1): old smj+decimal+self-join 1.82 s; broadcast-hinting the
+    projected orders side LOST to the SMJ (1.37 vs 1.24 s — the
+    150k-row broadcast relation is rebuilt per execution, costing
+    more than the small co-shuffle), so the fact join deliberately
+    stays SMJ; final smj+long-salted+lag form 1.14 s."""
     li = table(spark, sf, "lineitem")
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
     c = table(spark, sf, "customer")
     n = table(spark, sf, "nation")
     dec = "decimal(38,0)"
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
-    ).cast(dec)
+    ).cast("long")
     r = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("yr"),
+            F.pmod(F.col("l_orderkey"), F.lit(64)).alias("__salt"),
         )
-        .agg(F.sum(cents).alias("cents"))
+        .agg(F.sum(cents).alias("pcents"))
+        .groupBy("nation", "yr")
+        .agg(F.sum(F.col("pcents").cast(dec)).alias("cents"))
     )
-    cur = r.select("nation", "yr", F.col("cents").alias("cc"))
-    prv = r.select(
-        F.col("nation").alias("pn"),
-        (F.col("yr") + 1).alias("py"),
-        F.col("cents").alias("pc"),
-    )
+    # YoY via lag over the tiny aggregate instead of a self-join:
+    # (nation, yr) is unique, so "the row at yr-1, if any" IS the lag
+    # row exactly when lag(yr) == yr - 1 — equivalent to the inner
+    # join at prv.yr = cur.yr - 1, but the nations x years subtree is
+    # built ONCE (the self-join form re-executed the whole fact
+    # aggregate under each branch; round-17 plan diff: two fact
+    # pipelines -> one, plus one bounded window exchange).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy("yr")
     return (
-        cur.join(
-            prv,
-            (F.col("pn") == F.col("nation"))
-            & (F.col("py") == F.col("yr")),
+        r.select(
+            "nation",
+            "yr",
+            F.col("cents").alias("cc"),
+            F.lag("cents").over(w).alias("pc"),
+            F.lag("yr").over(w).alias("pyr"),
         )
-        .where(F.col("pc") > 0)
+        .where((F.col("pyr") == F.col("yr") - 1) & (F.col("pc") > 0))
         .select(
             "nation",
             F.col("yr").alias("year"),
@@ -3320,8 +3341,21 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
     r is one closed-form double with both variance guards (the
     q244/q248 den>0 convention), ROUNDed at 1e-6.
 
+    Round-17 hot-path restructure (guide §1.2 per-task work; the q290
+    finding): decimal(38,0) per-row multiplies + precision-38 sum
+    buffers run on the BigDecimal/serialized-BigInteger path. The
+    cross-moments dc*dc / q*q / dc*q are bounded products (dc <= 100,
+    q <= 2^31 per row after the bigint cast; on TPC-H domains <= 2500)
+    that fit a LONG multiply exactly, so the fact-row aggregate now
+    sums LONGs per (brand, salt=orderkey%64) and a second brands x 64
+    -sized aggregate finishes in exact decimal(38,0). A salt-slice
+    sub-sum overflowing long (ANSI: loud error) needs ~3.7e15 fact
+    rows per brand-slice; the decimal outer total is exact at any
+    scale, so the moment contract is unchanged.
+
     Plan shape at 100 TB: part broadcast-gated onto the fact scan,
-    ONE map-side-combined brands-sized aggregate. No second pass."""
+    ONE map-side-combined (brands x 64)-sized long aggregate + a
+    brands-sized decimal finish. No second corpus pass."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part")
     dec = "decimal(38,0)"
@@ -3329,18 +3363,27 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
         broadcast_if_small(p), li.l_partkey == p.p_partkey
     ).select(
         F.col("p_brand").alias("brand"),
+        F.pmod(F.col("l_orderkey"), F.lit(64)).alias("__salt"),
         F.round(F.col("l_discount") * 100.0, 0)
         .cast("bigint")
         .alias("dc"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    g = d.groupBy("brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dc").alias("sd"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("dc").cast(dec) * F.col("dc")).alias("sdd"),
-        F.sum(F.col("q").cast(dec) * F.col("q")).alias("sqq"),
-        F.sum(F.col("dc").cast(dec) * F.col("q")).alias("sdq"),
+    sub = d.groupBy("brand", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("dc").alias("psd"),
+        F.sum("q").alias("psq"),
+        F.sum(F.col("dc") * F.col("dc")).alias("psdd"),
+        F.sum(F.col("q") * F.col("q")).alias("psqq"),
+        F.sum(F.col("dc") * F.col("q")).alias("psdq"),
+    )
+    g = sub.groupBy("brand").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psd").alias("sd"),
+        F.sum("psq").alias("sq"),
+        F.sum(F.col("psdd").cast(dec)).alias("sdd"),
+        F.sum(F.col("psqq").cast(dec)).alias("sqq"),
+        F.sum(F.col("psdq").cast(dec)).alias("sdq"),
     )
     vx = F.col("n") * F.col("sdd") - F.col("sd").cast(dec) * F.col("sd")
     vy = F.col("n") * F.col("sqq") - F.col("sq").cast(dec) * F.col("sq")

@@ -6314,6 +6314,34 @@ _POIS = (0.3678794411714423, 0.7357588823428847,
          0.9196986029286058, 0.9810118431238463)
 
 
+def _pois_key_thresholds() -> tuple[int, ...]:
+    """Integer-key form of the _POIS uniform thresholds (round 17,
+    guide §1.2 per-task work): the oracle compares
+    u = (key + 0.5) / 2^32 against the double literal p. Both sides of
+    that compare are EXACT rationals — key + 0.5 is exactly
+    representable (33 bits < 53), dividing by 2^32 only shifts the
+    exponent, and the literal p IS some exact dyadic rational — so
+    u < p  <=>  key <= T(p) for one integer threshold
+    T(p) = max { k : (2k + 1) / 2^33 < p }, computed here in exact
+    Fraction arithmetic from the literal's true value. Replacing the
+    per-row double divide + 4 double compares with integer compares is
+    value-identical for EVERY key (tests pin the boundary keys) and
+    drops ~0.2 s of the 15M-row weight pass at sf0.1."""
+    from fractions import Fraction
+
+    out = []
+    for p in _POIS:
+        bound = (Fraction(p) * 2**33 - 1) / 2  # k < bound
+        k = int(bound)
+        if Fraction(k) == bound:
+            k -= 1
+        out.append(k)
+    return tuple(out)
+
+
+_POIS_KEYS = _pois_key_thresholds()
+
+
 def _q290_oracle() -> str:
     from ..operators.sampling import mul_hash32_sql
 
@@ -6380,26 +6408,44 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     definition.
 
     Exactness: weights are exact integers from exact hash arithmetic;
-    per-resample sums are exact decimal(38,0)/HUGEINT; each mean_b is
+    per-resample sums are exact (see below); each mean_b is
     ONE double division, identical IEEE; the percentile ranks (3rd and
     98th of 100, ceil convention) are exact order statistics with a
     b tiebreak; ROUND 1e-6.
 
+    Round-17 hot-path restructure (guide §1.2 order: per-task work,
+    after the plan shape was already right). The 15M-row weight pass
+    previously multiplied and accumulated in decimal(38,0); precision
+    38 > 18 leaves Spark's compact-long Decimal representation, so
+    every row paid a BigDecimal multiply AND a serialized-BigInteger
+    aggregate-buffer update — measured 5.1 s at sf0.1 for an
+    arithmetic kernel. Now: (1) the Poisson threshold compare runs on
+    the integer key directly (_pois_key_thresholds — provably
+    value-identical per key); (2) w * cents is a LONG multiply
+    (product <= 4 * 2^33 cents, exact at any scale); (3) the resample
+    sums are two-level — long partial sums per (b, salt=orderkey%64),
+    then the exact decimal(38,0) total over the 64 x B sub-rows. A
+    sub-sum only overflows long past ~2^63 / (N/64) average weighted
+    cents, i.e. corpus revenue ~5.9e17 cents PER SALT SLICE — ANSI
+    mode would fail loudly, and the decimal outer sum keeps the
+    TOTAL exact at any scale, so the exactness contract is unchanged.
+    Measured 5.05 -> 2.16 s (A==F value-equality checked for all B).
+
     Scale shape: one corpus pass exploded x B with map-side combine
-    straight down to B partial rows per task (the aggregate keys on b
-    alone), one B-row window, one 1-row broadcast of the point
+    straight down to B x 64 partial rows per task (the aggregate keys
+    on (b, salt)), one B-row window, one 1-row broadcast of the point
     estimate. At 100 TB the explode never materializes: it feeds the
     partial aggregate inside the same whole-stage-codegen pipeline.
-    Measured at sf0.1: Spark 4.5 s vs DuckDB 3.65 s — the cost is the
-    intrinsic 15M weight draws (B x orders), not a plan defect; both
-    engines pay it and it parallelizes embarrassingly (keyed on b).
+    The cost is the intrinsic 15M weight draws (B x orders), not a
+    plan defect; both engines pay it and it parallelizes
+    embarrassingly (keyed on b).
     Probe (tools/scale_probe.py bootstrap_resample, 10x disjoint
     orderkeys): 0.89 -> 2.2 s, 0.25x the linear law — the explode
     fuses into the partial aggregate, no materialization."""
     dec = "decimal(38,0)"
     o = table(spark, sf, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100.0, 0).cast(dec).alias("cents"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
     )
     e = o.select(
         "o_orderkey",
@@ -6413,17 +6459,22 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
     m2 = mul_hash32(x1)
     key = m2.bitwiseXOR(F.shiftright(m2, 16))
-    u = (key + F.lit(0.5)) / F.lit(4294967296.0)
     w = (
-        F.when(u < _POIS[0], 0)
-        .when(u < _POIS[1], 1)
-        .when(u < _POIS[2], 2)
-        .when(u < _POIS[3], 3)
+        F.when(key <= _POIS_KEYS[0], 0)
+        .when(key <= _POIS_KEYS[1], 1)
+        .when(key <= _POIS_KEYS[2], 2)
+        .when(key <= _POIS_KEYS[3], 3)
         .otherwise(4)
     )
-    m = e.groupBy("b").agg(
-        F.sum(w.cast(dec) * F.col("cents")).alias("ws"),
-        F.sum(w).alias("wn"),
+    sub = e.groupBy(
+        "b", F.pmod(F.col("o_orderkey"), F.lit(64)).alias("__salt")
+    ).agg(
+        F.sum(w * F.col("cents")).alias("pws"),
+        F.sum(w).alias("pwn"),
+    )
+    m = sub.groupBy("b").agg(
+        F.sum(F.col("pws").cast(dec)).alias("ws"),
+        F.sum("pwn").alias("wn"),
     )
     from pyspark.sql.window import Window
 
@@ -6435,9 +6486,12 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
         .over(Window.orderBy(mean_b, F.col("b")))
         .alias("rk"),
     )
+    # point estimate: one pass over ORDERS rows only (not the x B
+    # explode), so the per-row compact cast to decimal is cheap and the
+    # corpus total stays exact decimal at any scale
     pt = o.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("tot"),
+        F.sum(F.col("cents").cast(dec)).alias("tot"),
     )
     lo_rk, hi_rk = _BOOT_B // 40 + 1, _BOOT_B - _BOOT_B // 40
     return (

@@ -239,6 +239,42 @@ def test_bootstrap_ci_brackets_the_mean(spark, sf_dir):
     assert tuple(r1) == tuple(r2)
 
 
+def test_pois_key_thresholds_match_double_compare():
+    """Round-17 q290 hot-path change: the Poisson weight used to come
+    from u = (key + 0.5) / 2^32 compared against the _POIS double
+    literals; it now compares the integer key against precomputed
+    integer thresholds. Pin the equivalence: for every threshold, the
+    boundary keys T-1, T, T+1 (and the domain edges) produce the same
+    weight under both rules — T is the LAST key whose u sorts below
+    the literal, exactly."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _POIS,
+        _POIS_KEYS,
+    )
+
+    def w_double(key: int) -> int:
+        u = (key + 0.5) / 4294967296.0  # Python float == IEEE double
+        for i, p in enumerate(_POIS):
+            if u < p:
+                return i
+        return 4
+
+    def w_int(key: int) -> int:
+        for i, t in enumerate(_POIS_KEYS):
+            if key <= t:
+                return i
+        return 4
+
+    probes = {0, 1, 2**32 - 2, 2**32 - 1}
+    for t in _POIS_KEYS:
+        probes.update({t - 1, t, t + 1})
+    for k in sorted(probes):
+        assert w_int(k) == w_double(k), (k, w_int(k), w_double(k))
+    # thresholds are strictly increasing and interior to the key domain
+    assert list(_POIS_KEYS) == sorted(set(_POIS_KEYS))
+    assert 0 < _POIS_KEYS[0] and _POIS_KEYS[-1] < 2**32 - 1
+
+
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     """The z-order payoff, quantified: bucket a 2-D keyspace 64 ways by
     (a) the Morton key and (b) the lexicographic (x, y) sort. Under
