@@ -167,6 +167,52 @@ def broadcast_if_small(
     return _F.broadcast(df) if small else df
 
 
+# spread_scan decision memo: (session id, semantic hash) -> bool, with the
+# session object pinned so id() can't be recycled (the _GATE_COUNTS rule)
+_SPREAD_DECISIONS: dict[tuple, tuple] = {}
+
+
+def spread_scan(df: DataFrame, factor: float = 1) -> DataFrame:
+    """Round-robin repartition an under-split input to the session's
+    default parallelism (optionally x factor) — guide §2.5's "one huge
+    unsplittable file: repartition immediately after the read".
+
+    The driver fixtures are single-file, SINGLE-ROW-GROUP parquet, so
+    byte-based split planning cannot parallelize any scan: every
+    per-row-heavy pipeline (gram explosion, resample explode, regex
+    chains, media decode) otherwise runs on ONE core until its first
+    shuffle (measured: the qz131 corpus gram pass 2.28 -> 0.51 s at
+    32 cores from this one change). The repartition moves kilobytes-
+    to-megabytes ONCE before the expensive map work.
+
+    Scale posture: the gate is the scan's ACTUAL partition count —
+    at production scale a corpus table has thousands of row groups
+    and splits to >= defaultParallelism on its own, so this returns
+    the frame untouched and NO exchange enters the plan. The decision
+    is memoized per (session, canonical plan) so repeated bench
+    evaluations don't re-plan the probe.
+
+    `factor` scales the target below/above defaultParallelism (e.g.
+    0.25 for small fixtures whose downstream shuffles would drown in
+    32-way block overhead — measured on the qz104 banded join: 8
+    partitions beat both 1 and 32); it stays cluster-RELATIVE, never
+    an absolute local tune."""
+    key = (id(df.sparkSession), df.semanticHash(), factor)
+    hit = _SPREAD_DECISIONS.get(key)
+    if hit is None or hit[0] is not df.sparkSession:
+        par = max(
+            1,
+            int(df.sparkSession.sparkContext.defaultParallelism * factor),
+        )
+        _SPREAD_DECISIONS[key] = (
+            df.sparkSession,
+            df.rdd.getNumPartitions() < par,
+            par,
+        )
+    _, under_split, par = _SPREAD_DECISIONS[key]
+    return df.repartition(par) if under_split else df
+
+
 def built(df: DataFrame) -> DataFrame:
     """Force a persisted artifact DataFrame to materialize INSIDE its timed
     build: a lazy persist() would shift the real compute into whichever

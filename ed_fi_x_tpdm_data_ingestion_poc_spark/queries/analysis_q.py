@@ -78,7 +78,12 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    cg = d.select(
+    from . import spread_scan
+
+    # corpus-side gram explosion is the whole cost (measured 2.3 s of
+    # the 1-core pass at sf0.1; 0.5 s spread) — parallelize the scan
+    # before the per-row n-gram build (no-op at production splits)
+    cg = spread_scan(d.select("doc_id", "text")).select(
         "doc_id", F.explode(token_ngrams(F.col("text"), _DECON_N)).alias("g")
     )
     return (

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import broadcast_if_small, built, ok_flag, query
+from . import broadcast_if_small, built, ok_flag, query, spread_scan
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -200,7 +200,9 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     # sides are row-filters of it — re-shingling per run would dominate
     full_idx = _artifact(
         spark, sf, "shingle_index_k5",
-        lambda: shingle_index(d, k=5).persist(),
+        lambda: shingle_index(
+            spread_scan(d.select("doc_id", "text")), k=5
+        ).persist(),
     )
     return ngram_containment_pairs(
         corpus, evalset, k=5, threshold=0.5,
@@ -728,7 +730,9 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") >= 20)
     full_idx = _artifact(
         spark, sf, "shingle_index_k5",
-        lambda: shingle_index(d, k=5).persist(),
+        lambda: shingle_index(
+            spread_scan(d.select("doc_id", "text")), k=5
+        ).persist(),
     )
     contaminated = (
         ngram_containment_pairs(
@@ -1429,8 +1433,11 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         F.slice(toks, 3, m),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
+    from . import spread_scan
+
     g = (
-        d.select("source", F.explode(tri).alias("tri"))
+        spread_scan(d.select("source", "text"))
+        .select("source", F.explode(tri).alias("tri"))
         .groupBy("source", "tri")
         .agg(F.count(F.lit(1)).alias("c"))
     )

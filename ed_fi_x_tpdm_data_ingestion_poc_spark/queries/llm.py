@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import broadcast_if_small, built, memo, ok_flag, query
+from . import broadcast_if_small, built, memo, ok_flag, query, spread_scan
 
 _STOP_SQL = "('the','a','of','and','to','in','is','it')"
 
@@ -204,7 +204,9 @@ def q50d(spark: SparkSession, sf: str) -> DataFrame:
     exact = _exact_pairs(spark, sf).select("ida", "idb")
     sigs = _artifact(
         spark, sf, "simhash_sigs",
-        lambda: built(simhash_signatures(d).persist()),
+        lambda: built(simhash_signatures(
+            spread_scan(d.select("doc_id", "text"))
+        ).persist()),
     )
     sim = simhash_near_pairs(
         d, max_hamming=14, bands=16, signatures=sigs

@@ -340,10 +340,20 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     # once per (session, sf) like the Derby/REST fixtures, so the bench
     # measures the container-parse + frame-sample + pixel-decode pipeline,
     # not synthetic-input generation. Cold cost lands in build_s.
+    # spread the under-split fixture scan BEFORE the generator so the
+    # persisted clip partitions — and therefore every downstream Python
+    # decode stage (container parse, frame sample, JPEG decode) —
+    # use the full core count instead of one task (guide §2.5;
+    # no-op at production splits)
+    from . import spread_scan
+
     clips = memo(
         _CLIPS,
         (id(spark), sf),
-        lambda: _built(d.mapInPandas(gen, "doc_id long, content binary")),
+        lambda: _built(
+            spread_scan(d, factor=0.25).mapInPandas(
+                gen, "doc_id long, content binary")
+        ),
         label="video_clips",
     )
     frames = extract_frames_mjpeg(clips, id_col="doc_id")
@@ -460,10 +470,18 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
                 blobs.append(encode_png(36, 32, 1, px.tobytes()))
             yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
+    # same spread-before-generate as qz88: the persisted image
+    # partitions set the parallelism of every per-run PNG-decode +
+    # dhash pass downstream (single-task before; no-op at production)
+    from . import spread_scan
+
     imgs = memo(
         _DHASH_IMGS,
         (id(spark), sf),
-        lambda: _built(d.mapInPandas(gen, "doc_id long, content binary")),
+        lambda: _built(
+            spread_scan(d, factor=0.25).mapInPandas(
+                gen, "doc_id long, content binary")
+        ),
         label="dhash_images",
     )
     sigs = dhash64_features(imgs)

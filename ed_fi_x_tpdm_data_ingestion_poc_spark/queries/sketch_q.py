@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import table
-from . import memo, query
+from . import memo, query, spread_scan
 
 _BLOOMS: dict[tuple, dict] = {}
 _FPP = 0.01
@@ -112,7 +112,9 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     full_idx = _artifact(
         spark, sf, "shingle_index_k5",
-        lambda: shingle_index(d, k=5).persist(),
+        lambda: shingle_index(
+            spread_scan(d.select("doc_id", "text")), k=5
+        ).persist(),
     )
     ev_sh = full_idx.filter(F.col("id") < 20).select("s").distinct()
     corp_sh = full_idx.filter(F.col("id") >= 20)
