@@ -65,11 +65,37 @@ def bm25_topk(
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         )
     )
-    df_t = postings.groupBy("term").agg(
-        F.count_distinct("id").alias("df")
+    qterms = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("term"),
     )
+    # Semi-join the postings down to QUERY terms before any per-term
+    # work (round 17, guide §3.2 "reduce the big side before shuffling
+    # it"): df(term) and the per-posting weight only matter for terms
+    # some query contains, and the postings rows for one term are a
+    # complete df sample regardless of the filter, so filtering first
+    # is value-identical. Previously df_t aggregated ALL terms and the
+    # model join re-shuffled the ENTIRE postings table per evaluation —
+    # the plan's biggest two exchanges carried corpus-vocabulary rows
+    # to score a handful of query terms. The query term list is
+    # query-set-sized (broadcast), so the pruning join is map-side and
+    # the surviving postings are tiny at any corpus scale. df then
+    # comes from ONE count window over the term partition of the
+    # PRUNED postings ((id, term) is unique by construction, so
+    # count(*) == count_distinct(id)) instead of a separate aggregate
+    # + join back — the df exchange and the model join disappear.
+    # Measured (noop median-of-5, sf0.1): 1.55 s original; 1.92 s
+    # aggregate+broadcast-df variant (each extra eager broadcast build
+    # is a serialized job); 1.17 s this form.
+    q_term_set = qterms.select("term").distinct()
+    p_q = postings.join(F.broadcast(q_term_set), "term")
+    wt = Window.partitionBy("term")
     model = (
-        postings.join(df_t, "term")
+        p_q.withColumn("df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(avg))
         .withColumn(
             "idf",
@@ -88,14 +114,6 @@ def bm25_topk(
             ),
         )
         .select("term", "id", "w")
-    )
-    qterms = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-            )
-        ).alias("term"),
     )
     scored = (
         qterms.join(model, "term")  # inverted index: only query terms touch

@@ -136,7 +136,19 @@ def get_spark(cfg: EngineConfig | None = None) -> SparkSession:
     builder = (
         SparkSession.builder.appName(cfg.app_name)
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions or max(32, par)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local-mode heap default (overridable via SPARK_DRIVER_MEMORY).
+        # Sized to the declared-query suite's working set, not to one
+        # query: the suite keeps ~60 persisted artifacts (indexes,
+        # sketches, fixtures) alive in the single local JVM that is
+        # both driver and executor. Measured at sf0.1/local[32]
+        # (round 17, guide §5 memory pressure): with 8g the bench's
+        # sequential pass reads 162.6 s with GC/eviction inflating
+        # individual map-only queries up to 8x their isolated cost
+        # (qz124 3.60 s in-suite vs 0.40 s isolated); with 20g the
+        # same tree reads 117.2 s (-28%) and the inflation largely
+        # disappears. On a real cluster driver/executor memory comes
+        # from spark-submit and this default is irrelevant.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", cfg.session_timezone)
     )
