@@ -82,7 +82,14 @@ def connected_components(
         # join-based change probe
         return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels)
+    # round 17: the first round always changes labels on any non-empty
+    # edge set (some node adopts a smaller neighbor label) — and on an
+    # empty one the loop converges on the first fingerprint compare
+    # anyway — so the pre-loop fingerprint job is pure overhead; start
+    # from None and pay one extra (cheap, cached-input) round only in
+    # the already-degenerate empty case. One scheduler-floor job saved
+    # per evaluation of every clustering query.
+    prev_sum = None
     for _ in range(max_iter):
         # candidate labels: own label + every neighbor's label
         neighbor_lbls = (

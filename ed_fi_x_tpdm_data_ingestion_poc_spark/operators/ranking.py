@@ -42,6 +42,7 @@ def global_running_sums(
     *,
     num_partitions: int = 64,
     sum_col: str = "run_total",
+    total_out: list | None = None,
 ) -> DataFrame:
     """Add ``sum_col`` = inclusive running sum of ``value`` (a bigint
     expression over ``df``'s columns) in the given total order, without
@@ -53,6 +54,14 @@ def global_running_sums(
 
     ``order`` must define a TOTAL order (append a unique id as the last
     key) or equal-key rows get an arbitrary-but-valid prefix order.
+
+    ``total_out``: pass a list and the GRAND total of ``value`` (an
+    exact Python int, the sum of the per-partition totals this
+    operator already collects for the offset prefix) is appended to
+    it. Budget-capped selection needs exactly this scalar; deriving it
+    here saves the caller a full extra aggregation pass over ``df``
+    (round 17, guide §1.2 "don't compute things you throw away" —
+    the totals were on the driver all along).
 
     Plan: range exchange + local sort; one Arrow pass cumsums each
     partition (a running carry across that partition's batches); the
@@ -108,6 +117,8 @@ def global_running_sums(
     for r in totals:
         offsets.append((r["__pid"], acc))
         acc += r["__t"]
+    if total_out is not None:
+        total_out.append(acc)
     spark = df.sparkSession
     off = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")

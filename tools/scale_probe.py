@@ -1304,38 +1304,65 @@ def main() -> None:
     }))
 
     # q290's Poisson bootstrap under `factor`x orders with DISJOINT
-    # orderkeys: the explode-by-B feeds a map-side combine keyed on b
-    # alone, so the resample aggregate must stay linear in the corpus
-    # (B is constant) — a super-linear reading would mean the explode
-    # is materializing instead of fusing into the partial aggregate.
+    # orderkeys, in the round-17 shipped shape: the B x orders weight
+    # pass runs as a vectorized numpy kernel inside ONE mapInArrow over
+    # (orderkey, cents), emitting B partial-sum rows per task, so the
+    # resample aggregate must stay linear in the corpus (B is constant,
+    # per-task state is B longs) — a super-linear reading would mean
+    # the kernel's work no longer tracks the scan.
     def _boot(o):
-        from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.sampling import (
-            mul_hash32,
+        from ed_fi_x_tpdm_data_ingestion_poc_spark.queries.stats_q import (
+            _BOOT_B,
+            _POIS_KEYS,
         )
 
+        n_boot, keys = _BOOT_B, _POIS_KEYS
         dec = "decimal(38,0)"
-        e = o.select(
+        oc = o.select(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 100.0, 0).cast(dec)
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
             .alias("cents"),
-            F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
         )
-        mask = mul_hash32(F.col("b") + F.lit(2654435769))
-        m1 = mul_hash32(F.col("o_orderkey").bitwiseXOR(mask))
-        x1 = m1.bitwiseXOR(F.shiftright(m1, 16))
-        m2 = mul_hash32(x1)
-        key = m2.bitwiseXOR(F.shiftright(m2, 16))
-        u = (key + F.lit(0.5)) / F.lit(4294967296.0)
-        w = (
-            F.when(u < 0.3678794411714423, 0)
-            .when(u < 0.7357588823428847, 1)
-            .when(u < 0.9196986029286058, 2)
-            .when(u < 0.9810118431238463, 3)
-            .otherwise(4)
-        )
-        return e.groupBy("b").agg(
-            F.sum(w.cast(dec) * F.col("cents")).alias("ws"),
-            F.sum(w).alias("wn"),
+
+        def kern(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            m32 = np.uint64(0xFFFFFFFF)
+            c = np.uint64(2654435761)
+            bvals = (np.arange(n_boot, dtype=np.uint64)
+                     + np.uint64(2654435769)) & m32
+            masks = (bvals * c) & m32
+            pws = np.zeros(n_boot, dtype=np.int64)
+            pwn = np.zeros(n_boot, dtype=np.int64)
+            for batch in batches:
+                ok = batch.column(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64) & m32
+                cents = batch.column(1).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                for b in range(n_boot):
+                    x = ok ^ masks[b]
+                    m1 = (x * c) & m32
+                    x1 = m1 ^ (m1 >> np.uint64(16))
+                    m2 = (x1 * c) & m32
+                    key = m2 ^ (m2 >> np.uint64(16))
+                    w = (key > np.uint64(keys[0])).astype(np.int64)
+                    for t in keys[1:]:
+                        w += key > np.uint64(t)
+                    pws[b] += int(np.dot(w, cents))
+                    pwn[b] += int(w.sum())
+            yield pa.record_batch({
+                "b": pa.array(np.arange(n_boot, dtype=np.int32)),
+                "pws": pa.array(pws),
+                "pwn": pa.array(pwn),
+            })
+
+        sub = oc.mapInArrow(kern, "b int, pws long, pwn long")
+        return sub.groupBy("b").agg(
+            F.sum(F.col("pws").cast(dec)).alias("ws"),
+            F.sum("pwn").alias("wn"),
         ).count()
 
     o0 = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
