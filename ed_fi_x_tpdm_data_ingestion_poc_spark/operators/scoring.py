@@ -257,21 +257,27 @@ def bigram_nll_dual(
         curated.cast("int").alias("cur"),
         F.explode(_bigram_pairs(text_col)).alias("p"),
     ).select("id", "cur", "p.w1", "p.w2")
+    # Round 17 (the bigram_nll finding, guide §2.4): the combined model
+    # is an aggregate of THIS stream, so take all four counts from
+    # windows over one exploded pass — c1r/c1t over the w1 partition,
+    # c12r/c12t over (w1, w2), which reuses the w1 exchange (subset
+    # clustering) with only a sort — instead of a groupBy subtree
+    # joined back. Drops one corpus tokenize+explode traversal and the
+    # (w1, w2) join exchange; V still folds off a model-shaped
+    # aggregate of its own pass (exact distinct counts need it).
     c1w = Window.partitionBy("w1")
+    c12w = Window.partitionBy("w1", "w2")
     model = (
-        db.groupBy("w1", "w2")
-        .agg(
-            F.count(F.lit(1)).alias("c12r"),
-            F.sum("cur").alias("c12t"),
-        )
-        .withColumn("c1r", F.sum("c12r").over(c1w))
-        .withColumn("c1t", F.sum("c12t").over(c1w))
+        db.withColumn("c1r", F.count(F.lit(1)).over(c1w))
+        .withColumn("c1t", F.sum("cur").over(c1w))
+        .withColumn("c12r", F.count(F.lit(1)).over(c12w))
+        .withColumn("c12t", F.sum("cur").over(c12w))
     )
-    v = model.agg(
+    v = db.agg(
         F.count_distinct("w2").alias("vr"),
-        F.count_distinct(F.when(F.col("c12t") > 0, F.col("w2"))).alias("vt"),
+        F.count_distinct(F.when(F.col("cur") == 1, F.col("w2"))).alias("vt"),
     )
-    scored = db.drop("cur").join(model, ["w1", "w2"]).crossJoin(F.broadcast(v))
+    scored = model.crossJoin(F.broadcast(v))
     return scored.groupBy("id").agg(
         F.round(
             -F.sum(F.log((F.col("c12r") + 1) / (F.col("c1r") + F.col("vr"))))
