@@ -122,10 +122,29 @@ def main() -> None:
     from ed_fi_x_tpdm_data_ingestion_poc_spark.queries import BUILD_TIMES
 
     wall = round(sorted(walls)[1], 3)
+    # Round-18 protocol addition (round-17 verdict "Next round" #2):
+    # disclose the memory environment the numbers were taken under, so
+    # a heap-vs-box mismatch (the r17 local[32] collapse) is visible in
+    # the committed artifact instead of silent. Timing protocol is
+    # untouched.
+    env = {"cpus": spark.sparkContext.defaultParallelism}
+    try:
+        with open("/proc/meminfo") as f:
+            mi = {ln.split(":")[0]: int(ln.split()[1]) for ln in f
+                  if ":" in ln and ln.split()[1].isdigit()}
+        env["mem_total_gb"] = round(mi["MemTotal"] / 1024 / 1024, 1)
+        env["mem_available_gb"] = round(
+            mi["MemAvailable"] / 1024 / 1024, 1)
+    except Exception:
+        pass
+    try:
+        env["heap"] = spark.conf.get("spark.driver.memory")
+    except Exception:
+        pass
     write_detail(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),
-        per_query, BUILD_TIMES, wall, sf, N_THREADS,
+        per_query, BUILD_TIMES, wall, sf, N_THREADS, env,
     )
     print(render_line(per_query, BUILD_TIMES, wall, sf, N_THREADS))
 
@@ -137,6 +156,7 @@ def write_detail(
     wall: float,
     sf: float | None,
     n_threads: int,
+    env: dict | None = None,
 ) -> None:
     """Committed full-resolution companion to the stdout line (round-14
     verdict: the tail line was at 1,899 of ~2,000 chars and the next
@@ -150,6 +170,7 @@ def write_detail(
         "unit": "sec",
         "sf": sf,
         "threads": n_threads,
+        "env": env or {},
         "seq_s": round(sum(per_query.values()), 2),
         "n_q": len(per_query),
         "queries": {k: per_query[k] for k in sorted(per_query)},

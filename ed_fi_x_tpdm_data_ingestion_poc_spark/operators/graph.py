@@ -283,8 +283,12 @@ def triangle_count(und: DataFrame) -> DataFrame:
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).distinct()
     # the oriented set feeds three plan branches (both wedge sides and
-    # the closing join); persist so orientation runs once
-    ori = orient_edges(canon).persist()
+    # the closing join): localCheckpoint so orientation runs once AND
+    # the three branches embed a one-line ExistingRDD scan instead of
+    # re-printing the full orientation lineage (a persist here nested
+    # the edge-artifact's InMemoryRelation under every branch — qz150's
+    # r17 plan dump was 10k lines; guide §3.3 plan truncation)
+    ori = orient_edges(canon).localCheckpoint()
     e1, e2, e3 = ori.alias("e1"), ori.alias("e2"), ori.alias("e3")
     wedges = e1.join(
         e2,

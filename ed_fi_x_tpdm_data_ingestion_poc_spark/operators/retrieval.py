@@ -90,9 +90,15 @@ def bm25_topk(
     # + join back — the df exchange and the model join disappear.
     # Measured (noop median-of-5, sf0.1): 1.55 s original; 1.92 s
     # aggregate+broadcast-df variant (each extra eager broadcast build
-    # is a serialized job); 1.17 s this form.
-    q_term_set = qterms.select("term").distinct()
-    p_q = postings.join(F.broadcast(q_term_set), "term")
+    # is a serialized job); 1.17 s this form. The broadcast goes
+    # through the broadcast_if_small guard (ADVICE r17): a
+    # corpus-scale query set with a wide vocabulary must fall back to
+    # a shuffle semi-join instead of OOMing the driver on a mandatory
+    # broadcast of query-derived data.
+    from ..queries import broadcast_if_small
+
+    q_term_set = broadcast_if_small(qterms.select("term").distinct())
+    p_q = postings.join(q_term_set, "term")
     wt = Window.partitionBy("term")
     model = (
         p_q.withColumn("df", F.count(F.lit(1)).over(wt))

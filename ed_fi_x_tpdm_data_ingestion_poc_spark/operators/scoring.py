@@ -86,6 +86,40 @@ def _bigram_pairs(text_col: str) -> Column:
     )
 
 
+# window-vs-groupBy form gate memo for the self-scoring NLL paths,
+# keyed like queries.spread_scan's decision memo (session pinned so
+# id() can't be recycled)
+_FORM_GATE: dict[tuple, tuple] = {}
+
+# Input-partition threshold below which the window form is used for
+# self-scoring NLL. ~200 default-size splits ≈ 25 GB of corpus; past
+# that, an unbounded-frame window partitioned by first token shuffles
+# the whole occurrence stream by w1 and a stopword context (easily
+# several percent of all bigrams) lands on ONE WindowExec task as a
+# sort+spill straggler (ADVICE r17). The groupBy-model form never
+# shuffles the corpus pre-aggregation (map-side partial agg), at the
+# price of one extra tokenize+explode traversal — the right trade at
+# scale, the wrong one on small derived streams where the traversal
+# dominates (measured r17: window form 1.48 -> 1.09 s on qz121's
+# stripped-HTML input).
+_WINDOW_FORM_MAX_PARTS = 200
+
+
+def _window_form_ok(docs: DataFrame) -> bool:
+    """True when `docs` is small enough for the window-form fast path
+    (scan partition count as the size proxy — a corpus table at
+    production scale splits into thousands of tasks on its own, so the
+    gate picks the skew-safe groupBy form there with no size job)."""
+    key = (id(docs.sparkSession), docs.semanticHash())
+    hit = _FORM_GATE.get(key)
+    if hit is None or hit[0] is not docs.sparkSession:
+        _FORM_GATE[key] = (
+            docs.sparkSession,
+            docs.rdd.getNumPartitions() <= _WINDOW_FORM_MAX_PARTS,
+        )
+    return _FORM_GATE[key][1]
+
+
 def bigram_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(w1, w2, c12) corpus bigram occurrence counts — the LM 'training'
     aggregate; vocabulary-squared bounded, so it broadcasts at any
@@ -113,24 +147,27 @@ def bigram_nll(
     recomputable cross-engine; ROUND(.,6) absorbs summation-order
     noise).
 
-    Plan (round-17 restructure, guide §2.4 "remove shuffles outright"):
-    in the self-scoring form (counts=None) the model IS an aggregate of
-    the document bigram stream, so c12 and c1 come from two count
-    windows over ONE exploded stream instead of a separate
-    counts-aggregate subtree joined back — the w1 exchange is
-    established once and the (w1, w2) window reuses it (subset
-    clustering) with only a sort. That drops the docs subtree from
-    three traversals (counts, V, doc bigrams) to two (V, doc bigrams),
-    which is what matters when `docs` is itself an expensive derived
-    stream: measured on qz121's stripped-HTML input 1.48 -> 1.09 s
-    noop median-of-5 (raw-text qz118 shape 1.01 -> 0.97 s),
-    value-identical row sets.
+    Plan: the self-scoring form (counts=None) is GATED on input size
+    (_window_form_ok, ADVICE r18). Small inputs use the round-17
+    window form (guide §2.4): the model IS an aggregate of the
+    document bigram stream, so c12 and c1 come from two count windows
+    over ONE exploded stream instead of a separate counts-aggregate
+    subtree joined back — two traversals instead of three, which is
+    what matters when `docs` is an expensive derived stream (measured
+    on qz121's stripped-HTML input 1.48 -> 1.09 s noop median-of-5,
+    value-identical row sets). Large inputs take the skew-safe
+    groupBy-model + join-back form below: the window form shuffles
+    the WHOLE occurrence stream by w1 and buffers each first-token
+    partition in one WindowExec task — a hot stopword context becomes
+    a single-task sort+spill straggler at corpus scale — while the
+    groupBy model does map-side partial aggregation and never shuffles
+    the corpus pre-aggregation. Both forms compute identical values.
 
-    With a FOREIGN `counts` table the old fold-then-join shape is kept
-    (the model is not derivable from `docs` there)."""
+    With a FOREIGN `counts` table the fold-then-join shape is always
+    used (the model is not derivable from `docs` there)."""
     from pyspark.sql.window import Window
 
-    if counts is None:
+    if counts is None and _window_form_ok(docs):
         db = docs.select(
             F.col(id_col).alias("id"),
             F.explode(_bigram_pairs(text_col)).alias("p"),
@@ -153,6 +190,13 @@ def bigram_nll(
                 6,
             ).alias("nll"),
         )
+    if counts is None:
+        # large self-scoring input: train the vocab-bounded model via
+        # groupBy (map-side partial agg; the corpus never shuffles
+        # pre-aggregation) and fall through to the fold-then-join
+        # score pass — the inner join is lossless for self-scoring
+        # (every doc bigram is in its own corpus counts)
+        counts = bigram_counts(docs, text_col=text_col)
     v = counts.select(F.count_distinct("w2").alias("v"))
     c1w = Window.partitionBy("w1")
     model = counts.withColumn(
@@ -248,8 +292,10 @@ def bigram_nll_dual(
     against the raw model (every corpus bigram is in it). V_raw / V_tgt
     fold to one broadcast scalar row off the vocab-bounded model. At
     scale: model size is vocab^2-bounded (AQE broadcasts it when small),
-    the corpus never shuffles pre-aggregation, and the per-doc reduce is
-    a map-side-combined groupBy on id."""
+    the skew-safe groupBy form is chosen by the same _window_form_ok
+    gate as bigram_nll (ADVICE r18) so the corpus never shuffles
+    pre-aggregation there, and the per-doc reduce is a
+    map-side-combined groupBy on id."""
     from pyspark.sql.window import Window
 
     db = docs.select(
@@ -257,27 +303,52 @@ def bigram_nll_dual(
         curated.cast("int").alias("cur"),
         F.explode(_bigram_pairs(text_col)).alias("p"),
     ).select("id", "cur", "p.w1", "p.w2")
-    # Round 17 (the bigram_nll finding, guide §2.4): the combined model
-    # is an aggregate of THIS stream, so take all four counts from
-    # windows over one exploded pass — c1r/c1t over the w1 partition,
-    # c12r/c12t over (w1, w2), which reuses the w1 exchange (subset
-    # clustering) with only a sort — instead of a groupBy subtree
-    # joined back. Drops one corpus tokenize+explode traversal and the
-    # (w1, w2) join exchange; V still folds off a model-shaped
-    # aggregate of its own pass (exact distinct counts need it).
     c1w = Window.partitionBy("w1")
-    c12w = Window.partitionBy("w1", "w2")
-    model = (
-        db.withColumn("c1r", F.count(F.lit(1)).over(c1w))
-        .withColumn("c1t", F.sum("cur").over(c1w))
-        .withColumn("c12r", F.count(F.lit(1)).over(c12w))
-        .withColumn("c12t", F.sum("cur").over(c12w))
-    )
-    v = db.agg(
-        F.count_distinct("w2").alias("vr"),
-        F.count_distinct(F.when(F.col("cur") == 1, F.col("w2"))).alias("vt"),
-    )
-    scored = model.crossJoin(F.broadcast(v))
+    if _window_form_ok(docs):
+        # small input (round 17, the bigram_nll finding, guide §2.4):
+        # the combined model is an aggregate of THIS stream, so take
+        # all four counts from windows over one exploded pass — c1r/c1t
+        # over the w1 partition, c12r/c12t over (w1, w2), which reuses
+        # the w1 exchange (subset clustering) with only a sort —
+        # instead of a groupBy subtree joined back. Drops one corpus
+        # tokenize+explode traversal and the (w1, w2) join exchange; V
+        # still folds off a model-shaped aggregate of its own pass.
+        c12w = Window.partitionBy("w1", "w2")
+        model = (
+            db.withColumn("c1r", F.count(F.lit(1)).over(c1w))
+            .withColumn("c1t", F.sum("cur").over(c1w))
+            .withColumn("c12r", F.count(F.lit(1)).over(c12w))
+            .withColumn("c12t", F.sum("cur").over(c12w))
+        )
+        v = db.agg(
+            F.count_distinct("w2").alias("vr"),
+            F.count_distinct(
+                F.when(F.col("cur") == 1, F.col("w2"))
+            ).alias("vt"),
+        )
+        scored = model.crossJoin(F.broadcast(v))
+    else:
+        # large input: vocab^2-bounded model via map-side groupBy, one
+        # corpus-side join — no corpus-sized window shuffle by w1
+        model = (
+            db.groupBy("w1", "w2")
+            .agg(
+                F.count(F.lit(1)).alias("c12r"),
+                F.sum("cur").alias("c12t"),
+            )
+            .withColumn("c1r", F.sum("c12r").over(c1w))
+            .withColumn("c1t", F.sum("c12t").over(c1w))
+        )
+        v = model.agg(
+            F.count_distinct("w2").alias("vr"),
+            F.count_distinct(
+                F.when(F.col("c12t") > 0, F.col("w2"))
+            ).alias("vt"),
+        )
+        scored = (
+            db.drop("cur").join(model, ["w1", "w2"])
+            .crossJoin(F.broadcast(v))
+        )
     return scored.groupBy("id").agg(
         F.round(
             -F.sum(F.log((F.col("c12r") + 1) / (F.col("c1r") + F.col("vr"))))

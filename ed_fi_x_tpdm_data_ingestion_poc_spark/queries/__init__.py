@@ -196,14 +196,34 @@ def spread_scan(df: DataFrame, factor: float = 1) -> DataFrame:
     0.25 for small fixtures whose downstream shuffles would drown in
     32-way block overhead — measured on the qz104 banded join: 8
     partitions beat both 1 and 32); it stays cluster-RELATIVE, never
-    an absolute local tune."""
+    an absolute local tune.
+
+    Memory cap (round 18, guide §5): every partition of the
+    per-row-heavy stage behind this call is one RESIDENT Python worker
+    (pandas+pyarrow RSS, ~0.3-0.5 GiB each). The round-17 verdict
+    showed the uncapped defaultParallelism target co-conspiring with a
+    20 GiB heap default to collapse a smaller box at local[32] (every
+    direct consumer of this function was in the worst-regressed set,
+    2.5-11x faster at 8 cores than 32 on the same tree). The target is
+    therefore capped at ~1 worker lane per 1.5 GiB of MemAvailable
+    (floor 8, the core count where those queries measured healthy):
+    a 128 GiB box keeps the full 32-way spread, a 32 GiB box spreads
+    ~12-wide instead of pinning 32 workers it cannot feed. Production
+    posture unchanged: corpus tables split past defaultParallelism on
+    their own, the under-split gate fails, and this returns the frame
+    untouched."""
     key = (id(df.sparkSession), df.semanticHash(), factor)
     hit = _SPREAD_DECISIONS.get(key)
     if hit is None or hit[0] is not df.sparkSession:
+        from ..session import mem_available_gb
+
         par = max(
             1,
             int(df.sparkSession.sparkContext.defaultParallelism * factor),
         )
+        avail = mem_available_gb()
+        if avail is not None:
+            par = min(par, max(8, int(avail / 1.5)))
         _SPREAD_DECISIONS[key] = (
             df.sparkSession,
             df.rdd.getNumPartitions() < par,

@@ -128,10 +128,17 @@ _KNN = 10
 
 def _copurchase_und(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected, deduplicated edge list of the co-purchase k-NN graph,
-    persisted once per (session, sf) like every heavy artifact (the
+    materialized once per (session, sf) like every heavy artifact (the
     edge set feeds the degree pass, both wedge sides, and the closing
     join — without the persist each branch would recompute the pair
-    self-join)."""
+    self-join). localCheckpoint rather than persist (round 18, guide
+    §3.3 "materialising an intermediate truncates the plan"): every
+    consumer branch of a persist()ed artifact re-prints the artifact's
+    FULL build lineage inside its InMemoryRelation, and qz150's three
+    self-joined branches nested that recursively — its r17 physical
+    plan was 10,096 lines, a driver/planner hazard at scale.
+    Truncating the lineage here makes each consumer scan a one-line
+    ExistingRDD; same blocks, same rows."""
     from . import built
     from .llm import _artifact
 
@@ -163,7 +170,7 @@ def _copurchase_und(spark: SparkSession, sf: str) -> DataFrame:
         und = knn.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
-        return built(und.persist())
+        return built(und.localCheckpoint())
 
     return _artifact(spark, sf, "copurchase_und", build)
 

@@ -6477,6 +6477,14 @@ def q290(spark: SparkSession, sf: str) -> DataFrame:
         pws = np.zeros(n_boot, dtype=np.int64)
         pwn = np.zeros(n_boot, dtype=np.int64)
         for batch in batches:
+            # a nullable Arrow column with nulls silently converts to
+            # float64-with-NaN; astype(uint/int) would then poison the
+            # partial sums without an error (ADVICE r17) — fail loudly
+            # on a malformed fixture instead
+            if batch.column(0).null_count or batch.column(1).null_count:
+                raise ValueError(
+                    "bootstrap kernel: null o_orderkey/cents in batch"
+                )
             ok = batch.column(0).to_numpy(
                 zero_copy_only=False
             ).astype(np.uint64) & m32

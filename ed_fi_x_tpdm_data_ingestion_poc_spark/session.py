@@ -37,6 +37,48 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def mem_available_gb() -> float | None:
+    """MemAvailable from /proc/meminfo in GiB (None off-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        return None
+    return None
+
+
+def _default_driver_memory(par: int) -> str:
+    """Local-mode heap default sized to the BOX, not to one host.
+
+    Round 17 shipped a flat 20g default measured on a 128 GiB box
+    (suite seq 162.6 -> 117.2 s: the ~60 persisted artifacts stop
+    evicting/GC-churning in the single local JVM). The round-17 verdict
+    showed the same default COLLAPSING the canonical bench on a
+    smaller box at local[32]: the 20 GiB heap plus one resident Python
+    worker per core exceeds physical memory, the kernel thrashes page
+    cache / kills workers, and pure-JVM queries read 2.5-10x slower —
+    exactly guide §5's warning that memory config must be sized to the
+    machine. So: budget ~0.4 GiB per concurrent task for Python
+    workers (pandas+pyarrow RSS), take half of what is left of
+    MemAvailable for the heap, clamp to [8g, 20g] (8g = the pre-r17
+    default that was safe everywhere; 20g = where the artifact-eviction
+    win saturates on the 128 GiB box). A 128 GiB box still gets 20g, a
+    ~32 GiB box at 32 cores gets back the safe 8g, and
+    SPARK_DRIVER_MEMORY overrides everything. On a real cluster
+    driver/executor memory comes from spark-submit and this default is
+    irrelevant."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    avail = mem_available_gb()
+    if avail is None:
+        return "8g"
+    heap = (avail - 0.4 * par) * 0.5
+    return f"{int(max(8, min(20, heap)))}g"
+
+
 # id -> session: holding the reference keeps id() from being reused by a
 # later session object after GC (which would wrongly skip tuning it)
 _TUNED: dict[int, SparkSession] = {}
@@ -136,19 +178,9 @@ def get_spark(cfg: EngineConfig | None = None) -> SparkSession:
     builder = (
         SparkSession.builder.appName(cfg.app_name)
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions or max(32, par)))
-        # Local-mode heap default (overridable via SPARK_DRIVER_MEMORY).
-        # Sized to the declared-query suite's working set, not to one
-        # query: the suite keeps ~60 persisted artifacts (indexes,
-        # sketches, fixtures) alive in the single local JVM that is
-        # both driver and executor. Measured at sf0.1/local[32]
-        # (round 17, guide §5 memory pressure): with 8g the bench's
-        # sequential pass reads 162.6 s with GC/eviction inflating
-        # individual map-only queries up to 8x their isolated cost
-        # (qz124 3.60 s in-suite vs 0.40 s isolated); with 20g the
-        # same tree reads 117.2 s (-28%) and the inflation largely
-        # disappears. On a real cluster driver/executor memory comes
-        # from spark-submit and this default is irrelevant.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
+        # Local-mode heap default: adaptive to the box (see
+        # _default_driver_memory), overridable via SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", _default_driver_memory(par))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", cfg.session_timezone)
     )

@@ -89,6 +89,39 @@ def test_bigram_nll_matches_python_replay_and_flags_outliers(spark):
     assert got[3][1] == max(nll for _, nll in got.values())
 
 
+def test_bigram_nll_forms_agree(spark):
+    """The size-gated forms (window fast path for small inputs,
+    skew-safe groupBy-model + join-back past _WINDOW_FORM_MAX_PARTS
+    input partitions) compute IDENTICAL values — forcing the gate by
+    over-partitioning the same tiny corpus must not change a row."""
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators import scoring
+    from ed_fi_x_tpdm_data_ingestion_poc_spark.operators.scoring import (
+        bigram_nll_dual,
+    )
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the rug"),
+        (2, "the dog sat on the mat"),
+        (3, "zq xw vv qq zz pp"),
+    ]
+    small = spark.createDataFrame(corpus, "doc_id long, text string")
+    wide = small.repartition(scoring._WINDOW_FORM_MAX_PARTS + 8)
+    assert scoring._window_form_ok(small)
+    assert not scoring._window_form_ok(wide)
+
+    a = {r.id: (r.n_bigrams, r.nll) for r in bigram_nll(small).collect()}
+    b = {r.id: (r.n_bigrams, r.nll) for r in bigram_nll(wide).collect()}
+    assert a == b
+
+    cur = F.col("doc_id") < 2
+    da = {r.id: (r.nll_raw, r.nll_tgt)
+          for r in bigram_nll_dual(small, cur).collect()}
+    db = {r.id: (r.nll_raw, r.nll_tgt)
+          for r in bigram_nll_dual(wide, cur).collect()}
+    assert da == db
+
+
 def test_score_plan_is_map_only_jvm(spark):
     from ed_fi_x_tpdm_data_ingestion_poc_spark.plans import audit
 

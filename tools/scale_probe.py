@@ -1336,6 +1336,12 @@ def main() -> None:
             pws = np.zeros(n_boot, dtype=np.int64)
             pwn = np.zeros(n_boot, dtype=np.int64)
             for batch in batches:
+                # same loud-null guard as the q290 kernel (ADVICE r17)
+                if (batch.column(0).null_count
+                        or batch.column(1).null_count):
+                    raise ValueError(
+                        "bootstrap kernel: null key/cents in batch"
+                    )
                 ok = batch.column(0).to_numpy(
                     zero_copy_only=False
                 ).astype(np.uint64) & m32
