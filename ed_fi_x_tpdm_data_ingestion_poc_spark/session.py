@@ -37,16 +37,68 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _cgroup_available_bytes() -> int | None:
+    """Memory headroom under this process's cgroup limit, if one is set.
+
+    Containers and CI sandboxes enforce memory via cgroups while
+    /proc/meminfo keeps reporting the HOST's memory — sizing a heap
+    from meminfo alone inside a 32 GiB container on a 256 GiB host
+    reproduces exactly the oversized-heap collapse this module guards
+    against. Reads limit and usage for v2 (memory.max/memory.current)
+    and v1 (memory.limit_in_bytes/memory.usage_in_bytes); returns None
+    when unlimited or unreadable."""
+    try:
+        paths: list[tuple[str, str]] = []
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                parts = line.strip().split(":", 2)
+                if len(parts) != 3:
+                    continue
+                hid, ctrls, cpath = parts
+                if hid == "0":  # cgroup v2 unified
+                    base = "/sys/fs/cgroup" + cpath
+                    paths.append((base + "/memory.max",
+                                  base + "/memory.current"))
+                elif "memory" in ctrls.split(","):  # v1 memory controller
+                    base = "/sys/fs/cgroup/memory" + cpath
+                    paths.append((base + "/memory.limit_in_bytes",
+                                  base + "/memory.usage_in_bytes"))
+        for lim_p, use_p in paths:
+            try:
+                with open(lim_p) as f:
+                    raw = f.read().strip()
+                if raw == "max":
+                    continue
+                limit = int(raw)
+                if limit >= 1 << 60:  # v1 "unlimited" sentinel
+                    continue
+                with open(use_p) as f:
+                    usage = int(f.read().strip())
+                return max(0, limit - usage)
+            except (OSError, ValueError):
+                continue
+    except OSError:
+        pass
+    return None
+
+
 def mem_available_gb() -> float | None:
-    """MemAvailable from /proc/meminfo in GiB (None off-Linux)."""
+    """Effective available memory in GiB: min of /proc/meminfo
+    MemAvailable and the process's cgroup headroom (None off-Linux)."""
+    avail = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemAvailable:"):
-                    return int(line.split()[1]) / (1024 * 1024)
+                    avail = int(line.split()[1]) / (1024 * 1024)
+                    break
     except OSError:
         return None
-    return None
+    cg = _cgroup_available_bytes()
+    if cg is not None:
+        cg_gb = cg / (1024**3)
+        avail = cg_gb if avail is None else min(avail, cg_gb)
+    return avail
 
 
 def _default_driver_memory(par: int) -> str:
